@@ -1,0 +1,74 @@
+"""Benchmark runner (driver contract, SURVEY.md §6).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from swallow_spark.registry import declared_queries
+from swallow_spark.session import get_spark
+
+# Headline set: one representative per operator family, weighted toward the
+# shuffle/join/window-heavy paths that dominate at scale.
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_multiway_star",
+    "join_broadcast",
+    "join_inner_hash",
+    "agg_count_distinct",
+    "win_row_number_topk",
+    "win_lag_lead",
+    "win_running_sum",
+    "agg_rollup",
+    "set_union_distinct",
+    "limit_topn",
+    "filter_compound",
+    "project_compute",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_spark("swallow_spark_bench", cpus=cpus)
+    qs = declared_queries()
+    names = [n for n in HEADLINE if n in qs]
+    def run(name: str) -> float:
+        # noop sink: full executor-side materialization without driver
+        # transfer, so we time the query, not py4j row serialization.
+        t0 = time.perf_counter()
+        qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    run("limit_topn")  # warm the JVM + parquet footers
+
+    timings: dict[str, float] = {}
+    for name in names:
+        spark.sparkContext.setJobDescription(f"bench:{name}")
+        timings[name] = run(name)
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Table IO (SURVEY.md §2.A, §7.1 M0).
+
+``load`` is the single entry point every query uses; it conforms the session
+(UTC) before the scan so downstream timestamp extracts are deterministic.
+
+Scale notes (SURVEY.md §7.4):
+- Parquet scans are pruned/pushed by Catalyst — callers should `.select()`
+  early and filter on raw columns so PushedFilters reach the reader.
+- At 100 TB the per-table path becomes a directory of many files (possibly
+  partitioned); `spark.read.parquet` handles that unchanged. Explicit schemas
+  (schemas.py) make reads schema-stable across file drift.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import conform_session
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (schema from parquet footer).
+
+    events.ts is physically TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects; we read it as long nanos (legacy conf) and truncate to
+    microseconds with integer DIV — exactly DuckDB's ns→µs semantics, and no
+    double round-trip (2024 epoch-nanos ≈ 1.7e18 > 2^53).
+    """
+    conform_session(spark)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    """Partitioned parquet sink (swallow writer analog).
+
+    Scale note: `partitionBy` on a low-cardinality column gives partition
+    pruning on read-back; for high-cardinality keys prefer bucketing.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,12 @@
+"""Query-key implementations (SURVEY.md §2). Importing this package
+registers every implemented key into swallow_spark.registry."""
+
+from . import (  # noqa: F401
+    scans,
+    filters,
+    joins,
+    aggregates,
+    windows,
+    sorts,
+    setops,
+)

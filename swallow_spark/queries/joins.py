@@ -1,0 +1,329 @@
+"""§2.C — joins: equi (all join types), broadcast, cross, theta/range,
+interval self-join, as-of, multiway star, self-join.
+
+Scale notes (SURVEY.md §7.4):
+- Dimension tables (region/nation/customer/part/supplier) get explicit
+  F.broadcast hints in star joins — no shuffle of the fact side's dimension.
+- Fact-fact equi joins shuffle on the join key; AQE splits skewed keys.
+- Range/interval joins put the equi part in the join keys so Spark only
+  sort-merges on the key and applies the range as a join condition — never a
+  cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..conform import money_sum, sql_money_sum
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "join_inner_hash",
+    oracle="""
+SELECT o_orderkey, c_custkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+    tier="T1",
+)
+def join_inner_hash(spark, sf_dir):
+    """Equi inner join orders ⋈ customer (Catalyst picks SHJ/SMJ/broadcast)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle=f"""
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_money_sum('l_extendedprice')} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+    tier="T1",
+)
+def join_broadcast(spark, sf_dir):
+    """Fact ⋈ broadcast(dim): lineitem ⋈ part, revenue per brand.
+
+    The broadcast hint keeps the 100 TB fact table un-shuffled; only the
+    small dim ships to every executor.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            money_sum(F.col("l_extendedprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+    tier="T1",
+)
+def join_left_outer(spark, sf_dir):
+    """Left outer join: order count per customer, 0 for order-less customers."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey
+""",
+    tier="T2",
+)
+def join_right_outer(spark, sf_dir):
+    """Right outer mirror of join_left_outer."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+     big  AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000)
+SELECT rich.c_custkey AS rich_key, big.o_custkey AS big_key
+FROM rich FULL JOIN big ON rich.c_custkey = big.o_custkey
+""",
+    tier="T2",
+)
+def join_full_outer(spark, sf_dir):
+    """Full outer join on two key sets with gaps on both sides."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey").distinct()
+    return rich.join(big, rich.c_custkey == big.o_custkey, "full").select(
+        F.col("c_custkey").alias("rich_key"), F.col("o_custkey").alias("big_key")
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+    tier="T1",
+)
+def join_left_semi(spark, sf_dir):
+    """Customers with ≥1 urgent order (semi join — no row multiplication)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+SELECT c_custkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    tier="T1",
+)
+def join_left_anti(spark, sf_dir):
+    """Customers with no orders at all (anti join)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "join_cross_limited",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+    tier="T2",
+)
+def join_cross_limited(spark, sf_dir):
+    """Bounded cartesian product (5 × 25)."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = load(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_days
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+""",
+    tier="T2",
+)
+def join_theta_range(spark, sf_dir):
+    """Equi key + range predicate: lineitems shipped within 7 days of order."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 7 DAYS"))
+    )
+    return li.join(o, cond).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("ship_days"),
+    )
+
+
+@register(
+    "join_interval",
+    oracle="""
+SELECT a.event_id AS e1, b.event_id AS e2, a.user_id AS user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE
+""",
+    tier="T2",
+)
+def join_interval(spark, sf_dir):
+    """Interval self-join: event pairs of one user within a 5-minute span.
+
+    Scale note: the equi part (user_id) bounds the blow-up; per-user event
+    streams are dense enough that the range predicate does the real pruning.
+    """
+    e = load(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return e.alias("a").join(e.alias("b"), cond).select(
+        F.col("a.event_id").alias("e1"),
+        F.col("b.event_id").alias("e2"),
+        F.col("a.user_id").alias("user_id"),
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+FROM events
+""",
+    tier="T2",
+)
+def join_asof(spark, sf_dir):
+    """As-of (backward) join: each event picks the user's latest purchase
+    value at-or-before its timestamp.
+
+    Spark has no native ASOF JOIN; the scalable pattern is a union-tag +
+    `last(..., ignorenulls)` running window (see swallow_spark.ops.asof for
+    the generic two-table form). One shuffle on the partition key, no
+    row-multiplying join.
+    """
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pv = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    return e.select("event_id", "user_id", pv.alias("last_purchase_value"))
+
+
+@register(
+    "join_multiway_star",
+    oracle=f"""
+SELECT n_name, {sql_money_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey   = c_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+    tier="T1",
+)
+def join_multiway_star(spark, sf_dir):
+    """TPC-H-Q5-style 5-table star join, dims broadcast, revenue per nation."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "join_self",
+    oracle="""
+SELECT a.n_name AS n1, b.n_name AS n2, a.n_regionkey AS rkey
+FROM nation a JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+""",
+    tier="T2",
+)
+def join_self(spark, sf_dir):
+    """Self-join: unordered nation pairs within one region."""
+    n = load(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_name").alias("n1"),
+        F.col("b.n_name").alias("n2"),
+        F.col("a.n_regionkey").alias("rkey"),
+    )

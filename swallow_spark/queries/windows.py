@@ -1,0 +1,235 @@
+"""§2.E — window functions. Every window orders by a total key (§2.0 r4/5).
+
+Scale notes: windows partitioned by user/customer/brand shuffle once on the
+partition key and sort within partitions — the same plan shape at any scale.
+The only global window (sort_multi_nulls in sorts.py) is documented there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..conform import cents, rnd, sql_cents, sql_rnd
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "win_row_number_topk",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+    tier="T1",
+)
+def win_row_number_topk(spark, sf_dir):
+    """Top-3 orders per customer by (totalprice desc, orderkey) — the
+    canonical per-group top-k (also covers the `topk_per_group` key)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)
+""",
+    tier="T1",
+)
+def win_rank_dense(spark, sf_dir):
+    """rank + dense_rank of suppliers by balance within nation (rank values
+    are deterministic under ties)."""
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@register(
+    "win_ntile",
+    oracle="""
+SELECT c_custkey,
+       CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+FROM customer
+""",
+    tier="T2",
+)
+def win_ntile(spark, sf_dir):
+    """Quartile bucketing of customers by balance (total order)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select("c_custkey", F.ntile(4).over(w).cast("long").alias("quartile"))
+
+
+@register(
+    "win_lag_lead",
+    oracle=f"""
+SELECT event_id, user_id,
+       {sql_rnd('value - lag(value) OVER w', 2)} AS delta_value,
+       epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tier="T1",
+)
+def win_lag_lead(spark, sf_dir):
+    """Per-user event-over-event value delta and gap to next event (µs)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        rnd(F.col("value") - F.lag("value").over(w), 2).alias("delta_value"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias("gap_us"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM({sql_cents('o_totalprice')}) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+         AS cum_spend
+FROM orders
+""",
+    tier="T1",
+)
+def win_running_sum(spark, sf_dir):
+    """Cumulative customer spend in order-date order (exact integer cents)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(cents(F.col("o_totalprice"))).over(w).cast("double") / F.lit(100)
+    return o.select("o_custkey", "o_orderkey", cum.alias("cum_spend"))
+
+
+@register(
+    "win_moving_avg",
+    oracle=f"""
+SELECT event_id, user_id,
+       {sql_rnd(f"CAST(SUM({sql_cents('value')}) OVER w AS DOUBLE) / 100 / COUNT(*) OVER w", 4)}
+         AS mavg_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    tier="T2",
+)
+def win_moving_avg(spark, sf_dir):
+    """3-row moving average of event value per user (deterministic cents)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    mavg = rnd(
+        F.sum(cents(F.col("value"))).over(w).cast("double")
+        / F.lit(100)
+        / F.count(F.lit(1)).over(w),
+        4,
+    )
+    return e.select("event_id", "user_id", mavg.alias("mavg_value"))
+
+
+@register(
+    "win_range_time",
+    oracle=f"""
+SELECT event_id, user_id,
+       CAST(SUM({sql_cents('value')}) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+         AS trailing_1h_value
+FROM events
+""",
+    tier="T2",
+)
+def win_range_time(spark, sf_dir):
+    """Trailing-1-hour per-user value sum — RANGE frame over epoch-µs."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    tot = F.sum(cents(F.col("value"))).over(w).cast("double") / F.lit(100)
+    return e.select("event_id", "user_id", tot.alias("trailing_1h_value"))
+
+
+@register(
+    "win_first_last",
+    oracle="""
+SELECT event_id, user_id, CAST(ts AS DATE) AS day,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER w AS last_type
+FROM events
+WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    tier="T2",
+)
+def win_first_last(spark, sf_dir):
+    """First/last event type within each user-day (explicit full frame)."""
+    e = load(spark, sf_dir, "events").withColumn("day", F.col("ts").cast("date"))
+    w = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "day",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    )
+
+
+@register(
+    "win_percent_rank",
+    oracle=f"""
+SELECT p_partkey,
+       {sql_rnd('percent_rank() OVER w', 4)} AS pr,
+       {sql_rnd('cume_dist() OVER w', 4)} AS cd
+FROM part
+WINDOW w AS (ORDER BY p_size, p_partkey)
+""",
+    tier="T2",
+)
+def win_percent_rank(spark, sf_dir):
+    """percent_rank + cume_dist over part sizes (total order, 4dp)."""
+    p = load(spark, sf_dir, "part")
+    w = Window.orderBy("p_size", "p_partkey")
+    return p.select(
+        "p_partkey",
+        rnd(F.percent_rank().over(w), 4).alias("pr"),
+        rnd(F.cume_dist().over(w), 4).alias("cd"),
+    )

@@ -1,0 +1,36 @@
+"""Differential parity suite: every declared query vs its DuckDB oracle at
+sf0.001 (fast mirror of the driver's sf0.01 gate; tools/oracle_diff.py runs
+the full-size check before a key is declared)."""
+
+from __future__ import annotations
+
+import pytest
+
+from swallow_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+from tools.oracle_diff import compare_one
+
+QS = all_queries()
+ORACLE_KEYS = sorted(k for k, q in QS.items() if q.oracle)
+ROWS_ONLY_KEYS = sorted(k for k, q in QS.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("key", ORACLE_KEYS)
+def test_oracle_parity(key, spark, duck):
+    errs = compare_one(key, QS[key], spark, duck, SF_SMOKE)
+    assert not errs, "\n".join(errs)
+
+
+@pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
+def test_rows_only_runs(key, spark):
+    df = QS[key].fn(spark, SF_SMOKE)
+    assert df.columns  # stable schema
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())
