@@ -9,4 +9,7 @@ from . import (  # noqa: F401
     windows,
     sorts,
     setops,
+    functions_scalar,
+    functions_array,
+    events_windows,
 )

@@ -1,0 +1,127 @@
+"""§2.I — event-time window semantics, batch-checkable form.
+
+`window()` / `session_window()` work on batch DataFrames, so tumbling /
+sliding / session aggregations are oracle-checked here; watermark & late-data
+behavior exists only in streaming → demos/streaming (T3, not driver-graded).
+
+Scale note: these are the Structured-Streaming operator shapes — groupBy
+(window, key) is a hash aggregate keyed by (bucket, key); session windows
+shuffle once on user_id then merge sorted runs. Identical plans at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..conform import money_sum, sql_money_sum
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "stream_tumbling_batch",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS wstart, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_money_sum('value')} AS val
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    tier="T1",
+)
+def stream_tumbling_batch(spark, sf_dir):
+    """1-hour tumbling windows × event_type: count + exact value sum."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("value")).alias("val"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "val")
+    )
+
+
+@register(
+    "stream_sliding_batch",
+    oracle=f"""
+SELECT make_timestamp(((epoch_us(ts) // 1000000 // 900) * 900 - g.j * 900) * 1000000) AS wstart,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_money_sum('value')} AS val
+FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) g
+GROUP BY 1, 2
+""",
+    tier="T2",
+)
+def stream_sliding_batch(spark, sf_dir):
+    """1-hour windows sliding every 15 min (each event in exactly 4 windows).
+
+    Oracle reconstructs Spark's epoch-aligned window starts by enumerating
+    the 4 slide offsets per event (SURVEY.md §2.I / §7.3 item 4).
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("value")).alias("val"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "val")
+    )
+
+
+@register(
+    "stream_session_batch",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_money_sum('value')} AS val
+FROM numbered
+GROUP BY user_id, sid
+""",
+    tier="T2",
+)
+def stream_session_batch(spark, sf_dir):
+    """Per-user session windows with a 30-minute gap.
+
+    Spark session semantics: a session is [first_ts, last_ts + gap); an event
+    exactly gap after the previous starts a NEW session (end-exclusive) — the
+    oracle's gaps-and-islands uses `>= gap` to match. Only robust columns
+    (start = min ts, count, sum) are emitted (SURVEY.md §7.3 item 3).
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("value")).alias("val"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events", "val"
+        )
+    )
+
+
+@register(
+    "stream_dedup_batch",
+    oracle="SELECT DISTINCT user_id, event_id FROM events",
+    tier="T2",
+)
+def stream_dedup_batch(spark, sf_dir):
+    """dropDuplicates on the natural key — the batch analog of streaming
+    deduplication (deterministic because the key set is projected first)."""
+    e = load(spark, sf_dir, "events")
+    return e.select("user_id", "event_id").dropDuplicates(["user_id", "event_id"])

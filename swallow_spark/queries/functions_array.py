@@ -1,0 +1,114 @@
+"""§2.H — array / higher-order / map / explode packs.
+
+Determinism: float reductions over arrays are canonicalized to integer units
+inside the lambda (sum of longs is order-independent) — see fn_array_lambda.
+DuckDB list indexing is 1-based like Spark's element_at/slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..conform import rnd, sql_rnd
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "fn_array",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(list_contains(string_split(text, ' '), 'data') AS INT) AS has_data,
+       list_slice(string_split(text, ' '), 1, 3) AS first3,
+       string_split(text, ' ')[2] AS second_token,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+       list_sort(list_distinct(list_slice(string_split(text, ' '), 1, 5))) AS first5_sorted
+FROM documents
+""",
+    tier="T2",
+)
+def fn_array(spark, sf_dir):
+    """Array pack: size/contains/slice/element_at/distinct/sort over token
+    arrays."""
+    d = load(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_tokens"),
+        F.array_contains(arr, "data").cast("int").alias("has_data"),
+        F.slice(arr, 1, 3).alias("first3"),
+        F.element_at(arr, 2).alias("second_token"),
+        F.size(F.array_distinct(arr)).cast("long").alias("n_uniq"),
+        F.sort_array(F.array_distinct(F.slice(arr, 1, 5))).alias("first5_sorted"),
+    )
+
+
+@register(
+    "fn_array_lambda",
+    oracle=f"""
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       CAST(len(list_filter(embedding, x -> abs(x) > 1.0)) AS BIGINT) AS n_big,
+       {sql_rnd("sqrt(CAST(list_sum(list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 100000000 + 0.5) AS BIGINT))) AS DOUBLE) / 100000000)", 4)} AS l2_norm
+FROM embeddings
+""",
+    tier="T2",
+)
+def fn_array_lambda(spark, sf_dir):
+    """Higher-order pack: filter/transform/aggregate over embeddings.
+
+    L2 norm sums integer 1e-8 units (exact longs) so the reduction is
+    order-independent — the same trick conform.money_sum uses, applied inside
+    a lambda. Scale note: stays entirely in JVM codegen, no UDF.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    sq_units = F.aggregate(
+        emb,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(x.cast("double") * x.cast("double") * F.lit(100000000) + F.lit(0.5)),
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.size(F.filter(emb, lambda x: F.abs(x) > 1.0)).cast("long").alias("n_big"),
+        rnd(F.sqrt(sq_units.cast("double") / F.lit(100000000)), 4).alias("l2_norm"),
+    )
+
+
+@register(
+    "fn_explode",
+    oracle="""
+SELECT doc_id, CAST(g.i - 1 AS INT) AS pos, t.arr[g.i] AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents) t,
+     LATERAL (SELECT unnest(generate_series(1, len(t.arr))) AS i) g
+""",
+    tier="T2",
+)
+def fn_explode(spark, sf_dir):
+    """posexplode of token arrays → (doc_id, pos, token) rows.
+
+    Scale note: explode multiplies rows; keep the projection minimal before
+    exploding so the shuffle that follows carries only (id, token).
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+
+
+@register("fn_map", oracle=None, tier="T3")
+def fn_map(spark, sf_dir):
+    """Map pack (rows-only: DuckDB MAP output parity is awkward, SURVEY §2.H):
+    create_map from JSON, keys/values, element_at lookup."""
+    e = load(spark, sf_dir, "events")
+    m = F.create_map(F.lit("k"), F.get_json_object("props", "$.k").cast("long"))
+    return e.select(
+        "event_id",
+        m.alias("props_map"),
+        F.map_keys(m).alias("keys"),
+        F.map_values(m).alias("vals"),
+        F.element_at(m, "k").alias("k_val"),
+    )
