@@ -12,4 +12,9 @@ from . import (  # noqa: F401
     functions_scalar,
     functions_array,
     events_windows,
+    llm_text,
+    llm_dedup,
+    llm_similarity,
+    udfs,
+    sources_sinks,
 )

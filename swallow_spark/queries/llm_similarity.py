@@ -1,0 +1,257 @@
+"""§2.K — similarity search over `embeddings` + the multimodal join.
+
+Cosine is computed from exact integer-unit dot products (ops.vectors) so
+Spark and DuckDB produce bit-identical doubles; norms are precomputed per
+vector and joined (never recomputed per pair).
+
+Scale notes: brute-force top-k is the oracle-checkable baseline; the scale
+paths are (a) label/attribute blocking (sim_pairs_threshold) and (b) LSH
+bucketing (ann_lsh_bucketed, rows-only) — both plain DataFrame ops, so the
+candidate set stays sub-quadratic on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..conform import rnd, sql_rnd
+from ..io import load
+from ..ops.vectors import SCALE, cosine_from, dot_units, l2_norm, sql_dot_units, sql_l2_norm
+from ..registry import register
+
+_N_PROBES = 10
+_K = 5
+
+_NORMS_SQL = f"""
+norms AS (
+  SELECT vec_id, label, embedding, {sql_l2_norm('embedding')} AS nrm
+  FROM embeddings
+)
+"""
+
+_COS_SQL = (
+    f"(CAST({sql_dot_units('a.embedding', 'b.embedding')} AS DOUBLE) / {SCALE})"
+    " / (a.nrm * b.nrm)"
+)
+
+
+def _norms(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+
+
+def _pair_cos():
+    d = dot_units(F.col("a.embedding"), F.col("b.embedding"))
+    return cosine_from(d, F.col("a.nrm"), F.col("b.nrm"))
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+WITH {_NORMS_SQL}
+SELECT probe_id, neighbor_id, {sql_rnd('cos', 4)} AS cosine, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cos,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_COS_SQL} DESC, b.vec_id) AS rk
+  FROM norms a JOIN norms b ON b.vec_id != a.vec_id
+  WHERE a.vec_id < {_N_PROBES}
+)
+WHERE rk <= {_K}
+""",
+    tier="T2",
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for the 10 lowest probe vectors
+    (ANN baseline; ties broken by vec_id)."""
+    n = _norms(spark, sf_dir)
+    probes = n.filter(F.col("vec_id") < _N_PROBES).alias("a")
+    corpus = n.alias("b")
+    cos = _pair_cos()
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        F.broadcast(probes)
+        .join(corpus, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos.alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _K)
+        .select("probe_id", "neighbor_id", rnd(F.col("cos"), 4).alias("cosine"), "rk")
+    )
+
+
+@register(
+    "sim_knn_join_label",
+    oracle=f"""
+WITH {_NORMS_SQL},
+nn AS (
+  SELECT probe_id, neighbor_label FROM (
+    SELECT a.vec_id AS probe_id, b.label AS neighbor_label,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_COS_SQL} DESC, b.vec_id) AS rk
+    FROM norms a JOIN norms b ON b.vec_id != a.vec_id
+    WHERE a.vec_id < {_N_PROBES}
+  ) WHERE rk <= {_K}
+)
+SELECT probe_id, neighbor_label AS predicted_label, CAST(votes AS BIGINT) AS votes
+FROM (
+  SELECT probe_id, neighbor_label, COUNT(*) AS votes,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY COUNT(*) DESC, neighbor_label) AS vrk
+  FROM nn GROUP BY probe_id, neighbor_label
+)
+WHERE vrk = 1
+""",
+    tier="T2",
+)
+def sim_knn_join_label(spark, sf_dir):
+    """kNN classification: majority label among the 5 nearest neighbors
+    (tie-break: most votes, then lowest label)."""
+    n = _norms(spark, sf_dir)
+    probes = n.filter(F.col("vec_id") < _N_PROBES).alias("a")
+    corpus = n.alias("b")
+    cos = _pair_cos()
+    wk = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    nn = (
+        F.broadcast(probes)
+        .join(corpus, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("b.label").alias("neighbor_label"),
+            cos.alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _K)
+    )
+    wv = Window.partitionBy("probe_id").orderBy(F.col("votes").desc(), "neighbor_label")
+    return (
+        nn.groupBy("probe_id", "neighbor_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .withColumn("vrk", F.row_number().over(wv))
+        .filter(F.col("vrk") == 1)
+        .select(
+            "probe_id", F.col("neighbor_label").alias("predicted_label"), "votes"
+        )
+    )
+
+
+@register(
+    "sim_pairs_threshold",
+    oracle=f"""
+WITH {_NORMS_SQL}
+SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+       {sql_rnd(_COS_SQL, 4)} AS cosine
+FROM norms a JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS_SQL} >= 0.35
+""",
+    tier="T2",
+)
+def sim_pairs_threshold(spark, sf_dir):
+    """Blocked similarity join: all same-label pairs with cosine ≥ 0.35
+    (embedding-cosine near-dup detection; label is the blocking key)."""
+    n = _norms(spark, sf_dir)
+    cos = _pair_cos()
+    return (
+        n.alias("a")
+        .join(
+            n.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.col("a.label").alias("label"),
+            rnd(cos, 4).alias("cosine"),
+        )
+    )
+
+
+@register(
+    "multimodal_join",
+    oracle=f"""
+SELECT doc_id, lang, n_chars, label,
+       {sql_rnd(sql_l2_norm('embedding'), 4)} AS l2_norm
+FROM documents JOIN embeddings ON vec_id = doc_id
+""",
+    tier="T2",
+)
+def multimodal_join(spark, sf_dir):
+    """Multimodal record assembly: text metadata ⋈ vector stats on
+    doc_id = vec_id (flat columns for oracle schema parity; the struct-column
+    variant is exercised in multimodal_pipeline, rows-only)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        rnd(l2_norm(F.col("embedding")), 4).alias("l2_norm"),
+    )
+
+
+@register("ann_lsh_bucketed", oracle=None, tier="T3")
+def ann_lsh_bucketed(spark, sf_dir):
+    """ANN scale path: random-hyperplane LSH (8 fixed seeded planes → 8-bit
+    bucket), brute-force search within bucket only (rows-only; exact twin =
+    sim_cosine_topk).
+
+    Hyperplanes are deterministic pseudo-vectors derived from xxhash64(seed,
+    dim) — fixed constants, not RNG state (§2.0 rule 8). Scale note: bucket
+    id is a shuffle key; each bucket is searched independently, so the
+    cross product is bounded per bucket — the IVF-style layout for 100 TB.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    # plane p, dim i weight = (hash(p,i) % 1001 - 500) / 500  ∈ [-1, 1]
+    def plane_dot(p):
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.size(F.col("embedding")) - 1),
+                lambda x, i: x.cast("double")
+                * (
+                    (
+                        F.pmod(
+                            F.xxhash64(F.concat_ws(":", F.lit(p), i.cast("string"))),
+                            F.lit(1001),
+                        ).cast("double")
+                        - 500
+                    )
+                    / 500
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = F.lit(0).cast("long")
+    for p in range(8):
+        bucket = bucket + F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    bucketed = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    n = bucketed.withColumn("nrm", l2_norm(F.col("embedding")))
+    cos = _pair_cos()
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        n.alias("a")
+        .join(
+            n.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .filter(F.col("a.vec_id") < _N_PROBES)
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos.alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _K)
+        .select("probe_id", "neighbor_id", rnd(F.col("cos"), 4).alias("cosine"), "rk")
+    )

@@ -1,0 +1,417 @@
+"""§2.K — text-analysis operators over `documents`: token counts, stopwords,
+n-grams, tf-idf, language stats, lexicon sentiment, length analysis,
+n-gram-profile language ID, quality scoring, BPE-ish token counting,
+rolling-hash fingerprinting.
+
+Scale notes: all token pipelines project to (id, token) before exploding so
+the explode→shuffle carries two narrow columns; profile/lexicon tables are
+tiny and broadcast. No Python UDFs anywhere — pure Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..conform import rnd, sql_rnd
+from ..io import load
+from ..ops.text import STOPWORDS, tokens
+from ..registry import register
+
+_TOK_SQL = "SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS token FROM documents"
+_STOP_IN = "('" + "', '".join(STOPWORDS) + "')"
+
+
+def _tok(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+
+
+@register(
+    "text_tokenize_counts",
+    oracle=f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM ({_TOK_SQL})
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+""",
+    tier="T1",
+)
+def text_tokenize_counts(spark, sf_dir):
+    """Global top-20 tokens by (count desc, token) — total order per §2.0."""
+    return (
+        _tok(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "text_stopword_filter",
+    oracle=f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM ({_TOK_SQL})
+WHERE token NOT IN {_STOP_IN}
+GROUP BY token
+""",
+    tier="T2",
+)
+def text_stopword_filter(spark, sf_dir):
+    """Token counts after removing the fixed stopword list."""
+    return (
+        _tok(spark, sf_dir)
+        .filter(~F.col("token").isin(*STOPWORDS))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_ngrams",
+    oracle="""
+SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT lang, unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+  FROM documents
+)
+GROUP BY lang, bigram
+""",
+    tier="T2",
+)
+def text_ngrams(spark, sf_dir):
+    """Bigram counts per language (index-zip over the token array)."""
+    d = load(spark, sf_dir, "documents")
+    arr = tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(arr) - 1, F.lit(1)))
+    bigrams = F.transform(
+        starts,
+        lambda i: F.concat(F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)),
+    )
+    return (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, {sql_rnd('tf * ln(CAST(n_docs AS DOUBLE) / df)', 4)} AS score,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df, n.n_docs,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                                     tf.token) AS rk
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+WHERE rk <= 3
+""",
+    tier="T2",
+)
+def text_tfidf_topk(spark, sf_dir):
+    """tf-idf: top-3 terms per doc, idf = ln(N/df), tie-break on token.
+
+    Scale note: two aggregations over the exploded tokens + a broadcast join
+    of the (tiny) df/N tables back onto tf — no per-doc collect.
+    """
+    tok = _tok(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tok.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = load(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+    raw = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(raw.desc(), "token")
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", rnd(raw, 4).alias("score"), "rk")
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle=f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {sql_rnd('CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)', 2)} AS avg_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents
+GROUP BY lang
+""",
+    tier="T1",
+)
+def text_lang_stats(spark, sf_dir):
+    """Per-language doc count, avg length (exact int sum), distinct sources."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 2).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+_LEXICON = [("fast", 1), ("big", 1), ("fresh", 1), ("slow", -1), ("small", -1), ("dup", -1)]
+_LEX_VALUES = ", ".join(f"('{t}', {w})" for t, w in _LEXICON)
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle=f"""
+WITH tok AS ({_TOK_SQL}),
+lex(token, w) AS (VALUES {_LEX_VALUES}),
+scores AS (
+  SELECT t.doc_id, CAST(SUM(l.w) AS BIGINT) AS s
+  FROM tok t JOIN lex l USING (token) GROUP BY 1
+)
+SELECT d.source,
+       {sql_rnd('CAST(SUM(COALESCE(sc.s, 0)) AS DOUBLE) / COUNT(*)', 4)} AS mean_sentiment,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d LEFT JOIN scores sc ON d.doc_id = sc.doc_id
+GROUP BY d.source
+""",
+    tier="T2",
+)
+def text_sentiment_lexicon(spark, sf_dir):
+    """Lexicon-based sentiment (±1 word lists), mean score per source.
+
+    The lexicon is a literal broadcast DataFrame — the standard shape for
+    joining a small reference table onto an exploded token stream.
+    """
+    d = load(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(_LEXICON, "token string, w int")
+    scores = (
+        _tok(spark, sf_dir)
+        .join(F.broadcast(lex), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("long").alias("s"))
+    )
+    return (
+        d.join(scores, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            rnd(
+                F.sum(F.coalesce(F.col("s"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_sentiment"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "text_length_analysis",
+    oracle=f"""
+SELECT lang,
+       {sql_rnd('CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)', 2)} AS avg_chars,
+       {sql_rnd('quantile_cont(n_chars, 0.5)', 4)} AS p50_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       {sql_rnd("CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)", 2)} AS avg_words
+FROM documents
+GROUP BY lang
+""",
+    tier="T2",
+)
+def text_length_analysis(spark, sf_dir):
+    """Char/word length distribution stats per language."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "n_words", F.size(tokens(F.col("text"))).cast("long")
+    )
+    return d.groupBy("lang").agg(
+        rnd(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 2).alias("avg_chars"),
+        rnd(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+        F.max("n_chars").alias("max_chars"),
+        rnd(F.sum("n_words").cast("double") / F.count(F.lit(1)), 2).alias("avg_words"),
+    )
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+WITH tok AS ({_TOK_SQL}),
+counts AS (SELECT lang, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+prof AS (
+  SELECT lang AS cand_lang, token
+  FROM (SELECT lang, token,
+               row_number() OVER (PARTITION BY lang ORDER BY c DESC, token) AS rk
+        FROM counts)
+  WHERE rk <= 10
+),
+doc_tok AS (SELECT DISTINCT doc_id, lang, token FROM tok),
+ovl AS (
+  SELECT dt.doc_id, dt.lang, p.cand_lang, CAST(COUNT(*) AS BIGINT) AS overlap
+  FROM doc_tok dt JOIN prof p USING (token)
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, lang AS actual_lang, cand_lang AS predicted_lang, overlap
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY overlap DESC, cand_lang) AS rk
+      FROM ovl)
+WHERE rk = 1
+""",
+    tier="T2",
+)
+def text_language_id(spark, sf_dir):
+    """N-gram-profile language ID: per-lang top-10 token profiles built from
+    the corpus; each doc classified by max profile overlap (tie-break lang).
+
+    Scale note: profiles are tiny (langs × 10) and broadcast; the only wide
+    shuffle is the distinct over (doc, token).
+    """
+    tok = _tok(spark, sf_dir)
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    wprof = Window.partitionBy("lang").orderBy(F.col("c").desc(), "token")
+    prof = (
+        counts.withColumn("rk", F.row_number().over(wprof))
+        .filter(F.col("rk") <= 10)
+        .select(F.col("lang").alias("cand_lang"), "token")
+    )
+    doc_tok = tok.select("doc_id", "lang", "token").distinct()
+    overlaps = (
+        doc_tok.join(F.broadcast(prof), "token")
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(F.col("overlap").desc(), "cand_lang")
+    return (
+        overlaps.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("actual_lang"),
+            F.col("cand_lang").alias("predicted_lang"),
+            "overlap",
+        )
+    )
+
+
+_UNIQ_RATIO_SQL = (
+    "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+    " / len(string_split(text, ' '))"
+)
+_STOP_RATIO_SQL = (
+    f"CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_IN})) AS DOUBLE)"
+    " / len(string_split(text, ' '))"
+)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+       {sql_rnd(_UNIQ_RATIO_SQL, 4)} AS uniq_ratio,
+       {sql_rnd(_STOP_RATIO_SQL, 4)} AS stopword_ratio,
+       {sql_rnd(f"({_UNIQ_RATIO_SQL}) * (1 - {_STOP_RATIO_SQL})", 4)} AS quality
+FROM documents
+""",
+    tier="T2",
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic quality scoring: uniqueness ratio × (1 − stopword ratio)."""
+    d = load(spark, sf_dir, "documents")
+    arr = tokens(F.col("text"))
+    n_tok = F.size(arr)
+    n_uniq = F.size(F.array_distinct(arr))
+    n_stop = F.size(F.filter(arr, lambda t: t.isin(*STOPWORDS)))
+    uniq_ratio = n_uniq.cast("double") / n_tok
+    stop_ratio = n_stop.cast("double") / n_tok
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_uniq.cast("long").alias("n_uniq"),
+        rnd(uniq_ratio, 4).alias("uniq_ratio"),
+        rnd(stop_ratio, 4).alias("stopword_ratio"),
+        rnd(uniq_ratio * (F.lit(1) - stop_ratio), 4).alias("quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace
+FROM documents
+""",
+    tier="T2",
+)
+def text_token_count(spark, sf_dir):
+    """Token counting two ways: whitespace split + BPE-ish regex pieces."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias(
+            "n_chars_nospace"
+        ),
+    )
+
+
+# polynomial base 131 powers mod 1e9+7, j = 0..7
+_POW = [1, 131, 17161, 2248091, 294499921, 579489385, 913108810, 617253277]
+_MOD = 1_000_000_007
+_POW_SQL = "[" + ", ".join(str(p) for p in _POW) + "]"
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       CAST(list_min(list_transform(
+         generate_series(1, greatest(length(text) - 7, 1)),
+         i -> CAST(list_sum(list_transform(generate_series(0, 7),
+                j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)
+                     * ({_POW_SQL}[j + 1]))) AS BIGINT) % {_MOD})) AS BIGINT) AS fingerprint,
+       CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_windows
+FROM documents
+""",
+    tier="T2",
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: min of Karp-Rabin polynomial hashes over all
+    8-char windows (winnowing building block) — pure integer math, identical
+    in both engines.
+
+    Scale note: O(len·8) codegen'd expression per doc; for very long docs the
+    scale path is mapInPandas over byte arrays, same signature.
+    """
+    d = load(spark, sf_dir, "documents")
+    pow_arr = "array(" + ", ".join(f"{p}L" for p in _POW) + ")"
+    fp = F.expr(
+        f"""
+        array_min(transform(
+          sequence(1, greatest(length(text) - 7, 1)),
+          i -> aggregate(sequence(0, 7), cast(0 as bigint),
+                 (acc, j) -> acc + cast(ascii(substring(text, cast(i + j as int), 1)) as bigint)
+                             * element_at({pow_arr}, j + 1)) % {_MOD}))
+        """
+    )
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.greatest(F.length("text") - 7, F.lit(1)).cast("long").alias("n_windows"),
+    )

@@ -1,0 +1,154 @@
+"""§2.A — source/sink round-trips and tolerant reads (the swallow reader/
+writer adapters re-expressed as Spark sources/sinks).
+
+Round-trips write under /tmp/swallow_spark_io/<sf>/ (overwrite mode, safe to
+re-run). The ES/RabbitMQ/MongoDB/Kafka adapters of the reference are not
+exercisable offline — their Spark mappings are documented in SURVEY.md §2.A
+(spark.read.format(...), readStream kafka, foreachBatch push sinks).
+
+Scale notes: csv/json round-trips repartition on write so output files
+parallelize; the partitioned parquet sink demonstrates partition pruning on
+read-back (the predicate-pushdown path a 100 TB table relies on).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import schemas
+from ..io import load
+from ..registry import register
+
+_IO_ROOT = "/tmp/swallow_spark_io"
+
+
+def _io_dir(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return f"{_IO_ROOT}/{tag}/{name}"
+
+
+@register("source_csv_roundtrip", oracle=None, tier="T3")
+def source_csv_roundtrip(spark, sf_dir):
+    """customer → csv (header) → read back with the explicit declared schema.
+
+    Timestamp-free table keeps csv round-trip lossless; schema-on-read is the
+    swallow CSVio analog."""
+    path = _io_dir(sf_dir, "customer_csv")
+    c = load(spark, sf_dir, "customer")
+    c.write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.schema(schemas.customer).option("header", "true").csv(path)
+
+
+@register("source_jsonl_roundtrip", oracle=None, tier="T3")
+def source_jsonl_roundtrip(spark, sf_dir):
+    """documents → line-delimited JSON → read back with explicit schema
+    (swallow JSON-file adapter analog)."""
+    path = _io_dir(sf_dir, "documents_jsonl")
+    d = load(spark, sf_dir, "documents")
+    d.write.mode("overwrite").json(path)
+    return spark.read.schema(schemas.documents).json(path)
+
+
+@register(
+    "sink_partitioned",
+    oracle="SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang",
+    tier="T2",
+)
+def sink_partitioned(spark, sf_dir):
+    """Partitioned parquet sink (partitionBy lang) + pruned read-back count.
+
+    The read-back groupBy(lang) count touches only partition directories —
+    Spark answers it from partition values, the 100 TB pruning path."""
+    path = _io_dir(sf_dir, "documents_by_lang")
+    d = load(spark, sf_dir, "documents")
+    d.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+_CORRUPT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+
+@register("source_corrupt_tolerant", oracle=None, tier="T3")
+def source_corrupt_tolerant(spark, sf_dir):
+    """PERMISSIVE JSON read: bad records land in _corrupt_record instead of
+    failing the job (swallow's skip-bad-document semantics).
+
+    Returns (id, payload, is_corrupt) with exactly the 2 planted bad lines
+    flagged."""
+    path = _io_dir(sf_dir, "corrupt_jsonl")
+    os.makedirs(path, exist_ok=True)
+    lines = [
+        '{"id": 1, "payload": "ok"}',
+        '{"id": 2, "payload": "fine"}',
+        '{"id": 3, "payload": BROKEN',
+        '{"id": 4, "payload": "good"}',
+        "not json at all",
+    ]
+    with open(f"{path}/part-000.jsonl", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    df = (
+        spark.read.schema(_CORRUPT_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(f"{path}/part-000.jsonl")
+    )
+    return df.select(
+        "id", "payload", F.col("_corrupt_record").isNotNull().cast("int").alias("is_corrupt")
+    )
+
+
+@register("multimodal_pipeline", oracle=None, tier="T3")
+def multimodal_pipeline(spark, sf_dir):
+    """Multimodal column plumbing: opaque binary payload + typed metadata
+    struct, feature-extracted with an Arrow-batched mapInPandas.
+
+    The decode step is a STUB (no image/audio libs in this container): the
+    "image" is the utf-8 text payload and decode derives deterministic fake
+    dimensions. The Spark-side plumbing — BinaryType column, metadata struct,
+    mapInPandas batch signature, output schema — is real and is exactly what
+    a jpeg/wav decoder would plug into.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    with_blob = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+            F.lit("fake/rgb8").alias("mime"),
+        ).alias("meta"),
+    )
+
+    def decode_stub(batches):
+        for pdf in batches:
+            # Real decoder would go here (PIL.Image.open etc.) — stubbed:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "sha1_head": pdf["payload"].map(
+                        lambda b: hashlib.sha1(bytes(b)).hexdigest()[:12]
+                    ),
+                    "width": pdf["meta"].map(lambda m: m["width"]),
+                    "height": pdf["meta"].map(lambda m: m["height"]),
+                }
+            )
+
+    return with_blob.mapInPandas(
+        decode_stub,
+        "doc_id long, n_bytes long, sha1_head string, width int, height int",
+    )

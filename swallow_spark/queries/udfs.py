@@ -1,0 +1,206 @@
+"""§2.J — UDF/UDAF/UDTF surface.
+
+UDFs are the fidelity fallback, not the hot path (SURVEY.md §1.2): every key
+here has a pure-SQL oracle twin proving the semantics, and all Python paths
+are Arrow-batched (pandas_udf / applyInPandas / mapInPandas) except the one
+deliberate row-at-a-time example.
+
+Determinism inside Python: float math follows the same canonicalization as
+conform.py — integer cent units via np.floor(x*100+0.5), exact int64 sums,
+then the identical double-op sequence the oracle SQL uses.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..conform import sql_rnd
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "udf_python_scalar",
+    oracle="SELECT c_custkey, upper(reverse(c_name)) AS mangled FROM customer",
+    tier="T2",
+)
+def udf_python_scalar(spark, sf_dir):
+    """Plain (row-at-a-time) Python UDF — deterministic string mangle.
+
+    Scale note: this is the ~10-100× slower path vs pandas_udf; kept as the
+    API-coverage example only.
+    """
+    mangle = F.udf(lambda s: s[::-1].upper() if s is not None else None, T.StringType())
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", mangle("c_name").alias("mangled"))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+       {sql_rnd('l_extendedprice * (1 - l_discount)', 2)} AS charge
+FROM lineitem
+""",
+    tier="T2",
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Vectorized Arrow scalar UDF: discounted charge, half-up cents."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def charge(ep: pd.Series, disc: pd.Series) -> pd.Series:
+        return np.floor((ep * (1 - disc)) * 100 + 0.5) / 100
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount").alias("charge"),
+    )
+
+
+@register(
+    "udaf_pandas_grouped",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS u,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       {sql_rnd('CAST(SUM(u * k) AS DOUBLE) / 100 / SUM(k)', 4)} AS wavg_value
+FROM c
+GROUP BY event_type
+""",
+    tier="T2",
+)
+def udaf_pandas_grouped(spark, sf_dir):
+    """Grouped-agg pandas UDF: value mean weighted by the JSON `k` prop.
+
+    Exact int64 unit sums inside the UDF → order-independent, so the Arrow
+    partial batches can arrive in any order and still match the SQL twin.
+    """
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def wavg(v: pd.Series, k: pd.Series) -> float:
+        u = np.floor(v.to_numpy() * 100 + 0.5).astype("int64")
+        kk = k.to_numpy().astype("int64")
+        raw = float((u * kk).sum()) / 100 / float(kk.sum())
+        return float(np.floor(raw * 10000 + 0.5) / 10000)
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return e.groupBy("event_type").agg(wavg("value", "k").alias("wavg_value"))
+
+
+@register(
+    "udf_grouped_map_zscore",
+    oracle="""
+WITH c AS (
+  SELECT event_id, event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS u
+  FROM events
+),
+s AS (
+  SELECT event_type, CAST(SUM(u) AS DOUBLE) AS scd,
+         CAST(SUM(u * u) AS DOUBLE) AS s2d, COUNT(*) AS n
+  FROM c GROUP BY event_type
+)
+SELECT event_id, event_type,
+       FLOOR(((u - scd / n) / sqrt((s2d - scd * scd / n) / (n - 1))) * 10000 + 0.5)
+         / 10000 AS z
+FROM c JOIN s USING (event_type)
+""",
+    tier="T2",
+)
+def udf_grouped_map_zscore(spark, sf_dir):
+    """Grouped-map applyInPandas: per-event-type z-score normalization.
+
+    Moments are computed from exact integer sums (sum of cents, sum of
+    squared cents), then one fixed double-op sequence — bit-identical to the
+    SQL twin regardless of row order inside the Arrow batch.
+    """
+    import numpy as np
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+        n = len(u)
+        scd = float(u.sum())
+        s2d = float((u * u).sum())
+        std = np.sqrt((s2d - scd * scd / n) / (n - 1))
+        z = (u - scd / n) / std
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "z": np.floor(z * 10000 + 0.5) / 10000,
+            }
+        )
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return e.groupBy("event_type").applyInPandas(
+        normalize, "event_id long, event_type string, z double"
+    )
+
+
+@register(
+    "udf_map_in_pandas",
+    oracle="""
+SELECT doc_id, unnest(string_split(text, ' ')) AS token
+FROM documents
+""",
+    tier="T2",
+)
+def udf_map_in_pandas(spark, sf_dir):
+    """Partition-wise mapInPandas tokenizer (batch explode in Python).
+
+    Scale note: mapInPandas streams Arrow batches — constant memory per
+    partition; the shuffle after carries only (doc_id, token).
+    """
+
+    def tokenize(batches):
+        for pdf in batches:
+            out = pdf[["doc_id", "text"]].copy()
+            out["token"] = out["text"].str.split(" ")
+            yield out.explode("token")[["doc_id", "token"]]
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(tokenize, "doc_id long, token string")
+
+
+@register(
+    "udtf_python",
+    oracle="""
+SELECT doc_id, CAST(g.i - 1 AS INT) AS pos, t.arr[g.i] AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents) t,
+     LATERAL (SELECT unnest(generate_series(1, len(t.arr))) AS i) g
+""",
+    tier="T2",
+)
+def udtf_python(spark, sf_dir):
+    """Spark 4 Python UDTF: lateral-join token explode with positions."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for pos, token in enumerate(text.split(" ")):
+                yield pos, token
+
+    spark.udtf.register("swallow_tokenize", Tokenize)
+    d = load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.token "
+        "FROM udtf_docs, LATERAL swallow_tokenize(text) t"
+    )
