@@ -1,0 +1,169 @@
+"""Structured Streaming demos (SURVEY.md §2.I, T3 — not driver-graded).
+
+Each demo replays the `events` fixture through a file stream (chunked files +
+maxFilesPerTrigger) so event-time semantics that only exist in streaming —
+watermark late-data drops, stream-stream joins, arbitrary stateful ops — run
+for real. Batch-checkable twins of these semantics live in
+queries/events_windows.py with DuckDB oracles.
+
+Scale notes: identical code runs against a Kafka source by swapping
+`readStream.parquet` for `readStream.format("kafka")` (the reference's
+RabbitMQ analog, SURVEY.md §2.A); watermarks bound state size, which is what
+makes the 100 TB/day stream tractable.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from swallow_spark.io import load
+
+
+def chunked_replay_source(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 8, late_chunk: bool = False
+) -> DataFrame:
+    """Write events as n_chunks timestamp-ordered files; optionally append a
+    final chunk containing only the OLDEST rows again (late data), then open
+    a file stream over the directory with one file per micro-batch."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    e = load(spark, sf_dir, "events").withColumn(
+        "chunk", F.ntile(n_chunks).over(Window.orderBy("ts"))
+    )
+    for i in range(1, n_chunks + 1):
+        e.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(out_dir)
+    if late_chunk:
+        # replay the very first rows again — they are now far behind the
+        # max event time the stream has seen → watermark-droppable
+        e.filter(F.col("chunk") == 1).drop("chunk").limit(50).coalesce(1).write.mode(
+            "append"
+        ).parquet(out_dir)
+    schema = load(spark, sf_dir, "events").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out_dir)
+    )
+
+
+def run_watermark_tumbling(spark: SparkSession, sf_dir: str, work_dir: str) -> dict:
+    """Tumbling 1h counts with a 10-minute watermark, append mode.
+
+    Returns {"with_late": rows, "total_input": n} — in append mode a window
+    only emits once it is below the watermark; the late replayed rows fall
+    into windows already finalized and are dropped.
+    """
+    src = chunked_replay_source(spark, sf_dir, f"{work_dir}/replay", late_chunk=True)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_tumbling")
+        .outputMode("append")
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM wm_tumbling").collect()
+    total_in = load(spark, sf_dir, "events").count()
+    return {"emitted_windows": len(out), "emitted_rows": sum(r.n for r in out), "total_input": total_in + 50}
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
+    """Self-join two replays of the event stream: purchases joined to clicks
+    of the same user within the following 5 minutes, both sides watermarked.
+    Returns the number of joined pairs."""
+    left = chunked_replay_source(spark, sf_dir, f"{work_dir}/replay_l")
+    right = (
+        spark.readStream.schema(load(spark, sf_dir, "events").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work_dir}/replay_l")
+    )
+    clicks = (
+        left.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        right.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 5 MINUTES"
+        ),
+        "inner",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", f"{work_dir}/ckpt_join")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql("SELECT count(*) AS n FROM ss_join").collect()[0].n
+
+
+def run_stateful_counter(spark: SparkSession, sf_dir: str, work_dir: str) -> dict:
+    """Arbitrary stateful op: running per-user event counter via
+    applyInPandasWithState (GroupState survives across micro-batches)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = chunked_replay_source(spark, sf_dir, f"{work_dir}/replay_state", n_chunks=4)
+
+    def count_events(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    counted = src.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("stateful_counter")
+        .outputMode("update")
+        .option("checkpointLocation", f"{work_dir}/ckpt_state")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last update per user == total events per user
+    final = spark.sql(
+        """
+        SELECT user_id, max(n_events) AS n FROM stateful_counter GROUP BY user_id
+        """
+    )
+    truth = load(spark, sf_dir, "events").groupBy("user_id").count()
+    cmp = final.join(truth, "user_id").filter(F.col("n") != F.col("count")).count()
+    return {"users": final.count(), "mismatched_users": cmp}

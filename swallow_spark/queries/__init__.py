@@ -17,4 +17,5 @@ from . import (  # noqa: F401
     llm_similarity,
     udfs,
     sources_sinks,
+    pipeline_api,
 )

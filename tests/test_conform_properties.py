@@ -1,0 +1,99 @@
+"""Property-based tests (SURVEY.md §5.2): the conform layer's rounding must
+be bit-identical between Spark-side semantics and DuckDB, for arbitrary
+doubles; dedup must be idempotent; MinHash similarity must approximate true
+Jaccard."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+money = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+
+
+def py_rnd(x: float, n: int) -> float:
+    """Reference implementation of conform.rnd in plain IEEE doubles."""
+    m = 10**n
+    return math.floor(x * m + 0.5) / m
+
+
+@settings(max_examples=300, deadline=None)
+@given(money)
+def test_rnd_matches_duckdb(x):
+    con = duckdb.connect()
+    got = con.execute("SELECT FLOOR(? * 100 + 0.5) / 100", [x]).fetchone()[0]
+    assert got == py_rnd(x, 2)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(money, min_size=1, max_size=50))
+def test_cents_sum_order_independent(xs):
+    """Integer-cents sums are permutation-invariant (the 100 TB property)."""
+    fwd = sum(math.floor(x * 100 + 0.5) for x in xs)
+    rev = sum(math.floor(x * 100 + 0.5) for x in reversed(xs))
+    srt = sum(math.floor(x * 100 + 0.5) for x in sorted(xs))
+    assert fwd == rev == srt
+
+
+@pytest.fixture(scope="module")
+def spark_rnd_batch(spark):
+    """Evaluate conform.rnd in Spark once over a probe batch, compare to the
+    Python/DuckDB reference (Spark-JVM vs CPython IEEE parity)."""
+    from pyspark.sql import functions as F
+
+    from swallow_spark.conform import rnd
+
+    vals = [
+        0.125, 2.675, -2.675, 1e-3, 123456789.015, -0.005, 0.0,
+        49999.995, 0.014999999999999999, 9.999999999999998e8,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = df.select("x", rnd(F.col("x"), 2).alias("r")).collect()
+    return {r.x: r.r for r in rows}
+
+
+def test_rnd_spark_matches_python(spark_rnd_batch):
+    for x, r in spark_rnd_batch.items():
+        assert r == py_rnd(x, 2), f"mismatch for {x!r}: spark={r!r}"
+
+
+def test_dedup_exact_idempotent(spark):
+    from swallow_spark.registry import all_queries
+
+    q = all_queries()["dedup_exact"]
+    once = q.fn(spark, "/root/testdata/sf0.001")
+    # dedup(dedup(x)) == dedup(x): re-apply the same survivor rule
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    twice = (
+        once.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    assert once.count() == twice.count()
+    assert once.exceptAll(twice).count() == 0
+
+
+def test_minhash_approximates_jaccard(spark):
+    """Band-collision candidates must include every true high-Jaccard pair."""
+    from swallow_spark.registry import all_queries
+
+    qs = all_queries()
+    true_pairs = {
+        (r.d1, r.d2)
+        for r in qs["dedup_near_exact_jaccard"].fn(spark, "/root/testdata/sf0.001").collect()
+        if r.jaccard >= 0.9
+    }
+    cand = {
+        (r.d1, r.d2)
+        for r in qs["dedup_minhash_lsh"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert true_pairs <= cand, f"missed: {true_pairs - cand}"

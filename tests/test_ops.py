@@ -1,0 +1,114 @@
+"""Unit tests for the generic ops library (inline DataFrames: nulls, ties,
+empty groups, at-or-before asof ties)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from swallow_spark.ops.asof import asof_join_backward
+from swallow_spark.ops.relational import dedup_keep_first, sessionize, topk_per_group
+from swallow_spark.ops.text import shingles
+from swallow_spark.ops.vectors import dot_units, l2_norm
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_topk_per_group_ties(spark):
+    df = spark.createDataFrame(
+        [("a", 10, 1), ("a", 10, 2), ("a", 5, 3), ("b", 7, 4)],
+        "g string, v int, id int",
+    )
+    out = topk_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], 2)
+    rows = {(r.g, r.id): r.rn for r in out.collect()}
+    assert rows == {("a", 1): 1, ("a", 2): 2, ("b", 4): 1}
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [("x", 2, "second"), ("x", 1, "first"), ("y", 9, "only")],
+        "k string, ord int, tag string",
+    )
+    out = dedup_keep_first(df, ["k"], [F.col("ord")])
+    assert {(r.k, r.tag) for r in out.collect()} == {("x", "first"), ("y", "only")}
+
+
+def test_sessionize_gap_boundary(spark):
+    # events exactly 30 min apart start a NEW session (end-exclusive)
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T00:00:00")),
+            (1, ts("2024-01-01T00:29:59")),
+            (1, ts("2024-01-01T00:59:59")),  # 30:00 after first → same run? gap vs prev = 30:00 → new
+            (2, ts("2024-01-01T00:00:00")),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = sessionize(df, "user_id", "ts", 30).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.session_id))
+    u1 = sorted(by_user[1])
+    assert u1[0][1] == 1 and u1[1][1] == 1  # 29:59 gap < 30 min → same session
+    assert u1[2][1] == 2  # exactly 30:00 gap → new session
+    assert by_user[2][0][1] == 1
+
+
+def test_asof_backward_with_tie(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T00:10:00")), (1, ts("2024-01-01T00:20:00")), (2, ts("2024-01-01T00:05:00"))],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T00:10:00"), 100.0),  # exact tie: at-or-before includes it
+            (1, ts("2024-01-01T00:15:00"), 200.0),
+            (2, ts("2024-01-01T00:06:00"), 999.0),  # after left → never visible
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = asof_join_backward(left, right, on="k", ts="ts", value_cols=["v"])
+    got = {(r.k, r.ts.isoformat()): r.v_asof for r in out.collect()}
+    assert got[(1, "2024-01-01T00:10:00")] == 100.0  # tie → right wins
+    assert got[(1, "2024-01-01T00:20:00")] == 200.0
+    assert got[(2, "2024-01-01T00:05:00")] is None  # nothing at-or-before
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("a b c",), ("a b c d e f",)], "text string")
+    out = df.select(shingles(F.col("text")).alias("s")).collect()
+    assert out[0].s == ["a b c"]  # < k tokens → one truncated shingle
+    assert out[1].s == ["a b c d e", "b c d e f"]
+
+
+def test_vector_units_exact(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 2.0],)], "v array<float>")
+    row = df.select(
+        dot_units(F.col("v"), F.col("v")).alias("du"),
+        l2_norm(F.col("v")).alias("n"),
+    ).collect()[0]
+    assert row.du == 900_000_000  # (1+4+4) * 1e8
+    assert row.n == 3.0
+
+
+def test_pipeline_facade_runs(spark, tmp_path):
+    from swallow_spark.pipeline import (
+        Filter,
+        ParquetSink,
+        ParquetSource,
+        Pipeline,
+        Project,
+    )
+
+    pipe = Pipeline(
+        source=ParquetSource("/root/testdata/sf0.001", "nation"),
+        steps=[Filter("n_regionkey = 0"), Project(["n_nationkey", "n_name"])],
+        sink=ParquetSink(str(tmp_path / "out")),
+    )
+    df = pipe.run(spark)
+    assert df.columns == ["n_nationkey", "n_name"]
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == df.count() > 0

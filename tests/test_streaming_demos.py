@@ -1,0 +1,46 @@
+"""Streaming demos (§2.I T3): watermark late-drop, stream-stream join,
+arbitrary stateful counter — run on the sf0.001 replay."""
+
+from __future__ import annotations
+
+from demos.streaming.demo_lib import (
+    run_stateful_counter,
+    run_stream_stream_join,
+    run_watermark_tumbling,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    res = run_watermark_tumbling(spark, SF, str(tmp_path))
+    # append mode + watermark: only finalized windows emit, and the 50
+    # replayed-late rows must NOT appear => emitted < total injected
+    assert res["emitted_windows"] > 0
+    assert res["emitted_rows"] < res["total_input"]
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    n_stream = run_stream_stream_join(spark, SF, str(tmp_path))
+    from pyspark.sql import functions as F
+
+    from swallow_spark.io import load
+
+    e = load(spark, SF, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    n_batch = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 5 MINUTES"),
+    ).count()
+    assert n_stream == n_batch  # nothing arrived later than the watermark
+
+
+def test_stateful_counter_totals(spark, tmp_path):
+    res = run_stateful_counter(spark, SF, str(tmp_path))
+    assert res["users"] > 0
+    assert res["mismatched_users"] == 0
