@@ -18,7 +18,8 @@ from swallow_spark.registry import declared_queries
 from swallow_spark.session import get_spark
 
 # Headline set: one representative per operator family, weighted toward the
-# shuffle/join/window-heavy paths that dominate at scale.
+# shuffle/join/window-heavy paths that dominate at scale, plus the LLM-data
+# operators (dedup / similarity / text) that are this engine's raison d'être.
 HEADLINE = [
     "agg_pricing_summary",
     "join_multiway_star",
@@ -33,6 +34,16 @@ HEADLINE = [
     "limit_topn",
     "filter_compound",
     "project_compute",
+    "stream_session_batch",
+    "dedup_exact",
+    "dedup_near_exact_jaccard",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "sim_pairs_threshold",
+    "text_tokenize_counts",
+    "text_tfidf_topk",
+    "text_fingerprint",
+    "udf_pandas_scalar",
 ]
 
 

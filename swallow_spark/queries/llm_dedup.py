@@ -92,11 +92,13 @@ def dedup_near_exact_jaccard(spark, sf_dir):
     )
 
 
-# MinHash: 32 permutations h_j(s) = pmod(xxhash64(j || '|' || s), P); the
-# seed is the literal j prefix — fixed across runs and partitions (§2.0 r8).
+# MinHash: 32 fixed affine permutations over 31-bit hash space (§2.0 r8);
+# coefficients < 2^31 keep every product < 2^62 (ANSI-safe, no overflow).
 _N_PERM = 32
 _BAND_ROWS = 4  # 8 bands × 4 rows
-_P = 9_223_372_036_854_775_783  # largest prime < 2^63
+_P31 = 2_147_483_647  # Mersenne prime 2^31 - 1
+_A = [((1103515245 * (j + 7) + 12345) % _P31) | 1 for j in range(_N_PERM)]
+_B = [(69069 * (j + 3) + 1) % _P31 for j in range(_N_PERM)]
 
 
 @register("dedup_minhash_lsh", oracle=None, tier="T3")
@@ -105,40 +107,31 @@ def dedup_minhash_lsh(spark, sf_dir):
     (rows-only: xxhash64 has no DuckDB twin; exact twin =
     dedup_near_exact_jaccard).
 
-    Returns candidate pairs with the number of colliding bands. Scale note:
-    candidates come from groupBy(band, band_hash) buckets — the classic
+    Plan shape: explode shingles → hash once per shingle → ONE partial+final
+    aggregate computing all 32 per-permutation MINs (map-side combine), then
+    band buckets. No per-permutation re-hashing; scales as O(shingles), the
     sub-quadratic near-dup path for 100 TB corpora.
     """
     d = load(spark, sf_dir, "documents")
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(_N_PERM - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                shingles(F.col("text")),
-                lambda s: F.pmod(
-                    F.xxhash64(F.concat(j.cast("string"), F.lit("|"), s)), F.lit(_P)
-                ),
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    h = F.pmod(F.xxhash64("s"), F.lit(_P31))
+    sig = sh.withColumn("h", h).groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_A[j]) * F.col("h") + F.lit(_B[j])) % F.lit(_P31)).alias(
+                f"m{j}"
             )
-        ),
+            for j in range(_N_PERM)
+        ]
     )
     n_bands = _N_PERM // _BAND_ROWS
-    with_sig = d.select("doc_id", sig.alias("sig"))
-    bands = with_sig.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("sig"), b * _BAND_ROWS + 1, _BAND_ROWS),
-                            lambda v: v.cast("string"),
-                        ),
-                        ",",
-                    )
-                ),
-            )
-        ).alias("band", "band_hash"),
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[F.col(f"m{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)])
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
     )
     pairs = (
         bands.alias("a")
@@ -164,20 +157,28 @@ def dedup_simhash(spark, sf_dir):
     for ≤ 3 flips per 4 segments; we verify with bit_count on the full sig).
     """
     d = load(spark, sf_dir, "documents")
-    # shiftright/shiftleft take a plain-int bit count in the Python API, so
-    # the per-bit fold uses a SQL lambda (still pure Catalyst codegen)
-    simhash = F.expr(
-        """
-        aggregate(sequence(0, 63), cast(0 as bigint),
-          (acc, j) -> acc + CASE WHEN
-            aggregate(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)),
-                      cast(0 as bigint),
-                      (a, h) -> a + CASE WHEN shiftright(h, j) & 1 = 1
-                                         THEN 1 ELSE -1 END) > 0
-          THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)
-        """
+    # Plan shape: explode distinct tokens → hash once → ONE aggregate with 64
+    # ±1 bit sums (map-side combine), then assemble the signature from the
+    # 64 columns. Avoids re-hashing tokens per bit position.
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    bits = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
     )
-    sigs = d.select("doc_id", simhash.alias("sig"))
+    sig_expr = F.expr(
+        " + ".join(
+            f"(CASE WHEN b{j} > 0 THEN shiftleft(cast(1 as bigint), {j}) "
+            "ELSE cast(0 as bigint) END)"
+            for j in range(64)
+        )
+    )
+    sigs = bits.select("doc_id", sig_expr.alias("sig"))
     segs = sigs.select(
         "doc_id",
         "sig",

@@ -401,13 +401,18 @@ def text_fingerprint(spark, sf_dir):
     """
     d = load(spark, sf_dir, "documents")
     pow_arr = "array(" + ", ".join(f"{p}L" for p in _POW) + ")"
+    # Bind the char-code array ONCE via a single-element transform (cs is a
+    # lambda variable, so it cannot be inlined into the window loop) —
+    # element_at(cs, …) is O(1) vs substring's O(i) UTF-8 scan, turning the
+    # per-doc cost from quadratic to linear.
     fp = F.expr(
         f"""
-        array_min(transform(
-          sequence(1, greatest(length(text) - 7, 1)),
-          i -> aggregate(sequence(0, 7), cast(0 as bigint),
-                 (acc, j) -> acc + cast(ascii(substring(text, cast(i + j as int), 1)) as bigint)
-                             * element_at({pow_arr}, j + 1)) % {_MOD}))
+        element_at(transform(array(transform(split(text, ''), c -> ascii(c))),
+          cs -> array_min(transform(
+            sequence(1, greatest(length(text) - 7, 1)),
+            i -> aggregate(sequence(0, 7), cast(0 as bigint),
+                   (acc, j) -> acc + cast(element_at(cs, cast(i + j as int)) as bigint)
+                               * element_at({pow_arr}, j + 1)) % {_MOD}))), 1)
         """
     )
     return d.select(
