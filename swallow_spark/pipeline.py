@@ -144,6 +144,29 @@ class FlatMapPandas:
 
 
 @dataclass(frozen=True)
+class Quarantine:
+    """Transform-time error routing (swallow's skip-bad-record analog,
+    SURVEY.md §1.2): rows failing `valid_predicate` are written to
+    `quarantine_path` (with a reason column) and removed from the stream.
+
+    Scale note: one pass — Spark computes the predicate once per row; the
+    quarantine write is a separate action on the filtered branch, so keep the
+    predicate cheap or cache upstream when the branch is expensive.
+    """
+
+    valid_predicate: str
+    quarantine_path: str
+    reason: str = "failed_validation"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        bad = df.filter(~F.expr(self.valid_predicate)).withColumn(
+            "_quarantine_reason", F.lit(self.reason)
+        )
+        bad.write.mode("overwrite").parquet(self.quarantine_path)
+        return df.filter(F.expr(self.valid_predicate))
+
+
+@dataclass(frozen=True)
 class Repartition:
     num: int | None = None
     by: tuple = ()

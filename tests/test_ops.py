@@ -94,6 +94,26 @@ def test_vector_units_exact(spark):
     assert row.n == 3.0
 
 
+def test_pipeline_quarantine_routes_bad_rows(spark, tmp_path):
+    from swallow_spark.pipeline import Filter, ParquetSource, Pipeline, Quarantine
+
+    qpath = str(tmp_path / "quarantine")
+    pipe = Pipeline(
+        source=ParquetSource("/root/testdata/sf0.001", "customer"),
+        steps=[
+            Quarantine("c_acctbal >= 0", qpath, reason="negative_balance"),
+            Filter("c_acctbal >= 0"),
+        ],
+    )
+    good = pipe.run(spark)
+    bad = spark.read.parquet(qpath)
+    total = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
+    assert good.count() + bad.count() == total
+    assert bad.count() > 0
+    assert bad.select("_quarantine_reason").distinct().collect()[0][0] == "negative_balance"
+    assert good.filter("c_acctbal < 0").count() == 0
+
+
 def test_pipeline_facade_runs(spark, tmp_path):
     from swallow_spark.pipeline import (
         Filter,
