@@ -18,4 +18,5 @@ from . import (  # noqa: F401
     udfs,
     sources_sinks,
     pipeline_api,
+    training_pipeline,
 )

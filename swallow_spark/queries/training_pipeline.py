@@ -1,0 +1,111 @@
+"""End-to-end training-data cleaning pipeline as ONE oracle-checked key —
+the Layer-B flagship composition (SURVEY.md §0.1): exact dedup → near-dup
+pruning → quality filtering, the canonical pre-training corpus pass.
+
+Stages (all pure DataFrame ops, one Catalyst plan):
+ 1. exact dedup: min doc_id survives per md5(text)
+ 2. near-dup prune: among 5-token-shingle Jaccard ≥ 0.8 pairs, the higher
+    doc_id loses (transitive losers removed — at τ=0.8 on this corpus pair
+    components are tiny, and the loser set is well-defined either way
+    because losers are computed from the full pair list)
+ 3. quality gate: uniqueness × (1 − stopword-ratio) ≥ 0.25
+
+Scale notes: stage 1 partial-aggregates on content hash; stage 2 reuses the
+inverted-index shingle join (sub-quadratic); stage 3 is a map-only filter.
+The loser set is broadcast (near-dup losers are a vanishing fraction of a
+100 TB corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..conform import rnd, sql_rnd
+from ..io import load
+from ..ops.text import STOPWORDS, shingles, sql_shingles, tokens
+from ..registry import register
+
+_STOP_IN = "('" + "', '".join(STOPWORDS) + "')"
+_UNIQ = "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))"
+_STOPR = (
+    f"CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_IN})) AS DOUBLE)"
+    " / len(string_split(text, ' '))"
+)
+_QUALITY = f"({_UNIQ}) * (1 - {_STOPR})"
+
+
+@register(
+    "training_data_clean",
+    oracle=f"""
+WITH exact_survivors AS (
+  SELECT doc_id, text, lang
+  FROM documents
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+sh AS (
+  SELECT doc_id, unnest({sql_shingles('text')}) AS s FROM exact_survivors
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near_losers AS (
+  SELECT DISTINCT d2 AS loser
+  FROM pairs p JOIN sz x ON p.d1 = x.doc_id JOIN sz y ON p.d2 = y.doc_id
+  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+)
+SELECT doc_id, lang, {sql_rnd(_QUALITY, 4)} AS quality
+FROM exact_survivors
+WHERE doc_id NOT IN (SELECT loser FROM near_losers)
+  AND {_QUALITY} >= 0.25
+""",
+    tier="T2",
+)
+def training_data_clean(spark, sf_dir):
+    """Exact-dedup → near-dup-prune → quality-gate corpus cleaning pass."""
+    d = load(spark, sf_dir, "documents")
+
+    # 1. exact dedup
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "lang")
+    )
+
+    # 2. near-dup losers (higher doc_id in any Jaccard>=0.8 pair)
+    sh = exact.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    losers = (
+        pairs.join(sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sz.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .filter(jac >= 0.8)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+
+    # 3. quality gate over the remaining survivors
+    arr = tokens(F.col("text"))
+    uniq_ratio = F.size(F.array_distinct(arr)).cast("double") / F.size(arr)
+    stop_ratio = (
+        F.size(F.filter(arr, lambda t: t.isin(*STOPWORDS))).cast("double") / F.size(arr)
+    )
+    quality = uniq_ratio * (F.lit(1) - stop_ratio)
+    return (
+        exact.join(F.broadcast(losers), "doc_id", "left_anti")
+        .filter(quality >= 0.25)
+        .select("doc_id", "lang", rnd(quality, 4).alias("quality"))
+    )
