@@ -53,19 +53,21 @@ def main() -> None:
     spark = get_spark("swallow_spark_bench", cpus=cpus)
     qs = declared_queries()
     names = [n for n in HEADLINE if n in qs]
-    def run(name: str) -> float:
+    def run_once(name: str) -> float:
         # noop sink: full executor-side materialization without driver
         # transfer, so we time the query, not py4j row serialization.
         t0 = time.perf_counter()
         qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
+        return time.perf_counter() - t0
 
-    run("limit_topn")  # warm the JVM + parquet footers
+    run_once("limit_topn")  # warm the JVM + parquet footers
 
+    # BASELINE.md protocol: warm-up + median of 3 timed runs per key
     timings: dict[str, float] = {}
     for name in names:
         spark.sparkContext.setJobDescription(f"bench:{name}")
-        timings[name] = run(name)
+        runs = sorted(run_once(name) for _ in range(3))
+        timings[name] = round(runs[1], 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -52,3 +52,40 @@ def sql_l2_norm(v: str) -> str:
 def cosine_from(dot_u: Column, norm_a: Column, norm_b: Column) -> Column:
     """cosine given precomputed unit-dot and norms (shared IEEE op order)."""
     return (dot_u.cast("double") / F.lit(SCALE)) / (norm_a * norm_b)
+
+
+# ---- pre-quantized variant: floor per ELEMENT (1e-4 units), so the float→
+# int conversion happens once per vector instead of once per pair — the fast
+# path for pairwise similarity joins. Still exact integer sums.
+
+ESCALE = 10_000  # 1e-4 units per element; products are 1e-8 units (= SCALE)
+
+
+def int_units(v: Column) -> Column:
+    """Vector quantized to integer 1e-4 units (compute once, reuse per pair)."""
+    return F.transform(
+        v, lambda x: F.floor(x.cast("double") * F.lit(ESCALE) + F.lit(0.5))
+    )
+
+
+def sql_int_units(v: str) -> str:
+    return (
+        f"list_transform({v}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {ESCALE} + 0.5)"
+        " AS BIGINT))"
+    )
+
+
+def dot_int(ia: Column, ib: Column) -> Column:
+    """Exact long dot of pre-quantized vectors, in 1e-8 units."""
+    return F.aggregate(
+        F.zip_with(ia, ib, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sql_dot_int(ia: str, ib: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, len({ia})), "
+        f"i -> {ia}[i] * {ib}[i])) AS BIGINT)"
+    )

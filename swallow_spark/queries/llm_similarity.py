@@ -1,8 +1,10 @@
 """§2.K — similarity search over `embeddings` + the multimodal join.
 
-Cosine is computed from exact integer-unit dot products (ops.vectors) so
-Spark and DuckDB produce bit-identical doubles; norms are precomputed per
-vector and joined (never recomputed per pair).
+Cosine is computed from exact integer dot products so Spark and DuckDB
+produce bit-identical doubles. Pairwise keys use the PRE-QUANTIZED path
+(ops.vectors.int_units: floor per element, once per vector) so the per-pair
+work is a pure long multiply-add loop; norms are precomputed per vector and
+joined, never recomputed per pair.
 
 Scale notes: brute-force top-k is the oracle-checkable baseline; the scale
 paths are (a) label/attribute blocking (sim_pairs_threshold) and (b) LSH
@@ -17,33 +19,48 @@ from pyspark.sql.window import Window
 
 from ..conform import rnd, sql_rnd
 from ..io import load
-from ..ops.vectors import SCALE, cosine_from, dot_units, l2_norm, sql_dot_units, sql_l2_norm
+from ..ops.vectors import (
+    SCALE,
+    dot_int,
+    int_units,
+    l2_norm,
+    sql_dot_int,
+    sql_int_units,
+    sql_l2_norm,
+)
 from ..registry import register
 
 _N_PROBES = 10
 _K = 5
 
+# quantize once per vector; norms from the same integer units
 _NORMS_SQL = f"""
-norms AS (
-  SELECT vec_id, label, embedding, {sql_l2_norm('embedding')} AS nrm
+iv AS (
+  SELECT vec_id, label, {sql_int_units('embedding')} AS iv
   FROM embeddings
+),
+norms AS (
+  SELECT vec_id, label, iv,
+         sqrt(CAST({sql_dot_int('iv', 'iv')} AS DOUBLE) / {SCALE}) AS nrm
+  FROM iv
 )
 """
 
 _COS_SQL = (
-    f"(CAST({sql_dot_units('a.embedding', 'b.embedding')} AS DOUBLE) / {SCALE})"
-    " / (a.nrm * b.nrm)"
+    f"(CAST({sql_dot_int('a.iv', 'b.iv')} AS DOUBLE) / {SCALE}) / (a.nrm * b.nrm)"
 )
 
 
 def _norms(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    return e.select("vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+    withiv = e.select("vec_id", "label", int_units(F.col("embedding")).alias("iv"))
+    nrm = F.sqrt(dot_int(F.col("iv"), F.col("iv")).cast("double") / F.lit(SCALE))
+    return withiv.withColumn("nrm", nrm)
 
 
 def _pair_cos():
-    d = dot_units(F.col("a.embedding"), F.col("b.embedding"))
-    return cosine_from(d, F.col("a.nrm"), F.col("b.nrm"))
+    d = dot_int(F.col("a.iv"), F.col("b.iv"))
+    return (d.cast("double") / F.lit(SCALE)) / (F.col("a.nrm") * F.col("b.nrm"))
 
 
 @register(
@@ -234,8 +251,12 @@ def ann_lsh_bucketed(spark, sf_dir):
     bucket = F.lit(0).cast("long")
     for p in range(8):
         bucket = bucket + F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    bucketed = e.select("vec_id", "embedding", bucket.alias("bucket"))
-    n = bucketed.withColumn("nrm", l2_norm(F.col("embedding")))
+    bucketed = e.select(
+        "vec_id", int_units(F.col("embedding")).alias("iv"), bucket.alias("bucket")
+    )
+    n = bucketed.withColumn(
+        "nrm", F.sqrt(dot_int(F.col("iv"), F.col("iv")).cast("double") / F.lit(SCALE))
+    )
     cos = _pair_cos()
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
