@@ -19,4 +19,5 @@ from . import (  # noqa: F401
     sources_sinks,
     pipeline_api,
     training_pipeline,
+    sampling,
 )

@@ -1,0 +1,176 @@
+"""Deterministic sampling / dataset splitting — training-data pipeline
+staples (beyond the §2.K inventory, same north star).
+
+Sampling by `rand()` is non-reproducible across retries/partitionings; these
+use pure integer arithmetic on the record key, so the same row lands in the
+same split on every run, every engine, every cluster size — the property a
+100 TB training corpus split must have.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..conform import rnd
+from ..io import load
+from ..registry import register
+
+_MULT = 2654435761  # Knuth multiplicative hash constant
+_MOD = 1_000_003  # prime
+
+
+def _slot_sql(key: str) -> str:
+    # ((key % MOD) * MULT) % MOD keeps every product < 2^51 (ANSI-safe)
+    return f"(((({key} % {_MOD}) * {_MULT}) % {_MOD}) % 1000)"
+
+
+def _slot(col):
+    return F.pmod(F.pmod(F.pmod(col, F.lit(_MOD)) * F.lit(_MULT), F.lit(_MOD)), F.lit(1000))
+
+
+@register(
+    "sample_deterministic",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_slot_sql('doc_id')} < 100
+""",
+    tier="T2",
+)
+def sample_deterministic(spark, sf_dir):
+    """~10% key-hash sample: stable under reruns and repartitioning."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(_slot(F.col("doc_id")) < 100).select("doc_id", "lang", "source")
+
+
+@register(
+    "dataset_split",
+    oracle=f"""
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM (
+  SELECT lang,
+         CASE WHEN {_slot_sql('doc_id')} < 900 THEN 'train' ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY split
+""",
+    tier="T2",
+)
+def dataset_split(spark, sf_dir):
+    """Deterministic 90/10 train/test assignment + per-split sanity stats."""
+    d = load(spark, sf_dir, "documents")
+    split = F.when(_slot(F.col("doc_id")) < 900, "train").otherwise("test")
+    return (
+        d.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@register("ann_ivf_kmeans", oracle=None, tier="T3")
+def ann_ivf_kmeans(spark, sf_dir):
+    """IVF-style ANN: deterministic k-means (8 cells, 3 Lloyd iterations,
+    init = 8 lowest vec_ids), then per-probe brute-force over the nprobe=2
+    nearest cells only (rows-only: iterative algorithm, §2.0 rule 6; exact
+    twin = sim_cosine_topk).
+
+    Scale notes: centroids are tiny (k × dim) and live on the driver /
+    broadcast — the canonical IVF layout. Assignment is a map-only pass;
+    each Lloyd iteration is one groupBy(cell) average. Cell id becomes the
+    shuffle key for search, bounding the candidate set per probe.
+    """
+    from ..ops.vectors import SCALE, dot_int, int_units
+
+    e = load(spark, sf_dir, "embeddings")
+    dim = 64
+    k = 8
+
+    def dist2_to(centroid):
+        # squared L2 distance to a literal centroid vector
+        arr = F.array(*[F.lit(float(c)) for c in centroid])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # deterministic init: the 8 lowest vec_ids
+    centroids = [
+        r.embedding
+        for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    for _ in range(3):  # Lloyd iterations (centroid table is tiny by design)
+        d2 = [dist2_to(c).alias(f"d{i}") for i, c in enumerate(centroids)]
+        assigned = e.select("vec_id", "embedding", *d2)
+        cell = F.lit(0)
+        best = F.col("d0")
+        for i in range(1, k):
+            cell = F.when(F.col(f"d{i}") < best, i).otherwise(cell)
+            best = F.least(best, F.col(f"d{i}"))
+        assigned = assigned.select("vec_id", "embedding", cell.alias("cell"))
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col("embedding")).alias("i", "x")
+            )
+            .groupBy("cell", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ims"))
+            .select("cell", F.transform("ims", lambda s: s.getField("m")).alias("c"))
+            .collect()
+        )
+        new = {r.cell: r.c for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+
+    d2 = [dist2_to(c).alias(f"d{i}") for i, c in enumerate(centroids)]
+    assigned = e.select("vec_id", "label", "embedding", *d2)
+    cell = F.lit(0)
+    best = F.col("d0")
+    for i in range(1, k):
+        cell = F.when(F.col(f"d{i}") < best, i).otherwise(cell)
+        best = F.least(best, F.col(f"d{i}"))
+    # nprobe=2: rank cells by distance via array_sort of (dist, idx) structs
+    cells_ranked = F.array_sort(
+        F.array(*[F.struct(F.col(f"d{i}").alias("d"), F.lit(i).alias("i")) for i in range(k)])
+    )
+    assigned = assigned.select(
+        "vec_id",
+        "label",
+        int_units(F.col("embedding")).alias("iv"),
+        cells_ranked.getItem(0).getField("i").alias("cell0"),
+        cells_ranked.getItem(1).getField("i").alias("cell1"),
+    )
+    nrm = F.sqrt(dot_int(F.col("iv"), F.col("iv")).cast("double") / F.lit(SCALE))
+    n = assigned.withColumn("nrm", nrm)
+    # corpus indexed by its home cell; probes search their 2 nearest cells
+    corpus = n.select("vec_id", "iv", "nrm", F.col("cell0").alias("cell"))
+    probes = n.filter(F.col("vec_id") < 10).select(
+        "vec_id", "iv", "nrm", F.explode(F.array("cell0", "cell1")).alias("cell")
+    )
+    cos = (
+        dot_int(F.col("a.iv"), F.col("b.iv")).cast("double") / F.lit(SCALE)
+    ) / (F.col("a.nrm") * F.col("b.nrm"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        probes.alias("a")
+        .join(
+            corpus.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos.alias("cos"),
+        )
+        .dropDuplicates(["probe_id", "neighbor_id"])
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("probe_id", "neighbor_id", rnd(F.col("cos"), 4).alias("cosine"), "rk")
+    )

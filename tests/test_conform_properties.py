@@ -82,6 +82,23 @@ def test_dedup_exact_idempotent(spark):
     assert once.exceptAll(twice).count() == 0
 
 
+def test_ann_variants_recall(spark):
+    """LSH/IVF bucketed ANN must recover a reasonable fraction of the exact
+    brute-force top-5 (quality property, not exactness — they are T3)."""
+    from swallow_spark.registry import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in qs["sim_cosine_topk"].fn(spark, sf).collect()
+    }
+    for key in ("ann_lsh_bucketed", "ann_ivf_kmeans"):
+        approx = {(r.probe_id, r.neighbor_id) for r in qs[key].fn(spark, sf).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.2, f"{key} recall {recall:.2f} too low"
+
+
 def test_minhash_approximates_jaccard(spark):
     """Band-collision candidates must include every true high-Jaccard pair."""
     from swallow_spark.registry import all_queries
