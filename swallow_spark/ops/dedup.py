@@ -1,0 +1,58 @@
+"""Shared near-duplicate detection core (used by dedup_near_exact_jaccard
+and training_data_clean).
+
+Posting-list formulation: group (shingle → sorted doc list), DROP unique
+shingles (the vast majority), explode each short list into its doc pairs,
+then count intersections. One shuffle on the shingle; no string self-join.
+
+Scale notes: work is Σ|posting|² over SHARED shingles only. At 100 TB, cap
+ultra-common shingles (df above a threshold carries no near-dup signal —
+standard practice) with `max_posting`; skew on hot shingles disappears with
+the cap. Jaccard = inter / (|A|+|B|−inter) from exact integer counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles
+
+
+def shingle_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    max_posting: int | None = None,
+) -> tuple[DataFrame, Column]:
+    """Return (pairs_df, jaccard_col): all doc pairs sharing ≥1 k-shingle,
+    with columns d1 < d2, inter, n1, n2; jaccard_col is the exact ratio
+    expression over those columns (filter/round at the call site)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("s"),
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    posts = sh.groupBy("s").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    posts = posts.filter(F.size("ds") > 1)
+    if max_posting is not None:
+        posts = posts.filter(F.size("ds") <= max_posting)
+    # all (i < j) pairs from each posting list
+    pair_structs = F.expr(
+        "flatten(transform(sequence(1, size(ds) - 1), "
+        "i -> transform(sequence(i + 1, size(ds)), "
+        "j -> struct(element_at(ds, i) AS d1, element_at(ds, j) AS d2))))"
+    )
+    pairs = (
+        posts.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sz.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+    )
+    jaccard = F.col("inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("inter")
+    )
+    return pairs, jaccard

@@ -20,4 +20,5 @@ from . import (  # noqa: F401
     pipeline_api,
     training_pipeline,
     sampling,
+    analytics,
 )

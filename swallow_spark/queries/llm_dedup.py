@@ -65,31 +65,15 @@ WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
 def dedup_near_exact_jaccard(spark, sf_dir):
     """Near-duplicate pairs by 5-token-shingle Jaccard ≥ 0.8.
 
-    Inverted-index join: explode distinct shingles, self-join on shingle,
-    count intersections, |A∪B| = |A|+|B|−|A∩B|. Candidate pairs only arise
-    from shared shingles — no O(n²) cross product at any scale.
+    Posting-list inverted index (ops.dedup.shingle_jaccard_pairs): unique
+    shingles are dropped before any join, pairs explode only from shared
+    postings — no O(n²) cross product and no wide string self-join.
     """
+    from ..ops.dedup import shingle_jaccard_pairs
+
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    pairs = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    x = sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    y = sz.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    jac = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    return (
-        pairs.join(x, "d1")
-        .join(y, "d2")
-        .filter(jac >= 0.8)
-        .select("d1", "d2", rnd(jac, 4).alias("jaccard"))
-    )
+    pairs, jac = shingle_jaccard_pairs(d)
+    return pairs.filter(jac >= 0.8).select("d1", "d2", rnd(jac, 4).alias("jaccard"))
 
 
 # MinHash: 32 fixed affine permutations over 31-bit hash space (§2.0 r8);

@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 
 from ..conform import rnd, sql_rnd
 from ..io import load
-from ..ops.text import STOPWORDS, shingles, sql_shingles, tokens
+from ..ops.text import STOPWORDS, sql_shingles, tokens
 from ..registry import register
 
 _STOP_IN = "('" + "', '".join(STOPWORDS) + "')"
@@ -77,24 +77,11 @@ def training_data_clean(spark, sf_dir):
     )
 
     # 2. near-dup losers (higher doc_id in any Jaccard>=0.8 pair)
-    sh = exact.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    pairs = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    jac = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    from ..ops.dedup import shingle_jaccard_pairs
+
+    pairs, jac = shingle_jaccard_pairs(exact)
     losers = (
-        pairs.join(sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
-        .join(sz.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
-        .filter(jac >= 0.8)
-        .select(F.col("d2").alias("doc_id"))
-        .distinct()
+        pairs.filter(jac >= 0.8).select(F.col("d2").alias("doc_id")).distinct()
     )
 
     # 3. quality gate over the remaining survivors
