@@ -28,26 +28,42 @@ def chunked_replay_source(
 ) -> DataFrame:
     """Write events as n_chunks timestamp-ordered files; optionally append a
     final chunk containing only the OLDEST rows again (late data), then open
-    a file stream over the directory with one file per micro-batch."""
+    a file stream over the directory with one file per micro-batch.
+
+    Files are renamed to chunk-NNN.parquet so the file source's listing
+    order — and therefore micro-batch order and watermark advancement — is
+    DETERMINISTIC across runs (randomized part-file UUID names are not).
+    """
+    import glob
+    import os
+
     shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
     e = load(spark, sf_dir, "events").withColumn(
         "chunk", F.ntile(n_chunks).over(Window.orderBy("ts"))
     )
+
+    def write_chunk(df, idx: int) -> None:
+        tmp = f"{out_dir}/_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        os.rename(part, f"{out_dir}/chunk-{idx:03d}.parquet")
+        shutil.rmtree(tmp, ignore_errors=True)
+
     for i in range(1, n_chunks + 1):
-        e.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
-            "append"
-        ).parquet(out_dir)
+        write_chunk(e.filter(F.col("chunk") == i).drop("chunk"), i)
     if late_chunk:
         # replay the very first rows again — they are now far behind the
         # max event time the stream has seen → watermark-droppable
-        e.filter(F.col("chunk") == 1).drop("chunk").limit(50).coalesce(1).write.mode(
-            "append"
-        ).parquet(out_dir)
+        write_chunk(
+            e.filter(F.col("chunk") == 1).drop("chunk").orderBy("event_id").limit(50),
+            n_chunks + 1,
+        )
     schema = load(spark, sf_dir, "events").schema
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(out_dir)
+        .parquet(f"{out_dir}/chunk-*.parquet")
     )
 
 

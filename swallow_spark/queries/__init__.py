@@ -21,4 +21,5 @@ from . import (  # noqa: F401
     training_pipeline,
     sampling,
     analytics,
+    streaming_demo,
 )

@@ -1,0 +1,51 @@
+"""§2.I — the watermark/late-data demo surfaced as a declared rows-only key:
+a real Structured Streaming query (file replay, 1-per-trigger micro-batches,
+10-minute watermark, append mode) whose finalized windows are returned as a
+batch DataFrame.
+
+Late rows (a replayed copy of the oldest 50 events, appended as the LAST
+micro-batch) fall behind the watermark and are dropped — streaming-only
+semantics the batch twin (stream_tumbling_batch) cannot express, hence
+rows-only (§2.I). Determinism: chunk files are explicitly name-ordered so
+micro-batch order and watermark advancement are identical on every run.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+
+@register("stream_watermark_demo", oracle=None, tier="T3")
+def stream_watermark_demo(spark, sf_dir):
+    """Tumbling 1h × watermark 10min append-mode aggregation over a
+    deterministic chunked replay; returns the emitted (finalized) windows."""
+    from demos.streaming.demo_lib import chunked_replay_source
+
+    work = tempfile.mkdtemp(prefix="swallow_wm_")
+    try:
+        src = chunked_replay_source(spark, sf_dir, f"{work}/replay", late_chunk=True)
+        agg = (
+            src.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("wstart"), "n")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("swallow_wm_demo")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # materialize before the checkpoint/replay dirs are removed
+        rows = spark.sql("SELECT wstart, n FROM swallow_wm_demo").collect()
+        return spark.createDataFrame(rows, "wstart timestamp, n long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
