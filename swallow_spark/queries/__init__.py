@@ -22,4 +22,5 @@ from . import (  # noqa: F401
     sampling,
     analytics,
     streaming_demo,
+    functions_extra,
 )
