@@ -84,8 +84,10 @@ def agg_global(spark, sf_dir):
         F.countDistinct("o_custkey").alias("n_customers"),
         money_sum(F.col("o_totalprice")).alias("total_value"),
         money_avg(F.col("o_totalprice")).alias("avg_value"),
-        F.min("o_orderdate").alias("first_order"),
-        F.max("o_orderdate").alias("last_order"),
+        # cast NTZ→TIMESTAMP (identity under the pinned UTC session) so the
+        # output schema is plain 'timestamp' like every other key
+        F.min("o_orderdate").cast("timestamp").alias("first_order"),
+        F.max("o_orderdate").cast("timestamp").alias("last_order"),
     )
 
 
