@@ -23,4 +23,5 @@ from . import (  # noqa: F401
     analytics,
     streaming_demo,
     functions_extra,
+    reshape,
 )

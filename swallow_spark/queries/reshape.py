@@ -1,0 +1,241 @@
+"""Reshaping operators: pivot / unpivot, plus SQL-subquery surfaces
+(correlated scalar, uncorrelated IN) that exercise Catalyst decorrelation,
+a synthetic range source, and the sessionize library op as a declared key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..conform import rnd, sql_money_sum, sql_rnd
+from ..io import load
+from ..ops.relational import sessionize
+from ..registry import register
+
+_ETYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+@register(
+    "reshape_pivot",
+    oracle=f"""
+SELECT user_id % 50 AS bucket,
+       {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in _ETYPES)}
+FROM events
+GROUP BY user_id % 50
+""",
+    tier="T2",
+)
+def reshape_pivot(spark, sf_dir):
+    """Pivot event_type into count columns per user bucket (fixed value list
+    so the schema is static — the scalable form of pivot)."""
+    e = load(spark, sf_dir, "events")
+    p = (
+        e.groupBy((F.col("user_id") % 50).alias("bucket"))
+        .pivot("event_type", _ETYPES)
+        .count()
+    )
+    # pivot leaves NULL for empty cells; normalize to 0 and stable names
+    return p.select(
+        "bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in _ETYPES],
+    )
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+SELECT c_custkey, metric, val FROM (
+  SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+  UNION ALL
+  SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val FROM customer
+)
+""",
+    tier="T2",
+)
+def reshape_unpivot(spark, sf_dir):
+    """Unpivot (melt) two customer measures into (key, metric, value) rows."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+
+
+@register(
+    "sub_scalar_correlated",
+    oracle=f"""
+SELECT o_orderkey,
+       {sql_rnd("o_totalprice / (SELECT " + sql_money_sum('o2.o_totalprice') + " FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)", 4)} AS share_of_customer
+FROM orders o1
+""",
+    tier="T2",
+)
+def sub_scalar_correlated(spark, sf_dir):
+    """Correlated scalar subquery (each order's share of its customer's
+    lifetime spend) — Catalyst decorrelates it into an aggregate + join
+    (SURVEY.md §4.2); DuckDB runs the identical SQL."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("sub_orders")
+    share = (
+        "FLOOR((o_totalprice / "
+        "(SELECT CAST(SUM(CAST(FLOOR(o2.o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 "
+        "FROM sub_orders o2 WHERE o2.o_custkey = o1.o_custkey)) * 10000 + 0.5) / 10000"
+    )
+    return spark.sql(
+        f"SELECT o_orderkey, {share} AS share_of_customer FROM sub_orders o1"
+    )
+
+
+@register(
+    "sub_in_uncorrelated",
+    oracle="""
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+""",
+    tier="T2",
+)
+def sub_in_uncorrelated(spark, sf_dir):
+    """Uncorrelated IN subquery (SQL surface; Catalyst plans a semi join)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sub_in_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("sub_in_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM sub_in_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM sub_in_customer
+                            WHERE c_acctbal > 9000)
+        """
+    )
+
+
+@register(
+    "source_range",
+    oracle="""
+SELECT i, i * i AS sq, i % 7 AS md
+FROM generate_series(0, 999) AS t(i)
+""",
+    tier="T2",
+)
+def source_range(spark, sf_dir):
+    """Synthetic range source (spark.range ↔ generate_series) with computed
+    columns — the zero-IO source for generators and backfills."""
+    return spark.range(0, 1000).select(
+        F.col("id").alias("i"),
+        (F.col("id") * F.col("id")).alias("sq"),
+        (F.col("id") % 7).alias("md"),
+    )
+
+
+@register(
+    "win_sessionize",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+)
+""",
+    tier="T2",
+)
+def win_sessionize(spark, sf_dir):
+    """Per-event session ids from the ops.relational.sessionize library op
+    (drives the E2 surface through the oracle gate; semantics match
+    session_window, end-exclusive)."""
+    e = load(spark, sf_dir, "events")
+    return sessionize(e, "user_id", "ts", 30).select(
+        "event_id", "user_id", F.col("session_id").cast("long")
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       MIN(doc_id) AS survivor,
+       list_sort(list(doc_id)) AS members
+FROM documents
+GROUP BY md5(text)
+""",
+    tier="T2",
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact-dup group report: per content hash, group size, survivor and
+    sorted member list (the audit-trail companion to dedup_exact)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("survivor"),
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+    )
+
+
+@register(
+    "text_cooccurrence_pmi",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY token),
+pairs AS (
+  SELECT a.token AS t1, b.token AS t2, CAST(COUNT(*) AS BIGINT) AS co
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 50
+)
+SELECT t1, t2, co,
+       {sql_rnd("ln((CAST(co AS DOUBLE) * n_docs) / (CAST(x.df AS DOUBLE) * y.df))", 4)} AS pmi
+FROM pairs JOIN df x ON t1 = x.token JOIN df y ON t2 = y.token CROSS JOIN n
+""",
+    tier="T2",
+)
+def text_cooccurrence_pmi(spark, sf_dir):
+    """Document-level token co-occurrence with pointwise mutual information
+    (corpus-analysis staple). Distinct tokens per doc, pair counts with a
+    min-support cut, PMI = ln(P(a,b) / (P(a)P(b))).
+
+    Scale note: min-support (HAVING co >= 50) bounds the pair explosion;
+    at 100 TB the same cut is applied per shard before the global combine.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    pairs = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(F.col("a.token").alias("t1"), F.col("b.token").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 50)
+    )
+    pmi = F.log(
+        (F.col("co").cast("double") * F.col("n_docs"))
+        / (F.col("df").cast("double") * F.col("df2"))
+    )
+    return (
+        pairs.join(F.broadcast(df_.select(F.col("token").alias("t1"), "df")), "t1")
+        .join(
+            F.broadcast(
+                df_.select(F.col("token").alias("t2"), F.col("df").alias("df2"))
+            ),
+            "t2",
+        )
+        .crossJoin(F.broadcast(n))
+        .select("t1", "t2", "co", rnd(pmi, 4).alias("pmi"))
+    )

@@ -63,6 +63,26 @@ def test_rnd_spark_matches_python(spark_rnd_batch):
         assert r == py_rnd(x, 2), f"mismatch for {x!r}: spark={r!r}"
 
 
+def test_money_sum_partitioning_invariant(spark):
+    """The 100 TB property, in Spark itself: exact money sums must be
+    bit-identical under different partition counts (double sums are not)."""
+    from pyspark.sql import functions as F
+
+    from swallow_spark.conform import money_sum
+    from swallow_spark.io import load
+
+    li = load(spark, "/root/testdata/sf0.01", "lineitem")
+    vals = set()
+    for n_parts in (1, 7, 32):
+        row = (
+            li.repartition(n_parts)
+            .agg(money_sum(F.col("l_extendedprice")).alias("s"))
+            .collect()[0]
+        )
+        vals.add(row.s)
+    assert len(vals) == 1, f"partitioning changed the sum: {vals}"
+
+
 def test_dedup_exact_idempotent(spark):
     from swallow_spark.registry import all_queries
 
