@@ -24,4 +24,5 @@ from . import (  # noqa: F401
     streaming_demo,
     functions_extra,
     reshape,
+    etl,
 )

@@ -1,0 +1,197 @@
+"""Warehouse-ETL operators: merge/upsert, SCD2 history windows, table
+profiling, histograms, stratified sampling — the batch-ETL verbs a swallow
+user runs daily, re-expressed as single Catalyst plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..conform import rnd, sql_rnd
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "etl_merge_upsert",
+    oracle="""
+WITH updates AS (
+  SELECT c_custkey, c_acctbal + 1000 AS new_bal
+  FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+SELECT c.c_custkey,
+       COALESCE(u.new_bal, c.c_acctbal) AS acctbal,
+       CAST(u.c_custkey IS NOT NULL AS INT) AS was_updated
+FROM customer c LEFT JOIN updates u ON c.c_custkey = u.c_custkey
+""",
+    tier="T2",
+)
+def etl_merge_upsert(spark, sf_dir):
+    """MERGE-style upsert without a table format: base LEFT JOIN updates,
+    coalesce updated values, flag touched rows.
+
+    Scale note: this is the Delta/Iceberg MERGE plan shape (join on the
+    merge key); with a broadcastable update set the base never shuffles.
+    """
+    c = load(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("u_key"), (F.col("c_acctbal") + 1000).alias("new_bal")
+    )
+    return c.join(F.broadcast(updates), c.c_custkey == updates.u_key, "left").select(
+        "c_custkey",
+        F.coalesce(F.col("new_bal"), F.col("c_acctbal")).alias("acctbal"),
+        F.col("u_key").isNotNull().cast("int").alias("was_updated"),
+    )
+
+
+@register(
+    "etl_scd2",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) IS NULL
+            AS INT) AS is_current
+FROM orders
+""",
+    tier="T2",
+)
+def etl_scd2(spark, sf_dir):
+    """SCD-type-2 history build: each customer's orders become versioned
+    rows with [valid_from, valid_to) windows; open-ended row flagged current."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "etl_profile_table",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN({c}) AS min_val, MAX({c}) AS max_val
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+    tier="T2",
+)
+def etl_profile_table(spark, sf_dir):
+    """Column profiling (null/distinct/min/max per column, long format) —
+    the data-quality snapshot an ETL run emits before loading.
+
+    Scale note: one pass per column here for clarity; the N-column variant
+    fuses into a single aggregate with N×4 expressions.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    out = None
+    for c in _PROFILE_COLS:
+        d = li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(c).alias("n_nonnull"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).alias("min_val"),
+            F.max(c).alias("max_val"),
+        ).select(F.lit(c).alias("column_name"), "*")
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000 AS bin_lo
+FROM orders
+GROUP BY 1
+""",
+    tier="T2",
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-width histogram of order value (floor-bucketing — deterministic
+    in both engines, unlike engine-specific width_bucket variants)."""
+    o = load(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / 50000)
+    return o.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("n")).select(
+        "bin", "n", (F.col("bin") * 50000).alias("bin_lo")
+    )
+
+
+_STRATA = {"en": 100, "zh": 300, "es": 300, "de": 300, "fr": 300}  # per-1000 rates
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE (((doc_id % 1000003) * 2654435761) % 1000003) % 1000
+      < CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA.items())} ELSE 0 END
+""",
+    tier="T2",
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: per-language rates (downsample the
+    dominant language, upsample the rest) via integer key-hash slots —
+    rerun- and partitioning-stable, the training-mixture building block."""
+    d = load(spark, sf_dir, "documents")
+    slot = F.pmod(
+        F.pmod(F.pmod(F.col("doc_id"), F.lit(1000003)) * F.lit(2654435761), F.lit(1000003)),
+        F.lit(1000),
+    )
+    rate = F.lit(0)
+    for k, v in _STRATA.items():
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    return d.filter(slot < rate).select("doc_id", "lang")
+
+
+@register("dedup_connected_components", oracle=None, tier="T3")
+def dedup_connected_components(spark, sf_dir):
+    """Transitive near-dup groups: connected components over the Jaccard≥0.8
+    pair graph via iterative min-label propagation (rows-only: iterative
+    algorithm, §2.0 rule 6).
+
+    Each doc's component id converges to the minimum doc_id reachable
+    through near-dup pairs — the canonical 'cluster then keep one' dedup.
+    Scale note: label propagation is a self-join per iteration on the pair
+    list (tiny relative to the corpus); iterations bounded by graph diameter
+    (near-dup clusters are shallow).
+    """
+    from ..ops.dedup import shingle_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs, jac = shingle_jaccard_pairs(d)
+    edges = pairs.filter(jac >= 0.8).select("d1", "d2")
+    # undirected adjacency incl. self-loops
+    adj = (
+        edges.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .unionByName(edges.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+    )
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("comp"))
+    for _ in range(5):  # diameter bound for shallow near-dup clusters
+        neigh = (
+            adj.join(labels, adj.src == labels.node)
+            .select(F.col("dst").alias("node"), "comp")
+        )
+        labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))

@@ -119,6 +119,35 @@ def test_ann_variants_recall(spark):
         assert recall >= 0.2, f"{key} recall {recall:.2f} too low"
 
 
+def test_connected_components_match_union_find(spark):
+    """Label-propagation components must equal a Python union-find ground
+    truth over the same near-dup edge list."""
+    from swallow_spark.registry import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.01"
+    edges = [(r.d1, r.d2) for r in qs["dedup_near_exact_jaccard"].fn(spark, sf).collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {n: find(n) for n in parent}
+    got = {
+        r.doc_id: r.component
+        for r in qs["dedup_connected_components"].fn(spark, sf).collect()
+    }
+    assert got == truth
+
+
 def test_minhash_approximates_jaccard(spark):
     """Band-collision candidates must include every true high-Jaccard pair."""
     from swallow_spark.registry import all_queries
