@@ -25,4 +25,5 @@ from . import (  # noqa: F401
     functions_extra,
     reshape,
     etl,
+    timeseries,
 )
