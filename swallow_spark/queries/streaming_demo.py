@@ -20,6 +20,51 @@ from pyspark.sql import functions as F
 from ..registry import register
 
 
+@register("stream_stream_join_demo", oracle=None, tier="T3")
+def stream_stream_join_demo(spark, sf_dir):
+    """Watermarked stream-stream join (purchases ⋈ clicks of the same user
+    within 5 minutes), run as a real streaming query over the deterministic
+    replay; returns the joined pairs (rows-only; batch twin: join_interval).
+    """
+    import shutil as _sh
+    import tempfile as _tf
+
+    from demos.streaming.demo_lib import run_stream_stream_join
+
+    work = _tf.mkdtemp(prefix="swallow_ssj_")
+    try:
+        n = run_stream_stream_join(spark, sf_dir, work)
+        rows = spark.sql(
+            "SELECT p_id, c_id, p_user AS user_id FROM ss_join"
+        ).collect()
+        assert len(rows) == n
+        return spark.createDataFrame(rows, "p_id long, c_id long, user_id long")
+    finally:
+        _sh.rmtree(work, ignore_errors=True)
+
+
+@register("stream_stateful_counter_demo", oracle=None, tier="T3")
+def stream_stateful_counter_demo(spark, sf_dir):
+    """Arbitrary stateful streaming op (applyInPandasWithState running
+    per-user counters across micro-batches); returns each user's final
+    total (rows-only; equals the batch groupBy count — asserted in tests).
+    """
+    import shutil as _sh
+    import tempfile as _tf
+
+    from demos.streaming.demo_lib import run_stateful_counter
+
+    work = _tf.mkdtemp(prefix="swallow_state_")
+    try:
+        run_stateful_counter(spark, sf_dir, work)
+        rows = spark.sql(
+            "SELECT user_id, max(n_events) AS n_events FROM stateful_counter GROUP BY user_id"
+        ).collect()
+        return spark.createDataFrame(rows, "user_id long, n_events long")
+    finally:
+        _sh.rmtree(work, ignore_errors=True)
+
+
 @register("stream_watermark_demo", oracle=None, tier="T3")
 def stream_watermark_demo(spark, sf_dir):
     """Tumbling 1h × watermark 10min append-mode aggregation over a

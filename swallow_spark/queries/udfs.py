@@ -177,6 +177,35 @@ def udf_map_in_pandas(spark, sf_dir):
 
 
 @register(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+""",
+    tier="T2",
+)
+def udf_map_in_arrow(spark, sf_dir):
+    """mapInArrow: zero-copy RecordBatch-level transform (the lowest-overhead
+    Python boundary — no pandas materialization)."""
+    import pyarrow as pa
+
+    def count_tokens(batches):
+        for batch in batches:
+            texts = batch.column("text").to_pylist()
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_tokens": pa.array(
+                        [len(t.split(" ")) for t in texts], type=pa.int64()
+                    ),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(count_tokens, "doc_id long, n_tokens long")
+
+
+@register(
     "udtf_python",
     oracle="""
 SELECT doc_id, CAST(g.i - 1 AS INT) AS pos, t.arr[g.i] AS token
