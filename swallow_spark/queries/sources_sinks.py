@@ -107,6 +107,66 @@ def source_corrupt_tolerant(spark, sf_dir):
     )
 
 
+@register(
+    "source_python_datasource",
+    oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents
+GROUP BY lang
+""",
+    tier="T2",
+)
+def source_python_datasource(spark, sf_dir):
+    """Custom Spark-4 Python DataSource (swallow reader-adapter analog):
+    documents → jsonl files → read back through format("swallow_jsonl")
+    (per-file partitions, bad-line skipping) → aggregate. The oracle checks
+    the custom connector round-trips losslessly."""
+    from ..sources.jsonl_source import register as register_source
+
+    register_source(spark)
+    path = _io_dir(sf_dir, "documents_pyds")
+    d = load(spark, sf_dir, "documents")
+    d.repartition(4).write.mode("overwrite").json(path)
+    back = (
+        spark.read.format("swallow_jsonl")
+        .schema(schemas.documents)
+        .option("path", path)
+        .load()
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+@register(
+    "sink_python_datasource",
+    oracle="""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents
+GROUP BY source
+""",
+    tier="T2",
+)
+def sink_python_datasource(spark, sf_dir):
+    """Full custom-connector round-trip: documents written through the
+    swallow_jsonl Python DataSource WRITER (per-task files + commit marker),
+    read back through its reader, aggregated — write path proven lossless."""
+    from ..sources.jsonl_source import register as register_source
+
+    register_source(spark)
+    path = _io_dir(sf_dir, "documents_pyds_w")
+    d = load(spark, sf_dir, "documents")
+    d.write.format("swallow_jsonl").mode("overwrite").option("path", path).save()
+    back = (
+        spark.read.format("swallow_jsonl")
+        .schema(schemas.documents)
+        .option("path", path)
+        .load()
+    )
+    return back.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+
 @register("multimodal_pipeline", oracle=None, tier="T3")
 def multimodal_pipeline(spark, sf_dir):
     """Multimodal column plumbing: opaque binary payload + typed metadata

@@ -1,0 +1,51 @@
+"""Unit tests for the swallow_jsonl Python DataSource (custom connector)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+
+def test_skip_bad_lines(spark, tmp_path):
+    from swallow_spark.sources.jsonl_source import register
+
+    register(spark)
+    p = tmp_path / "data"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "garbage line\n"
+        '{"id": 2, "name": "fine"}\n'
+    )
+    (p / "b.jsonl").write_text('{"id": 3, "name": "also"}\n{"broken\n')
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    df = (
+        spark.read.format("swallow_jsonl")
+        .schema(schema)
+        .option("path", str(p))
+        .load()
+    )
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+    # per-file partitioning: two files → two input partitions
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_writer_commit_marker_and_roundtrip(spark, tmp_path):
+    from swallow_spark.sources.jsonl_source import register
+
+    register(spark)
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, name string"
+    ).repartition(2)
+    out = str(tmp_path / "out")
+    src.write.format("swallow_jsonl").mode("overwrite").option("path", out).save()
+    marker = (tmp_path / "out" / "_SUCCESS").read_text()
+    assert marker == "3"
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    back = (
+        spark.read.format("swallow_jsonl").schema(schema).option("path", out).load()
+    )
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b"), (3, "c")]
