@@ -76,6 +76,63 @@ def dedup_near_exact_jaccard(spark, sf_dir):
     return pairs.filter(jac >= 0.8).select("d1", "d2", rnd(jac, 4).alias("jaccard"))
 
 
+@register(
+    "dedup_fuzzy_verify",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({sql_shingles('text')}) AS s FROM documents
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT d1, d2
+  FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5
+)
+SELECT d1, d2,
+       CAST(levenshtein(t1.text, t2.text) AS BIGINT) AS edit_dist,
+       {sql_rnd("1 - CAST(levenshtein(t1.text, t2.text) AS DOUBLE) / greatest(length(t1.text), length(t2.text))", 4)} AS edit_sim
+FROM cand
+JOIN documents t1 ON d1 = t1.doc_id
+JOIN documents t2 ON d2 = t2.doc_id
+""",
+    tier="T2",
+)
+def dedup_fuzzy_verify(spark, sf_dir):
+    """Two-stage fuzzy dedup: cheap shingle-Jaccard blocking (τ=0.5) →
+    exact edit-distance verification on the surviving candidate pairs only.
+
+    Scale note: Levenshtein is O(len²) per pair — affordable exactly because
+    the blocking stage reduced candidates from O(n²) to a handful; this
+    block-then-verify split is the standard fuzzy-dedup architecture.
+    """
+    from ..ops.dedup import shingle_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs, jac = shingle_jaccard_pairs(d)
+    cand = pairs.filter(jac >= 0.5).select("d1", "d2")
+    t1 = d.select(F.col("doc_id").alias("d1"), F.col("text").alias("text1"))
+    t2 = d.select(F.col("doc_id").alias("d2"), F.col("text").alias("text2"))
+    lev = F.levenshtein("text1", "text2")
+    sim = F.lit(1) - lev.cast("double") / F.greatest(
+        F.length("text1"), F.length("text2")
+    )
+    return (
+        cand.join(t1, "d1")
+        .join(t2, "d2")
+        .select(
+            "d1",
+            "d2",
+            lev.cast("long").alias("edit_dist"),
+            rnd(sim, 4).alias("edit_sim"),
+        )
+    )
+
+
 # MinHash: 32 fixed affine permutations over 31-bit hash space (§2.0 r8);
 # coefficients < 2^31 keep every product < 2^62 (ANSI-safe, no overflow).
 _N_PERM = 32
