@@ -1,0 +1,114 @@
+"""Product-analytics operators over the event stream: conversion funnel and
+cohort retention — the aggregate shapes every event warehouse runs daily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH stage1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+stage2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN stage1 s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.t1
+  GROUP BY e.user_id
+),
+stage3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN stage2 s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.t2
+  GROUP BY e.user_id
+)
+SELECT 'view' AS stage, CAST((SELECT COUNT(*) FROM stage1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'view>click', CAST((SELECT COUNT(*) FROM stage2) AS BIGINT)
+UNION ALL
+SELECT 'view>click>purchase', CAST((SELECT COUNT(*) FROM stage3) AS BIGINT)
+""",
+    tier="T2",
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered 3-stage funnel (view → click → purchase): users whose first
+    click follows their first view, and first purchase follows that click.
+
+    Scale note: each stage is a keyed MIN aggregate + broadcast-join of the
+    (small) qualifying-user set onto the stream — never a per-user sort.
+    """
+    e = load(spark, sf_dir, "events")
+
+    def first_after(etype, prev):
+        cond = e.filter(F.col("event_type") == etype)
+        if prev is None:
+            return cond.groupBy("user_id").agg(F.min("ts").alias("t"))
+        joined = cond.join(F.broadcast(prev), "user_id").filter(
+            F.col("ts") > F.col("t")
+        )
+        return joined.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    s1 = first_after("view", None)
+    s2 = first_after("click", s1)
+    s3 = first_after("purchase", s2)
+    out = None
+    for name, s in [("view", s1), ("view>click", s2), ("view>click>purchase", s3)]:
+        d = s.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH cohorts AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, c.cohort_day,
+         date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN cohorts c ON e.user_id = c.user_id
+)
+SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity
+WHERE day_offset IN (0, 1, 7, 14)
+GROUP BY cohort_day, day_offset
+""",
+    tier="T2",
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day, counted active at
+    day offsets 0/1/7/14 — the classic retention triangle.
+
+    Scale note: cohort table is per-user (small), broadcast back onto the
+    stream; the distinct is keyed by (user, offset) so it partial-aggregates.
+    """
+    e = load(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        e.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset").isin(0, 1, 7, 14))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
