@@ -44,3 +44,30 @@ def test_stateful_counter_totals(spark, tmp_path):
     res = run_stateful_counter(spark, SF, str(tmp_path))
     assert res["users"] > 0
     assert res["mismatched_users"] == 0
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch push-sink (the swallow bulk-writer / ES-sink analog):
+    each micro-batch is handed to arbitrary batch-write code."""
+    from demos.streaming.demo_lib import chunked_replay_source
+
+    src = chunked_replay_source(spark, SF, str(tmp_path / "replay"), n_chunks=4)
+    out = str(tmp_path / "out")
+    batches = []
+
+    def push(df, batch_id):
+        batches.append((batch_id, df.count()))
+        df.write.mode("append").parquet(out)
+
+    q = (
+        src.writeStream.foreachBatch(push)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    total = spark.read.parquet(out).count()
+    from swallow_spark.io import load
+
+    assert total == load(spark, SF, "events").count()
+    assert len(batches) >= 4  # one per replay file
