@@ -94,6 +94,40 @@ def test_vector_units_exact(spark):
     assert row.n == 3.0
 
 
+def test_pipeline_explode_flatmap_repartition(spark):
+    import pandas as pd
+
+    from swallow_spark.pipeline import (
+        Explode,
+        Filter,
+        FlatMapPandas,
+        ParquetSource,
+        Pipeline,
+        Repartition,
+    )
+
+    def mark(batches):
+        for pdf in batches:
+            out = pdf[["doc_id", "token"]].copy()
+            out["marked"] = "tok:" + out["token"]
+            yield out
+
+    pipe = Pipeline(
+        source=ParquetSource("/root/testdata/sf0.001", "documents"),
+        steps=[
+            Filter("doc_id < 5"),
+            Explode("split(text, ' ')", "token"),
+            Repartition(4),
+            FlatMapPandas(mark, "doc_id long, token string, marked string"),
+        ],
+    )
+    df = pipe.to_df(spark)
+    rows = df.collect()
+    assert df.rdd.getNumPartitions() == 4
+    assert all(r.marked == f"tok:{r.token}" for r in rows)
+    assert len(rows) > 5  # exploded fan-out (swallow doc -> list[doc])
+
+
 def test_pipeline_quarantine_routes_bad_rows(spark, tmp_path):
     from swallow_spark.pipeline import Filter, ParquetSource, Pipeline, Quarantine
 
