@@ -160,6 +160,34 @@ def sample_stratified(spark, sf_dir):
     return d.filter(slot < rate).select("doc_id", "lang")
 
 
+@register(
+    "etl_reaggregate",
+    oracle=f"""
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_rnd("CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100", 2)} AS val
+FROM events
+GROUP BY 1
+""",
+    tier="T2",
+)
+def etl_reaggregate(spark, sf_dir):
+    """Partial-aggregate mergeability: MONTHLY totals computed by rolling up
+    DAILY partials (sum of sums / sum of counts) — and the oracle computes
+    monthly directly from raw events. They match only because the partials
+    are exact integer units; this is why incremental pipelines (daily jobs
+    feeding monthly marts) need conform-style aggregates at 100 TB."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).alias("cents"),
+    )
+    return daily.groupBy(F.date_trunc("month", F.col("day")).alias("month")).agg(
+        F.sum("n").alias("n"),
+        rnd(F.sum("cents").cast("double") / F.lit(100), 2).alias("val"),
+    )
+
+
 @register("dedup_connected_components", oracle=None, tier="T3")
 def dedup_connected_components(spark, sf_dir):
     """Transitive near-dup groups: connected components over the Jaccard≥0.8

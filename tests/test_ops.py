@@ -77,6 +77,19 @@ def test_asof_backward_with_tie(spark):
     assert got[(2, "2024-01-01T00:05:00")] is None  # nothing at-or-before
 
 
+def test_salted_join_matches_plain_join(spark):
+    from swallow_spark.ops.relational import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot", "cold")[: 1 + i % 2]],
+        "k string, v int",
+    )
+    small = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, w int")
+    plain = big.join(small, "k").select("v", "w")
+    salted = salted_join(big, small, "k", n_salts=8).select("v", "w")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
 def test_shingles_short_doc(spark):
     df = spark.createDataFrame([("a b c",), ("a b c d e f",)], "text string")
     out = df.select(shingles(F.col("text")).alias("s")).collect()
