@@ -1,0 +1,82 @@
+"""Differential fuzzing (SURVEY.md §5.2): hypothesis generates random
+filter + group-by + aggregate shapes over lineitem/orders; each is built
+twice — once with the engine's operators, once as DuckDB SQL — and must
+value-match exactly. Catches cross-engine parity edges the fixed query
+corpus can't reach."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from swallow_spark.conform import money_sum, sql_money_sum
+from swallow_spark.io import load
+from tools.oracle_diff import canon
+
+SF = "/root/testdata/sf0.001"
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+KEY_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+CMPS = [">", ">=", "<", "<=", "="]
+
+shape = st.fixed_dictionaries(
+    {
+        "filter_col": st.sampled_from(NUM_COLS),
+        "cmp": st.sampled_from(CMPS),
+        # fixture floats are 2dp; 2dp literals make = comparisons meaningful
+        "threshold": st.integers(min_value=0, max_value=5000).map(lambda v: v / 100),
+        "group_cols": st.lists(st.sampled_from(KEY_COLS), min_size=1, max_size=2, unique=True),
+        "agg_col": st.sampled_from(NUM_COLS),
+        "second_pred": st.booleans(),
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def duck001():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(shape)
+def test_random_filter_group_agg(spark, duck001, s):
+    pred_sql = f"{s['filter_col']} {s['cmp']} {s['threshold']}"
+    if s["second_pred"]:
+        pred_sql += " AND l_linenumber <= 3"
+    groups = s["group_cols"]
+    sql = f"""
+        SELECT {', '.join(groups)},
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_money_sum(s['agg_col'])} AS total,
+               MIN({s['agg_col']}) AS lo,
+               MAX({s['agg_col']}) AS hi
+        FROM lineitem
+        WHERE {pred_sql}
+        GROUP BY {', '.join(groups)}
+    """
+    li = load(spark, SF, "lineitem").filter(F.expr(pred_sql))
+    sdf = li.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum(F.col(s["agg_col"])).alias("total"),
+        F.min(s["agg_col"]).alias("lo"),
+        F.max(s["agg_col"]).alias("hi"),
+    )
+    scols = sorted(sdf.columns)
+    srows = sorted(tuple(canon(r[c]) for c in scols) for r in sdf.collect())
+    rel = duck001.sql(sql)
+    idx = [list(rel.columns).index(c) for c in sorted(rel.columns)]
+    drows = sorted(tuple(canon(row[i]) for i in idx) for row in rel.fetchall())
+    assert srows == drows, f"shape={s}"
