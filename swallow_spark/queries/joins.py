@@ -236,6 +236,61 @@ def join_interval(spark, sf_dir):
 
 
 @register(
+    "join_interval_binned",
+    oracle="""
+SELECT a.event_id AS e1, b.event_id AS e2, a.user_id AS user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE
+""",
+    tier="T2",
+)
+def join_interval_binned(spark, sf_dir):
+    """The interval self-join rewritten as a BINNED EQUI join — the classic
+    scale transformation: map each event to a 5-minute time bin, join on
+    (user_id, bin) with the right side expanded to {bin, bin+1} (any match
+    within 5 minutes lies in the same or next bin), then apply the exact
+    range filter. Same oracle as join_interval — results are provably
+    identical; only the plan changes.
+
+    Scale note: the join key becomes (user, bin) — much finer than user
+    alone, so hot users spread across many reducers and the per-key
+    candidate set is bounded by bin width, not by a user's whole history.
+    """
+    e = load(spark, sf_dir, "events")
+    bin_col = F.floor(F.unix_micros(F.col("ts")) / F.lit(300_000_000))
+    a = e.withColumn("bin", bin_col).alias("a")
+    # right side joins into its own bin and the previous one (a.bin or a.bin+1
+    # seen from the left) — expand left instead: left emits {bin, bin+1}
+    left = (
+        e.withColumn("bin0", bin_col)
+        .select(
+            "*", F.explode(F.array(F.col("bin0"), F.col("bin0") + 1)).alias("bin")
+        )
+        .alias("a")
+    )
+    right = e.withColumn("bin", bin_col).alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return (
+        left.join(right, cond)
+        .select(
+            F.col("a.event_id").alias("e1"),
+            F.col("b.event_id").alias("e2"),
+            F.col("a.user_id").alias("user_id"),
+        )
+        .dropDuplicates(["e1", "e2"])
+    )
+
+
+@register(
     "join_asof",
     oracle="""
 SELECT event_id, user_id,

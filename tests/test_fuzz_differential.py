@@ -46,6 +46,64 @@ def duck001():
     con.close()
 
 
+win_shape = st.fixed_dictionaries(
+    {
+        "part_col": st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+        "order_col": st.sampled_from(["o_totalprice", "o_orderdate"]),
+        "desc": st.booleans(),
+        "k": st.integers(min_value=1, max_value=5),
+        "fn": st.sampled_from(["row_number", "rank", "dense_rank"]),
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def duck_orders():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(win_shape)
+def test_random_window_topk(spark, duck_orders, s):
+    from pyspark.sql.window import Window
+
+    direction = "DESC" if s["desc"] else "ASC"
+    sql = f"""
+        SELECT o_orderkey, {s['part_col']} AS pk, CAST(rn AS BIGINT) AS rn
+        FROM (
+          SELECT o_orderkey, {s['part_col']},
+                 {s['fn']}() OVER (PARTITION BY {s['part_col']}
+                                   ORDER BY {s['order_col']} {direction},
+                                            o_orderkey) AS rn
+          FROM orders
+        ) WHERE rn <= {s['k']}
+    """
+    oc = F.col(s["order_col"]).desc() if s["desc"] else F.col(s["order_col"]).asc()
+    w = Window.partitionBy(s["part_col"]).orderBy(oc, F.col("o_orderkey"))
+    fns = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}
+    sdf = (
+        load(spark, SF, "orders")
+        .withColumn("rn", fns[s["fn"]]().over(w).cast("long"))
+        .filter(F.col("rn") <= s["k"])
+        .select("o_orderkey", F.col(s["part_col"]).alias("pk"), "rn")
+    )
+    scols = sorted(sdf.columns)
+    srows = sorted(tuple(canon(r[c]) for c in scols) for r in sdf.collect())
+    rel = duck_orders.sql(sql)
+    idx = [list(rel.columns).index(c) for c in sorted(rel.columns)]
+    drows = sorted(tuple(canon(row[i]) for i in idx) for row in rel.fetchall())
+    assert srows == drows, f"shape={s}"
+
+
 @settings(
     max_examples=25,
     deadline=None,
