@@ -104,6 +104,68 @@ def test_random_window_topk(spark, duck_orders, s):
     assert srows == drows, f"shape={s}"
 
 
+join_shape = st.fixed_dictionaries(
+    {
+        "how": st.sampled_from(["inner", "left", "right", "full", "semi", "anti"]),
+        "cust_bal": st.integers(min_value=-1000, max_value=9000),
+        "price_cut": st.integers(min_value=1000, max_value=400000),
+    }
+)
+
+_HOW_SQL = {
+    "inner": "JOIN",
+    "left": "LEFT JOIN",
+    "right": "RIGHT JOIN",
+    "full": "FULL JOIN",
+    "semi": "SEMI JOIN",
+    "anti": "ANTI JOIN",
+}
+
+
+@pytest.fixture(scope="module")
+def duck_two():
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(join_shape)
+def test_random_join_types(spark, duck_two, s):
+    """All six join types with filtered sides (null-bearing outer results)."""
+    semi_anti = s["how"] in ("semi", "anti")
+    proj = "o.o_orderkey" if semi_anti else "o.o_orderkey, c.c_custkey AS ck"
+    sql = f"""
+        SELECT {proj}
+        FROM (SELECT * FROM orders WHERE o_totalprice > {s['price_cut']}) o
+        {_HOW_SQL[s['how']]} (SELECT * FROM customer WHERE c_acctbal > {s['cust_bal']}) c
+          ON o.o_custkey = c.c_custkey
+    """
+    o = load(spark, SF, "orders").filter(F.col("o_totalprice") > s["price_cut"])
+    c = load(spark, SF, "customer").filter(F.col("c_acctbal") > s["cust_bal"])
+    how = {"semi": "left_semi", "anti": "left_anti"}.get(s["how"], s["how"])
+    j = o.join(c, o.o_custkey == c.c_custkey, how)
+    sdf = (
+        j.select("o_orderkey")
+        if semi_anti
+        else j.select("o_orderkey", F.col("c_custkey").alias("ck"))
+    )
+    scols = sorted(sdf.columns)
+    srows = sorted(tuple(canon(r[x]) for x in scols) for r in sdf.collect())
+    rel = duck_two.sql(sql)
+    idx = [list(rel.columns).index(x) for x in sorted(rel.columns)]
+    drows = sorted(tuple(canon(row[i]) for i in idx) for row in rel.fetchall())
+    assert srows == drows, f"shape={s}"
+
+
 @settings(
     max_examples=25,
     deadline=None,
