@@ -24,7 +24,12 @@ from swallow_spark.io import load
 
 
 def chunked_replay_source(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 8, late_chunk: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 8,
+    late_chunk: bool = False,
+    dup_chunk: bool = False,
 ) -> DataFrame:
     """Write events as n_chunks timestamp-ordered files; optionally append a
     final chunk containing only the OLDEST rows again (late data), then open
@@ -58,6 +63,12 @@ def chunked_replay_source(
         write_chunk(
             e.filter(F.col("chunk") == 1).drop("chunk").orderBy("event_id").limit(50),
             n_chunks + 1,
+        )
+    if dup_chunk:
+        # replay the NEWEST chunk again — duplicates arriving while their
+        # originals are still inside the dedup watermark state
+        write_chunk(
+            e.filter(F.col("chunk") == n_chunks).drop("chunk"), n_chunks + 2
         )
     schema = load(spark, sf_dir, "events").schema
     return (
@@ -183,3 +194,101 @@ def run_stateful_counter(spark: SparkSession, sf_dir: str, work_dir: str) -> dic
     truth = load(spark, sf_dir, "events").groupBy("user_id").count()
     cmp = final.join(truth, "user_id").filter(F.col("n") != F.col("count")).count()
     return {"users": final.count(), "mismatched_users": cmp}
+
+def run_dropdup_watermark(spark: SparkSession, sf_dir: str, work_dir: str) -> dict:
+    """Streaming deduplication: dropDuplicatesWithinWatermark(event_id) over a
+    replay whose final micro-batch is an exact copy of the newest chunk.
+
+    The duplicate rows arrive while their originals are still inside the
+    30-minute dedup state, so every one of them is suppressed — emitted rows
+    equal the distinct event_id count of the base fixture. State is bounded
+    by the watermark (keys older than max_event_time - 30min are evicted),
+    which is what keeps this tractable on an unbounded 100 TB/day stream.
+    """
+    src = chunked_replay_source(
+        spark, sf_dir, f"{work_dir}/replay_dd", n_chunks=4, dup_chunk=True
+    )
+    deduped = src.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dropdup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", f"{work_dir}/ckpt_dd")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    emitted = spark.sql("SELECT count(*) AS n FROM dropdup_wm").collect()[0].n
+    base = load(spark, sf_dir, "events").select("event_id").distinct().count()
+    return {"emitted": emitted, "distinct_base": base}
+
+
+def run_tws_user_stats(spark: SparkSession, sf_dir: str, work_dir: str) -> dict:
+    """Spark-4 transformWithStateInPandas: per-user running (count, max_value)
+    kept in a ValueState across micro-batches — the modern replacement for
+    applyInPandasWithState, with typed state primitives (value/list/map
+    state, timers) and RocksDB-backed state stores on a real cluster.
+
+    Returns {"users": n, "mismatched_users": m} — m must be 0: the final
+    update per user equals the batch groupBy(count, max) ground truth.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    src = chunked_replay_source(spark, sf_dir, f"{work_dir}/replay_tws", n_chunks=4)
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.stats = handle.getValueState("stats", "n LONG, max_amt DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, max_amt = (
+                self.stats.get() if self.stats.exists() else (0, float("-inf"))
+            )
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    max_amt = max(max_amt, float(pdf["value"].max()))
+            self.stats.update((n, max_amt))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_amount": [max_amt]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType="user_id LONG, n_events LONG, max_amount DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_user_stats")
+        .outputMode("update")
+        .option("checkpointLocation", f"{work_dir}/ckpt_tws")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = spark.sql(
+        """
+        SELECT user_id, max(n_events) AS n, max(max_amount) AS max_amt
+        FROM tws_user_stats GROUP BY user_id
+        """
+    )
+    truth = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("tn"), F.max("value").alias("tmax"))
+    )
+    bad = (
+        final.join(truth, "user_id")
+        .filter((F.col("n") != F.col("tn")) | (F.col("max_amt") != F.col("tmax")))
+        .count()
+    )
+    return {"users": final.count(), "mismatched_users": bad}

@@ -94,3 +94,35 @@ def stream_watermark_demo(spark, sf_dir):
         return spark.createDataFrame(rows, "wstart timestamp, n long")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+@register("stream_dropdup_watermark_demo", oracle=None, tier="T3")
+def stream_dropdup_watermark_demo(spark, sf_dir):
+    """Streaming dedup via dropDuplicatesWithinWatermark over a replay whose
+    last micro-batch duplicates the newest chunk; every duplicate is
+    suppressed while inside the 30-min dedup state (rows-only; batch twin:
+    stream_dedup_batch / dedup_exact). Returns the emitted-vs-distinct tally.
+    """
+    import shutil as _sh
+    import tempfile as _tf
+
+    from demos.streaming.demo_lib import run_dropdup_watermark
+
+    work = _tf.mkdtemp(prefix="swallow_dd_")
+    try:
+        r = run_dropdup_watermark(spark, sf_dir, work)
+        assert r["emitted"] == r["distinct_base"], r
+        return spark.createDataFrame(
+            [(r["emitted"], r["distinct_base"])], "emitted long, distinct_base long"
+        )
+    finally:
+        _sh.rmtree(work, ignore_errors=True)
+
+
+# NOTE: demos/streaming/demo_lib.run_tws_user_stats implements the Spark-4
+# transformWithStateInPandas (typed ValueState) version of the stateful
+# counter. It is NOT registered as a key because the TWS Python protocol
+# requires google.protobuf, which this container does not ship (no installs
+# allowed); tests/test_streaming_demos.py gates it with importorskip so it
+# runs wherever protobuf exists. applyInPandasWithState
+# (stream_stateful_counter_demo) covers the declared arbitrary-stateful-op
+# surface here.

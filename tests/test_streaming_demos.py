@@ -3,6 +3,8 @@ arbitrary stateful counter — run on the sf0.001 replay."""
 
 from __future__ import annotations
 
+import pytest
+
 from demos.streaming.demo_lib import (
     run_stateful_counter,
     run_stream_stream_join,
@@ -71,3 +73,20 @@ def test_foreach_batch_sink(spark, tmp_path):
 
     assert total == load(spark, SF, "events").count()
     assert len(batches) >= 4  # one per replay file
+
+
+def test_dropdup_watermark_suppresses_duplicates(spark, tmp_path):
+    from demos.streaming.demo_lib import run_dropdup_watermark
+
+    r = run_dropdup_watermark(spark, SF, str(tmp_path / "dd"))
+    assert r["emitted"] == r["distinct_base"]
+
+
+def test_tws_user_stats_matches_batch(spark, tmp_path):
+    # transformWithStateInPandas speaks protobuf to the JVM state server;
+    # the module is absent in this container, so this runs only where it exists
+    pytest.importorskip("google.protobuf")
+    from demos.streaming.demo_lib import run_tws_user_stats
+
+    r = run_tws_user_stats(spark, SF, str(tmp_path / "tws"))
+    assert r["mismatched_users"] == 0
