@@ -56,3 +56,36 @@ def test_no_cartesian_in_interval_join(spark):
     p = plan_of(spark, "join_interval")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+@pytest.mark.parametrize(
+    "key,required",
+    [
+        ("q2_min_cost_supplier", "BroadcastHashJoin"),  # all dims broadcast
+        ("q16_supplier_cnt", "LeftAnti"),  # NOT IN → broadcast anti join
+        ("q20_potential_promotion", "LeftSemi"),  # IN-subquery → semi join
+        ("q18_large_volume_customer", "TakeOrderedAndProject"),  # top-100 w/o sort
+    ],
+)
+def test_tpch_extra2_plan_shape(spark, key, required):
+    assert required in plan_of(spark, key)
+
+
+def test_q21_semi_anti_no_cartesian(spark):
+    """EXISTS/NOT EXISTS must compile to orderkey-keyed semi/anti hash joins
+    with the suppkey inequality as a residual — never a nested loop."""
+    p = plan_of(spark, "q21_suppliers_kept_waiting")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q11_fact_agg_reused_at_runtime(spark):
+    """The scalar-subquery total must reuse the per-part aggregate's
+    exchange at runtime (AQE ReuseExchange) — lineitem is scanned and
+    aggregated once, not once per subquery, at 100 TB."""
+    df = all_queries()["q11_important_stock"].fn(spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p
