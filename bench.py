@@ -44,6 +44,9 @@ HEADLINE = [
     "text_tfidf_topk",
     "text_fingerprint",
     "udf_pandas_scalar",
+    "q8_market_share",
+    "q18_large_volume_customer",
+    "q21_suppliers_kept_waiting",
 ]
 
 
