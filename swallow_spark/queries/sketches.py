@@ -1,0 +1,76 @@
+"""Sketch-based approximate counting: a count-min sketch built and probed
+entirely with DataFrame ops (no Python in the hot path).
+
+Complements the existing approximate family (agg_approx_distinct = HLL,
+agg_approx_percentile = KLL): the CMS answers point frequency queries
+("how often does token X occur?") in O(d*w) memory regardless of
+cardinality — the backbone of heavy-hitter detection over a 100 TB token
+stream where an exact groupBy(token) shuffle would be dominated by the
+long tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+_D, _W = 4, 1024  # depth (hash functions) x width (buckets per row)
+
+
+def _bucketed(col_df, token_col="token"):
+    """Explode each token into its _D (seed, bucket) sketch coordinates."""
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seed"),
+                F.pmod(F.xxhash64(token_col, F.lit(i)), F.lit(_W)).alias("bucket"),
+            )
+            for i in range(_D)
+        ]
+    )
+    return col_df.select(*col_df.columns, F.explode(coords).alias("sb")).select(
+        *col_df.columns, F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket")
+    )
+
+
+@register("sketch_count_min", oracle=None, tier="T3")
+def sketch_count_min(spark, sf_dir):
+    """Count-min sketch frequency estimation for the corpus's top-20 tokens.
+
+    Build: one explode (token -> d coordinate rows) + one groupBy
+    (seed, bucket) count — map-side combinable, producing at most d*w
+    (= 4096) cells no matter how many distinct tokens exist. Probe: the
+    candidate tokens join the (broadcast) sketch on their coordinates and
+    take min() across the d rows — the classic CMS upper-bound estimate
+    (est >= exact always; collisions only inflate).
+
+    Rows-only: the estimate depends on xxhash64 seeds, which DuckDB cannot
+    reproduce; tests/test_sketches.py asserts the CMS bound against the
+    exact counts instead. Deterministic across runs (fixed seeds, exact
+    integer counters).
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    sketch = (
+        _bucketed(tok)
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact_top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(20)
+    )
+    return (
+        _bucketed(exact_top)
+        .join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )

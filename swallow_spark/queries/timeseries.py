@@ -128,3 +128,63 @@ def ts_gap_fill(spark, sf_dir):
         F.coalesce("n", F.lit(0)).alias("n"),
         F.coalesce("val", F.lit(0.0)).alias("val"),
     )
+
+
+@register(
+    "ts_ewma",
+    oracle="""
+SELECT user_id,
+       (FLOOR(list_reduce(list(dval ORDER BY day),
+                          (acc, x) -> acc * CAST(0.7 AS DOUBLE)
+                                      + x * CAST(0.3 AS DOUBLE)) * 10000 + 0.5)
+        / 10000) AS ewma
+FROM (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+           AS dval
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+) t
+GROUP BY user_id
+""",
+    tier="T2",
+)
+def ts_ewma(spark, sf_dir):
+    """Exponentially weighted moving average (alpha = 0.3) of each user's
+    daily value series — the standard smoothing primitive for metric
+    monitoring and drift detection over training-data throughput.
+
+    EWMA is a left fold (y_n = 0.7*y_{n-1} + 0.3*x_n), which has no
+    closed-form window rewrite that is numerically stable, so both engines
+    fold the same day-ordered list: Spark `aggregate()` seeded with the
+    first element mirrors DuckDB `list_reduce`, giving the identical IEEE
+    operation sequence (determinism per SURVEY.md §2.0).
+
+    Scale note: the fold is per-user over the *daily* aggregate (≤ a few
+    thousand elements even for years of history), never the raw events; the
+    daily aggregate itself is an exact-cent partial-aggregable sum. One
+    shuffle on user_id covers both the collect_list and the groupBy.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(money_sum(F.col("value")).alias("dval"))
+    from ..conform import rnd
+
+    return (
+        daily.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "dval"))).alias("s"))
+        .withColumn("xs", F.expr("transform(s, v -> v.dval)"))
+        .select(
+            "user_id",
+            rnd(
+                F.expr(
+                    "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)),"
+                    " element_at(xs, 1),"
+                    " (acc, x) -> acc * CAST(0.7 AS DOUBLE)"
+                    " + x * CAST(0.3 AS DOUBLE))"
+                ),
+                4,
+            ).alias("ewma"),
+        )
+    )
