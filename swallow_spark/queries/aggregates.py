@@ -346,3 +346,45 @@ def agg_approx_percentile(spark, sf_dir):
     return e.groupBy("event_type").agg(
         rnd(F.percentile_approx("value", F.lit(0.95)), 2).alias("p95_value")
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+SELECT user_id, event_type AS mode_type, CAST(cnt AS BIGINT) AS n
+FROM (
+  SELECT user_id, event_type, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rk
+  FROM events
+  GROUP BY user_id, event_type
+) t
+WHERE rk = 1
+""",
+    tier="T2",
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Deterministic MODE: each user's most frequent event type, ties broken
+    lexicographically. Library mode() is tie-unstable across engines and
+    partitionings, so both sides use the same count-desc/type-asc
+    row_number — reproducible under any shuffle order.
+
+    Scale note: the pre-aggregate shrinks input to |user x type| before the
+    window; the window partitions by user_id (no global sort)."""
+    e = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("cnt").cast("bigint").alias("n"),
+        )
+    )

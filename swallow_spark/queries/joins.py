@@ -382,3 +382,35 @@ def join_self(spark, sf_dir):
         F.col("b.n_name").alias("n2"),
         F.col("a.n_regionkey").alias("rkey"),
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle=f"""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_money_sum('o_totalprice')} AS total_spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tier="T2",
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-mitigated equi join surfaced as a query: ops.relational.
+    salted_join splits each hot key across 16 salts (big side salted
+    randomly, small side replicated 16x) so no single reducer owns a whole
+    hot key. The join RESULT is salt-invariant, so the plain-join oracle
+    checks it exactly.
+
+    Scale note: this is the manual fallback for when AQE's
+    skewJoin splitting can't help (e.g. the skew is in a single key whose
+    matching build rows also don't fit); replicating the small side 16x is
+    only viable because it is a true dimension."""
+    from ..ops.relational import salted_join
+
+    o = load(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    c = load(spark, sf_dir, "customer")
+    joined = salted_join(o, c, key="c_custkey", n_salts=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("total_spend"),
+    )
