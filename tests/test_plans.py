@@ -81,6 +81,48 @@ def test_q21_semi_anti_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_runtime_bloom_filter_injects(spark):
+    """Row-level runtime filtering for shuffle joins: with a selective dim
+    filter, Spark injects bloom_filter_agg on the build side and
+    might_contain on the 100 TB probe side — rows that can't join are
+    dropped at the scan, before the shuffle. (Size thresholds are lowered
+    here because the fixture is tiny; on a real cluster the defaults
+    10MB/10GB gate it.)"""
+    from pyspark.sql import functions as F
+
+    from swallow_spark.io import load
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load(spark, SF, "lineitem")
+        o = load(spark, SF, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        p = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in p
+        assert "might_contain" in p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_q11_fact_agg_reused_at_runtime(spark):
     """The scalar-subquery total must reuse the per-part aggregate's
     exchange at runtime (AQE ReuseExchange) — lineitem is scanned and
