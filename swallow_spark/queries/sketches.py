@@ -74,3 +74,27 @@ def sketch_count_min(spark, sf_dir):
         .agg(F.min("c").alias("est_cnt"))
         .orderBy(F.col("exact_cnt").desc(), "token")
     )
+
+
+@register("agg_hll_reaggregate", oracle=None, tier="T3")
+def agg_hll_reaggregate(spark, sf_dir):
+    """Re-aggregable distinct counting: per (event_type, day) HLL sketches
+    built once, then UNIONED across days per type — the pattern for rolling
+    / incremental distinct-user counts at 100 TB, where re-scanning history
+    for every window is impossible but sketch union is a few KB per group.
+
+    Output carries the exact countDistinct alongside the estimate; the
+    relative-error bound (lgConfigK=12 → ~1.6% typical) is asserted in
+    tests/test_sketches.py. Rows-only: DuckDB has no Datasketches HLL.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")

@@ -48,3 +48,12 @@ def test_ewma_matches_pandas(spark):
             y = y * 0.7 + x * 0.3
         y = math.floor(y * 10000 + 0.5) / 10000
         assert abs(got[uid] - y) < 1e-9, uid
+
+
+def test_hll_reaggregate_error_bound(spark):
+    """Daily-sketch union must estimate distinct users within 5% of exact
+    (lgConfigK=12 typical error ~1.6%)."""
+    rows = all_queries()["agg_hll_reaggregate"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.est_users - r.exact_users) / r.exact_users < 0.05
