@@ -420,3 +420,46 @@ def text_fingerprint(spark, sf_dir):
         fp.alias("fingerprint"),
         F.greatest(F.length("text") - 7, F.lit(1)).cast("long").alias("n_windows"),
     )
+
+
+@register(
+    "text_pii_redact",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+')) AS BIGINT)
+         AS n_pii,
+       regexp_replace(aug, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+', '[EMAIL]', 'g')
+         AS redacted
+FROM (SELECT doc_id,
+             'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or '
+               || 'admin.' || CAST(doc_id AS VARCHAR) || '@corp.net ' || text
+               AS aug
+      FROM documents) t
+""",
+    tier="T2",
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing for training corpora: count and mask email addresses
+    with a single vectorized regexp pass (JVM-side, no Python). The fixture
+    text is synthetic and PII-free, so two deterministic addresses are
+    prepended per doc before scrubbing — the oracle checks the fully
+    redacted text byte-for-byte.
+
+    The pattern sticks to regex constructs Java and RE2 interpret
+    identically (char classes, +, literal dot). Scale: linear per-row pass,
+    no shuffle; at 100 TB this pipelines with the quality/lang filters in
+    one stage."""
+    d = load(spark, sf_dir, "documents")
+    pat = r"[a-z0-9._]+@[a-z0-9]+\.[a-z]+"
+    aug = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or admin."), F.col("doc_id").cast("string"),
+        F.lit("@corp.net "), F.col("text"),
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        .alias("n_pii"),
+        F.regexp_replace(aug, pat, "[EMAIL]").alias("redacted"),
+    )

@@ -212,3 +212,23 @@ def multimodal_pipeline(spark, sf_dir):
         decode_stub,
         "doc_id long, n_bytes long, sha1_head string, width int, height int",
     )
+
+
+@register("source_merge_schema", oracle=None, tier="T3")
+def source_merge_schema(spark, sf_dir):
+    """Schema evolution on read: batch 1 writes (r_regionkey, r_name),
+    batch 2 adds a populated `ingest_tag` column; mergeSchema=true unions
+    the schemas and back-fills nulls for the old files — how a long-lived
+    100 TB parquet table absorbs added columns without rewrite.
+
+    Returns per-tag counts (tag null = pre-evolution files)."""
+    path = _io_dir(sf_dir, "region_evolving")
+    r = load(spark, sf_dir, "region")
+    r.write.mode("overwrite").parquet(path)
+    r.withColumn("ingest_tag", F.lit("v2")).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        merged.groupBy("ingest_tag")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("ingest_tag").asc_nulls_first())
+    )
