@@ -71,3 +71,50 @@ def etl_compact_files(spark, sf_dir):
         )
 
     return stats(frag, "fragmented").unionByName(stats(compact, "compacted"))
+
+
+@register(
+    "join_bucketed_colocate",
+    oracle="""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+         AS sum_qty
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+""",
+    tier="T2",
+)
+def join_bucketed_colocate(spark, sf_dir):
+    """Shuffle-free co-located join via bucketing: both fact tables are
+    written bucketBy(8, orderkey).sortBy(orderkey), so the SortMergeJoin
+    consumes the bucketed scans DIRECTLY — zero Exchange on either join
+    input (asserted in tests/test_plans.py; `Bucketed: true`,
+    SelectedBucketsCount in the scan).
+
+    Scale note: this is THE pattern for a repeatedly-joined 100 TB
+    fact-fact pair — pay the bucketed write once, join with no shuffle
+    forever after. Result is bucketing-invariant, so the plain-join oracle
+    checks it exactly."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/swallow_spark_io/{tag}/bucketed"
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .option("path", f"{base}/orders_b").mode("overwrite")
+     .saveAsTable(f"swallow_orders_b_{tag}"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .option("path", f"{base}/lineitem_b").mode("overwrite")
+     .saveAsTable(f"swallow_lineitem_b_{tag}"))
+    ob = spark.table(f"swallow_orders_b_{tag}")
+    lb = spark.table(f"swallow_lineitem_b_{tag}")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            (F.sum(F.floor(F.col("l_quantity") * F.lit(100) + F.lit(0.5)))
+             .cast("double") / F.lit(100)).alias("sum_qty"),
+        )
+    )

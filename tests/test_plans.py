@@ -123,6 +123,27 @@ def test_runtime_bloom_filter_injects(spark):
                 spark.conf.set(k, v)
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketBy(8, orderkey): the SortMergeJoin must consume the
+    bucketed scans directly — ZERO Exchange on the join inputs. (Broadcast
+    is disabled so the small fixture can't sidestep the shuffle question.)"""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        all_queries()["join_bucketed_colocate"].fn(spark, SF)  # writes tables
+        lb = spark.table("swallow_lineitem_b_sf0_001")
+        ob = spark.table("swallow_orders_b_sf0_001")
+        j = lb.join(ob, lb.l_orderkey == ob.o_orderkey).select(
+            "o_orderstatus", "l_quantity"
+        )
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p
+        assert "Bucketed: true" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 def test_q11_fact_agg_reused_at_runtime(spark):
     """The scalar-subquery total must reuse the per-part aggregate's
     exchange at runtime (AQE ReuseExchange) — lineitem is scanned and
