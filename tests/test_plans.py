@@ -123,6 +123,45 @@ def test_runtime_bloom_filter_injects(spark):
                 spark.conf.set(k, v)
 
 
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join splitting: a hot key owning 80% of the rows is split
+    into multiple reducer tasks at runtime (SortMergeJoin(skew=true) +
+    'AQEShuffleRead coalesced and skewed'). Thresholds are lowered to make
+    the tiny synthetic skew visible; on a cluster the 256MB/5x defaults
+    govern. This is the zero-code path for skew the salted join
+    (join_salted_skew) handles manually."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        hot = spark.range(200_000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+        tail = spark.range(50_000).select(
+            (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v")
+        )
+        dim = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+        j = hot.union(tail).join(dim, "k")
+        assert len(j.collect()) == 250_000
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in p
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """Both sides bucketBy(8, orderkey): the SortMergeJoin must consume the
     bucketed scans directly — ZERO Exchange on the join inputs. (Broadcast
