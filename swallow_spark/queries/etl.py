@@ -223,3 +223,40 @@ def dedup_connected_components(spark, sf_dir):
             .agg(F.min("comp").alias("comp"))
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+
+
+@register(
+    "etl_observe_metrics",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+         AS sum_value,
+       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+FROM events
+""",
+    tier="T2",
+)
+def etl_observe_metrics(spark, sf_dir):
+    """Pipeline observability via df.observe(): data-quality counters
+    (row count, exact-cent value sum, negative-value count) accumulate as a
+    side effect of a job that is ALREADY running — at 100 TB this is how a
+    pipeline gets per-batch quality gates without paying a second scan.
+
+    The observed job here is a noop-sink materialization; the metrics row
+    it emits is oracle-checked against the plain aggregates."""
+    from pyspark.sql import Observation
+
+    e = load(spark, sf_dir, "events")
+    obs = Observation("quality_gate")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * F.lit(100) + F.lit(0.5))).alias("sc"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n"]), float(m["sc"]) / 100.0, int(m["neg"]))],
+        "n_rows bigint, sum_value double, n_negative bigint",
+    )

@@ -58,3 +58,38 @@ def fn_trig(spark, sf_dir):
         ).alias("at2_deg"),
         rnd(F.lit(3.141592653589793), 4).alias("pi_const"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+SELECT doc_id,
+       regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+FROM (SELECT doc_id,
+             'https://' || source || '.example.com/doc/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      FROM documents) t
+""",
+    tier="T2",
+)
+def fn_url(spark, sf_dir):
+    """URL decomposition with parse_url (protocol / host / path / query
+    param) over deterministically synthesized crawl-style URLs — the
+    provenance-parsing step of a web-scale corpus pipeline. The oracle
+    re-derives each part with anchored regexps that Java and RE2 interpret
+    identically."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
