@@ -118,3 +118,44 @@ def join_bucketed_colocate(spark, sf_dir):
              .cast("double") / F.lit(100)).alias("sum_qty"),
         )
     )
+
+
+@register("etl_range_partition_write", oracle=None, tier="T3")
+def etl_range_partition_write(spark, sf_dir):
+    """Range-partitioned sorted write: repartitionByRange(8, l_orderkey) +
+    sortWithinPartitions before the parquet write gives every output file a
+    DISJOINT [min, max] orderkey range — so any key-range predicate prunes
+    to one file via parquet footer min/max at read time. The standard
+    layout for a 100 TB fact keyed by time or id.
+
+    Returns (total_rows, n_overlapping_file_pairs) with the overlap count
+    asserted zero by construction (read back via input_file_name)."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/swallow_spark_io/{tag}/lineitem_ranged"
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    (
+        li.repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).withColumn("f", F.input_file_name())
+    stats = back.groupBy("f").agg(
+        F.min("l_orderkey").alias("mn"),
+        F.max("l_orderkey").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a, b = stats.alias("a"), stats.alias("b")
+    overlaps = a.join(
+        b,
+        (F.col("a.f") < F.col("b.f"))
+        & (F.col("a.mn") <= F.col("b.mx"))
+        & (F.col("a.mx") >= F.col("b.mn")),
+    ).count()
+    total = back.count()
+    return spark.createDataFrame(
+        [(int(total), int(overlaps))],
+        "total_rows bigint, n_overlapping_file_pairs bigint",
+    )
