@@ -388,3 +388,26 @@ def agg_mode_deterministic(spark, sf_dir):
             F.col("cnt").cast("bigint").alias("n"),
         )
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+SELECT c_nationkey,
+       string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+         AS segments
+FROM customer
+GROUP BY c_nationkey
+""",
+    tier="T2",
+)
+def agg_listagg(spark, sf_dir):
+    """LISTAGG / string_agg: pipe-joined sorted distinct segment list per
+    nation — Spark spells it array_join(sort_array(collect_set(...))).
+    Sorting before joining makes the result partition-order independent."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("c_mktsegment")), "|"
+        ).alias("segments")
+    )

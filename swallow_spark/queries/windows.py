@@ -233,3 +233,46 @@ def win_percent_rank(spark, sf_dir):
         rnd(F.percent_rank().over(w), 4).alias("pr"),
         rnd(F.cume_dist().over(w), 4).alias("cd"),
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+SELECT user_id, event_id,
+       SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS distinct_types_so_far
+FROM (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rk
+  FROM events
+) t
+""",
+    tier="T2",
+)
+def win_running_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) over a window — an operator Spark (and most
+    engines) lack natively — rewritten as a composition: mark each row that
+    is the FIRST occurrence of its (user, event_type), then running-sum the
+    markers in event order. Both engines run the identical rewrite.
+
+    Scale note: two windows, both partitioned by user_id → one shuffle; no
+    per-row set state, which is what makes the naive version impossible on
+    a 100 TB stream."""
+    e = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("rk", F.row_number().over(w_first))
+        .withColumn(
+            "distinct_types_so_far",
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).over(w_run),
+        )
+        .select("user_id", "event_id", "distinct_types_so_far")
+    )
