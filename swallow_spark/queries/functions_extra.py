@@ -93,3 +93,35 @@ def fn_url(spark, sf_dir):
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / NULLIF(l_quantity - 25, 0) AS price_per_excess,
+       TRY_CAST(CASE WHEN l_orderkey % 2 = 0
+                     THEN CAST(l_orderkey AS VARCHAR) ELSE 'n/a' END
+                AS BIGINT) AS parsed_key
+FROM lineitem
+""",
+    tier="T2",
+)
+def fn_try_arith(spark, sf_dir):
+    """Error-safe arithmetic/parsing: try_divide yields NULL on division by
+    zero (l_quantity == 25) and try_cast yields NULL on malformed input,
+    instead of failing the job — how a 100 TB pipeline survives dirty rows
+    without PERMISSIVE-mode re-reads. Oracle mirrors with NULLIF and
+    TRY_CAST."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.lit(25)
+        ).alias("price_per_excess"),
+        F.expr(
+            "try_cast(CASE WHEN l_orderkey % 2 = 0"
+            " THEN CAST(l_orderkey AS STRING) ELSE 'n/a' END AS BIGINT)"
+        ).alias("parsed_key"),
+    )

@@ -98,3 +98,34 @@ def agg_hll_reaggregate(spark, sf_dir):
         F.countDistinct("user_id").cast("bigint").alias("exact_users")
     )
     return est.join(exact, "event_type").orderBy("event_type")
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+""",
+    tier="T2",
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT re-aggregable distinct counting via bitmaps (the exact
+    complement of agg_hll_reaggregate): each user_id maps to a (bucket,
+    bit-position); bitmap_construct_agg builds one bitmap per (group,
+    bucket) and popcounts sum to the exact distinct count. Bitmaps OR-merge
+    associatively, so incremental/rollup re-aggregation stays exact — the
+    pattern for precise distinct-user ladders where HLL error is
+    unacceptable. Oracle: plain COUNT(DISTINCT)."""
+    e = load(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    per_bucket = b.groupBy("event_type", "bkt").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users")
+    )
