@@ -292,3 +292,65 @@ def run_tws_user_stats(spark: SparkSession, sf_dir: str, work_dir: str) -> dict:
         .count()
     )
     return {"users": final.count(), "mismatched_users": bad}
+
+
+def run_incremental_availablenow(spark: SparkSession, sf_dir: str, work_dir: str) -> dict:
+    """Incremental ingestion with Trigger.AvailableNow + a shared
+    checkpoint: run 1 drains the 3 initial files and stops; a 4th file
+    lands; run 2 restarts from the SAME checkpoint and processes ONLY the
+    new file. This is the batch-cadence incremental pattern for a 100 TB
+    landing zone — exactly-once file tracking without an always-on cluster.
+
+    Returns per-run processed row counts plus the ground-truth splits.
+    """
+    import glob
+    import os
+
+    src_dir = f"{work_dir}/landing"
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+    e = load(spark, sf_dir, "events").withColumn(
+        "chunk", F.ntile(4).over(Window.orderBy("ts"))
+    )
+
+    def write_chunk(df, idx: int) -> None:
+        tmp = f"{src_dir}/_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        os.rename(part, f"{src_dir}/chunk-{idx:03d}.parquet")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    for i in range(1, 4):
+        write_chunk(e.filter(F.col("chunk") == i).drop("chunk"), i)
+    n_total = e.count()
+    n_last = e.filter(F.col("chunk") == 4).count()
+
+    schema = load(spark, sf_dir, "events").schema
+    counts: list[int] = []
+
+    def run_once() -> int:
+        counts.clear()
+
+        def sink(bdf, _bid):
+            counts.append(bdf.count())
+
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(f"{src_dir}/chunk-*.parquet")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{work_dir}/ckpt_incr")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(counts)
+
+    run1 = run_once()
+    write_chunk(e.filter(F.col("chunk") == 4).drop("chunk"), 4)  # new arrival
+    run2 = run_once()
+    return {
+        "run1": run1,
+        "run2": run2,
+        "expected_run1": n_total - n_last,
+        "expected_run2": n_last,
+    }

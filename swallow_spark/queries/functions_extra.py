@@ -125,3 +125,29 @@ def fn_try_arith(spark, sf_dir):
             " THEN CAST(l_orderkey AS STRING) ELSE 'n/a' END AS BIGINT)"
         ).alias("parsed_key"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+FROM events
+""",
+    tier="T2",
+)
+def fn_variant(spark, sf_dir):
+    """Spark 4 VARIANT for semi-structured columns: parse_json gives a
+    binary variant (shredded, no per-row re-parse) and variant_get extracts
+    typed paths — the schema-on-read path for heterogeneous 100 TB event
+    payloads, ~an order faster than string JSON extraction at scale.
+    Oracle extracts the same path via DuckDB's JSON functions."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.parse_json("props").alias("v")
+    ).select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        (F.expr("variant_get(v, '$.k', 'int')") % F.lit(10)).alias("k_bucket"),
+    )

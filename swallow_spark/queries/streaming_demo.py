@@ -126,3 +126,26 @@ def stream_dropdup_watermark_demo(spark, sf_dir):
 # runs wherever protobuf exists. applyInPandasWithState
 # (stream_stateful_counter_demo) covers the declared arbitrary-stateful-op
 # surface here.
+
+
+@register("stream_incremental_availablenow", oracle=None, tier="T3")
+def stream_incremental_availablenow(spark, sf_dir):
+    """Trigger.AvailableNow incremental ingestion: two runs share one
+    checkpoint; the second processes ONLY files that arrived after the
+    first (exactly-once file tracking, asserted). Returns the per-run
+    processed counts vs ground truth."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from demos.streaming.demo_lib import run_incremental_availablenow
+
+    work = _tf.mkdtemp(prefix="swallow_incr_")
+    try:
+        r = run_incremental_availablenow(spark, sf_dir, work)
+        assert r["run1"] == r["expected_run1"], r
+        assert r["run2"] == r["expected_run2"], r
+        return spark.createDataFrame(
+            [(r["run1"], r["run2"])], "run1_rows long, run2_rows long"
+        )
+    finally:
+        _sh.rmtree(work, ignore_errors=True)

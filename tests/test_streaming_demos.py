@@ -90,3 +90,11 @@ def test_tws_user_stats_matches_batch(spark, tmp_path):
 
     r = run_tws_user_stats(spark, SF, str(tmp_path / "tws"))
     assert r["mismatched_users"] == 0
+
+
+def test_incremental_availablenow_processes_only_new_files(spark, tmp_path):
+    from demos.streaming.demo_lib import run_incremental_availablenow
+
+    r = run_incremental_availablenow(spark, SF, str(tmp_path / "incr"))
+    assert r["run1"] == r["expected_run1"]
+    assert r["run2"] == r["expected_run2"]
