@@ -151,3 +151,71 @@ def fn_variant(spark, sf_dir):
         F.expr("variant_get(v, '$.k', 'int')").alias("k"),
         (F.expr("variant_get(v, '$.k', 'int')") % F.lit(10)).alias("k_bucket"),
     )
+
+
+@register(
+    "fn_xml",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+""",
+    tier="T2",
+)
+def fn_xml(spark, sf_dir):
+    """Spark 4 XML ingestion: rows serialized to an XML fragment, parsed
+    back with from_xml into a typed struct — the adapter shape for
+    XML-bearing sources. The oracle is the round-trip identity: parsed
+    fields must equal the original columns exactly (Java double→string is
+    shortest-exact, so the double survives the text round trip)."""
+    o = load(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<row><o_orderkey>"), F.col("o_orderkey"),
+        F.lit("</o_orderkey><o_orderstatus>"), F.col("o_orderstatus"),
+        F.lit("</o_orderstatus><o_totalprice>"), F.col("o_totalprice"),
+        F.lit("</o_totalprice></row>"),
+    )
+    return (
+        o.select(xml.alias("x"))
+        .select(
+            F.from_xml(
+                "x", "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+            ).alias("p")
+        )
+        .select("p.o_orderkey", "p.o_orderstatus", "p.o_totalprice")
+    )
+
+
+@register(
+    "fn_array_setops",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       list_sort(list_distinct([l_orderkey % 7, l_partkey % 7, l_suppkey % 7]
+                 || [l_partkey % 7, CAST(3 AS BIGINT)])) AS u,
+       list_sort(list_distinct(list_intersect(
+           [l_orderkey % 7, l_partkey % 7, l_suppkey % 7],
+           [l_partkey % 7, CAST(3 AS BIGINT)]))) AS i,
+       list_sort(list_distinct(list_filter(
+           [l_orderkey % 7, l_partkey % 7, l_suppkey % 7],
+           x -> NOT list_contains([l_partkey % 7, CAST(3 AS BIGINT)], x))))
+         AS e
+FROM lineitem
+""",
+    tier="T2",
+)
+def fn_array_setops(spark, sf_dir):
+    """Array set algebra (union / intersect / except), canonicalized with
+    distinct + sort on both engines so element order and duplicate policy
+    can't differ. Arrays are derived from row keys, so every row exercises
+    a different combination."""
+    li = load(spark, sf_dir, "lineitem")
+    a = F.array(
+        F.col("l_orderkey") % 7, F.col("l_partkey") % 7, F.col("l_suppkey") % 7
+    )
+    b = F.array(F.col("l_partkey") % 7, F.lit(3).cast("bigint"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sort_array(F.array_union(a, b)).alias("u"),
+        F.sort_array(F.array_intersect(a, b)).alias("i"),
+        F.sort_array(F.array_except(a, b)).alias("e"),
+    )
