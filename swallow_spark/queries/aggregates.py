@@ -411,3 +411,27 @@ def agg_listagg(spark, sf_dir):
             F.sort_array(F.collect_set("c_mktsegment")), "|"
         ).alias("segments")
     )
+
+
+@register(
+    "agg_skew_kurt",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_rnd('skewness(l_quantity)', 4)} AS skew_qty,
+       {sql_rnd('kurtosis(l_quantity)', 4)} AS kurt_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tier="T2",
+)
+def agg_skew_kurt(spark, sf_dir):
+    """Higher statistical moments (skewness, excess kurtosis) per return
+    flag, half-up rounded to 4dp — distribution-shape monitoring for data
+    drift. Parity verified empirically at sf0.001/0.01/0.1: the engines'
+    moment formulas agree within the 4dp canonicalization at these group
+    sizes (n >= 600 per flag)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        rnd(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+    )

@@ -219,3 +219,33 @@ def fn_array_setops(spark, sf_dir):
         F.sort_array(F.array_intersect(a, b)).alias("i"),
         F.sort_array(F.array_except(a, b)).alias("e"),
     )
+
+
+@register(
+    "fn_codec",
+    oracle="""
+SELECT doc_id,
+       to_base64(encode(substring(text, 1, 48))) AS b64,
+       hex(encode(text)) AS hx,
+       decode(from_base64(to_base64(encode(text)))) = text AS roundtrip_ok
+FROM documents
+""",
+    tier="T2",
+)
+def fn_codec(spark, sf_dir):
+    """Binary codecs over text payloads: base64 / hex encode and a decode
+    round-trip check — the wire-format plumbing for opaque binary columns
+    (multimodal payload transport). Spark MIME-chunks base64 beyond 76
+    output chars (inserting CRLF, which DuckDB never does), so the encoded
+    comparison uses a 48-byte prefix; the round-trip equality still covers
+    the FULL text because unbase64 accepts the chunked form."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.base64(F.substring("text", 1, 48).cast("binary")).alias("b64"),
+        F.hex(F.col("text").cast("binary")).alias("hx"),
+        (
+            F.unbase64(F.base64(F.col("text").cast("binary"))).cast("string")
+            == F.col("text")
+        ).alias("roundtrip_ok"),
+    )
