@@ -463,3 +463,88 @@ def text_pii_redact(spark, sf_dir):
         .alias("n_pii"),
         F.regexp_replace(aug, pat, "[EMAIL]").alias("redacted"),
     )
+
+
+@register(
+    "text_html_strip",
+    oracle=r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(aug, '<[^>]+>', ' ', 'g'),
+                           ' +', ' ', 'g')) AS clean,
+       CAST(len(regexp_extract_all(aug, '<[^>]+>')) AS BIGINT) AS n_tags
+FROM (SELECT doc_id,
+             '<html><body><h1>doc ' || CAST(doc_id AS VARCHAR)
+               || '</h1><p class="x">' || replace(text, ' the ', ' <b>the</b> ')
+               || '</p></body></html>' AS aug
+      FROM documents) t
+""",
+    tier="T2",
+)
+def text_html_strip(spark, sf_dir):
+    """Markup removal for crawled corpora: strip every tag with one
+    vectorized regexp pass, collapse whitespace, count removed tags. The
+    fixture text is markup-free, so deterministic HTML (wrapper + inline
+    <b> around 'the') is synthesized first; the oracle byte-compares the
+    cleaned text. Tag pattern '<[^>]+>' reads identically in Java and RE2.
+    Scale: linear per-row, fuses with the rest of the cleaning stage."""
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.lit("<html><body><h1>doc "), F.col("doc_id").cast("string"),
+        F.lit('</h1><p class="x">'),
+        F.regexp_replace(F.col("text"), " the ", " <b>the</b> "),
+        F.lit("</p></body></html>"),
+    )
+    stripped = F.regexp_replace(aug, "<[^>]+>", " ")
+    return d.select(
+        "doc_id",
+        F.trim(F.regexp_replace(stripped, " +", " ")).alias("clean"),
+        F.size(F.regexp_extract_all(aug, F.lit("<[^>]+>"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_tags"),
+    )
+
+
+@register(
+    "dedup_url_canonicalize",
+    oracle=r"""
+SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM (
+  SELECT regexp_replace(
+           regexp_replace(lower(url), ':80/', '/', 'g'),
+           '[?&]utm_[a-z]+=[^&]*', '', 'g') AS canonical
+  FROM (SELECT 'HTTP://' || upper(source) || '.Example.com:80/doc/'
+                 || CAST(doc_id % 500 AS VARCHAR)
+                 || CASE WHEN doc_id % 2 = 0
+                         THEN '?utm_source=feed' ELSE '' END AS url
+        FROM documents) u
+) c
+GROUP BY canonical
+HAVING COUNT(*) > 1
+""",
+    tier="T2",
+)
+def dedup_url_canonicalize(spark, sf_dir):
+    """Crawl-frontier URL dedup: canonicalize (lowercase, strip default
+    :80 port, drop utm_* tracking params) then group — URL variants that
+    differ only in case/port/tracking collapse to one canonical form. The
+    synthesized URLs alias doc_id mod 500, so every canonical has ≥2
+    variants at sf0.01+. Same string pipeline in both engines."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://"), F.upper("source"), F.lit(".Example.com:80/doc/"),
+        (F.col("doc_id") % 500).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed")).otherwise(
+            F.lit("")
+        ),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(F.lower(url), ":80/", "/"),
+        r"[?&]utm_[a-z]+=[^&]*",
+        "",
+    )
+    return (
+        d.select(canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_variants"))
+        .filter(F.col("n_variants") > 1)
+    )
