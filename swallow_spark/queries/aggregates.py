@@ -16,6 +16,7 @@ from ..conform import (
     money_avg,
     money_sum,
     rnd,
+    sql_cents,
     sql_money_avg,
     sql_money_sum,
     sql_rnd,
@@ -434,4 +435,37 @@ def agg_skew_kurt(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         rnd(F.skewness("l_quantity"), 4).alias("skew_qty"),
         rnd(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+    )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_rnd(
+           "CAST(SUM(CAST(l_quantity AS BIGINT) * "
+           + sql_cents('l_extendedprice')
+           + ") AS DOUBLE) / 100 / SUM(CAST(l_quantity AS BIGINT))", 4)}
+         AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tier="T2",
+)
+def agg_weighted_avg(spark, sf_dir):
+    """Quantity-weighted average price per flag with EXACT integer
+    arithmetic: sum(qty * price_cents) and sum(qty) are both integer sums
+    (order-independent partial aggregation), divided once at the end —
+    reproducible under any partitioning, unlike a floating sum(w*x)/sum(w).
+    Scale note: products stay < 2^63 here; at true 100 TB row counts the
+    sums widen to DECIMAL(38,0) with the same semantics."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        rnd(
+            F.sum(qty * cents(F.col("l_extendedprice"))).cast("double")
+            / F.lit(100)
+            / F.sum(qty),
+            4,
+        ).alias("wavg_price")
     )

@@ -276,3 +276,49 @@ def win_running_distinct(spark, sf_dir):
         )
         .select("user_id", "event_id", "distinct_types_so_far")
     )
+
+
+@register(
+    "win_pct_of_total",
+    oracle="""
+SELECT c_custkey,
+       (FLOOR((CAST(cust_c AS DOUBLE) / CAST(seg_c AS DOUBLE)) * 1000000 + 0.5)
+        / 1000000) AS pct_of_segment
+FROM (
+  SELECT c_custkey, c_mktsegment,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cust_c,
+         SUM(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)))
+           OVER (PARTITION BY c_mktsegment) AS seg_c
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_mktsegment
+) t
+""",
+    tier="T2",
+)
+def win_pct_of_total(spark, sf_dir):
+    """Ratio-to-report: each customer's share of their market segment's
+    total spend — an aggregate windowed over the aggregation's own output
+    (SUM(SUM(..)) OVER). Both sums are exact integer cents; one division
+    per row, half-up to 6dp.
+
+    Scale note: the window partitions by segment over the already-reduced
+    per-customer rows — the shuffle input is |customers|, never |orders|."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_mktsegment")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * F.lit(100) + F.lit(0.5))).alias("cust_c"))
+    )
+    return per_cust.select(
+        "c_custkey",
+        (
+            F.floor(
+                (F.col("cust_c").cast("double") / F.sum("cust_c").over(w).cast("double"))
+                * F.lit(1000000)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000)
+        ).alias("pct_of_segment"),
+    )
