@@ -260,3 +260,65 @@ def etl_observe_metrics(spark, sf_dir):
         [(int(m["n"]), float(m["sc"]) / 100.0, int(m["neg"]))],
         "n_rows bigint, sum_value double, n_negative bigint",
     )
+
+
+@register(
+    "etl_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 7 <> 0
+), new AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+           + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END AS cents
+  FROM orders
+)
+SELECT CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            WHEN old.cents <> new.cents THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       COUNT(*) AS n,
+       SUM(COALESCE(new.cents, 0) - COALESCE(old.cents, 0)) AS cents_delta
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+GROUP BY 1
+""",
+    tier="T2",
+)
+def etl_snapshot_diff(spark, sf_dir):
+    """CDC-style snapshot diff: full-outer join two table versions on the
+    business key and classify every row added / removed / changed /
+    unchanged, with the net value delta. The daily "what moved?" audit
+    between two warehouse loads. Versions are simulated from orders (rows
+    missing from the old snapshot; +$1.00 updates on keys % 5 = 0); prices
+    compare as exact integer cents so 'changed' is never a float artifact.
+
+    Scale note: one shuffle on the business key; at 100 TB both snapshots
+    should be bucketed on that key so the diff is shuffle-free (see
+    join_bucketed_colocate).
+    """
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k_old"), cents.alias("c_old")
+    )
+    new = o.select(
+        F.col("o_orderkey").alias("k_new"),
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 5 == 0, F.lit(100)).otherwise(F.lit(0))
+        ).alias("c_new"),
+    )
+    joined = old.join(new, old["k_old"] == new["k_new"], "full_outer")
+    change = (
+        F.when(F.col("k_old").isNull(), F.lit("added"))
+        .when(F.col("k_new").isNull(), F.lit("removed"))
+        .when(F.col("c_old") != F.col("c_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.groupBy(change.alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.coalesce("c_new", F.lit(0)) - F.coalesce("c_old", F.lit(0))
+        ).alias("cents_delta"),
+    )

@@ -414,3 +414,36 @@ def join_salted_skew(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         money_sum(F.col("o_totalprice")).alias("total_spend"),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+WITH c AS (SELECT NULLIF(c_nationkey, 0) AS k, c_custkey FROM customer),
+     s AS (SELECT NULLIF(s_nationkey, 0) AS k, s_suppkey FROM supplier)
+SELECT c.k AS nationkey, COUNT(*) AS pairs
+FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+GROUP BY c.k
+""",
+    tier="T2",
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi join (<=>): NULL keys match each other instead of
+    dropping out — the semantics MERGE/dedup pipelines need when the join
+    key is itself dirty. NULLIF(nationkey, 0) manufactures a NULL stripe.
+
+    Scale note: eqNullSafe stays a hash-partitionable equi condition (NULLs
+    hash to one partition — if the NULL stripe is huge, pre-split it), so
+    Catalyst still picks SortMergeJoin/BHJ, never a nested loop.
+    """
+    c = load(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("ck"), "c_custkey"
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(0)).alias("sk"), "s_suppkey"
+    )
+    return (
+        c.join(s, c["ck"].eqNullSafe(s["sk"]))
+        .groupBy(F.col("ck").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("pairs"))
+    )

@@ -112,3 +112,53 @@ def cohort_retention(spark, sf_dir):
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@register(
+    "seq_pattern_match",
+    oracle="""
+WITH j AS (
+  SELECT user_id,
+         STRING_AGG(UPPER(SUBSTR(event_type, 1, 1)), '' ORDER BY ts, event_id)
+           AS journey
+  FROM events GROUP BY user_id
+)
+SELECT user_id, LENGTH(journey) AS journey_len,
+       LENGTH(REGEXP_EXTRACT(journey, 'VC*P', 0)) > 0 AS converted,
+       LEN(REGEXP_EXTRACT_ALL(journey, 'VC*P')) AS n_conversions
+FROM j
+""",
+    tier="T2",
+)
+def seq_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite: encode each user's event stream as a character
+    journey (V=view C=click P=purchase S=signup E=error, ordered by ts with
+    event_id tiebreak) and regex-match behavioural patterns — here
+    'VC*P' = view, any clicks, purchase.
+
+    Scale note: sequence analysis collapses to ONE groupBy + string ops —
+    no self-joins per step (compare funnel_conversion's 3 joins). Journeys
+    are bounded per user; for power users cap with slice() before joining.
+    The regex runs identically under Java regex and RE2 (no backrefs).
+    """
+    e = load(spark, sf_dir, "events")
+    chr1 = F.upper(F.substring("event_type", 1, 1))
+    j = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("ts"), F.col("event_id"), chr1.alias("c")))
+                ),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("journey")
+    )
+    return j.select(
+        "user_id",
+        F.length("journey").alias("journey_len"),
+        (F.length(F.regexp_extract("journey", "VC*P", 0)) > 0).alias("converted"),
+        F.size(F.expr("regexp_extract_all(journey, 'VC*P', 0)")).cast("bigint").alias(
+            "n_conversions"
+        ),
+    )

@@ -1,0 +1,196 @@
+"""Statistical / profiling aggregates beyond the §2.D inventory.
+
+Training-data pipelines lean on these for corpus monitoring: argmin/argmax
+audits, per-group regression drift, distribution entropy, Benford digit
+profiling (fraud/synthetic-data smell test), concentration indices.
+
+Determinism notes (§2.0): every float that crosses the engine boundary is
+either (a) an exact integer ratio computed with ONE division, (b) half-up
+rounded via the conform primitives, or (c) an order-fixed fold (sorted
+collect + aggregate()/list_reduce), the same recipe ts_ewma established.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..conform import rnd, sql_rnd
+from ..io import load
+from ..registry import register
+
+# Composite ordering key: exact integer cents * 1e10 + orderkey. min_by /
+# max_by are tie-unstable on raw doubles; packing the tiebreak into one
+# BIGINT makes arg-extraction reproducible in both engines. Headroom: cents
+# up to ~9e8 fit beside a 1e10 orderkey range in int64; at 100 TB key space
+# switch to max_by over a (price, orderkey) STRUCT (Spark orders structs
+# lexicographically) — the packed form is only for oracle parity.
+_ORD_KEY = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000000 + o_orderkey"
+
+
+@register(
+    "agg_argminmax",
+    oracle=f"""
+SELECT o_orderstatus,
+       arg_max(o_custkey, {_ORD_KEY}) AS hi_cust,
+       arg_max(o_orderkey, {_ORD_KEY}) AS hi_order,
+       arg_min(o_custkey, {_ORD_KEY}) AS lo_cust,
+       arg_min(o_orderkey, {_ORD_KEY}) AS lo_order
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tier="T2",
+)
+def agg_argminmax(spark, sf_dir):
+    """min_by/max_by: who placed the cheapest/priciest order per status.
+
+    Scale note: arg-extraction is a single-pass mergeable aggregate (partial
+    keeps one candidate per group) — no sort, no window, shuffle carries
+    |groups| rows.
+    """
+    o = load(spark, sf_dir, "orders").withColumn("ord_key", F.expr(_ORD_KEY))
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_custkey", "ord_key").alias("hi_cust"),
+        F.max_by("o_orderkey", "ord_key").alias("hi_order"),
+        F.min_by("o_custkey", "ord_key").alias("lo_cust"),
+        F.min_by("o_orderkey", "ord_key").alias("lo_order"),
+    )
+
+
+@register(
+    "agg_regression",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_rnd('regr_slope(l_extendedprice, l_quantity)', 4)} AS slope,
+       {sql_rnd('regr_intercept(l_extendedprice, l_quantity)', 4)} AS intercept,
+       {sql_rnd('regr_r2(l_extendedprice, l_quantity)', 4)} AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tier="T2",
+)
+def agg_regression(spark, sf_dir):
+    """Per-group OLS fit (price ~ quantity): slope/intercept/R², 4dp.
+
+    Drift monitoring shape: refit a cheap linear model per segment every
+    batch and alert on coefficient movement. Single-pass co-moment
+    aggregates — mergeable partials, no second scan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.regr_slope(y, x), 4).alias("slope"),
+        rnd(F.regr_intercept(y, x), 4).alias("intercept"),
+        rnd(F.regr_r2(y, x), 4).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )
+
+
+@register(
+    "agg_entropy",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), folded AS (
+  SELECT event_type, SUM(n) AS tot,
+         list_reduce(
+           list_prepend(0.0, LIST(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) ORDER BY h)),
+           (acc, v) -> acc + v) AS nlogn
+  FROM c GROUP BY event_type
+)
+SELECT event_type, {sql_rnd('ln(tot) - nlogn / tot', 4)} AS entropy
+FROM folded
+""",
+    tier="T2",
+)
+def agg_entropy(spark, sf_dir):
+    """Shannon entropy of the hour-of-day distribution per event type, 4dp.
+
+    Uniform-over-24h gives ln(24)≈3.178; low entropy flags bot-like or
+    clock-skewed traffic. H = ln(tot) - Σ n·ln(n)/tot with the Σ folded in
+    hour order (collect_list→aggregate ↔ LIST ORDER BY→list_reduce) so the
+    float accumulation order is identical in both engines regardless of
+    partitioning.
+    """
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("event_type", F.hour("ts").alias("h")).count()
+    folded = c.groupBy("event_type").agg(
+        F.sum("count").alias("tot"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("h"), F.col("count").alias("n")))),
+            F.lit(0.0),
+            lambda acc, v: acc + v["n"].cast("double") * F.log(v["n"].cast("double")),
+        ).alias("nlogn"),
+    )
+    return folded.select(
+        "event_type",
+        rnd(F.log(F.col("tot")) - F.col("nlogn") / F.col("tot"), 4).alias("entropy"),
+    )
+
+
+@register(
+    "stats_benford",
+    oracle="""
+WITH d AS (
+  SELECT CAST(FLOOR(o_totalprice / POWER(10, FLOOR(LOG10(o_totalprice)))) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT digit, COUNT(*) AS cnt,
+       CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS pct
+FROM d GROUP BY digit ORDER BY digit
+""",
+    tier="T2",
+)
+def stats_benford(spark, sf_dir):
+    """First-significant-digit distribution of order totals (Benford check).
+
+    Synthetic or tampered numeric columns drift from the Benford curve;
+    profiling it is a one-scan aggregate. The digit is derived arithmetically
+    (floor(x/10^floor(log10 x))) — never via float→string formatting, which
+    differs between engines. pct is one exact-int division (deterministic).
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).alias("digit")
+    counts = o.select(digit).groupBy("digit").count().withColumnRenamed("count", "cnt")
+    from pyspark.sql.window import Window
+
+    return (
+        counts.withColumn(
+            "pct", F.col("cnt").cast("double") / F.sum("cnt").over(Window.partitionBy())
+        )
+        .orderBy("digit")
+        .select("digit", "cnt", "pct")
+    )
+
+
+@register(
+    "agg_hhi",
+    oracle="""
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus,
+       CAST(SUM(n * n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS hhi
+FROM c GROUP BY o_orderstatus
+""",
+    tier="T2",
+)
+def agg_hhi(spark, sf_dir):
+    """Herfindahl concentration of priority mix per order status.
+
+    HHI = Σ share² rewritten as Σn² / (Σn)² — both sums are exact integers,
+    leaving ONE float division, so the result is bit-identical across
+    engines and partitionings with no rounding canonicalization at all.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").count()
+    return c.groupBy("o_orderstatus").agg(
+        (
+            F.sum(F.col("count") * F.col("count")).cast("double")
+            / (F.sum("count").cast("double") * F.sum("count").cast("double"))
+        ).alias("hhi")
+    )

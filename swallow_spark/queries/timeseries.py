@@ -188,3 +188,136 @@ def ts_ewma(spark, sf_dir):
             ).alias("ewma"),
         )
     )
+
+
+@register(
+    "ts_locf",
+    oracle=f"""
+WITH bounds AS (
+  SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events
+),
+grid AS (
+  SELECT u.user_id, g.day
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 50) u,
+       LATERAL (SELECT unnest(generate_series(bounds.lo, bounds.hi,
+                                              INTERVAL 1 DAY)) AS day
+                FROM bounds) g
+),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, {sql_money_sum('value')} AS val
+  FROM events WHERE user_id < 50
+  GROUP BY 1, 2
+)
+SELECT user_id, day,
+       COALESCE(
+         LAST_VALUE(val IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         0.0) AS val_ff
+FROM (
+  SELECT grid.user_id, CAST(grid.day AS DATE) AS day, daily.val
+  FROM grid LEFT JOIN daily
+    ON grid.user_id = daily.user_id AND CAST(grid.day AS DATE) = daily.day
+) t
+""",
+    tier="T2",
+)
+def ts_locf(spark, sf_dir):
+    """Forward-fill (last observation carried forward) over the dense
+    user×day grid: missing days inherit the most recent observed daily
+    value instead of zero — the resampling rule for state-like metrics
+    (balance, inventory, model-loss) as opposed to flow metrics
+    (ts_gap_fill's zero-fill).
+
+    Scale note: LOCF is last(ignorenulls) over a running row frame — one
+    shuffle on user_id, linear scan per partition, no self-join. Values are
+    exact cent sums so the fill carries bit-identical doubles.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    bounds = load(spark, sf_dir, "events").agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    grid = (
+        e.select("user_id").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    daily = e.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        money_sum(F.col("value")).alias("val")
+    )
+    sparse = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.select(
+        "user_id",
+        "day",
+        F.coalesce(F.last("val", ignorenulls=True).over(w), F.lit(0.0)).alias("val_ff"),
+    )
+
+
+@register(
+    "ts_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, COUNT(*) AS days, SUM(n) AS s1, SUM(n * n) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n,
+       FLOOR((CAST(d.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.days)
+             / sqrt((CAST(s.s2 AS DOUBLE)
+                     - CAST(s.s1 AS DOUBLE) * s.s1 / s.days) / (s.days - 1))
+             * 10000 + 0.5) / 10000 AS z
+FROM daily d JOIN stats s ON d.event_type = s.event_type
+WHERE abs((CAST(d.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.days)
+          / sqrt((CAST(s.s2 AS DOUBLE)
+                  - CAST(s.s1 AS DOUBLE) * s.s1 / s.days) / (s.days - 1))) > 1.5
+""",
+    tier="T2",
+)
+def ts_anomaly_zscore(spark, sf_dir):
+    """Volume-anomaly detection: days whose per-type event count sits more
+    than 1.5 sample standard deviations from that type's mean.
+
+    Determinism: mean and variance are built from EXACT integer sums
+    (Σn, Σn², N) with an explicitly-ordered float expression — identical
+    IEEE sequence in both engines, unlike the engines' native streaming
+    stddev_samp whose partial-merge order varies. z is half-up 4dp.
+
+    Scale note: two cheap aggregations (daily counts, then per-type moment
+    sums) + a broadcast join of the tiny stats table back onto daily —
+    the fact stream is scanned once.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("days"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1").cast("double") / F.col("days")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("days")
+    ) / (F.col("days") - 1)
+    z_raw = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        j.filter(F.abs(z_raw) > 1.5)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            (F.floor(z_raw * 10000 + F.lit(0.5)) / 10000).alias("z"),
+        )
+    )
