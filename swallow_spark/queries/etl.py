@@ -322,3 +322,110 @@ def etl_snapshot_diff(spark, sf_dir):
             F.coalesce("c_new", F.lit(0)) - F.coalesce("c_old", F.lit(0))
         ).alias("cents_delta"),
     )
+
+
+@register(
+    "etl_winsorize",
+    oracle="""
+WITH th AS (
+  SELECT l_returnflag,
+         FLOOR(quantile_cont(l_extendedprice, 0.05) * 100 + 0.5) AS lo_c,
+         FLOOR(quantile_cont(l_extendedprice, 0.95) * 100 + 0.5) AS hi_c
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       COUNT(*) AS n,
+       SUM(CASE WHEN c < lo_c THEN 1 ELSE 0 END) AS clipped_low,
+       SUM(CASE WHEN c > hi_c THEN 1 ELSE 0 END) AS clipped_high,
+       CAST(SUM(LEAST(GREATEST(c, lo_c), hi_c)) AS DOUBLE) / 100 AS wins_sum
+FROM (SELECT l_returnflag,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem) l
+JOIN th ON l.l_returnflag = th.l_returnflag
+GROUP BY l.l_returnflag
+""",
+    tier="T2",
+)
+def etl_winsorize(spark, sf_dir):
+    """Winsorized (p05/p95-clipped) revenue per return flag — the standard
+    outlier-robust pre-aggregation before fitting quality thresholds on a
+    corpus metric. Thresholds are exact interpolated percentiles HALF-UP
+    ROUNDED TO CENTS in both engines, so every clip comparison happens on
+    exact integers — no float-boundary flips at the clip points.
+
+    Scale note: one percentile pass (small per-group state), broadcast the
+    tiny threshold table back, one more scan to clip+sum. At 100 TB swap
+    percentile → approx_percentile and keep the same plan shape.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    th = li.groupBy("l_returnflag").agg(
+        F.floor(F.percentile("l_extendedprice", F.lit(0.05)) * 100 + F.lit(0.5)).alias("lo_c"),
+        F.floor(F.percentile("l_extendedprice", F.lit(0.95)) * 100 + F.lit(0.5)).alias("hi_c"),
+    )
+    c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    j = li.select("l_returnflag", c.alias("c")).join(F.broadcast(th), "l_returnflag")
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("c") < F.col("lo_c"), 1).otherwise(0)).alias("clipped_low"),
+        F.sum(F.when(F.col("c") > F.col("hi_c"), 1).otherwise(0)).alias("clipped_high"),
+        (
+            F.sum(F.least(F.greatest(F.col("c"), F.col("lo_c")), F.col("hi_c"))).cast("double")
+            / 100
+        ).alias("wins_sum"),
+    )
+
+
+@register(
+    "etl_data_expectations",
+    oracle="""
+SELECT 'c_custkey_unique' AS constraint, COUNT(*) - COUNT(DISTINCT c_custkey) AS violations FROM customer
+UNION ALL
+SELECT 'c_name_complete', SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) FROM customer
+UNION ALL
+SELECT 'c_mktsegment_domain',
+       SUM(CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+                THEN 0 ELSE 1 END) FROM customer
+UNION ALL
+SELECT 'c_nationkey_range',
+       SUM(CASE WHEN c_nationkey BETWEEN 0 AND 24 THEN 0 ELSE 1 END) FROM customer
+UNION ALL
+SELECT 'c_custkey_positive',
+       SUM(CASE WHEN c_custkey > 0 THEN 0 ELSE 1 END) FROM customer
+""",
+    tier="T2",
+)
+def etl_data_expectations(spark, sf_dir):
+    """Deequ-style expectation suite: uniqueness, completeness, value-domain,
+    range, and sign constraints evaluated in ONE scan, reported as
+    (constraint, violations) rows — violations are exact integers, and a
+    gate is simply `max(violations) = 0`.
+
+    Scale note: all five checks fold into a single aggregate over one pass
+    of the table (no per-constraint scans); COUNT(DISTINCT) is the only
+    shuffle-bearing term. At 100 TB swap it for approx_count_distinct and
+    assert |approx - count| under tolerance instead.
+    """
+    cst = load(spark, sf_dir, "customer")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    one = cst.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("c_custkey"))).alias("c_custkey_unique"),
+        F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0)).alias("c_name_complete"),
+        F.sum(F.when(F.col("c_mktsegment").isin(segs), 0).otherwise(1)).alias(
+            "c_mktsegment_domain"
+        ),
+        F.sum(F.when(F.col("c_nationkey").between(0, 24), 0).otherwise(1)).alias(
+            "c_nationkey_range"
+        ),
+        F.sum(F.when(F.col("c_custkey") > 0, 0).otherwise(1)).alias("c_custkey_positive"),
+    )
+    names = [
+        "c_custkey_unique",
+        "c_name_complete",
+        "c_mktsegment_domain",
+        "c_nationkey_range",
+        "c_custkey_positive",
+    ]
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return one.select(
+        F.expr(f"stack({len(names)}, {stack}) AS (constraint, violations)")
+    ).select("constraint", F.col("violations").cast("bigint").alias("violations"))

@@ -112,3 +112,39 @@ def fn_map(spark, sf_dir):
         F.map_values(m).alias("vals"),
         F.element_at(m, "k").alias("k_val"),
     )
+
+
+@register(
+    "fn_array_gen",
+    oracle="""
+SELECT o_orderkey,
+       generate_series(1, o_orderkey % 5 + 2) AS seq,
+       (generate_series(1, o_orderkey % 5 + 2))[2:4] AS sliced,
+       list_sort(list_distinct(flatten(
+         [generate_series(1, o_orderkey % 5 + 2), [1, 2]]))) AS flat_uniq,
+       list_position(generate_series(1, o_orderkey % 5 + 2), 2) AS pos2
+FROM orders WHERE o_orderkey % 97 = 0
+""",
+    tier="T2",
+)
+def fn_array_gen(spark, sf_dir):
+    """Array generation/manipulation pack: sequence, slice, flatten +
+    dedup (sorted for cross-engine order canonicalization), positional
+    search. Spark slice(arr, 2, 3) == DuckDB 1-based inclusive arr[2:4];
+    array_position and list_position agree (1-based) whenever the needle
+    exists — the generated sequences always contain 2.
+
+    Scale note: all whole-stage-codegen JVM expressions, no UDF, no
+    shuffle; the %97 filter is pushed to the parquet scan.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    seq = F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 2).cast("int"))
+    return o.select(
+        "o_orderkey",
+        seq.alias("seq"),
+        F.slice(seq, 2, 3).alias("sliced"),
+        F.array_sort(F.array_distinct(F.flatten(F.array(seq, F.array(F.lit(1), F.lit(2)))))).alias(
+            "flat_uniq"
+        ),
+        F.array_position(seq, 2).alias("pos2"),
+    )

@@ -249,3 +249,65 @@ def fn_codec(spark, sf_dir):
             == F.col("text")
         ).alias("roundtrip_ok"),
     )
+
+
+# Synthetic but deterministic coordinates per nation — same arithmetic in
+# both engines, so the trig inputs are bit-identical.
+_LAT = "CAST((n_nationkey * 7) % 180 - 90 AS DOUBLE) + 0.5"
+_LON = "CAST((n_nationkey * 13) % 360 - 180 AS DOUBLE) + 0.25"
+
+
+@register(
+    "fn_haversine",
+    oracle=f"""
+WITH pts AS (
+  SELECT n_nationkey, n_name,
+         radians({_LAT}) AS la, radians({_LON}) AS lo
+  FROM nation
+)
+SELECT a.n_name AS from_nation, b.n_name AS to_nation,
+       FLOOR(2 * 6371.0088 * asin(sqrt(
+         pow(sin((b.la - a.la) / 2), 2)
+         + cos(a.la) * cos(b.la) * pow(sin((b.lo - a.lo) / 2), 2)
+       )) * 10 + 0.5) / 10 AS km
+FROM pts a JOIN pts b ON a.n_nationkey < b.n_nationkey
+""",
+    tier="T2",
+)
+def fn_haversine(spark, sf_dir):
+    """Great-circle (haversine) distance between synthesized nation
+    coordinates, all 25×24/2 pairs, half-up rounded to 0.1 km.
+
+    The geo primitive for location dedup / geofencing. The formula is
+    written with the IDENTICAL operation sequence in both engines
+    (radians → sin/cos → asin·2R); trig libs agree far beyond the 0.1 km
+    canonicalization.
+
+    Scale note: self-join on an inequality over a 25-row dim — broadcast
+    nested loop is correct and tiny here. For billions of points, bucket by
+    geohash prefix first (fn_zorder) so candidate pairs are co-located.
+    """
+    n = load(spark, sf_dir, "nation")
+    pts = n.select(
+        "n_nationkey",
+        "n_name",
+        F.radians(F.expr(_LAT)).alias("la"),
+        F.radians(F.expr(_LON)).alias("lo"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    dist = (
+        F.lit(2 * 6371.0088)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin((F.col("b.la") - F.col("a.la")) / 2), 2)
+                + F.cos(F.col("a.la"))
+                * F.cos(F.col("b.la"))
+                * F.pow(F.sin((F.col("b.lo") - F.col("a.lo")) / 2), 2)
+            )
+        )
+    )
+    return a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey")).select(
+        F.col("a.n_name").alias("from_nation"),
+        F.col("b.n_name").alias("to_nation"),
+        (F.floor(dist * 10 + F.lit(0.5)) / 10).alias("km"),
+    )

@@ -322,3 +322,28 @@ def win_pct_of_total(spark, sf_dir):
             / F.lit(1000000)
         ).alias("pct_of_segment"),
     )
+
+
+@register(
+    "win_cume_dist",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd
+FROM orders WHERE o_custkey < 100
+""",
+    tier="T2",
+)
+def win_cume_dist(spark, sf_dir):
+    """cume_dist: fraction of partition rows with ORDER BY key <= current —
+    the empirical CDF position of every order's price inside its priority
+    class. Exact rational k/n in one division, so values are bit-identical
+    across engines; ties share a value by definition (no tiebreak needed).
+
+    Scale note: same single sort-per-partition as rank(); the custkey
+    filter is pushed to the scan so the window input is already pruned.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_custkey", "o_orderkey", F.cume_dist().over(w).alias("cd")
+    )
