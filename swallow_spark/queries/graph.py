@@ -1,0 +1,118 @@
+"""Graph analytics over the co-purchase graph (parts linked when they ship
+in the same order): degree tables (exact, oracled) and PageRank (iterative
+DataFrame loop — the §2 'non-SQL-expressible iterative algorithm' slot,
+rows-only per §2.0 rule 6 with a numpy reference test instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..io import load
+from ..registry import register
+
+# Co-purchase edges: undirected part-part pairs that co-occur in an order.
+# Self-join on orderkey with a < inequality yields each unordered pair once;
+# DISTINCT collapses repeat co-purchases across orders.
+_EDGES_SQL = """
+SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+def _edges(spark, sf_dir) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+
+
+@register(
+    "graph_copurchase_degree",
+    oracle=f"""
+WITH e AS ({_EDGES_SQL}),
+und AS (SELECT src AS node, dst AS nbr FROM e
+        UNION ALL SELECT dst, src FROM e)
+SELECT node, COUNT(*) AS degree
+FROM und GROUP BY node
+ORDER BY degree DESC, node LIMIT 100
+""",
+    tier="T2",
+)
+def graph_copurchase_degree(spark, sf_dir):
+    """Top-100 parts by co-purchase degree — the exact (oracled) half of the
+    graph pipeline; PageRank below reuses the same edge builder.
+
+    Scale note: the order-wise self-join shuffles once on l_orderkey and
+    fans out quadratically in basket size — cap baskets with a size filter
+    at 100 TB (a 10 000-item order would emit 5·10⁷ pairs). DISTINCT and
+    the degree count shuffle on the part key.
+    """
+    e = _edges(spark, sf_dir)
+    und = e.selectExpr("src AS node").unionAll(e.selectExpr("dst AS node"))
+    return (
+        und.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy(F.col("degree").desc(), "node")
+        .limit(100)
+    )
+
+
+@register("graph_pagerank", oracle=None, tier="T3")
+def graph_pagerank(spark, sf_dir):
+    """PageRank (damping 0.85, 5 fixed iterations) on the undirected
+    co-purchase graph; top-50 parts by rank (6dp half-up).
+
+    Rows-only per §2.0 rule 6: the iterative float accumulation has no
+    order-independent SQL form; tests/test_graph.py checks the result
+    against a numpy dense reference (1e-6 tolerance) and rank-mass
+    conservation instead.
+
+    Scale note: each iteration is one shuffle (contributions grouped by
+    dst). The edge list is cached once; the rank vector — |nodes| rows, not
+    |edges| — is the only thing that changes per iteration. Fixed iteration
+    count keeps lineage bounded (no driver-side convergence collect); at
+    1000 executors you would checkpoint every ~10 iterations to truncate
+    lineage, and pre-partition edges by src so every iteration's join is
+    co-located (zero re-shuffle of the big side).
+    """
+    e = _edges(spark, sf_dir)
+    edges = (
+        e.selectExpr("src", "dst")
+        .unionAll(e.selectExpr("dst AS src", "src AS dst"))
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src").select("src", "dst", "deg").persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    n_nodes = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(5):
+        contribs = (
+            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(0.15) + F.lit(0.85) * F.coalesce("csum", F.lit(0.0))).alias("rank"),
+        )
+    out = (
+        ranks.select("node", (F.floor(F.col("rank") * 1e6 + F.lit(0.5)) / 1e6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(50)
+    )
+    # Materialize before unpersisting the iteration inputs.
+    out = spark.createDataFrame(out.collect(), schema=out.schema)
+    for df in (edges, edges_deg, nodes):
+        df.unpersist()
+    return out

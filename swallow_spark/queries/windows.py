@@ -347,3 +347,48 @@ def win_cume_dist(spark, sf_dir):
     return o.select(
         "o_custkey", "o_orderkey", F.cume_dist().over(w).alias("cd")
     )
+
+
+@register(
+    "win_rolling_distinct_7d",
+    oracle="""
+WITH daily AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT event_type, day FROM daily
+)
+SELECT d.event_type, d.day, COUNT(DISTINCT u.user_id) AS users_7d
+FROM days d JOIN daily u
+  ON d.event_type = u.event_type
+ AND u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.event_type, d.day
+""",
+    tier="T2",
+)
+def win_rolling_distinct_7d(spark, sf_dir):
+    """Trailing-7-day distinct active users per event type and day — the
+    rolling-uniques KPI. COUNT(DISTINCT) over a RANGE window is unsupported
+    natively, so: dedup to (type, day, user) first, then
+    size(collect_set(user)) over a 6-day-trailing range window. The oracle
+    states the same thing as a range self-join.
+
+    Scale note: the pre-dedup shrinks the window input to at most
+    |days|x|users| per type; the range window then scans each partition
+    once. At 100 TB prefer the re-aggregable HLL ladder
+    (agg_hll_reaggregate) — exact rolling distinct fundamentally needs the
+    per-day user sets.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.select(
+        "event_type", F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    rolled = daily.withColumn("users_7d", F.size(F.collect_set("user_id").over(w)))
+    return (
+        rolled.groupBy("event_type", "day")
+        .agg(F.max("users_7d").cast("bigint").alias("users_7d"))
+    )
