@@ -1,0 +1,218 @@
+"""Experimentation & market-basket analytics: association rules over
+co-purchases, two-proportion z-tests over hash-split cohorts, exact decimal
+money accounting, and period-over-period growth.
+
+Determinism: counts are exact ints; every derived float is an explicitly
+ordered expression (single divisions, one sqrt) identical in both engines,
+then half-up rounded where the op sequence exceeds a few flops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..conform import rnd, sql_rnd
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "basket_association_rules",
+    oracle="""
+WITH n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem),
+item AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cnt AS (SELECT l_partkey, COUNT(*) AS c FROM item GROUP BY l_partkey),
+pair AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS xy
+  FROM item a JOIN item b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT x, y, xy,
+       CAST(xy AS DOUBLE) / cx.c AS confidence,
+       CAST(xy AS DOUBLE) * n / (CAST(cx.c AS DOUBLE) * cy.c) AS lift
+FROM pair
+JOIN cnt cx ON pair.x = cx.l_partkey
+JOIN cnt cy ON pair.y = cy.l_partkey
+CROSS JOIN n_orders
+ORDER BY xy DESC, x, y LIMIT 100
+""",
+    tier="T2",
+)
+def basket_association_rules(spark, sf_dir):
+    """Association rules x→y over order baskets: support count, confidence
+    P(y|x), lift P(x,y)/(P(x)P(y)) for pairs co-occurring ≥3 times —
+    top-100 by (count, x, y). Confidence/lift are ratios of exact integers
+    (one or two float ops, bit-identical).
+
+    Scale note: the pair generation is the same orderkey self-join as the
+    co-purchase graph (cap basket size at 100 TB); item counts broadcast
+    back onto pairs. The HAVING prunes the pair table before the joins.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    item = li.select("l_orderkey", "l_partkey").distinct()
+    n = item.select(F.count_distinct("l_orderkey").alias("n"))
+    cnt = item.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = item.alias("a"), item.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
+        .agg(F.count(F.lit(1)).alias("xy"))
+        .filter(F.col("xy") >= 3)
+    )
+    cx = cnt.withColumnRenamed("l_partkey", "x").withColumnRenamed("c", "cx")
+    cy = cnt.withColumnRenamed("l_partkey", "y").withColumnRenamed("c", "cy")
+    return (
+        pair.join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            "xy",
+            (F.col("xy").cast("double") / F.col("cx")).alias("confidence"),
+            (
+                F.col("xy").cast("double") * F.col("n")
+                / (F.col("cx").cast("double") * F.col("cy"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("xy").desc(), "x", "y")
+        .limit(100)
+    )
+
+
+@register(
+    "ab_test_ztest",
+    oracle=f"""
+WITH assign AS (
+  SELECT user_id, user_id % 2 AS grp,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT grp, COUNT(*) AS n, SUM(converted) AS conv FROM assign GROUP BY grp
+), wide AS (
+  SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+         MAX(CASE WHEN grp = 0 THEN conv END) AS c0,
+         MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+         MAX(CASE WHEN grp = 1 THEN conv END) AS c1
+  FROM g
+)
+SELECT n0, c0, n1, c1,
+       {sql_rnd('CAST(c0 AS DOUBLE) / n0', 6)} AS p0,
+       {sql_rnd('CAST(c1 AS DOUBLE) / n1', 6)} AS p1,
+       {sql_rnd('''(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+         / sqrt( (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+               * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+               * (1.0 / n0 + 1.0 / n1) )''', 4)} AS z
+FROM wide
+""",
+    tier="T2",
+)
+def ab_test_ztest(spark, sf_dir):
+    """Two-proportion z-test on a deterministic hash split (user_id parity):
+    does cohort 1 convert (any 'purchase') at a different rate than cohort
+    0? Counts are exact; p0/p1/z are explicitly-sequenced float expressions
+    (pooled-variance z), half-up rounded.
+
+    Scale note: one aggregation to per-user flags, one to per-cohort
+    counts, then scalar math on a 1-row frame — the event stream is
+    scanned once regardless of cohort count.
+    """
+    e = load(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted")
+    ).withColumn("grp", F.col("user_id") % 2)
+    g = assign.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pool = F.col("c0").cast("double") + F.col("c1")
+    ptot = pool / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(
+        ptot * (1 - ptot) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        rnd(p0, 6).alias("p0"),
+        rnd(p1, 6).alias("p1"),
+        rnd(z, 4).alias("z"),
+    )
+
+
+@register(
+    "agg_decimal_exact",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DECIMAL(38,2))) AS DOUBLE)
+         AS total,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+    tier="T2",
+)
+def agg_decimal_exact(spark, sf_dir):
+    """Money aggregation through the DECIMAL type system: cast 2-dec prices
+    to DECIMAL(14,2), sum losslessly in DECIMAL(38,2) (no float drift at
+    ANY row count), cast the final total once to double for transport.
+    The typed alternative to the integer-cents recipe — same exactness,
+    but the engine enforces scale/precision.
+
+    Scale note: decimal sums are mergeable JVM unsafe-row aggregates;
+    precision 38 holds ~1e36 cents — no overflow at 100 TB.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "ts_mom_growth",
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT CAST(month AS DATE) AS month,
+       CAST(cents AS DOUBLE) / 100 AS revenue,
+       CAST(cents - LAG(cents) OVER (ORDER BY month) AS DOUBLE)
+         / LAG(cents) OVER (ORDER BY month) AS mom_growth
+FROM m
+""",
+    tier="T2",
+)
+def ts_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth: exact cent sums per month, lag
+    window, growth = Δcents/prev_cents in ONE float division (NULL for the
+    first month). The period-over-period reporting primitive.
+
+    Scale note: |months| rows after the first aggregate — the lag window's
+    single-partition sort is over a tiny frame, not the fact table.
+    """
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")).alias("cents")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("cents").over(w)
+    return m.select(
+        F.col("month").cast("date").alias("month"),
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        ((F.col("cents") - prev).cast("double") / prev).alias("mom_growth"),
+    )
