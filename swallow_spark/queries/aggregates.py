@@ -207,17 +207,20 @@ def agg_minmax_first(spark, sf_dir):
 @register(
     "agg_collect_sorted",
     oracle="""
-SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments
+SELECT c_nationkey,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments
 FROM customer
 GROUP BY c_nationkey
 """,
     tier="T2",
 )
 def agg_collect_sorted(spark, sf_dir):
-    """Deterministic collect: sorted de-duplicated list per group (§2.0 rule 7)."""
+    """Deterministic collect: sorted de-duplicated list per group (§2.0 rule 7),
+    serialized '|'-joined — declared outputs carry no ArrayType columns (the
+    driver's pandas canonicalizer cannot sort/hash list cells)."""
     c = load(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments")
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), "|").alias("segments")
     )
 
 

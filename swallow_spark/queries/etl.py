@@ -378,19 +378,21 @@ def etl_winsorize(spark, sf_dir):
 @register(
     "etl_data_expectations",
     oracle="""
-SELECT 'c_custkey_unique' AS constraint, COUNT(*) - COUNT(DISTINCT c_custkey) AS violations FROM customer
+SELECT 'c_custkey_unique' AS constraint,
+       CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS violations FROM customer
 UNION ALL
-SELECT 'c_name_complete', SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) FROM customer
+SELECT 'c_name_complete',
+       CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer
 UNION ALL
 SELECT 'c_mktsegment_domain',
-       SUM(CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
-                THEN 0 ELSE 1 END) FROM customer
+       CAST(SUM(CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+                THEN 0 ELSE 1 END) AS BIGINT) FROM customer
 UNION ALL
 SELECT 'c_nationkey_range',
-       SUM(CASE WHEN c_nationkey BETWEEN 0 AND 24 THEN 0 ELSE 1 END) FROM customer
+       CAST(SUM(CASE WHEN c_nationkey BETWEEN 0 AND 24 THEN 0 ELSE 1 END) AS BIGINT) FROM customer
 UNION ALL
 SELECT 'c_custkey_positive',
-       SUM(CASE WHEN c_custkey > 0 THEN 0 ELSE 1 END) FROM customer
+       CAST(SUM(CASE WHEN c_custkey > 0 THEN 0 ELSE 1 END) AS BIGINT) FROM customer
 """,
     tier="T2",
 )

@@ -106,9 +106,9 @@ SELECT n0, c0, n1, c1,
        {sql_rnd('CAST(c0 AS DOUBLE) / n0', 6)} AS p0,
        {sql_rnd('CAST(c1 AS DOUBLE) / n1', 6)} AS p1,
        {sql_rnd('''(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
-         / sqrt( (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+         / NULLIF(sqrt( (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
                * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-               * (1.0 / n0 + 1.0 / n1) )''', 4)} AS z
+               * (1.0 / n0 + 1.0 / n1) ), 0)''', 4)} AS z
 FROM wide
 """,
     tier="T2",
@@ -140,8 +140,11 @@ def ab_test_ztest(spark, sf_dir):
     p1 = F.col("c1").cast("double") / F.col("n1")
     pool = F.col("c0").cast("double") + F.col("c1")
     ptot = pool / (F.col("n0") + F.col("n1"))
-    z = (p1 - p0) / F.sqrt(
-        ptot * (1 - ptot) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    # try_divide: when every user converts (pooled p = 1, e.g. sf0.01) the
+    # pooled-variance denominator is 0 — z is NULL, not an ANSI DIVIDE_BY_ZERO.
+    z = F.try_divide(
+        p1 - p0,
+        F.sqrt(ptot * (1 - ptot) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))),
     )
     return wide.select(
         "n0", "c0", "n1", "c1",

@@ -75,8 +75,8 @@ WITH t AS (
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM t
 )
-SELECT lang, (cum + {_BUDGET - 1}) // {_BUDGET} AS bin,
-       COUNT(*) AS n_docs, SUM(n_tok) AS tot_tok
+SELECT lang, CAST((cum + {_BUDGET - 1}) // {_BUDGET} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tot_tok
 FROM c GROUP BY lang, bin
 """,
     tier="T2",

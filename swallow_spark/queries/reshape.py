@@ -161,7 +161,7 @@ def win_sessionize(spark, sf_dir):
 SELECT md5(text) AS content_hash,
        CAST(COUNT(*) AS BIGINT) AS group_size,
        MIN(doc_id) AS survivor,
-       list_sort(list(doc_id)) AS members
+       array_to_string(list_sort(list(doc_id)), '|') AS members
 FROM documents
 GROUP BY md5(text)
 """,
@@ -169,12 +169,14 @@ GROUP BY md5(text)
 )
 def dedup_exact_groups(spark, sf_dir):
     """Exact-dup group report: per content hash, group size, survivor and
-    sorted member list (the audit-trail companion to dedup_exact)."""
+    sorted member list (the audit-trail companion to dedup_exact). Members
+    are '|'-joined strings — no ArrayType in declared outputs (driver's
+    pandas canonicalizer cannot hash list cells)."""
     d = load(spark, sf_dir, "documents")
     return d.groupBy(F.md5("text").alias("content_hash")).agg(
         F.count(F.lit(1)).alias("group_size"),
         F.min("doc_id").alias("survivor"),
-        F.sort_array(F.collect_list("doc_id")).alias("members"),
+        F.array_join(F.sort_array(F.collect_list("doc_id")), "|").alias("members"),
     )
 
 

@@ -1,7 +1,20 @@
 """Differential tester: run a registered query in Spark AND its oracle SQL in
-DuckDB, compare row-count + schema-class + order-insensitive values
-(SURVEY.md §5.2). This mirrors the driver's correctness gate so nothing is
-declared in __spark_entry__ without passing here first.
+DuckDB, compare row-count + schema + order-insensitive value-hash
+(SURVEY.md §5.2). This mirrors the DRIVER's correctness gate exactly —
+round 1 proved the old lenient canonicalizer (typed canon strings, dtype
+coercion) masked four driver failures, so this version replicates the
+driver's observed pipeline:
+
+  1. result -> pandas (Spark `toPandas()`, DuckDB `fetchdf()`)
+  2. columns sorted by name, then `sort_values` over ALL columns
+     (pandas lexsort over raw cells — list/dict cells raise TypeError,
+     exactly as the driver's `_canon` did on agg_collect_sorted)
+  3. dtype-sensitive value hash via `pd.util.hash_pandas_object`
+     (int64 vs float64 mismatch — reproduces the DuckDB-HUGEINT
+     hash failures on doc_pack_bins / etl_data_expectations)
+
+Additionally rejects any ArrayType/MapType/StructType column in a declared
+Spark output (contract rule from VERDICT.md round 1).
 
 Usage:
     python tools/oracle_diff.py [--sf /root/testdata/sf0.01] [key ...]
@@ -11,19 +24,21 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import datetime as dt
-import decimal
-import math
+import hashlib
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 
 from swallow_spark import TABLES  # noqa: E402
 from swallow_spark.registry import all_queries  # noqa: E402
 from swallow_spark.session import get_spark  # noqa: E402
+
+_NONSCALAR = ("array", "map", "struct")
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -35,85 +50,80 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def canon(v) -> str:
-    """Canonical string form of a cell value for order-insensitive compare."""
-    if v is None:
-        return "∅"
-    if isinstance(v, bool):
-        return "T" if v else "F"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)  # exact shortest repr — bit-identical floats only
-    if isinstance(v, decimal.Decimal):
-        return f"dec:{v}"
-    if isinstance(v, dt.datetime):
-        return "ts:" + v.replace(tzinfo=None).isoformat()
-    if isinstance(v, dt.date):
-        return "d:" + v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
-    return repr(v)
+def canon_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonicalization: name-sorted columns, full-row lexsort.
+
+    Deliberately does NOT coerce dtypes and does NOT special-case list
+    cells — a list-valued column must raise TypeError here, because it
+    does in the driver."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols)
+    return pdf.reset_index(drop=True)
 
 
-_SPARK_CLASS = {
-    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
-    "float": "float", "double": "float", "string": "str", "boolean": "bool",
-    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts", "binary": "bin",
-}
-_DUCK_CLASS = {
-    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
-    "HUGEINT": "int", "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int",
-    "UBIGINT": "int", "FLOAT": "float", "DOUBLE": "float", "VARCHAR": "str",
-    "BOOLEAN": "bool", "DATE": "date", "TIMESTAMP": "ts", "BLOB": "bin",
-}
+def digest(pdf: pd.DataFrame) -> str:
+    """Dtype-sensitive order-insensitive-after-canon value hash.
+
+    hash_pandas_object hashes int64 and float64 representations of the
+    same number differently (float bit-pattern vs integer value), which is
+    exactly the driver's sensitivity that uncast DuckDB HUGEINT tripped."""
+    h = hashlib.sha256()
+    for c in pdf.columns:
+        h.update(str(c).encode())
+        col = pdf[c]
+        # normalize datetime unit (us vs ns) but nothing else: both engines
+        # return microsecond-precision timestamps; unit is a transport detail
+        if str(col.dtype).startswith("datetime64"):
+            col = col.astype("datetime64[us]")
+        h.update(pd.util.hash_pandas_object(col, index=False).values.tobytes())
+    return h.hexdigest()
 
 
-def type_class(t: str) -> str:
-    t = t.strip()
-    if t.lower().startswith("array") or t.upper().endswith("[]"):
-        return "list"
-    if t.lower().startswith("decimal") or t.upper().startswith("DECIMAL"):
-        return "dec"
-    return _SPARK_CLASS.get(t.lower()) or _DUCK_CLASS.get(t.upper()) or t
+def spark_nonscalar_cols(sdf) -> list:
+    return [
+        f"{fld.name}:{fld.dataType.simpleString()}"
+        for fld in sdf.schema.fields
+        if any(fld.dataType.simpleString().startswith(p) for p in _NONSCALAR)
+    ]
 
 
 def compare_one(name, q, spark, con, sf_dir, max_diffs=5):
     sdf = q.fn(spark, sf_dir)
-    s_cols = sorted(sdf.columns)
-    s_types = {c: t for c, t in sdf.dtypes}
-    s_rows = [tuple(canon(r[c]) for c in s_cols) for r in sdf.collect()]
+    bad = spark_nonscalar_cols(sdf)
+    if bad:
+        return [f"non-scalar output column(s) {bad} — forbidden in declared queries"]
 
-    rel = con.sql(q.oracle)
-    d_cols_raw = list(rel.columns)
-    d_type_by_col = {c: str(t) for c, t in zip(rel.columns, rel.types)}
-    d_cols = sorted(d_cols_raw)
-    idx = [d_cols_raw.index(c) for c in d_cols]
-    d_rows = [tuple(canon(row[i]) for i in idx) for row in rel.fetchall()]
+    s_pdf = canon_pdf(sdf.toPandas())
+    d_pdf = canon_pdf(con.sql(q.oracle).fetchdf())
 
     errs = []
-    if s_cols != d_cols:
-        errs.append(f"columns differ: spark={s_cols} duck={d_cols}")
-    else:
-        for c in s_cols:
-            sc, dc = type_class(s_types[c]), type_class(d_type_by_col[c])
-            if sc != dc:
-                errs.append(f"type class differs on {c}: spark={s_types[c]}({sc}) duck={d_type_by_col[c]}({dc})")
-    if len(s_rows) != len(d_rows):
-        errs.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
-    if not errs:
-        s_sorted, d_sorted = sorted(s_rows), sorted(d_rows)
-        if s_sorted != d_sorted:
-            n_bad = 0
-            diffs = []
-            for a, b in zip(s_sorted, d_sorted):
-                if a != b:
-                    n_bad += 1
-                    if len(diffs) < max_diffs:
-                        diffs.append(f"  spark={a}\n   duck={b}")
-            errs.append(f"values differ in {n_bad} sorted positions:\n" + "\n".join(diffs))
+    if list(s_pdf.columns) != list(d_pdf.columns):
+        errs.append(f"columns differ: spark={list(s_pdf.columns)} duck={list(d_pdf.columns)}")
+        return errs
+    if len(s_pdf) != len(d_pdf):
+        errs.append(f"row count differs: spark={len(s_pdf)} duck={len(d_pdf)}")
+        return errs
+    if digest(s_pdf) != digest(d_pdf):
+        # pinpoint the offending columns for the report
+        for c in s_pdf.columns:
+            sc, dc = s_pdf[c], d_pdf[c]
+            if str(sc.dtype).startswith("datetime64"):
+                sc = sc.astype("datetime64[us]")
+            if str(dc.dtype).startswith("datetime64"):
+                dc = dc.astype("datetime64[us]")
+            sh = pd.util.hash_pandas_object(sc, index=False).values
+            dh = pd.util.hash_pandas_object(dc, index=False).values
+            if not np.array_equal(sh, dh):
+                n_bad = int((sh != dh).sum())
+                detail = f"col '{c}' differs ({n_bad} rows; dtype spark={sc.dtype} duck={dc.dtype})"
+                idxs = np.nonzero(sh != dh)[0][:max_diffs]
+                for i in idxs:
+                    detail += f"\n    row {i}: spark={sc.iloc[i]!r} duck={dc.iloc[i]!r}"
+                errs.append(detail)
+        if not errs:
+            errs.append("digest differs but no per-column diff found (dtype mix?)")
     return errs
 
 
@@ -134,9 +144,13 @@ def main():
     for k in keys:
         q = qs[k]
         if q.oracle is None:
-            # rows-only: just check it runs and returns a stable schema
+            # rows-only: check it runs, returns rows, and has scalar-only schema
             try:
-                n = q.fn(spark, args.sf).count()
+                sdf = q.fn(spark, args.sf)
+                bad = spark_nonscalar_cols(sdf)
+                if bad:
+                    raise TypeError(f"non-scalar output column(s) {bad}")
+                n = len(canon_pdf(sdf.toPandas()))  # same crash surface as driver
                 print(f"ROWS-ONLY {k}: {n} rows")
                 n_pass += 1
             except Exception as e:
