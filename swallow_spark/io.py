@@ -29,18 +29,30 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (schema from parquet footer).
 
-    events.ts is physically TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects; we read it as long nanos (legacy conf) and truncate to
-    microseconds with integer DIV — exactly DuckDB's ns→µs semantics, and no
-    double round-trip (2024 epoch-nanos ≈ 1.7e18 > 2^53).
+    events.ts has shipped with different physical encodings across driver
+    testdata generations: TIMESTAMP(NANOS) (rejected by Spark's vectorized
+    reader — read as long nanos via legacy conf, then DIV 1000 to micros,
+    matching DuckDB's ns→µs truncation) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (read as TIMESTAMP_NTZ — cast to session-TZ
+    timestamp; the session is conformed to UTC so wall-clock values are
+    preserved and match the DuckDB oracle's naive TIMESTAMP). We branch on
+    the dtype Spark actually infers so either generation loads identically.
     """
     conform_session(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if not isinstance(ts_type, T.TimestampType):
+            # TIMESTAMP_NTZ (or anything else castable): same wall clock in
+            # the UTC-conformed session.
+            return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -279,7 +279,7 @@ SELECT CASE WHEN old.o_orderkey IS NULL THEN 'added'
             WHEN old.cents <> new.cents THEN 'changed'
             ELSE 'unchanged' END AS change_type,
        COUNT(*) AS n,
-       SUM(COALESCE(new.cents, 0) - COALESCE(old.cents, 0)) AS cents_delta
+       CAST(SUM(COALESCE(new.cents, 0) - COALESCE(old.cents, 0)) AS BIGINT) AS cents_delta
 FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
 GROUP BY 1
 """,
@@ -335,8 +335,8 @@ WITH th AS (
 )
 SELECT l.l_returnflag,
        COUNT(*) AS n,
-       SUM(CASE WHEN c < lo_c THEN 1 ELSE 0 END) AS clipped_low,
-       SUM(CASE WHEN c > hi_c THEN 1 ELSE 0 END) AS clipped_high,
+       CAST(SUM(CASE WHEN c < lo_c THEN 1 ELSE 0 END) AS BIGINT) AS clipped_low,
+       CAST(SUM(CASE WHEN c > hi_c THEN 1 ELSE 0 END) AS BIGINT) AS clipped_high,
        CAST(SUM(LEAST(GREATEST(c, lo_c), hi_c)) AS DOUBLE) / 100 AS wins_sum
 FROM (SELECT l_returnflag,
              CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c

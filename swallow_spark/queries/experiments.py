@@ -94,7 +94,8 @@ WITH assign AS (
          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
   FROM events GROUP BY user_id
 ), g AS (
-  SELECT grp, COUNT(*) AS n, SUM(converted) AS conv FROM assign GROUP BY grp
+  SELECT grp, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+  FROM assign GROUP BY grp
 ), wide AS (
   SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n0,
          MAX(CASE WHEN grp = 0 THEN conv END) AS c0,

@@ -20,27 +20,31 @@ from ..registry import register
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(list_contains(string_split(text, ' '), 'data') AS INT) AS has_data,
-       list_slice(string_split(text, ' '), 1, 3) AS first3,
+       array_to_string(list_slice(string_split(text, ' '), 1, 3), '|') AS first3,
        string_split(text, ' ')[2] AS second_token,
        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
-       list_sort(list_distinct(list_slice(string_split(text, ' '), 1, 5))) AS first5_sorted
+       array_to_string(list_sort(list_distinct(list_slice(string_split(text, ' '), 1, 5))), '|')
+         AS first5_sorted
 FROM documents
 """,
     tier="T2",
 )
 def fn_array(spark, sf_dir):
     """Array pack: size/contains/slice/element_at/distinct/sort over token
-    arrays."""
+    arrays. Array results are serialized with array_join('|') — the driver's
+    canonicalizer rejects non-scalar output columns (VERDICT r1 contract)."""
     d = load(spark, sf_dir, "documents")
     arr = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
         F.size(arr).cast("long").alias("n_tokens"),
         F.array_contains(arr, "data").cast("int").alias("has_data"),
-        F.slice(arr, 1, 3).alias("first3"),
+        F.array_join(F.slice(arr, 1, 3), "|").alias("first3"),
         F.element_at(arr, 2).alias("second_token"),
         F.size(F.array_distinct(arr)).cast("long").alias("n_uniq"),
-        F.sort_array(F.array_distinct(F.slice(arr, 1, 5))).alias("first5_sorted"),
+        F.array_join(F.sort_array(F.array_distinct(F.slice(arr, 1, 5))), "|").alias(
+            "first5_sorted"
+        ),
     )
 
 
@@ -118,10 +122,10 @@ def fn_map(spark, sf_dir):
     "fn_array_gen",
     oracle="""
 SELECT o_orderkey,
-       generate_series(1, o_orderkey % 5 + 2) AS seq,
-       (generate_series(1, o_orderkey % 5 + 2))[2:4] AS sliced,
-       list_sort(list_distinct(flatten(
-         [generate_series(1, o_orderkey % 5 + 2), [1, 2]]))) AS flat_uniq,
+       array_to_string(generate_series(1, o_orderkey % 5 + 2), '|') AS seq,
+       array_to_string((generate_series(1, o_orderkey % 5 + 2))[2:4], '|') AS sliced,
+       array_to_string(list_sort(list_distinct(flatten(
+         [generate_series(1, o_orderkey % 5 + 2), [1, 2]]))), '|') AS flat_uniq,
        list_position(generate_series(1, o_orderkey % 5 + 2), 2) AS pos2
 FROM orders WHERE o_orderkey % 97 = 0
 """,
@@ -141,10 +145,13 @@ def fn_array_gen(spark, sf_dir):
     seq = F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 2).cast("int"))
     return o.select(
         "o_orderkey",
-        seq.alias("seq"),
-        F.slice(seq, 2, 3).alias("sliced"),
-        F.array_sort(F.array_distinct(F.flatten(F.array(seq, F.array(F.lit(1), F.lit(2)))))).alias(
-            "flat_uniq"
-        ),
+        F.array_join(seq.cast("array<string>"), "|").alias("seq"),
+        F.array_join(F.slice(seq, 2, 3).cast("array<string>"), "|").alias("sliced"),
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.array(seq, F.array(F.lit(1), F.lit(2)))))
+            ).cast("array<string>"),
+            "|",
+        ).alias("flat_uniq"),
         F.array_position(seq, 2).alias("pos2"),
     )

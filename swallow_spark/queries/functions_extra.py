@@ -189,14 +189,14 @@ def fn_xml(spark, sf_dir):
     "fn_array_setops",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       list_sort(list_distinct([l_orderkey % 7, l_partkey % 7, l_suppkey % 7]
-                 || [l_partkey % 7, CAST(3 AS BIGINT)])) AS u,
-       list_sort(list_distinct(list_intersect(
+       array_to_string(list_sort(list_distinct([l_orderkey % 7, l_partkey % 7, l_suppkey % 7]
+                 || [l_partkey % 7, CAST(3 AS BIGINT)])), '|') AS u,
+       COALESCE(array_to_string(list_sort(list_distinct(list_intersect(
            [l_orderkey % 7, l_partkey % 7, l_suppkey % 7],
-           [l_partkey % 7, CAST(3 AS BIGINT)]))) AS i,
-       list_sort(list_distinct(list_filter(
+           [l_partkey % 7, CAST(3 AS BIGINT)]))), '|'), '') AS i,
+       COALESCE(array_to_string(list_sort(list_distinct(list_filter(
            [l_orderkey % 7, l_partkey % 7, l_suppkey % 7],
-           x -> NOT list_contains([l_partkey % 7, CAST(3 AS BIGINT)], x))))
+           x -> NOT list_contains([l_partkey % 7, CAST(3 AS BIGINT)], x)))), '|'), '')
          AS e
 FROM lineitem
 """,
@@ -215,9 +215,9 @@ def fn_array_setops(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.sort_array(F.array_union(a, b)).alias("u"),
-        F.sort_array(F.array_intersect(a, b)).alias("i"),
-        F.sort_array(F.array_except(a, b)).alias("e"),
+        F.array_join(F.sort_array(F.array_union(a, b)).cast("array<string>"), "|").alias("u"),
+        F.array_join(F.sort_array(F.array_intersect(a, b)).cast("array<string>"), "|").alias("i"),
+        F.array_join(F.sort_array(F.array_except(a, b)).cast("array<string>"), "|").alias("e"),
     )
 
 

@@ -15,7 +15,7 @@ SELECT p_partkey,
        split_part(p_name, ' ', 1) AS adjective,
        split_part(p_name, ' ', 2) AS noun,
        CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
-       regexp_extract_all(p_name, '[a-z]+') AS words
+       array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS words
 FROM part
 """,
     tier="T2",
@@ -32,7 +32,9 @@ def fn_string_extra(spark, sf_dir):
         F.size(F.regexp_extract_all(F.col("p_name"), F.lit("[aeiou]"), F.lit(0)))
         .cast("long")
         .alias("n_vowels"),
-        F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), F.lit(0)).alias("words"),
+        F.array_join(
+            F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), F.lit(0)), "|"
+        ).alias("words"),
     )
 
 

@@ -24,24 +24,23 @@ WITH ex AS (
          CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS u
   FROM embeddings,
        LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
-),
-m AS (
-  SELECT label, i,
-         {sql_rnd('CAST(SUM(u) AS DOUBLE) / 10000 / COUNT(*)', 4)} AS mv,
-         COUNT(*) AS n_vecs
-  FROM ex GROUP BY label, i
 )
-SELECT label, array_agg(mv ORDER BY i) AS centroid,
-       CAST(MIN(n_vecs) AS BIGINT) AS n_vecs
-FROM m GROUP BY label
+SELECT label, CAST(i - 1 AS INT) AS dim,
+       {sql_rnd('CAST(SUM(u) AS DOUBLE) / 10000 / COUNT(*)', 4)} AS mv,
+       COUNT(*) AS n_vecs
+FROM ex GROUP BY label, i
 """,
     tier="T2",
 )
 def vec_centroids_per_label(spark, sf_dir):
-    """Element-wise mean embedding per label from exact integer-unit sums.
+    """Element-wise mean embedding per label from exact integer-unit sums,
+    emitted as exploded scalar rows (label, dim, mv) — the driver's
+    canonicalizer rejects array-typed output columns, and scalar doubles
+    hash bit-identically where a float→string serialization would not.
 
     Scale note: posexplode → one partial+final aggregate keyed (label, dim);
-    the reassembled centroid table is tiny and broadcastable downstream.
+    the resulting centroid table is tiny and broadcastable downstream
+    (reassemble with collect_list over dim order if a caller wants vectors).
     """
     e = load(spark, sf_dir, "embeddings")
     ex = e.select(
@@ -51,16 +50,11 @@ def vec_centroids_per_label(spark, sf_dir):
         "pos",
         F.floor(F.col("x").cast("double") * 10000 + F.lit(0.5)).alias("u"),
     )
-    m = ex.groupBy("label", "pos").agg(
+    return ex.groupBy("label", "pos").agg(
         rnd(F.sum("u").cast("double") / 10000 / F.count(F.lit(1)), 4).alias("mv"),
         F.count(F.lit(1)).alias("n_vecs"),
-    )
-    return m.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mv"))),
-            lambda s: s.getField("mv"),
-        ).alias("centroid"),
-        F.min("n_vecs").alias("n_vecs"),
+    ).select(
+        "label", F.col("pos").cast("int").alias("dim"), "mv", "n_vecs"
     )
 
 

@@ -239,10 +239,10 @@ def win_percent_rank(spark, sf_dir):
     "win_running_distinct",
     oracle="""
 SELECT user_id, event_id,
-       SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END)
          OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS distinct_types_so_far
+         AS BIGINT) AS distinct_types_so_far
 FROM (
   SELECT user_id, event_id, ts,
          ROW_NUMBER() OVER (PARTITION BY user_id, event_type

@@ -72,13 +72,31 @@ def digest(pdf: pd.DataFrame) -> str:
     h = hashlib.sha256()
     for c in pdf.columns:
         h.update(str(c).encode())
-        col = pdf[c]
-        # normalize datetime unit (us vs ns) but nothing else: both engines
-        # return microsecond-precision timestamps; unit is a transport detail
-        if str(col.dtype).startswith("datetime64"):
-            col = col.astype("datetime64[us]")
-        h.update(pd.util.hash_pandas_object(col, index=False).values.tobytes())
+        h.update(pd.util.hash_pandas_object(_norm_col(pdf[c]), index=False).values.tobytes())
     return h.hexdigest()
+
+
+def _norm_col(col: pd.Series) -> pd.Series:
+    """Normalize temporal transport representations before hashing.
+
+    - datetime64 unit (us vs ns) is a transport detail; both engines are
+      microsecond precision.
+    - Spark DateType arrives as object-dtype datetime.date cells while
+      DuckDB DATE arrives as datetime64 — the driver accepts that pairing
+      (cohort_retention hash-passed in CORRECTNESS_r01), so we coerce both
+      to datetime64[us] rather than flag a false mismatch.
+    """
+    import datetime as _dt
+
+    if str(col.dtype).startswith("datetime64"):
+        return col.astype("datetime64[us]")
+    if col.dtype == object and len(col):
+        nn = col.dropna()
+        if len(nn) and all(
+            isinstance(v, (_dt.date, _dt.datetime)) for v in nn.iloc[: min(len(nn), 50)]
+        ):
+            return pd.to_datetime(col).astype("datetime64[us]")
+    return col
 
 
 def spark_nonscalar_cols(sdf) -> list:
@@ -108,11 +126,7 @@ def compare_one(name, q, spark, con, sf_dir, max_diffs=5):
     if digest(s_pdf) != digest(d_pdf):
         # pinpoint the offending columns for the report
         for c in s_pdf.columns:
-            sc, dc = s_pdf[c], d_pdf[c]
-            if str(sc.dtype).startswith("datetime64"):
-                sc = sc.astype("datetime64[us]")
-            if str(dc.dtype).startswith("datetime64"):
-                dc = dc.astype("datetime64[us]")
+            sc, dc = _norm_col(s_pdf[c]), _norm_col(d_pdf[c])
             sh = pd.util.hash_pandas_object(sc, index=False).values
             dh = pd.util.hash_pandas_object(dc, index=False).values
             if not np.array_equal(sh, dh):
