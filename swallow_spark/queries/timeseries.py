@@ -274,13 +274,15 @@ WITH daily AS (
 )
 SELECT d.event_type, d.day, d.n,
        FLOOR((CAST(d.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.days)
-             / sqrt((CAST(s.s2 AS DOUBLE)
-                     - CAST(s.s1 AS DOUBLE) * s.s1 / s.days) / (s.days - 1))
+             / NULLIF(sqrt((CAST(s.s2 AS DOUBLE)
+                     - CAST(s.s1 AS DOUBLE) * s.s1 / s.days)
+                     / NULLIF(s.days - 1, 0)), 0)
              * 10000 + 0.5) / 10000 AS z
 FROM daily d JOIN stats s ON d.event_type = s.event_type
 WHERE abs((CAST(d.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.days)
-          / sqrt((CAST(s.s2 AS DOUBLE)
-                  - CAST(s.s1 AS DOUBLE) * s.s1 / s.days) / (s.days - 1))) > 1.5
+          / NULLIF(sqrt((CAST(s.s2 AS DOUBLE)
+                  - CAST(s.s1 AS DOUBLE) * s.s1 / s.days)
+                  / NULLIF(s.days - 1, 0)), 0)) > 1.5
 """,
     tier="T2",
 )
@@ -308,10 +310,16 @@ def ts_anomaly_zscore(spark, sf_dir):
     )
     j = daily.join(F.broadcast(stats), "event_type")
     mean = F.col("s1").cast("double") / F.col("days")
-    var = (
-        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("days")
-    ) / (F.col("days") - 1)
-    z_raw = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    # try_divide guards: a single-day type (days-1 = 0) or a perfectly flat
+    # count series (var = 0) yields NULL z — the row drops out of the >1.5
+    # filter in BOTH engines instead of an ANSI DIVIDE_BY_ZERO here and an
+    # inf on the DuckDB side.
+    var = F.try_divide(
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("days"),
+        (F.col("days") - 1).cast("double"),
+    )
+    z_raw = F.try_divide(F.col("n").cast("double") - mean, F.sqrt(var))
     return (
         j.filter(F.abs(z_raw) > 1.5)
         .select(

@@ -24,7 +24,10 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import datetime as dt
+import decimal
 import hashlib
+import math
 import sys
 from pathlib import Path
 
@@ -39,6 +42,33 @@ from swallow_spark.registry import all_queries  # noqa: E402
 from swallow_spark.session import get_spark  # noqa: E402
 
 _NONSCALAR = ("array", "map", "struct")
+
+
+def canon(v) -> str:
+    """Canonical string form of a cell value for order-insensitive compare.
+
+    Used by the fuzz/golden test helpers (engine-semantics equivalence,
+    where cross-type tolerance is wanted) — NOT by the strict driver-mirror
+    compare below, which is deliberately dtype-sensitive."""
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # exact shortest repr — bit-identical floats only
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, dt.datetime):
+        return "ts:" + v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return "d:" + v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
+    return repr(v)
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
