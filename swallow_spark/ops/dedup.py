@@ -47,6 +47,9 @@ def shingle_jaccard_pairs(
     pairs = (
         posts.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        # a doc repeating a shingle puts itself twice in the posting list —
+        # drop the (A, A) self-pairs the i<j index walk then produces
+        .filter(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))
         .join(sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
