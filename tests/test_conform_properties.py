@@ -163,3 +163,82 @@ def test_minhash_approximates_jaccard(spark):
         for r in qs["dedup_minhash_lsh"].fn(spark, "/root/testdata/sf0.001").collect()
     }
     assert true_pairs <= cand, f"missed: {true_pairs - cand}"
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL approx distinct must stay within its advertised error of the
+    exact twin per group (default rsd 5% → assert a generous 3σ ≈ 15%),
+    at the bench scale — keeps the approx layer honest across rounds
+    (VERDICT r1 item 10)."""
+    from swallow_spark.registry import all_queries
+
+    from pyspark.sql import functions as F
+
+    from swallow_spark.io import load
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.1"
+    exact = {
+        r.event_type: r.n
+        for r in load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.approx_users
+        for r in qs["agg_approx_distinct"].fn(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, n in exact.items():
+        rel = abs(approx[et] - n) / n
+        assert rel <= 0.15, f"{et}: approx {approx[et]} vs exact {n} (rel {rel:.3f})"
+
+
+def test_approx_percentile_error_bound(spark):
+    """Approx p95 must land within 10% of the exact percentile per group."""
+    from swallow_spark.registry import all_queries
+
+    from pyspark.sql import functions as F
+
+    from swallow_spark.io import load
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.1"
+    exact = {
+        r.event_type: r.p95
+        for r in load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.95)").alias("p95"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.p95_value
+        for r in qs["agg_approx_percentile"].fn(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for et in exact:
+        if exact[et]:
+            rel = abs(approx[et] - exact[et]) / abs(exact[et])
+            assert rel <= 0.10, f"{et}: approx p95 {approx[et]} vs {exact[et]}"
+
+
+def test_ann_lsh_recall_second_corpus(spark):
+    """Recall probe #2: the same LSH/IVF quality gate at the 10× corpus
+    (sf0.01) — bucket occupancy and plane distribution change with corpus
+    size, so a second operating point guards against quality regressions
+    the sf0.001 probe can't see (VERDICT r1 item 10)."""
+    from swallow_spark.registry import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in qs["sim_cosine_topk"].fn(spark, sf).collect()
+    }
+    approx = {
+        (r.probe_id, r.neighbor_id)
+        for r in qs["ann_lsh_bucketed"].fn(spark, sf).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"ann_lsh_bucketed sf0.01 recall {recall:.2f} too low"
