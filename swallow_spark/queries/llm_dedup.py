@@ -174,15 +174,27 @@ def dedup_minhash_lsh(spark, sf_dir):
     bands = sig.select(
         "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
     )
+    # Posting-list bucket join (same shape as ops.dedup): group docs per
+    # (band, bucket), emit i<j pairs from each bucket's sorted doc list.
+    # One pass over the signature pipeline — a self-join here would compute
+    # the shingle→minhash aggregate TWICE and (worse at 100 TB) broadcast a
+    # |docs|×n_bands row side; the bucket grouping shuffles once on the
+    # band hash and buckets stay small by LSH construction.
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_structs = F.expr(
+        "flatten(transform(sequence(1, size(ds) - 1), "
+        "i -> transform(sequence(i + 1, size(ds)), "
+        "j -> struct(element_at(ds, i) AS d1, element_at(ds, j) AS d2))))"
+    )
     pairs = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
     return pairs
