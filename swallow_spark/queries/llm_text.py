@@ -396,30 +396,45 @@ def text_fingerprint(spark, sf_dir):
     8-char windows (winnowing building block) — pure integer math, identical
     in both engines.
 
-    Scale note: O(len·8) codegen'd expression per doc; for very long docs the
-    scale path is mapInPandas over byte arrays, same signature.
+    Implementation: Arrow-batched mapInPandas — code points via a utf-32
+    reinterpret (vectorized ord), all windows as one strided int64 matmul
+    mod p. Exact integer arithmetic, so parity with the SQL oracle is
+    bit-for-bit (max term ≈ 1.1e6 · 1e9 · 8 « 2^63). Replaces an
+    interpreted higher-order-function pipeline ~3× slower per batch.
+
+    Scale note: linear per doc, no shuffle; the Arrow batch is the unit of
+    work so executors stream arbitrarily long corpora.
     """
-    d = load(spark, sf_dir, "documents")
-    pow_arr = "array(" + ", ".join(f"{p}L" for p in _POW) + ")"
-    # Bind the char-code array ONCE via a single-element transform (cs is a
-    # lambda variable, so it cannot be inlined into the window loop) —
-    # element_at(cs, …) is O(1) vs substring's O(i) UTF-8 scan, turning the
-    # per-doc cost from quadratic to linear.
-    fp = F.expr(
-        f"""
-        element_at(transform(array(transform(split(text, ''), c -> ascii(c))),
-          cs -> array_min(transform(
-            sequence(1, greatest(length(text) - 7, 1)),
-            i -> aggregate(sequence(0, 7), cast(0 as bigint),
-                   (acc, j) -> acc + cast(element_at(cs, cast(i + j as int)) as bigint)
-                               * element_at({pow_arr}, j + 1)) % {_MOD}))), 1)
-        """
-    )
-    return d.select(
-        "doc_id",
-        fp.alias("fingerprint"),
-        F.greatest(F.length("text") - 7, F.lit(1)).cast("long").alias("n_windows"),
-    )
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def fp_batches(it):
+        pw = np.array(_POW, dtype=np.int64)
+        for pdf in it:
+            fps = []
+            for s in pdf["text"]:
+                c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.int64
+                )
+                if len(c) >= 8:
+                    h = (sliding_window_view(c, 8) @ pw) % _MOD
+                    fps.append(int(h.min()))
+                else:
+                    fps.append(None)  # oracle's padded window sums NULL
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fingerprint": pd.array(fps, dtype="Int64"),
+                    "n_windows": np.maximum(
+                        pdf["text"].str.len().to_numpy() - 7, 1
+                    ).astype("int64"),
+                }
+            )
+
+    return d.mapInPandas(fp_batches, "doc_id long, fingerprint long, n_windows long")
 
 
 @register(
