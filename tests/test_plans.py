@@ -191,3 +191,33 @@ def test_q11_fact_agg_reused_at_runtime(spark):
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in p
+
+
+def test_minhash_no_broadcast_no_double_signature(spark):
+    """dedup_minhash_lsh must build candidates from posting-list buckets:
+    ONE signature pipeline (one documents scan) and no broadcast side —
+    the self-join formulation recomputed the shingle→minhash aggregate
+    twice and broadcast |docs|×n_bands rows."""
+    p = plan_of(spark, "dedup_minhash_lsh")
+    assert "BroadcastExchange" not in p
+    tree = p.split("\n\n(")[0]  # tree section; details repeat each node
+    assert tree.count("Scan parquet") == 1
+
+
+def test_rolling_distinct_no_set_state(spark):
+    """win_rolling_distinct_7d must use the contribution-explode +
+    COUNT(DISTINCT) shape — a collect_set window materializes per-row user
+    sets (flagged weak-for-scale in VERDICT r1)."""
+    p = plan_of(spark, "win_rolling_distinct_7d")
+    assert "collect_set" not in p
+    assert "Window" not in p
+
+
+def test_sim_pairs_arrow_grouped(spark):
+    """sim_pairs_threshold must be the per-label Arrow/pandas Gram batch —
+    one embeddings scan, grouped-map eval, no pairwise join."""
+    p = plan_of(spark, "sim_pairs_threshold")
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsInArrow" in p
+    assert "Join" not in p
+    tree = p.split("\n\n(")[0]
+    assert tree.count("Scan parquet") == 1
