@@ -27,33 +27,48 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table as a DataFrame (schema from parquet footer).
+    """Load one fixture table, normalized to the declared schema's temporal
+    types.
 
-    events.ts has shipped with different physical encodings across driver
-    testdata generations: TIMESTAMP(NANOS) (rejected by Spark's vectorized
-    reader — read as long nanos via legacy conf, then DIV 1000 to micros,
-    matching DuckDB's ns→µs truncation) and TIMESTAMP(MICROS,
-    isAdjustedToUTC=false) (read as TIMESTAMP_NTZ — cast to session-TZ
-    timestamp; the session is conformed to UTC so wall-clock values are
-    preserved and match the DuckDB oracle's naive TIMESTAMP). We branch on
-    the dtype Spark actually infers so either generation loads identically.
+    The driver regenerates /root/testdata between rounds and the physical
+    parquet encoding drifts (observed: events.ts was TIMESTAMP(NANOS) in r1
+    — rejected by Spark's vectorized reader — and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) → TIMESTAMP_NTZ in r2). So for every column the
+    declared schema (schemas.ALL) says is a timestamp, normalize whatever
+    arrived:
+
+    - long (nanosAsLong legacy read of TIMESTAMP(NANOS)): epoch-nanos DIV
+      1000 → timestamp_micros — exactly DuckDB's ns→µs truncation, no
+      double round-trip (2024 epoch-nanos ≈ 1.7e18 > 2^53);
+    - TIMESTAMP_NTZ / DATE / string: cast — same wall clock in the
+      UTC-conformed session, matching the DuckDB oracle's naive TIMESTAMP.
     """
     conform_session(spark)
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
 
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        if not isinstance(ts_type, T.TimestampType):
-            # TIMESTAMP_NTZ (or anything else castable): same wall clock in
-            # the UTC-conformed session.
-            return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from . import schemas
+
+    declared = schemas.ALL.get(name)
+    if declared is None:
         return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    for fld in declared.fields:
+        if fld.name not in df.columns:
+            continue
+        want, got = fld.dataType, df.schema[fld.name].dataType
+        if isinstance(want, T.TimestampType) and not isinstance(got, T.TimestampType):
+            if isinstance(got, T.LongType):
+                df = df.withColumn(
+                    fld.name, F.timestamp_micros(F.expr(f"{fld.name} DIV 1000"))
+                )
+            else:
+                df = df.withColumn(fld.name, F.col(fld.name).cast(T.TimestampType()))
+        elif isinstance(want, T.DoubleType) and isinstance(got, T.DecimalType):
+            df = df.withColumn(fld.name, F.col(fld.name).cast(T.DoubleType()))
+    return df
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
