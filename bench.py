@@ -65,25 +65,30 @@ def main() -> None:
 
     run_once("limit_topn")  # warm the JVM + parquet footers
 
-    # BASELINE.md protocol: warm-up + median of 3 timed runs per key
+    # BASELINE.md protocol: warm-up + median of 3 timed runs per key.
+    # Per-key fault isolation: one crashing query must not zero out the
+    # whole bench record (round 2 lost its BENCH to a single load error).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         spark.sparkContext.setJobDescription(f"bench:{name}")
-        runs = sorted(run_once(name) for _ in range(3))
-        timings[name] = round(runs[1], 3)
+        try:
+            runs = sorted(run_once(name) for _ in range(3))
+            timings[name] = round(runs[1], 3)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
