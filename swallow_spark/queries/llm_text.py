@@ -86,13 +86,20 @@ GROUP BY lang, bigram
     tier="T2",
 )
 def text_ngrams(spark, sf_dir):
-    """Bigram counts per language (index-zip over the token array)."""
+    """Bigram counts per language (index-zip over the token array).
+
+    The token array is lambda-bound via a single-element transform so the
+    split() runs once per row — Catalyst does not hoist loop-invariant
+    subexpressions out of higher-order-function lambdas (BENCH.md lesson;
+    referencing `arr` directly inside the index transform re-splits the
+    text per element)."""
     d = load(spark, sf_dir, "documents")
-    arr = tokens(F.col("text"))
-    starts = F.sequence(F.lit(1), F.greatest(F.size(arr) - 1, F.lit(1)))
-    bigrams = F.transform(
-        starts,
-        lambda i: F.concat(F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)),
+    bigrams = F.expr(
+        """
+        element_at(transform(array(split(text, ' ')), a ->
+          transform(sequence(1, greatest(size(a) - 1, 1)),
+            i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))), 1)
+        """
     )
     return (
         d.select("lang", F.explode(bigrams).alias("bigram"))
