@@ -48,15 +48,35 @@ def chunked_replay_source(
         "chunk", F.ntile(n_chunks).over(Window.orderBy("ts"))
     )
 
+    # ONE partitioned write for all base chunks (the per-chunk
+    # filter+coalesce loop used to re-sort the whole table n_chunks times);
+    # files are then renamed into the deterministic chunk-NNN listing order.
+    tmp = f"{out_dir}/_tmp"
+    e.repartition(n_chunks, "chunk").write.mode("overwrite").partitionBy(
+        "chunk"
+    ).parquet(tmp)
+    # The file stream source orders ties by modification time, and one write
+    # job stamps every part identically — assign strictly increasing mtimes
+    # in chunk order so micro-batch order stays deterministic.
+    import time as _time
+
+    base_mtime = _time.time() - 3600
+    for i in range(1, n_chunks + 1):
+        parts = sorted(glob.glob(f"{tmp}/chunk={i}/part-*.parquet"))
+        for m, part in enumerate(parts):
+            dst = f"{out_dir}/chunk-{i:03d}-{m}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (base_mtime + i, base_mtime + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+
     def write_chunk(df, idx: int) -> None:
-        tmp = f"{out_dir}/_tmp"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        os.rename(part, f"{out_dir}/chunk-{idx:03d}.parquet")
+        dst = f"{out_dir}/chunk-{idx:03d}-0.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (base_mtime + idx, base_mtime + idx))
         shutil.rmtree(tmp, ignore_errors=True)
 
-    for i in range(1, n_chunks + 1):
-        write_chunk(e.filter(F.col("chunk") == i).drop("chunk"), i)
     if late_chunk:
         # replay the very first rows again — they are now far behind the
         # max event time the stream has seen → watermark-droppable
@@ -110,7 +130,9 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str, work_dir: str) -> i
     """Self-join two replays of the event stream: purchases joined to clicks
     of the same user within the following 5 minutes, both sides watermarked.
     Returns the number of joined pairs."""
-    left = chunked_replay_source(spark, sf_dir, f"{work_dir}/replay_l")
+    # 4 chunks: cross-micro-batch join state is exercised from the second
+    # batch on; more batches only multiply state-store round trips.
+    left = chunked_replay_source(spark, sf_dir, f"{work_dir}/replay_l", n_chunks=4)
     right = (
         spark.readStream.schema(load(spark, sf_dir, "events").schema)
         .option("maxFilesPerTrigger", 1)
