@@ -55,8 +55,9 @@ def shingle_jaccard_pairs(
     pairs = (
         posts.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
-        # a doc repeating a shingle puts itself twice in the posting list —
-        # drop the (A, A) self-pairs the i<j index walk then produces
+        # defensive invariant check only: shingles() array_distincts per doc,
+        # so a doc never appears twice in a posting list and the i<j index
+        # walk over a strictly sorted list already guarantees d1 < d2
         .filter(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -38,11 +38,31 @@ def fn_string_extra(spark, sf_dir):
     )
 
 
-@register("fn_struct", oracle=None, tier="T3")
+@register(
+    "fn_struct",
+    oracle="""
+SELECT doc_id,
+       s.lang AS meta_lang,
+       s.chars AS meta_chars,
+       s.origin.name AS origin_name,
+       s.origin.version AS origin_version,
+       array_to_string(list_transform([s, s], x -> x.origin.name), '|') AS pair_origins,
+       CAST(len([s, s]) AS BIGINT) AS n_metas
+FROM (
+    SELECT doc_id,
+           struct_pack(lang := lang, chars := n_chars,
+                       origin := struct_pack(name := source, version := 'v1')) AS s
+    FROM documents
+)
+""",
+    tier="T2",
+)
 def fn_struct(spark, sf_dir):
-    """Struct pack (rows-only: struct output hashing is engine-awkward, like
-    fn_map): named_struct creation, field access, nested structs, struct in
-    arrays — the shape multimodal records use."""
+    """Struct build/access: named_struct creation, field access, nested
+    structs, struct-in-array lambda projection — the shape multimodal records
+    use. The struct lives *inside* the query; the declared output is flat
+    scalars (struct fields projected, arrays '|'-joined) per the round-1
+    scalar-only output contract."""
     d = load(spark, sf_dir, "documents")
     meta = F.struct(
         F.col("lang").alias("lang"),
@@ -51,10 +71,15 @@ def fn_struct(spark, sf_dir):
             "origin"
         ),
     )
+    pair = F.array(meta, meta)
     return d.select(
         "doc_id",
-        meta.alias("meta"),
+        meta.getField("lang").alias("meta_lang"),
+        meta.getField("chars").alias("meta_chars"),
         meta.getField("origin").getField("name").alias("origin_name"),
-        F.array(meta, meta).alias("meta_pair"),
-        F.size(F.array(meta)).cast("long").alias("n_metas"),
+        meta.getField("origin").getField("version").alias("origin_version"),
+        F.array_join(
+            F.transform(pair, lambda x: x.getField("origin").getField("name")), "|"
+        ).alias("pair_origins"),
+        F.size(pair).cast("long").alias("n_metas"),
     )

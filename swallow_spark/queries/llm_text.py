@@ -426,11 +426,13 @@ def text_fingerprint(spark, sf_dir):
                 c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
                     np.int64
                 )
-                if len(c) >= 8:
-                    h = (sliding_window_view(c, 8) @ pw) % _MOD
-                    fps.append(int(h.min()))
-                else:
-                    fps.append(None)  # oracle's padded window sums NULL
+                if len(c) < 8:
+                    # mirror the oracle exactly: its single padded window reads
+                    # ascii(substr(..)) past the end as ascii('') = 0, i.e. the
+                    # codepoints are zero-padded to the window width
+                    c = np.pad(c, (0, 8 - len(c)))
+                h = (sliding_window_view(c, 8) @ pw) % _MOD
+                fps.append(int(h.min()))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -274,15 +274,15 @@ WITH daily AS (
 )
 SELECT d.event_type, d.day, d.n,
        FLOOR((CAST(d.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.days)
-             / NULLIF(sqrt((CAST(s.s2 AS DOUBLE)
+             / NULLIF(sqrt(GREATEST((CAST(s.s2 AS DOUBLE)
                      - CAST(s.s1 AS DOUBLE) * s.s1 / s.days)
-                     / NULLIF(s.days - 1, 0)), 0)
+                     / NULLIF(s.days - 1, 0), 0)), 0)
              * 10000 + 0.5) / 10000 AS z
 FROM daily d JOIN stats s ON d.event_type = s.event_type
 WHERE abs((CAST(d.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.days)
-          / NULLIF(sqrt((CAST(s.s2 AS DOUBLE)
+          / NULLIF(sqrt(GREATEST((CAST(s.s2 AS DOUBLE)
                   - CAST(s.s1 AS DOUBLE) * s.s1 / s.days)
-                  / NULLIF(s.days - 1, 0)), 0)) > 1.5
+                  / NULLIF(s.days - 1, 0), 0)), 0)) > 1.5
 """,
     tier="T2",
 )
@@ -319,7 +319,13 @@ def ts_anomaly_zscore(spark, sf_dir):
         - F.col("s1").cast("double") * F.col("s1") / F.col("days"),
         (F.col("days") - 1).cast("double"),
     )
-    z_raw = F.try_divide(F.col("n").cast("double") - mean, F.sqrt(var))
+    # clamp: float cancellation on a near-flat series can make var a tiny
+    # negative; unclamped, Spark's sqrt→NaN drops the row while DuckDB sorts
+    # NaN above every number and keeps it. GREATEST(var, 0) on both sides
+    # collapses that case into the existing var=0 → NULL path.
+    z_raw = F.try_divide(
+        F.col("n").cast("double") - mean, F.sqrt(F.greatest(var, F.lit(0.0)))
+    )
     return (
         j.filter(F.abs(z_raw) > 1.5)
         .select(

@@ -122,9 +122,11 @@ def _norm_col(col: pd.Series) -> pd.Series:
         return col.astype("datetime64[us]")
     if col.dtype == object and len(col):
         nn = col.dropna()
-        if len(nn) and all(
-            isinstance(v, (_dt.date, _dt.datetime)) for v in nn.iloc[: min(len(nn), 50)]
-        ):
+        # check EVERY cell (result sets are small): a mixed column must fall
+        # through unchanged, not crash mid-coercion; and only coerce actual
+        # date/datetime instances — never pd.to_datetime's permissive string
+        # parsing, which this strict driver-mirror compare must reject
+        if len(nn) and all(isinstance(v, (_dt.date, _dt.datetime)) for v in nn):
             return pd.to_datetime(col).astype("datetime64[us]")
     return col
 
