@@ -24,11 +24,18 @@ def shingle_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
-    max_posting: int | None = None,
+    max_posting: int | None = 500,
 ) -> tuple[DataFrame, Column]:
     """Return (pairs_df, jaccard_col): all doc pairs sharing ≥1 k-shingle,
     with columns d1 < d2, inter, n1, n2; jaccard_col is the exact ratio
-    expression over those columns (filter/round at the call site)."""
+    expression over those columns (filter/round at the call site).
+
+    max_posting defaults to a finite df-cap: a shingle shared by hundreds of
+    docs is a stop-phrase carrying no near-dup signal, and uncapped it makes
+    one posting list own Σ|posting|² of the pair fan-out (the classic hot-key
+    straggler at corpus scale). No fixture shingle comes near 500 at sf≤0.1,
+    so the capped output is bit-identical to the uncapped oracle there; pass
+    None to disable for exact-twin comparisons."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), k)).alias("s"),

@@ -179,3 +179,31 @@ def test_pipeline_facade_runs(spark, tmp_path):
     assert df.columns == ["n_nationkey", "n_name"]
     back = spark.read.parquet(str(tmp_path / "out"))
     assert back.count() == df.count() > 0
+
+
+def test_max_posting_caps_hot_shingle_fanout(spark):
+    from swallow_spark.ops.dedup import shingle_jaccard_pairs
+
+    # 12 docs share one hot 5-token shingle but are otherwise disjoint;
+    # docs 100/101 are genuine near-dups sharing several rare shingles.
+    hot = "alpha beta gamma delta epsilon"
+    rows = [(i, f"{hot} filler{i}a filler{i}b filler{i}c filler{i}d") for i in range(12)]
+    rows += [
+        (100, "one two three four five six seven eight"),
+        (101, "one two three four five six seven nine"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped, _ = shingle_jaccard_pairs(d, max_posting=5)
+    got = {(r.d1, r.d2) for r in capped.select("d1", "d2").collect()}
+    # hot-shingle pairs (12*11/2 = 66 of them) are pruned by the df-cap;
+    # the rare-shingle near-dup pair survives
+    assert got == {(100, 101)}
+
+    uncapped, _ = shingle_jaccard_pairs(d, max_posting=None)
+    n_uncapped = uncapped.count()
+    assert n_uncapped == 66 + 1  # every hot pair + the near-dup pair
+
+    # default cap (500) leaves fixture-scale postings untouched
+    default, _ = shingle_jaccard_pairs(d)
+    assert default.count() == n_uncapped
