@@ -50,9 +50,47 @@ HEADLINE = [
 ]
 
 
+def env_markers(sf_dir: str) -> dict:
+    """Environment-noise markers (VERDICT r3 action): lets a reader tell a
+    real perf regression from a loaded/cold-cache box without a rerun.
+
+    - loadavg: >~ncpus at start means the box was already busy.
+    - spin_sec: wall time of a FIXED single-thread Python workload (~0.1s on
+      an idle box); 2x the usual value means ~2x CPU contention, and the
+      query timings should be discounted accordingly.
+    - scan_mb_per_s: byte-read throughput of the largest input parquet.
+      Hundreds of MB/s+ = page-cache-warm; low tens = cold disk (and this
+      probe itself then warms the cache before the timed runs).
+    """
+    m: dict = {}
+    try:
+        m["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(5_000_000):
+        x += i
+    m["spin_sec"] = round(time.perf_counter() - t0, 4)
+    try:
+        biggest = max(
+            (os.path.join(sf_dir, f) for f in os.listdir(sf_dir) if f.endswith(".parquet")),
+            key=os.path.getsize,
+        )
+        t0 = time.perf_counter()
+        with open(biggest, "rb") as fh:
+            n = len(fh.read())
+        dt = time.perf_counter() - t0
+        m["scan_mb_per_s"] = round(n / 1e6 / dt, 1) if dt > 0 else None
+    except (OSError, ValueError):
+        pass
+    return m
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    env_before = env_markers(sf_dir)
     spark = get_spark("swallow_spark_bench", cpus=cpus)
     qs = declared_queries()
     names = [n for n in HEADLINE if n in qs]
@@ -85,6 +123,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "env": {"before": env_before, "after": env_markers(sf_dir)},
     }
     if errors:
         out["errors"] = errors
