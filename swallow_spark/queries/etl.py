@@ -188,40 +188,74 @@ def etl_reaggregate(spark, sf_dir):
     )
 
 
-@register("dedup_connected_components", oracle=None, tier="T3")
+from .llm_dedup import _JACCARD_SQL  # noqa: E402  (shared edge definition)
+
+_CC_SQL = f"""
+WITH RECURSIVE jac AS ({_JACCARD_SQL}),
+adj AS (
+  SELECT d1 AS src, d2 AS dst FROM jac
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM jac
+),
+reach(node, comp) AS (
+  SELECT src, src FROM adj
+  UNION
+  SELECT a.src, r.comp FROM adj a JOIN reach r ON a.dst = r.node
+)
+SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node
+"""
+
+
+@register("dedup_connected_components", oracle=_CC_SQL, tier="T2")
 def dedup_connected_components(spark, sf_dir):
     """Transitive near-dup groups: connected components over the Jaccard≥0.8
-    pair graph via iterative min-label propagation (rows-only: iterative
-    algorithm, §2.0 rule 6).
+    pair graph via min-label propagation iterated to a fixed point.
 
     Each doc's component id converges to the minimum doc_id reachable
     through near-dup pairs — the canonical 'cluster then keep one' dedup.
+    Deterministic integer output, so it IS oracle-checkable: the DuckDB twin
+    computes min-reachable-label exactly with a recursive transitive-closure
+    CTE (UNION-dedup keeps it finite).
+
     Scale note: label propagation is a self-join per iteration on the pair
-    list (tiny relative to the corpus); iterations bounded by graph diameter
-    (near-dup clusters are shallow).
+    graph (tiny relative to the corpus); the fixed-point check is one count
+    per iteration on that same small table, and localCheckpoint truncates
+    the iterative lineage — the corpus-sized input is never re-scanned after
+    the edge list is materialized. Hard cap on iterations = 50 (graph
+    diameter; near-dup clusters are shallow in practice).
     """
     from ..ops.dedup import shingle_jaccard_pairs
 
     d = load(spark, sf_dir, "documents")
     pairs, jac = shingle_jaccard_pairs(d)
-    edges = pairs.filter(jac >= 0.8).select("d1", "d2")
-    # undirected adjacency incl. self-loops
+    edges = pairs.filter(jac >= 0.8).select("d1", "d2").localCheckpoint()
+    # undirected adjacency
     adj = (
         edges.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
         .unionByName(edges.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
     )
     nodes = adj.select(F.col("src").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("comp"))
-    for _ in range(5):  # diameter bound for shallow near-dup clusters
+    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    for _ in range(50):
         neigh = (
             adj.join(labels, adj.src == labels.node)
             .select(F.col("dst").alias("node"), "comp")
         )
-        labels = (
+        new_labels = (
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
         )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
 
 
