@@ -20,6 +20,63 @@ from ..io import load
 from ..registry import register
 
 
+def decode_bytes_waveform(payload: bytes):
+    """STUB decoder: the payload bytes ARE the samples (uint8 waveform).
+
+    This is the injection seam for real media decoding — swap in a
+    ``bytes -> np.ndarray`` callable (librosa/soundfile/ffmpeg) via
+    ``audio_feature_extractor(decode=...)`` without touching the operator.
+    """
+    import numpy as np
+
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def audio_feature_extractor(decode=decode_bytes_waveform):
+    """Build the mapInPandas batch fn computing mean/RMS/peak per payload.
+
+    Feature math is fully vectorized across the batch: decoded waveforms are
+    concatenated into ONE sample buffer and per-row exact integer sums come
+    from np.add.reduceat / np.maximum.reduceat over the row offsets — no
+    per-row Python arithmetic. Only the (opaque, injectable) decode call
+    itself runs per row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            waves = [
+                np.asarray(decode(bytes(p)), dtype=np.int64) for p in pdf["payload"]
+            ]
+            lens = np.array([w.size for w in waves], dtype=np.int64)
+            n = len(lens)
+            mean = np.full(n, np.nan)
+            rms = np.full(n, np.nan)
+            peak = pd.array([None] * n, dtype="Int64")
+            nz = lens > 0
+            if nz.any():
+                cat = np.concatenate([w for w in waves if w.size])
+                l_nz = lens[nz]
+                starts = np.concatenate(([0], np.cumsum(l_nz)[:-1]))
+                s = np.add.reduceat(cat, starts)
+                s2 = np.add.reduceat(cat * cat, starts)
+                mean[nz] = np.floor(s / l_nz * 10000 + 0.5) / 10000
+                rms[nz] = np.floor(np.sqrt(s2 / l_nz) * 10000 + 0.5) / 10000
+                peak[nz] = np.maximum.reduceat(cat, starts)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_samples": lens,
+                    "mean_amp": mean,
+                    "rms": rms,
+                    "peak": peak,
+                }
+            )
+
+    return extract
+
+
 @register(
     "multimodal_audio_features",
     oracle=f"""
@@ -42,32 +99,46 @@ def multimodal_audio_features(spark, sf_dir):
     """Audio-style feature extraction over an opaque binary payload:
     mean amplitude / RMS / peak of the byte "waveform", computed with numpy
     inside mapInPandas from exact integer sums (order-independent, so the
-    Arrow batching cannot change the result — oracle-checked)."""
-    import numpy as np
-    import pandas as pd
-
-    def extract(batches):
-        for pdf in batches:
-            feats = {"doc_id": [], "n_samples": [], "mean_amp": [], "rms": [], "peak": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
-                n = len(w)
-                s, s2 = int(w.sum()), int((w * w).sum())
-                feats["doc_id"].append(doc_id)
-                feats["n_samples"].append(n)
-                feats["mean_amp"].append(np.floor(float(s) / n * 10000 + 0.5) / 10000)
-                feats["rms"].append(
-                    np.floor(np.sqrt(float(s2) / n) * 10000 + 0.5) / 10000
-                )
-                feats["peak"].append(int(w.max()))
-            yield pd.DataFrame(feats)
-
+    Arrow batching cannot change the result — oracle-checked). Decode is the
+    injectable stub `decode_bytes_waveform`; features vectorize across the
+    whole Arrow batch via reduceat (see audio_feature_extractor)."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return d.mapInPandas(
-        extract, "doc_id long, n_samples long, mean_amp double, rms double, peak long"
+        audio_feature_extractor(),
+        "doc_id long, n_samples long, mean_amp double, rms double, peak long",
     )
+
+
+def decode_bytes_frames(payload: bytes, frame: int = 16):
+    """STUB frame decoder: fixed-size byte slices as "frames". The seam for
+    a real container demuxer (pyav/ffmpeg) returning a list of frame
+    payloads — swap via ``frame_sampler(decode=...)``."""
+    return [payload[i : i + frame] for i in range(0, len(payload) // frame * frame, frame)]
+
+
+def frame_sampler(decode=decode_bytes_frames, stride: int = 4):
+    """Build the mapInPandas batch fn: decode → stride-sample → one row per
+    kept frame (the fan-out shape a real video pipeline uses)."""
+    import pandas as pd
+
+    def sample(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "offset": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode(bytes(payload))
+                off = 0
+                for fi, fb in enumerate(frames):
+                    if fi % stride == 0:
+                        rows["doc_id"].append(doc_id)
+                        rows["frame_idx"].append(fi)
+                        rows["offset"].append(off)
+                        rows["frame"].append(fb)
+                    off += len(fb)
+            yield pd.DataFrame(rows)
+
+    return sample
 
 
 @register("multimodal_frame_sample", oracle=None, tier="T3")
@@ -77,31 +148,15 @@ def multimodal_frame_sample(spark, sf_dir):
     frame with its offset and bytes — the fan-out shape a real video
     pipeline (decode → sample → per-frame model) uses.
 
-    Real plumbing, stub decode: frames are byte slices; a real decoder
-    (pyav/ffmpeg) would plug into the same mapInPandas signature.
+    Real plumbing, stub decode: `decode_bytes_frames` slices bytes; a real
+    demuxer plugs into `frame_sampler(decode=...)` without touching this
+    operator.
     """
-    import pandas as pd
-
-    FRAME, STRIDE = 16, 4
-
-    def sample(batches):
-        for pdf in batches:
-            rows = {"doc_id": [], "frame_idx": [], "offset": [], "frame": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                n_frames = len(b) // FRAME
-                for fi in range(0, n_frames, STRIDE):
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_idx"].append(fi)
-                    rows["offset"].append(fi * FRAME)
-                    rows["frame"].append(b[fi * FRAME : (fi + 1) * FRAME])
-            yield pd.DataFrame(rows)
-
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return d.mapInPandas(
-        sample, "doc_id long, frame_idx int, offset long, frame binary"
+        frame_sampler(), "doc_id long, frame_idx int, offset long, frame binary"
     )
 
 

@@ -1,0 +1,77 @@
+"""Decoder-injection seam tests (VERDICT r3 #6): a real media decoder must
+drop into the multimodal operators without touching them. Inject fake
+decoders end-to-end through mapInPandas and check the features/frames are
+computed from the INJECTED decode output, not the raw payload."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from swallow_spark.queries.multimodal import audio_feature_extractor, frame_sampler
+
+
+def _payload_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+
+def test_audio_features_with_injected_decoder(spark):
+    # fake "decoder": ignores payload bytes, emits len(payload) copies of 3
+    def fake_decode(payload: bytes):
+        return np.full(len(payload), 3, dtype=np.int64)
+
+    d = _payload_df(spark, ["abcd", "xy"])
+    out = d.mapInPandas(
+        audio_feature_extractor(decode=fake_decode),
+        "doc_id long, n_samples long, mean_amp double, rms double, peak long",
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].n_samples == 4 and rows[1].n_samples == 2
+    for r in rows.values():  # constant-3 waveform: mean = rms = peak = 3
+        assert r.mean_amp == 3.0 and r.rms == 3.0 and r.peak == 3
+
+
+def test_audio_features_default_stub_matches_loop_reference(spark):
+    texts = ["hello world", "a", "zz zz zz"]
+    d = _payload_df(spark, texts)
+    out = d.mapInPandas(
+        audio_feature_extractor(),
+        "doc_id long, n_samples long, mean_amp double, rms double, peak long",
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    for i, t in enumerate(texts):  # per-row reference computed the old way
+        w = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int64)
+        assert rows[i].n_samples == len(w)
+        assert rows[i].mean_amp == np.floor(w.sum() / len(w) * 10000 + 0.5) / 10000
+        assert rows[i].rms == np.floor(np.sqrt((w * w).sum() / len(w)) * 10000 + 0.5) / 10000
+        assert rows[i].peak == int(w.max())
+
+
+def test_audio_features_empty_payload_yields_nulls(spark):
+    d = _payload_df(spark, ["", "ok"])
+    rows = {
+        r.doc_id: r
+        for r in d.mapInPandas(
+            audio_feature_extractor(),
+            "doc_id long, n_samples long, mean_amp double, rms double, peak long",
+        ).collect()
+    }
+    assert rows[0].n_samples == 0 and rows[0].peak is None
+    assert rows[1].n_samples == 2 and rows[1].peak is not None
+
+
+def test_frame_sampler_with_injected_decoder(spark):
+    # fake demuxer: 5 variable-length frames regardless of payload
+    def fake_decode(payload: bytes):
+        return [b"A", b"BB", b"CCC", b"DDDD", b"EEEEE"]
+
+    d = _payload_df(spark, ["whatever"])
+    out = d.mapInPandas(
+        frame_sampler(decode=fake_decode, stride=2),
+        "doc_id long, frame_idx int, offset long, frame binary",
+    ).collect()
+    kept = sorted((r.frame_idx, r.offset, bytes(r.frame)) for r in out)
+    # stride 2 keeps frames 0, 2, 4; offsets are cumulative frame sizes
+    assert kept == [(0, 0, b"A"), (2, 3, b"CCC"), (4, 10, b"EEEEE")]
