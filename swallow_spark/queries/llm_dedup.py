@@ -257,3 +257,42 @@ def dedup_simhash(spark, sf_dir):
         .distinct()
     )
     return cand.filter(F.col("hamming") <= 8)
+
+
+_CONTAIN_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({sql_shingles('text')}) AS s FROM documents
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       {sql_rnd('CAST(inter AS DOUBLE) / least(x.n, y.n)', 4)} AS containment
+FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+WHERE CAST(inter AS DOUBLE) / least(x.n, y.n) >= 0.8
+"""
+
+
+@register("dedup_containment", oracle=_CONTAIN_SQL, tier="T2")
+def dedup_containment(spark, sf_dir):
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.8 over 5-token
+    shingle sets — catches subset duplication (a doc quoted or embedded
+    inside a larger one) that symmetric Jaccard under-scores because the
+    union is dominated by the bigger doc. Standard complement to Jaccard in
+    LLM-corpus dedup (boilerplate, quote-expansion, page-within-crawl).
+
+    Same posting-list inverted index as dedup_near_exact_jaccard (shared
+    ops.dedup core): unique shingles dropped before any join, pair fan-out
+    bounded by the max_posting df-cap, one shuffle on the shingle key.
+    """
+    from ..ops.dedup import shingle_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs, _ = shingle_jaccard_pairs(d)
+    contain = F.col("inter").cast("double") / F.least(F.col("n1"), F.col("n2"))
+    return pairs.filter(contain >= 0.8).select(
+        "d1", "d2", rnd(contain, 4).alias("containment")
+    )

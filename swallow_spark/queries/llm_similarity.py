@@ -321,3 +321,54 @@ def ann_lsh_bucketed(spark, sf_dir):
         .filter(F.col("rk") <= _K)
         .select("probe_id", "neighbor_id", rnd(F.col("cos"), 4).alias("cosine"), "rk")
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH {_NORMS_SQL},
+dups AS (
+  SELECT DISTINCT b.vec_id AS v
+  FROM norms a JOIN norms b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL} >= 0.35
+)
+SELECT vec_id, label FROM norms
+WHERE vec_id NOT IN (SELECT v FROM dups)
+""",
+    tier="T2",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup REMOVAL (the dedup counterpart of
+    sim_pairs_threshold): within each label block, a vector is dropped when
+    any lower-id vector of the same label has cosine ≥ 0.35 with it — the
+    greedy keep-first policy exact dedup uses, applied to semantic near-dups.
+
+    Exactness: integer-unit dot products (ops.vectors) make the cosine
+    bit-identical across engines, so the survivor set is deterministic and
+    fully oracle-checked. Everything stays in JVM whole-stage codegen — the
+    pair join is label-blocked (shuffle key = label), duplicates collapse via
+    left_anti join, no Python.
+
+    Scale note: label is the blocking key exactly as in sim_pairs_threshold;
+    a hot label sub-blocks by salting one side. For unblocked corpora the
+    candidate generator swaps to LSH buckets (ann_lsh_bucketed's shape) with
+    the same anti-join tail.
+    """
+    n = _norms(spark, sf_dir)
+    cos = _pair_cos()
+    dups = (
+        n.alias("a")
+        .join(
+            n.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.35)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        n.join(dups, "vec_id", "left_anti")
+        .select("vec_id", "label")
+    )
