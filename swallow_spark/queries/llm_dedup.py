@@ -296,3 +296,73 @@ def dedup_containment(spark, sf_dir):
     return pairs.filter(contain >= 0.8).select(
         "d1", "d2", rnd(contain, 4).alias("containment")
     )
+
+
+_SEG = 10  # tokens per non-overlapping segment
+
+_SEG_SQL = f"""
+WITH segs AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(CAST(ceil(len(string_split(text, ' ')) / {_SEG}.0) AS BIGINT), 1)),
+           i -> array_to_string(list_slice(string_split(text, ' '),
+                                           (i - 1) * {_SEG} + 1, i * {_SEG}), ' ')))) AS seg
+  FROM documents
+),
+df AS (
+  SELECT seg, COUNT(*) AS docs FROM segs GROUP BY seg
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN d.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+       {sql_rnd('CAST(SUM(CASE WHEN d.docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)', 4)} AS dup_ratio
+FROM segs s JOIN df d ON s.seg = d.seg
+GROUP BY s.doc_id
+"""
+
+
+@register("dedup_exact_substring", oracle=_SEG_SQL, tier="T2")
+def dedup_exact_substring(spark, sf_dir):
+    """Sub-document exact duplication profile (segment-granularity ExactSubstr
+    dedup): split each doc into non-overlapping 10-token segments, count how
+    many of a doc's distinct segments also appear verbatim in ANOTHER doc
+    (global doc-frequency ≥ 2) — the boilerplate/quote mass a substring
+    dedup pass would strip even when whole-doc hashes differ.
+
+    Scale note: one explode + one groupBy(segment) — hash-partitioned by
+    segment content, map-side combinable, no joins wider than (doc, segment).
+    Segments are distinct per doc before the explode so a phrase repeated
+    inside one doc doesn't fake cross-doc duplication.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.ceil(F.size(toks) / F.lit(float(_SEG))).cast("long"), F.lit(1)),
+    )
+    segs = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    starts,
+                    lambda i: F.array_join(
+                        F.slice(toks, (i - 1) * _SEG + 1, _SEG), " "
+                    ),
+                )
+            )
+        ).alias("seg"),
+    )
+    df_ = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("docs"))
+    dup = F.sum(F.when(F.col("docs") >= 2, 1).otherwise(0))
+    return (
+        segs.join(df_, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            dup.cast("long").alias("n_dup_segments"),
+            rnd(
+                dup.cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("dup_ratio"),
+        )
+    )

@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from ..conform import rnd, sql_rnd
 from ..io import load
-from ..ops.text import STOPWORDS, tokens
+from ..ops.text import STOPWORDS, shingles, sql_shingles, tokens
 from ..registry import register
 
 _TOK_SQL = "SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS token FROM documents"
@@ -574,4 +574,50 @@ def dedup_url_canonicalize(spark, sf_dir):
         .groupBy("canonical")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_variants"))
         .filter(F.col("n_variants") > 1)
+    )
+
+
+_N_EVAL = 5  # doc_id < 5 plays the held-out eval set
+
+_CONTAM_SQL = f"""
+WITH eval_sh AS (
+  SELECT DISTINCT unnest({sql_shingles('text')}) AS s
+  FROM documents WHERE doc_id < {_N_EVAL}
+),
+corpus_sh AS (
+  SELECT doc_id, unnest({sql_shingles('text')}) AS s
+  FROM documents WHERE doc_id >= {_N_EVAL}
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap_shingles
+FROM corpus_sh c JOIN eval_sh e ON c.s = e.s
+GROUP BY c.doc_id
+"""
+
+
+@register("text_contamination_ngram", oracle=_CONTAM_SQL, tier="T2")
+def text_contamination_ngram(spark, sf_dir):
+    """Benchmark-contamination check: flag training docs sharing ≥1 verbatim
+    5-token shingle with a held-out eval set (here: the 5 lowest doc_ids) —
+    the standard n-gram-collision screen run before an LLM training corpus
+    ships. Emits each contaminated doc with its overlapping-shingle count.
+
+    Scale note: the eval side is tiny by construction, so its distinct
+    shingle set BROADCASTS — the 100 TB corpus is scanned once, shingles
+    stream through a broadcast-hash semi-join, and only matching (doc,
+    shingle) rows reach the one aggregate. No corpus-wide shuffle on text.
+    """
+    d = load(spark, sf_dir, "documents")
+    eval_sh = (
+        d.filter(F.col("doc_id") < _N_EVAL)
+        .select(F.explode(shingles(F.col("text"))).alias("s"))
+        .distinct()
+    )
+    corpus_sh = d.filter(F.col("doc_id") >= _N_EVAL).select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
+    )
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap_shingles"))
     )

@@ -221,3 +221,34 @@ def test_sim_pairs_arrow_grouped(spark):
     assert "Join" not in p
     tree = p.split("\n\n(")[0]
     assert tree.count("Scan parquet") == 1
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """text_contamination_ngram's 100 TB story: the (tiny) eval shingle set
+    broadcasts; the corpus stream must NOT reach a shuffle-side join."""
+    p = plan_of(spark, "text_contamination_ngram")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_embedding_dedup_blocked_join(spark):
+    """dedup_embedding_cosine: pair generation is a label-blocked equi join
+    (never a cartesian), and the duplicate-id set anti-joins broadcast."""
+    p = plan_of(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" in p
+
+
+def test_exact_substring_mapside_combine_broadcast_df(spark):
+    """dedup_exact_substring: the segment-df aggregate partial-combines
+    before its exchange and the (small) df side broadcasts onto the segment
+    stream — no cartesian, no shuffle of the corpus for the join. (The segs
+    subtree is recomputed per branch — cheap-recompute-beats-materialize,
+    same measured trade-off as ops/dedup.py's NOTE.)"""
+    p = plan_of(spark, "dedup_exact_substring")
+    tree = p.split("\n\n(")[0]
+    assert "BroadcastHashJoin" in tree
+    # df aggregate: HashAggregate above AND below its Exchange (partial+final)
+    assert tree.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in p
