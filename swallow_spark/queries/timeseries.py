@@ -335,3 +335,210 @@ def ts_anomaly_zscore(spark, sf_dir):
             (F.floor(z_raw * 10000 + F.lit(0.5)) / 10000).alias("z"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH w AS (
+  SELECT event_id, user_id, epoch(ts) AS t,
+         last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bv,
+         last_value(CASE WHEN event_type = 'purchase' THEN epoch(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bt,
+         first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fv,
+         first_value(CASE WHEN event_type = 'purchase' THEN epoch(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ft
+  FROM events
+)
+SELECT event_id, user_id,
+       CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+            WHEN ft IS NULL THEN bv
+            WHEN bt IS NULL THEN fv
+            WHEN t - bt <= ft - t THEN bv ELSE fv END AS nearest_purchase_value,
+       CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+            WHEN ft IS NULL THEN 'b'
+            WHEN bt IS NULL THEN 'f'
+            WHEN t - bt <= ft - t THEN 'b' ELSE 'f' END AS direction
+FROM w
+""",
+    tier="T2",
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest as-of: each event picks the user's purchase value closest in
+    time in EITHER direction (tie → backward), completing the asof family
+    (backward join_asof, forward join_asof_forward).
+
+    Same scalable shape as both siblings: one shuffle on the partition key
+    and two running windows — no row-multiplying join, no candidate blowup.
+    Timestamps compare as epoch seconds (identical in both engines under the
+    pinned UTC session).
+    """
+    e = load(spark, sf_dir, "events")
+    t = F.col("ts").cast("long")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    pt = F.when(F.col("event_type") == "purchase", t)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    d = e.select(
+        "event_id",
+        "user_id",
+        t.alias("t"),
+        F.last(pv, ignorenulls=True).over(wb).alias("bv"),
+        F.last(pt, ignorenulls=True).over(wb).alias("bt"),
+        F.first(pv, ignorenulls=True).over(wf).alias("fv"),
+        F.first(pt, ignorenulls=True).over(wf).alias("ft"),
+    )
+    back = (F.col("t") - F.col("bt")) <= (F.col("ft") - F.col("t"))
+    val = (
+        F.when(F.col("bt").isNull() & F.col("ft").isNull(), F.lit(None))
+        .when(F.col("ft").isNull(), F.col("bv"))
+        .when(F.col("bt").isNull(), F.col("fv"))
+        .when(back, F.col("bv"))
+        .otherwise(F.col("fv"))
+    )
+    dirn = (
+        F.when(F.col("bt").isNull() & F.col("ft").isNull(), F.lit(None))
+        .when(F.col("ft").isNull(), F.lit("b"))
+        .when(F.col("bt").isNull(), F.lit("f"))
+        .when(back, F.lit("b"))
+        .otherwise(F.lit("f"))
+    )
+    return d.select(
+        "event_id",
+        "user_id",
+        val.alias("nearest_purchase_value"),
+        dirn.alias("direction"),
+    )
+
+
+@register(
+    "ts_resample_interp",
+    oracle=f"""
+WITH bounds AS (
+  SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events
+),
+grid AS (
+  SELECT u.user_id, g.day
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 50) u,
+       LATERAL (SELECT unnest(generate_series(bounds.lo, bounds.hi,
+                                              INTERVAL 1 DAY)) AS day
+                FROM bounds) g
+),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, {sql_money_sum('value')} AS val
+  FROM events WHERE user_id < 50
+  GROUP BY 1, 2
+),
+sparse AS (
+  SELECT grid.user_id, CAST(grid.day AS DATE) AS day, daily.val
+  FROM grid LEFT JOIN daily
+    ON grid.user_id = daily.user_id AND CAST(grid.day AS DATE) = daily.day
+),
+ctx AS (
+  SELECT user_id, day, val,
+         last_value(val IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bv,
+         last_value(CASE WHEN val IS NOT NULL THEN day END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bd,
+         first_value(val IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fv,
+         first_value(CASE WHEN val IS NOT NULL THEN day END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fd
+  FROM sparse
+)
+SELECT user_id, day,
+       FLOOR((CASE WHEN val IS NOT NULL THEN val
+                   WHEN bv IS NOT NULL AND fv IS NOT NULL THEN
+                     bv + (fv - bv) * (CAST(date_diff('day', bd, day) AS DOUBLE)
+                                       / CAST(date_diff('day', bd, fd) AS DOUBLE))
+                   WHEN bv IS NOT NULL THEN bv
+                   WHEN fv IS NOT NULL THEN fv
+                   ELSE 0.0 END) * 10000 + 0.5) / 10000 AS val_interp
+FROM ctx
+""",
+    tier="T2",
+)
+def ts_resample_interp(spark, sf_dir):
+    """Linear-interpolation resampling over the dense user×day grid: missing
+    days take the straight line between the surrounding observed daily
+    values (edges extend the nearest observation; all-null series fill 0) —
+    completing the resampling family: zeros (ts_gap_fill), LOCF (ts_locf),
+    linear (here).
+
+    Scale note: identical shape to ts_locf — one shuffle on user_id, two
+    running window passes (backward + forward context), no self-join. The
+    interpolation arithmetic is one fixed IEEE expression over exact-cent
+    endpoint values, so both engines emit bit-identical doubles before the
+    shared half-up 4dp round.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    bounds = load(spark, sf_dir, "events").agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    grid = (
+        e.select("user_id").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    daily = e.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        money_sum(F.col("value")).alias("val")
+    )
+    sparse = grid.join(daily, ["user_id", "day"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("val").isNotNull(), F.col("day"))
+    ctx = sparse.select(
+        "user_id",
+        "day",
+        "val",
+        F.last("val", ignorenulls=True).over(wb).alias("bv"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("bd"),
+        F.first("val", ignorenulls=True).over(wf).alias("fv"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("fd"),
+    )
+    interp = F.col("bv") + (F.col("fv") - F.col("bv")) * (
+        F.datediff("day", "bd").cast("double")
+        / F.datediff("fd", "bd").cast("double")
+    )
+    filled = (
+        F.when(F.col("val").isNotNull(), F.col("val"))
+        .when(F.col("bv").isNotNull() & F.col("fv").isNotNull(), interp)
+        .when(F.col("bv").isNotNull(), F.col("bv"))
+        .when(F.col("fv").isNotNull(), F.col("fv"))
+        .otherwise(F.lit(0.0))
+    )
+    return ctx.select(
+        "user_id",
+        "day",
+        (F.floor(filled * 10000 + F.lit(0.5)) / 10000).alias("val_interp"),
+    )

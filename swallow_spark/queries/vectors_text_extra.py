@@ -112,3 +112,62 @@ def text_unigram_logprob(spark, sf_dir):
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "vec_quantize_int8",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale,
+         embedding
+  FROM embeddings
+),
+qq AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS iq
+  FROM q WHERE scale > 0
+)
+SELECT vec_id,
+       {sql_rnd('scale', 6)} AS scale,
+       CAST(list_sum(list_transform(iq, v -> abs(v))) AS BIGINT) AS sum_abs_q,
+       CAST(list_max(iq) AS BIGINT) AS max_q,
+       CAST(list_min(iq) AS BIGINT) AS min_q
+FROM qq
+""",
+    tier="T2",
+)
+def vec_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (the storage/serving compression
+    path for a 100 TB vector corpus): per-vector scale = max|x|/127, elements
+    mapped to floor(x/scale + 0.5) ∈ [-127, 127]. Output summarizes each
+    quantized vector with exact integers (Σ|q|, max, min) plus the rounded
+    scale, so the check is deterministic — no float-sum order dependence.
+
+    All JVM codegen (transform/aggregate lambdas); one scan, zero shuffles —
+    embarrassingly parallel at any scale.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    absd = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    scale = F.array_max(absd) / F.lit(127.0)
+    q = e.select("vec_id", scale.alias("scale"), "embedding").filter(
+        F.col("scale") > 0
+    )
+    iq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)),
+    )
+    qq = q.select("vec_id", "scale", iq.alias("iq"))
+    sum_abs = F.aggregate(
+        F.transform(F.col("iq"), lambda v: F.abs(v)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return qq.select(
+        "vec_id",
+        rnd(F.col("scale"), 6).alias("scale"),
+        sum_abs.cast("long").alias("sum_abs_q"),
+        F.array_max("iq").cast("long").alias("max_q"),
+        F.array_min("iq").cast("long").alias("min_q"),
+    )
