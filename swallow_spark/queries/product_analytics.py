@@ -5,6 +5,7 @@ cohort retention — the aggregate shapes every event warehouse runs daily.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import load
 from ..registry import register
@@ -161,4 +162,56 @@ def seq_pattern_match(spark, sf_dir):
         F.size(F.expr("regexp_extract_all(journey, 'VC*P', 0)")).cast("bigint").alias(
             "n_conversions"
         ),
+    )
+
+
+@register(
+    "win_activity_streaks",
+    oracle="""
+WITH daily AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+runs AS (
+  SELECT user_id, day,
+         date_diff('day', DATE '2024-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM daily
+),
+streaks AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM runs GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM streaks GROUP BY user_id
+""",
+    tier="T2",
+)
+def win_activity_streaks(spark, sf_dir):
+    """Longest consecutive-active-day streak per user — the canonical
+    gaps-and-islands shape (day index minus row_number is constant within a
+    run). Pure integer output, so parity is exact.
+
+    Scale note: one distinct + two aggregations, all partitioned by
+    user_id — a single shuffle key end-to-end; no self-joins, no windows
+    wider than the per-user day list.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = daily.select(
+        "user_id",
+        "day",
+        (
+            F.datediff("day", F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    streaks = runs.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
     )

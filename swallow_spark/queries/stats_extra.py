@@ -194,3 +194,78 @@ def agg_hhi(spark, sf_dir):
             / (F.sum("count").cast("double") * F.sum("count").cast("double"))
         ).alias("hhi")
     )
+
+
+@register(
+    "stats_chisq_independence",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, CAST(FLOOR(date_part('hour', ts) / 6) AS BIGINT) AS hband,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1),
+ct AS (SELECT hband, SUM(o) AS c FROM obs GROUP BY 1),
+n AS (SELECT SUM(o) AS n FROM obs),
+terms AS (
+  SELECT obs.event_type, obs.hband,
+         (CAST(obs.o AS DOUBLE)
+          - CAST(rt.r AS DOUBLE) * ct.c / n.n) ** 2
+           / (CAST(rt.r AS DOUBLE) * ct.c / n.n) AS term
+  FROM obs JOIN rt USING (event_type) JOIN ct USING (hband) CROSS JOIN n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       FLOOR(list_reduce(list(term ORDER BY event_type, hband),
+                         (a, b) -> a + b) * 10000 + 0.5) / 10000 AS chi2
+FROM terms
+""",
+    tier="T2",
+)
+def stats_chisq_independence(spark, sf_dir):
+    """Chi-squared independence test: event_type × 6-hour band contingency
+    table, χ² = Σ (O−E)²/E with E from exact integer marginals — the drift
+    monitor for "did the event mix change with time-of-day?".
+
+    Determinism: every O/R/C/N is an exact integer; each cell's term is one
+    fixed IEEE expression; the cross-cell sum is an ORDER-FIXED fold over
+    the (type, band)-sorted term list (ts_ewma recipe) — never a float SUM()
+    whose partial order varies. Scale: the contingency table is |types|×4
+    cells regardless of input size; one aggregate over the fact stream,
+    everything after operates on tens of rows.
+    """
+    e = load(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", (F.hour("ts") / 6).cast("long").alias("hband")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("hband").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    ex = F.col("r").cast("double") * F.col("c") / F.col("n")
+    terms = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hband")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "hband",
+            ((F.col("o").cast("double") - ex) ** 2 / ex).alias("term"),
+        )
+    )
+    folded = (
+        terms.agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sort_array(
+                F.collect_list(F.struct("event_type", "hband", "term"))
+            ).alias("s"),
+        )
+        .withColumn(
+            "chi2_raw",
+            F.expr(
+                "aggregate(s, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
+            ),
+        )
+    )
+    return folded.select(
+        "n_cells",
+        (F.floor(F.col("chi2_raw") * 10000 + F.lit(0.5)) / 10000).alias("chi2"),
+    )
