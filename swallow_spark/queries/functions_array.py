@@ -40,7 +40,9 @@ def fn_array(spark, sf_dir):
         F.size(arr).cast("long").alias("n_tokens"),
         F.array_contains(arr, "data").cast("int").alias("has_data"),
         F.array_join(F.slice(arr, 1, 3), "|").alias("first3"),
-        F.element_at(arr, 2).alias("second_token"),
+        # try_element_at: a 1-token doc must yield NULL like DuckDB's [2],
+        # not an ANSI INVALID_ARRAY_INDEX crash (testdata-drift hardening)
+        F.try_element_at(arr, F.lit(2)).alias("second_token"),
         F.size(F.array_distinct(arr)).cast("long").alias("n_uniq"),
         F.array_join(F.sort_array(F.array_distinct(F.slice(arr, 1, 5))), "|").alias(
             "first5_sorted"

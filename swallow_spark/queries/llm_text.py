@@ -77,7 +77,7 @@ def text_stopword_filter(spark, sf_dir):
 SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n
 FROM (
   SELECT lang, unnest(list_transform(
-           generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+           generate_series(1, len(string_split(text, ' ')) - 1),
            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
   FROM documents
 )
@@ -92,13 +92,17 @@ def text_ngrams(spark, sf_dir):
     split() runs once per row — Catalyst does not hoist loop-invariant
     subexpressions out of higher-order-function lambdas (BENCH.md lesson;
     referencing `arr` directly inside the index transform re-splits the
-    text per element)."""
+    text per element). A 1-token doc yields ZERO bigrams in both engines
+    (Spark sequence(1, 0) would count DOWN, and element_at past the end is
+    an ANSI crash — guarded with an explicit size >= 2 branch)."""
     d = load(spark, sf_dir, "documents")
     bigrams = F.expr(
         """
         element_at(transform(array(split(text, ' ')), a ->
-          transform(sequence(1, greatest(size(a) - 1, 1)),
-            i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))), 1)
+          CASE WHEN size(a) >= 2 THEN
+            transform(sequence(1, size(a) - 1),
+              i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))
+          ELSE array() END), 1)
         """
     )
     return (

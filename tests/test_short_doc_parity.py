@@ -56,29 +56,59 @@ def short_dir():
     shutil.rmtree(os.path.dirname(DST), ignore_errors=True)
 
 
-def test_text_fingerprint_short_docs_match_oracle(spark, short_dir):
+def _doc_oracle_keys():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from swallow_spark.registry import all_queries
+
+    return sorted(
+        k for k, q in all_queries().items() if q.oracle and "documents" in q.oracle
+    )
+
+
+@pytest.fixture(scope="module")
+def short_duck(short_dir):
+    from swallow_spark import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{short_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", _doc_oracle_keys())
+def test_doc_keys_survive_short_docs(spark, short_dir, short_duck, key):
+    """EVERY documents-reading oracle key must hash-match its oracle when
+    the table contains empty/1..9-char texts — the driver regenerates
+    testdata between rounds, and a crash here is a hard driver `err`
+    (this probe caught text_ngrams and fn_array ANSI index crashes)."""
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
     from oracle_diff import canon_pdf, digest
 
-    from swallow_spark import TABLES
     from swallow_spark.registry import all_queries
 
-    q = all_queries()["text_fingerprint"]
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{short_dir}/{t}.parquet')"
-        )
+    q = all_queries()[key]
     s_pdf = canon_pdf(q.fn(spark, short_dir).toPandas())
-    d_pdf = canon_pdf(con.sql(q.oracle).fetchdf())
-    con.close()
-
-    assert len(s_pdf) == len(d_pdf) > 0
+    d_pdf = canon_pdf(short_duck.sql(q.oracle).fetchdf())
+    assert list(s_pdf.columns) == list(d_pdf.columns)
+    assert len(s_pdf) == len(d_pdf)
     assert digest(s_pdf) == digest(d_pdf)
-    # and the short docs specifically produced non-NULL fingerprints
+
+
+def test_text_fingerprint_short_docs_non_null(spark, short_dir):
+    """Short docs must produce real (zero-padded-window) fingerprints, not
+    NULLs — mirroring the oracle's ascii('') = 0 padding."""
+    from swallow_spark.registry import all_queries
+
+    s_pdf = all_queries()["text_fingerprint"].fn(spark, short_dir).toPandas()
     shorts = s_pdf[s_pdf["doc_id"] >= 10_000]
     assert len(shorts) == len(SHORT_TEXTS)
     assert shorts["fingerprint"].notna().all()
