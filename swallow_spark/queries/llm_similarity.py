@@ -33,16 +33,22 @@ from ..registry import register
 _N_PROBES = 10
 _K = 5
 
-# quantize once per vector; norms from the same integer units
+# quantize once per vector; norms from the same integer units. Zero-norm
+# vectors are EXCLUDED (cosine is undefined for them): without the guard a
+# drifted all-zero embedding is an ANSI DIVIDE_BY_ZERO on the Spark side
+# and a NaN on the DuckDB side — and the engines then disagree on NaN
+# comparisons (tests/test_zero_vector_parity.py).
 _NORMS_SQL = f"""
 iv AS (
   SELECT vec_id, label, {sql_int_units('embedding')} AS iv
   FROM embeddings
 ),
 norms AS (
-  SELECT vec_id, label, iv,
-         sqrt(CAST({sql_dot_int('iv', 'iv')} AS DOUBLE) / {SCALE}) AS nrm
-  FROM iv
+  SELECT * FROM (
+    SELECT vec_id, label, iv,
+           sqrt(CAST({sql_dot_int('iv', 'iv')} AS DOUBLE) / {SCALE}) AS nrm
+    FROM iv
+  ) WHERE nrm > 0
 )
 """
 
@@ -55,7 +61,7 @@ def _norms(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     withiv = e.select("vec_id", "label", int_units(F.col("embedding")).alias("iv"))
     nrm = F.sqrt(dot_int(F.col("iv"), F.col("iv")).cast("double") / F.lit(SCALE))
-    return withiv.withColumn("nrm", nrm)
+    return withiv.withColumn("nrm", nrm).filter(F.col("nrm") > 0)
 
 
 def _pair_cos():
@@ -299,7 +305,8 @@ def ann_lsh_bucketed(spark, sf_dir):
         F.posexplode(buckets).alias("table", "bucket"),
     )
     nrm = F.sqrt(dot_int(F.col("iv"), F.col("iv")).cast("double") / F.lit(SCALE))
-    n = bucketed.withColumn("nrm", nrm)
+    # zero-norm vectors excluded: cosine undefined (see _NORMS_SQL note)
+    n = bucketed.withColumn("nrm", nrm).filter(F.col("nrm") > 0)
     cos = _pair_cos()
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (

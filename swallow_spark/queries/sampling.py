@@ -145,7 +145,8 @@ def ann_ivf_kmeans(spark, sf_dir):
         cells_ranked.getItem(1).getField("i").alias("cell1"),
     )
     nrm = F.sqrt(dot_int(F.col("iv"), F.col("iv")).cast("double") / F.lit(SCALE))
-    n = assigned.withColumn("nrm", nrm)
+    # zero-norm vectors excluded: cosine undefined (see llm_similarity note)
+    n = assigned.withColumn("nrm", nrm).filter(F.col("nrm") > 0)
     # corpus indexed by its home cell; probes search their 2 nearest cells
     corpus = n.select("vec_id", "iv", "nrm", F.col("cell0").alias("cell"))
     probes = n.filter(F.col("vec_id") < 10).select(

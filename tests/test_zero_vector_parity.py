@@ -1,0 +1,111 @@
+"""Zero-vector drift hardening (sibling of test_short_doc_parity).
+
+The driver regenerates testdata between rounds; an all-zero embedding would
+make every cosine division 0/0 — an ANSI DIVIDE_BY_ZERO crash on the Spark
+side and a NULL/NaN on the DuckDB side (whose NaN comparison semantics also
+differ). The cosine family excludes zero-norm vectors up front (cosine is
+undefined for them); this suite runs every embeddings-reading key against a
+table containing two all-zero vectors and checks Spark still hash-matches
+the oracle (rows-only keys: must at least run).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SRC = "/root/testdata/sf0.001"
+DST = "/tmp/swallow_spark_zerovec/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def zv_dir():
+    os.makedirs(DST, exist_ok=True)
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        src = f"{SRC}/{name}.parquet"
+        dst = f"{DST}/{name}.parquet"
+        if name == "embeddings":
+            t = pq.read_table(src)
+            extra = pa.table(
+                {
+                    "vec_id": pa.array(
+                        [99_001, 99_002], type=t.schema.field("vec_id").type
+                    ),
+                    "embedding": pa.array(
+                        [[0.0] * 64, [0.0] * 64],
+                        type=t.schema.field("embedding").type,
+                    ),
+                    "label": pa.array([0, 1], type=t.schema.field("label").type),
+                }
+            )
+            pq.write_table(
+                pa.concat_tables([t.select(extra.column_names), extra]), dst
+            )
+        else:
+            shutil.copyfile(src, dst)
+    yield DST
+    shutil.rmtree(os.path.dirname(DST), ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def zv_duck(zv_dir):
+    from swallow_spark import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{zv_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _emb_keys():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from swallow_spark.registry import all_queries
+
+    oracled = sorted(
+        k for k, q in all_queries().items() if q.oracle and "embeddings" in q.oracle
+    )
+    rows_only = ["ann_lsh_bucketed", "ann_ivf_kmeans"]
+    return oracled, rows_only
+
+
+ORACLED, ROWS_ONLY = _emb_keys()
+
+
+@pytest.mark.parametrize("key", ORACLED)
+def test_embedding_keys_survive_zero_vectors(spark, zv_dir, zv_duck, key):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from oracle_diff import canon_pdf, digest
+
+    from swallow_spark.registry import all_queries
+
+    q = all_queries()[key]
+    s_pdf = canon_pdf(q.fn(spark, zv_dir).toPandas())
+    d_pdf = canon_pdf(zv_duck.sql(q.oracle).fetchdf())
+    assert list(s_pdf.columns) == list(d_pdf.columns)
+    assert len(s_pdf) == len(d_pdf)
+    assert digest(s_pdf) == digest(d_pdf)
+
+
+@pytest.mark.parametrize("key", ROWS_ONLY)
+def test_rows_only_ann_keys_survive_zero_vectors(spark, zv_dir, key):
+    from swallow_spark.registry import all_queries
+
+    out = all_queries()[key].fn(spark, zv_dir).toPandas()
+    assert len(out) > 0  # runs without an ANSI crash; zero vecs just drop out
