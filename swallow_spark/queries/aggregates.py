@@ -10,6 +10,7 @@ across 1000 executors.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..conform import (
     cents,
@@ -471,4 +472,71 @@ def agg_weighted_avg(spark, sf_dir):
             / F.sum(qty),
             4,
         ).alias("wavg_price")
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle=f"""
+WITH w AS (
+  SELECT l_returnflag, {sql_cents('l_extendedprice')} AS price_cents,
+         l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+),
+cum AS (
+  SELECT l_returnflag, price_cents, wt,
+         SUM(wt) OVER (PARTITION BY l_returnflag
+                       ORDER BY price_cents, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+  FROM w
+)
+SELECT l_returnflag,
+       CAST(MIN(price_cents) AS DOUBLE) / 100 AS weighted_median_price
+FROM cum
+WHERE cw * 2 >= tw
+GROUP BY l_returnflag
+""",
+    tier="T2",
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact weighted median (quantity-weighted price per flag): the lowest
+    value whose cumulative weight reaches half the total — neither engine
+    has a native weighted percentile, so both run the same cumulative-sum
+    rewrite. Everything is integer (cent prices, integer weights, one
+    total order with orderkey/linenumber tiebreak), so the pick is
+    deterministic and the division happens once at the end.
+
+    Scale note: one shuffle on the group key; the running sum is a linear
+    per-partition scan (same cost class as any ranking window). No
+    collect, no per-group materialization beyond the window frame.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        cents(F.col("l_extendedprice")).alias("price_cents"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("wt").over(wcum).alias("cw"),
+        F.sum("wt").over(wtot).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            (F.min("price_cents").cast("double") / F.lit(100)).alias(
+                "weighted_median_price"
+            )
+        )
     )
