@@ -120,12 +120,16 @@ def decode_bytes_frames(payload: bytes, frame: int = 16):
 
 def frame_sampler(decode=decode_bytes_frames, stride: int = 4):
     """Build the mapInPandas batch fn: decode → stride-sample → one row per
-    kept frame (the fan-out shape a real video pipeline uses)."""
+    kept frame (the fan-out shape a real video pipeline uses). Emits the
+    frame bytes as an uppercase hex string so the declared output stays
+    scalar (the round-1 output contract) and the byte math is oracle-checkable:
+    a byte slice [o, o+16) of the payload IS the hex-char slice
+    [2o, 2o+32) of hex(payload), in any engine, for any UTF-8 input."""
     import pandas as pd
 
     def sample(batches):
         for pdf in batches:
-            rows = {"doc_id": [], "frame_idx": [], "offset": [], "frame": []}
+            rows = {"doc_id": [], "frame_idx": [], "offset": [], "frame_hex": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 frames = decode(bytes(payload))
                 off = 0
@@ -134,44 +138,83 @@ def frame_sampler(decode=decode_bytes_frames, stride: int = 4):
                         rows["doc_id"].append(doc_id)
                         rows["frame_idx"].append(fi)
                         rows["offset"].append(off)
-                        rows["frame"].append(fb)
+                        rows["frame_hex"].append(fb.hex().upper())
                     off += len(fb)
             yield pd.DataFrame(rows)
 
     return sample
 
 
-@register("multimodal_frame_sample", oracle=None, tier="T3")
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, hex(encode(text)) AS ph,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+i AS (
+  SELECT doc_id, ph, t.fi
+  FROM f, unnest(generate_series(CAST(0 AS BIGINT), CAST(n // 16 AS BIGINT) - 1)) AS t(fi)
+)
+SELECT doc_id,
+       CAST(fi AS INT) AS frame_idx,
+       CAST(fi * 16 AS BIGINT) AS "offset",
+       substr(ph, CAST(fi * 32 + 1 AS BIGINT), 32) AS frame_hex
+FROM i WHERE fi % 4 = 0
+""",
+    tier="T2",
+)
 def multimodal_frame_sample(spark, sf_dir):
     """Video-style frame sampling: treat the payload as fixed-size 16-byte
     frames, keep every 4th frame (stride sampling), emit one row per kept
-    frame with its offset and bytes — the fan-out shape a real video
-    pipeline (decode → sample → per-frame model) uses.
+    frame with its byte offset and hex-encoded bytes — the fan-out shape a
+    real video pipeline (decode → sample → per-frame model) uses.
 
     Real plumbing, stub decode: `decode_bytes_frames` slices bytes; a real
     demuxer plugs into `frame_sampler(decode=...)` without touching this
-    operator.
+    operator. ORACLE-CHECKED via the hex trick: DuckDB cannot slice BLOBs,
+    but byte slice [o, o+16) of the payload equals hex-char slice
+    [2o, 2o+32) of hex(payload) — exact byte semantics, drift-proof even if
+    regenerated testdata turns non-ASCII.
     """
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return d.mapInPandas(
-        frame_sampler(), "doc_id long, frame_idx int, offset long, frame binary"
+        frame_sampler(), "doc_id long, frame_idx int, offset long, frame_hex string"
     )
 
 
-@register("multimodal_image_tiles", oracle=None, tier="T3")
+@register(
+    "multimodal_image_tiles",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, hex(encode(text)) AS ph,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(t.i - 1 AS INT) AS tile_idx,
+       substr(ph, (t.i - 1) * 128 + 1, 128) AS tile_hex,
+       CAST(length(substr(ph, (t.i - 1) * 128 + 1, 128)) / 2 AS BIGINT) AS tile_len
+FROM f, unnest(generate_series(CAST(1 AS BIGINT), greatest(CAST(n // 64 AS BIGINT), 1))) AS t(i)
+""",
+    tier="T2",
+)
 def multimodal_image_tiles(spark, sf_dir):
     """Image-style tiling entirely in JVM expressions: slice the binary
     payload into 64-byte tiles with posexplode — fan-out without Python.
 
     Stub decode (tiles are byte ranges, a real impl tiles pixel grids); the
     partitioning story is the point: tiles shuffle by (doc, tile) so
-    per-tile feature extraction parallelizes beyond per-image."""
+    per-tile feature extraction parallelizes beyond per-image. ORACLE-CHECKED
+    via the hex trick (see multimodal_frame_sample): each 64-byte binary
+    tile is emitted as its 128-hex-char slice, byte-exact in both engines."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),
-        F.length("text").alias("n_bytes"),
+        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
     )
     TILE = 64
     # substring with a dynamic start needs the SQL lambda form
@@ -179,6 +222,12 @@ def multimodal_image_tiles(spark, sf_dir):
         f"transform(sequence(1, greatest(cast(n_bytes / {TILE} as int), 1)), "
         f"i -> substring(payload, (i - 1) * {TILE} + 1, {TILE}))"
     )
-    return d.select(
-        "doc_id", F.posexplode(tiles).alias("tile_idx", "tile")
-    ).withColumn("tile_len", F.length("tile").cast("long"))
+    return (
+        d.select("doc_id", F.posexplode(tiles).alias("tile_idx", "tile"))
+        .select(
+            "doc_id",
+            "tile_idx",
+            F.hex("tile").alias("tile_hex"),
+            F.length("tile").cast("long").alias("tile_len"),
+        )
+    )

@@ -70,8 +70,8 @@ def test_frame_sampler_with_injected_decoder(spark):
     d = _payload_df(spark, ["whatever"])
     out = d.mapInPandas(
         frame_sampler(decode=fake_decode, stride=2),
-        "doc_id long, frame_idx int, offset long, frame binary",
+        "doc_id long, frame_idx int, offset long, frame_hex string",
     ).collect()
-    kept = sorted((r.frame_idx, r.offset, bytes(r.frame)) for r in out)
+    kept = sorted((r.frame_idx, r.offset, bytes.fromhex(r.frame_hex)) for r in out)
     # stride 2 keeps frames 0, 2, 4; offsets are cumulative frame sizes
     assert kept == [(0, 0, b"A"), (2, 3, b"CCC"), (4, 10, b"EEEEE")]
