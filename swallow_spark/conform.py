@@ -85,3 +85,44 @@ def sql_money_avg(expr: str, n: int = 2, out_digits: int = 4) -> str:
     m = 10**n
     inner = f"CAST(SUM({sql_cents(expr, n)}) AS DOUBLE) / {m} / COUNT(*)"
     return sql_rnd(inner, out_digits)
+
+
+# ------------------------------------------------- portable polynomial hash
+# A deterministic string hash BOTH engines compute identically with pure
+# int64 arithmetic: H = fold(codepoints, acc -> (acc*31 + c) mod P), seed 7,
+# P = 1e9+7. acc < P ≈ 2^30, so acc*31 + 255 < 2^35 — no overflow in either
+# engine. Unlike xxhash64 (Spark-only), this makes hash-dependent operators
+# (count-min sketch, minhash) ORACLE-CHECKABLE in DuckDB. It is a weaker
+# mixer than xxhash64 — fine for sketch bucketing where the oracle proves
+# the exact estimate, and the cost is O(len) lambda steps per string, so
+# hash each DISTINCT string once, not each occurrence.
+
+POLY_P = 1_000_000_007
+POLY_SEED = 7
+
+
+def poly_hash(col: str) -> Column:
+    """Spark column: portable polynomial hash of a string column."""
+    return F.expr(sql_poly_hash_spark(col))
+
+
+def sql_poly_hash_spark(expr: str) -> str:
+    # CASE guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
+    # an empty string must short-circuit to the bare seed (as DuckDB's
+    # empty-list reduce does).
+    return (
+        f"CASE WHEN length({expr}) = 0 THEN CAST({POLY_SEED} AS BIGINT) ELSE "
+        f"aggregate(transform(sequence(1, length({expr})), "
+        f"i -> cast(ascii(substring({expr}, i, 1)) as bigint)), "
+        f"cast({POLY_SEED} as bigint), "
+        f"(acc, c) -> (acc * 31 + c) % {POLY_P}) END"
+    )
+
+
+def sql_poly_hash_duck(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST({POLY_SEED} AS BIGINT), "
+        f"list_transform(generate_series(1, length({expr})), "
+        f"i -> CAST(ascii(substr({expr}, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {POLY_P})"
+    )

@@ -384,3 +384,120 @@ def dedup_exact_substring(spark, sf_dir):
             ).alias("dup_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------- portable
+# MinHash with the cross-engine polynomial hash (conform.poly_hash): token
+# hashes fold into shingle hashes with multiplier 100003 mod P; 32 affine
+# permutations ((2j+1)·h + 97j + 13) mod P; 8 bands × 4 rows fold the same
+# way. Every step is plain int64 arithmetic both engines compute
+# identically, so the WHOLE pipeline — signatures, banding, buckets, pairs
+# — is hash-checked against DuckDB (the xxhash64 twin above stays the fast
+# path; this one is the provable path).
+
+_PB = 100_003  # fold multiplier; acc < P ≈ 2^30 so acc*B < 2^47
+
+from ..conform import POLY_P as _PP  # noqa: E402
+from ..conform import sql_poly_hash_duck as _phd  # noqa: E402
+from ..conform import sql_poly_hash_spark as _phs  # noqa: E402
+
+_MINHASH_PORTABLE_SQL = f"""
+WITH th AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), t -> {_phd('t')}) AS hs
+  FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(hs) - 4, 1)),
+           i -> list_reduce(list_slice(hs, i, i + 4),
+                            (acc, hh) -> (acc * {_PB} + hh) % {_PP}))) AS shs
+  FROM th
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(CAST(0 AS BIGINT), 31),
+           j -> list_min(list_transform(shs,
+                  h -> ((2 * j + 1) * h + 97 * j + 13) % {_PP}))) AS sg
+  FROM shl
+),
+bands AS (
+  SELECT doc_id, CAST(b.band AS INT) AS band,
+         list_reduce(list_slice(sg, b.band * 4 + 1, b.band * 4 + 4),
+                     (acc, v) -> (acc * {_PB} + v) % {_PP}) AS band_hash
+  FROM sig, unnest(generate_series(CAST(0 AS BIGINT), 7)) AS b(band)
+)
+SELECT a.doc_id AS d1, b2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_bands
+FROM bands a
+JOIN bands b2 ON a.band = b2.band AND a.band_hash = b2.band_hash
+            AND a.doc_id < b2.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("dedup_minhash_portable", oracle=_MINHASH_PORTABLE_SQL, tier="T2")
+def dedup_minhash_portable(spark, sf_dir):
+    """MinHash(32 portable perms) + LSH banding (8×4) candidate pairs,
+    ORACLE-CHECKED end to end: unlike dedup_minhash_lsh (xxhash64, fast
+    path, rows-only), every hash here is the conform.poly_hash polynomial
+    family, so DuckDB reproduces signatures → bands → buckets → pairs
+    bit-for-bit. Same truncated-last-shingle semantics as ops.text.shingles
+    (docs shorter than 5 tokens fold their full token array once).
+
+    Plan shape (identical scale story to the fast twin): token-hash fold →
+    distinct shingle hashes explode → ONE partial+final aggregate computing
+    all 32 per-permutation MINs (map-side combine) → band fold → posting-
+    list bucket grouping — one shuffle on the band key, no doc-side
+    broadcast, O(shingles) not O(n²)."""
+    d = load(spark, sf_dir, "documents")
+    hs = F.expr(f"transform(split(text, ' '), t -> {_phs('t')})")
+    sh = (
+        d.select("doc_id", hs.alias("hs"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(hs) - 4, 1)), "
+                        f"i -> aggregate(slice(hs, i, 5), cast(0 as bigint), "
+                        f"(acc, hh) -> (acc * {_PB} + hh) % {_PP}))"
+                    )
+                )
+            ).alias("h"),
+        )
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(2 * j + 1) * F.col("h") + F.lit(97 * j + 13)) % F.lit(_PP)
+            ).alias(f"m{j}")
+            for j in range(32)
+        ]
+    )
+    band_hashes = F.array(
+        *[
+            F.expr(
+                f"aggregate(array({', '.join(f'm{b * 4 + r}' for r in range(4))}), "
+                f"cast(0 as bigint), (acc, v) -> (acc * {_PB} + v) % {_PP})"
+            )
+            for b in range(8)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_hashes).alias("band", "band_hash"))
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_structs = F.expr(
+        "flatten(transform(sequence(1, size(ds) - 1), "
+        "i -> transform(sequence(i + 1, size(ds)), "
+        "j -> struct(element_at(ds, i) AS d1, element_at(ds, j) AS d2))))"
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+    )

@@ -13,19 +13,29 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..conform import POLY_P, poly_hash, sql_poly_hash_duck
 from ..io import load
 from ..registry import register
 
 _D, _W = 4, 1024  # depth (hash functions) x width (buckets per row)
 
+# Row-i hash: ((2i+1)*H + 97i + 13) mod P mod W — pairwise-distinct affine
+# maps of the shared portable polynomial hash H (conform.poly_hash). H < P
+# ≈ 2^30, multiplier ≤ 7, so everything stays far inside int64 in both
+# engines.
+
 
 def _bucketed(col_df, token_col="token"):
     """Explode each token into its _D (seed, bucket) sketch coordinates."""
+    h = poly_hash(token_col)
     coords = F.array(
         *[
             F.struct(
                 F.lit(i).alias("seed"),
-                F.pmod(F.xxhash64(token_col, F.lit(i)), F.lit(_W)).alias("bucket"),
+                (
+                    (F.lit(2 * i + 1) * h + F.lit(97 * i + 13)) % F.lit(POLY_P)
+                    % F.lit(_W)
+                ).alias("bucket"),
             )
             for i in range(_D)
         ]
@@ -35,35 +45,66 @@ def _bucketed(col_df, token_col="token"):
     )
 
 
-@register("sketch_count_min", oracle=None, tier="T3")
+_CMS_SQL = f"""
+WITH tok AS (
+  SELECT t AS token
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+tc AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+coords AS (
+  SELECT token, cnt, s.seed,
+         ((2 * s.seed + 1) * {sql_poly_hash_duck('token')} + 97 * s.seed + 13)
+           % {POLY_P} % {_W} AS bucket
+  FROM tc, unnest(generate_series(CAST(0 AS BIGINT), {_D - 1})) AS s(seed)
+),
+sketch AS (SELECT seed, bucket, SUM(cnt) AS c FROM coords GROUP BY seed, bucket),
+top20 AS (SELECT token, cnt AS exact_cnt FROM tc
+          ORDER BY cnt DESC, token LIMIT 20)
+SELECT t.token,
+       CAST(t.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(MIN(sk.c) AS BIGINT) AS est_cnt
+FROM top20 t
+JOIN coords pc ON pc.token = t.token
+JOIN sketch sk ON sk.seed = pc.seed AND sk.bucket = pc.bucket
+GROUP BY 1, 2
+ORDER BY exact_cnt DESC, t.token
+"""
+
+
+@register("sketch_count_min", oracle=_CMS_SQL, tier="T2")
 def sketch_count_min(spark, sf_dir):
     """Count-min sketch frequency estimation for the corpus's top-20 tokens.
 
-    Build: one explode (token -> d coordinate rows) + one groupBy
-    (seed, bucket) count — map-side combinable, producing at most d*w
-    (= 4096) cells no matter how many distinct tokens exist. Probe: the
-    candidate tokens join the (broadcast) sketch on their coordinates and
-    take min() across the d rows — the classic CMS upper-bound estimate
-    (est >= exact always; collisions only inflate).
+    Build: exact per-token counts (needed for the probe comparison anyway)
+    feed d affine bucket hashes per DISTINCT token — each string is hashed
+    once, not once per occurrence — then one groupBy (seed, bucket) SUM
+    produces at most d*w (= 4096) cells no matter how many distinct tokens
+    exist. Probe: the candidate tokens join the (broadcast) sketch on their
+    coordinates and take min() across the d rows — the classic CMS
+    upper-bound estimate (est >= exact always; collisions only inflate).
 
-    Rows-only: the estimate depends on xxhash64 seeds, which DuckDB cannot
-    reproduce; tests/test_sketches.py asserts the CMS bound against the
-    exact counts instead. Deterministic across runs (fixed seeds, exact
-    integer counters).
+    ORACLE-CHECKED: hashes use conform.poly_hash, the portable polynomial
+    hash both engines compute identically, so DuckDB rebuilds the entire
+    sketch bit-for-bit (promoted from rows-only in round 4; the CMS
+    upper-bound property stays asserted in tests/test_sketches.py).
+
+    Scale note: at 100 TB you stream occurrences into the sketch without
+    the exact groupBy (that is the point of a CMS); both shapes are one
+    map-side-combinable aggregate over the token stream, and the sketch
+    itself never exceeds d*w cells, so the probe-side broadcast is O(1).
     """
     docs = load(spark, sf_dir, "documents")
     tok = (
         docs.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"))
         .filter(F.col("token") != "")
     )
-    sketch = (
-        _bucketed(tok)
-        .groupBy("seed", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    tc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    coords = _bucketed(tc)
+    sketch = coords.groupBy("seed", "bucket").agg(F.sum("cnt").alias("c"))
     exact_top = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        tc.withColumnRenamed("cnt", "exact_cnt")
         .orderBy(F.col("exact_cnt").desc(), "token")
         .limit(20)
     )

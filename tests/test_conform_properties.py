@@ -165,6 +165,25 @@ def test_minhash_approximates_jaccard(spark):
     assert true_pairs <= cand, f"missed: {true_pairs - cand}"
 
 
+def test_minhash_portable_approximates_jaccard(spark):
+    """The oracle-checked portable-hash MinHash must have the same recall
+    property as the xxhash64 fast path: band collisions cover every true
+    high-Jaccard pair."""
+    from swallow_spark.registry import all_queries
+
+    qs = all_queries()
+    true_pairs = {
+        (r.d1, r.d2)
+        for r in qs["dedup_near_exact_jaccard"].fn(spark, "/root/testdata/sf0.001").collect()
+        if r.jaccard >= 0.9
+    }
+    cand = {
+        (r.d1, r.d2)
+        for r in qs["dedup_minhash_portable"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert true_pairs <= cand, f"missed: {true_pairs - cand}"
+
+
 def test_approx_distinct_error_bound(spark):
     """HLL approx distinct must stay within its advertised error of the
     exact twin per group (default rsd 5% → assert a generous 3σ ≈ 15%),
