@@ -501,3 +501,103 @@ def dedup_minhash_portable(spark, sf_dir):
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
     )
+
+
+_SIMHASH_PORTABLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM documents
+),
+h AS (SELECT doc_id, {_phd('t')} AS hh FROM tok),
+bits AS (
+  SELECT doc_id, j.j,
+         SUM(CASE WHEN ((2 * j.j + 1) * hh + 97 * j.j + 13) % {_PP} % 2 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM h, unnest(generate_series(CAST(0 AS BIGINT), 31)) AS j(j)
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                  ELSE CAST(0 AS BIGINT) END) AS sig
+  FROM bits GROUP BY doc_id
+),
+segs AS (
+  SELECT doc_id, sig, k.k AS seg_id,
+         (sig >> CAST(k.k * 8 AS INT)) & 255 AS seg_val
+  FROM sigs, unnest(generate_series(CAST(0 AS BIGINT), 3)) AS k(k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+  FROM segs a
+  JOIN segs b ON a.seg_id = b.seg_id AND a.seg_val = b.seg_val
+             AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, hamming FROM cand WHERE hamming <= 4
+"""
+
+
+@register("dedup_simhash_portable", oracle=_SIMHASH_PORTABLE_SQL, tier="T2")
+def dedup_simhash_portable(spark, sf_dir):
+    """32-bit SimHash near-dup pairs (Hamming ≤ 4) with the portable
+    polynomial hash family — the ORACLE-CHECKED twin of dedup_simhash
+    (which keeps xxhash64/64-bit as the fast path): bit j of a token is
+    parity of the j-th affine map of conform.poly_hash, so DuckDB rebuilds
+    signatures, segment blocks and verified pairs exactly.
+
+    Blocking: pigeonhole on four 8-bit segments — a pair with ≤ 3 flipped
+    bits must agree exactly on some segment, and the bit_count verify on
+    the full signature makes the Hamming filter exact either way.
+    Plan shape: distinct-token explode → hash once → ONE aggregate with 32
+    ±1 parity sums (map-side combine) → segment posting-list join, no
+    all-pairs product."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    ).withColumn("hh", F.expr(_phs("t")))
+    bits = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.lit(2 * j + 1) * F.col("hh") + F.lit(97 * j + 13))
+                    % F.lit(_PP) % 2 == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(32)
+        ]
+    )
+    sig_expr = F.expr(
+        " + ".join(
+            f"(CASE WHEN b{j} > 0 THEN shiftleft(cast(1 as bigint), {j}) "
+            "ELSE cast(0 as bigint) END)"
+            for j in range(32)
+        )
+    )
+    sigs = bits.select("doc_id", sig_expr.alias("sig"))
+    segs = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), k -> shiftright(sig, k * 8) & 255)")
+        ).alias("seg_id", "seg_val"),
+    )
+    cand = (
+        segs.alias("a")
+        .join(
+            segs.alias("b"),
+            (F.col("a.seg_id") == F.col("b.seg_id"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= 4)

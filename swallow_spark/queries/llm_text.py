@@ -625,3 +625,159 @@ def text_contamination_ngram(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_overlap_shingles"))
     )
+
+
+# ------------------------------------------------------------------- BM25
+_BM25_TERMS = ("hash", "join", "scan")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+# Per-(doc, term) BM25 contribution — ONE shared SQL fragment so Spark and
+# DuckDB evaluate the identical IEEE operation sequence; summed across query
+# terms in integer micro-units (conform.py technique) so the 3-term addition
+# order cannot flip a bit.
+_BM25_CONTRIB = (
+    f"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * {_BM25_K1 + 1}) "
+    f"/ (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+)
+
+_BM25_SQL = f"""
+WITH tok AS ({_TOK_SQL}),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM dl) AS avgdl
+          FROM documents),
+qt AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok WHERE token IN {str(_BM25_TERMS)}
+       GROUP BY 1, 2),
+dfq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok WHERE token IN {str(_BM25_TERMS)} GROUP BY 1),
+contrib AS (
+  SELECT qt.doc_id,
+         CAST(FLOOR(({_BM25_CONTRIB}) * 1000000 + 0.5) AS BIGINT) AS c_micro
+  FROM qt JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, {sql_rnd('CAST(SUM(c_micro) AS DOUBLE) / 1000000', 4)} AS bm25
+FROM contrib
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("text_bm25_search", oracle=_BM25_SQL, tier="T2")
+def text_bm25_search(spark, sf_dir):
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) top-20 documents for a fixed
+    query — the retrieval scorer a training-data curation stack uses for
+    targeted corpus search and decontamination probes.
+
+    Determinism: the per-(doc, term) contribution is one shared SQL fragment
+    evaluated by both engines, then rounded to integer micro-units BEFORE
+    the cross-term sum — float addition order can't flip the hash.
+
+    Scale note: query terms filter the exploded token stream BEFORE any
+    aggregation (predicate pushdown to the scan), so tf/df shuffles carry
+    only matching rows; df and corpus stats are tiny broadcasts; top-20 is
+    TakeOrderedAndProject, no global sort.
+    """
+    tok = _tok(spark, sf_dir).select("doc_id", "token")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    d = load(spark, sf_dir, "documents")
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        F.broadcast(dl.agg((F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")))
+    )
+    q = tok.filter(F.col("token").isin(*_BM25_TERMS))
+    tf = q.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = q.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(f"CAST(FLOOR(({_BM25_CONTRIB}) * 1000000 + 0.5) AS BIGINT)").alias(
+                "c_micro"
+            ),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg((F.sum("c_micro").cast("double") / F.lit(1000000)).alias("s"))
+        .select("doc_id", rnd(F.col("s"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# -------------------------------------------------------- repetition ratio
+_REP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+base AS (
+  SELECT doc_id, ts,
+         CASE WHEN len(ts) < 2 THEN []
+              ELSE list_transform(generate_series(1, len(ts) - 1),
+                                  i -> ts[i] || ' ' || ts[i + 1]) END AS bg
+  FROM t
+),
+bgc AS (
+  SELECT doc_id, b.bigram, COUNT(*) AS c
+  FROM base, unnest(bg) AS b(bigram)
+  GROUP BY 1, 2
+),
+top_bg AS (SELECT doc_id, MAX(c) AS top_c FROM bgc GROUP BY doc_id)
+SELECT base.doc_id,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       {sql_rnd('CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)', 4)} AS distinct_ratio,
+       CASE WHEN len(ts) < 2 THEN NULL
+            ELSE {sql_rnd('CAST(top_bg.top_c AS DOUBLE) / (len(ts) - 1)', 4)} END AS top_bigram_frac
+FROM base LEFT JOIN top_bg ON base.doc_id = top_bg.doc_id
+WHERE len(ts) > 0
+"""
+
+
+@register("text_repetition_ratio", oracle=_REP_SQL, tier="T2")
+def text_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition quality signals per doc: distinct-token ratio
+    and the fraction of bigrams taken by the single most frequent bigram —
+    the screens that catch looping/boilerplate text a perplexity filter
+    misses.
+
+    Scale note: one explode over bigrams + two map-side-combinable
+    aggregates keyed by doc; the bigram array is built with the token array
+    lambda-bound so split() runs once per row, and the sequence() guard
+    avoids Spark's descending sequence(1, 0) on 1-token docs.
+    """
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.split("text", " ").alias("ts"),
+    ).withColumn(
+        "bg",
+        F.expr(
+            "CASE WHEN size(ts) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(ts) - 1), "
+            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))) END"
+        ),
+    ).filter(F.size("ts") > 0)
+    bgc = (
+        base.select("doc_id", F.explode("bg").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top_bg = bgc.groupBy("doc_id").agg(F.max("c").alias("top_c"))
+    return (
+        base.join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ts").cast("long").alias("n_tokens"),
+            rnd(
+                F.size(F.array_distinct("ts")).cast("double") / F.size("ts"), 4
+            ).alias("distinct_ratio"),
+            F.when(
+                F.size("ts") < 2, F.lit(None).cast("double")
+            ).otherwise(
+                rnd(F.col("top_c").cast("double") / (F.size("ts") - 1), 4)
+            ).alias("top_bigram_frac"),
+        )
+    )
