@@ -117,3 +117,73 @@ def graph_pagerank(spark, sf_dir):
     for df in (edges, edges_deg, nodes):
         df.unpersist()
     return out
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+WITH e AS ({_EDGES_SQL}),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e1.dst = e2.src
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+  GROUP BY node
+),
+wedges AS (SELECT SUM(d * (d - 1) // 2) AS n_wedges FROM deg)
+SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       {{rnd}} AS global_clustering
+FROM tri CROSS JOIN wedges
+""".format(rnd="(FLOOR((CAST(3 * n_triangles AS DOUBLE) / n_wedges) * 1000000 + 0.5) / 1000000)"),
+    tier="T2",
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count + global clustering coefficient of the co-purchase
+    graph — the standard oriented-edge-join algorithm: edges are kept in
+    canonical src < dst orientation, so each triangle a<b<c is produced
+    exactly once as (a,b)⋈(b,c)⋈(a,c). Clustering = 3·triangles / wedges,
+    wedges = Σ d(d-1)/2 over the undirected degree table.
+
+    Scale note: two hash joins on edge endpoints — the classic distributed
+    formulation (at 100 TB you additionally orient edges by increasing
+    degree so the join fan-out is bounded by arboricity, and pre-partition
+    the edge list by join key to reuse one shuffle). No adjacency list is
+    ever collected; degree/wedge math is one map-side-combinable aggregate.
+    """
+    e = _edges(spark, sf_dir).persist()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    und = e.selectExpr("src AS node").unionAll(e.selectExpr("dst AS node"))
+    wedges = (
+        und.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"))
+    )
+    out = tri.crossJoin(F.broadcast(wedges)).select(
+        F.col("n_triangles").cast("long"),
+        F.col("n_wedges").cast("long"),
+        (
+            F.floor(
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("global_clustering"),
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

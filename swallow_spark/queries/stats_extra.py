@@ -13,6 +13,7 @@ collect + aggregate()/list_reduce), the same recipe ts_ewma established.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..conform import rnd, sql_rnd
 from ..io import load
@@ -268,4 +269,84 @@ def stats_chisq_independence(spark, sf_dir):
     return folded.select(
         "n_cells",
         (F.floor(F.col("chi2_raw") * 10000 + F.lit(0.5)) / 10000).alias("chi2"),
+    )
+
+
+_KS_NE = "CAST(n1 * n2 AS DOUBLE) / (n1 + n2)"
+
+_KS_SQL = f"""
+WITH s AS (
+  SELECT c_acctbal AS v,
+         SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS c2
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY c_acctbal
+),
+tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM s),
+cum AS (
+  SELECT SUM(c1) OVER (ORDER BY v) AS cum1,
+         SUM(c2) OVER (ORDER BY v) AS cum2
+  FROM s
+),
+d AS (
+  SELECT MAX(ABS(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2)) AS d_stat
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST(n1 AS BIGINT) AS n1,
+       CAST(n2 AS BIGINT) AS n2,
+       {sql_rnd('d_stat', 6)} AS d_stat,
+       {sql_rnd(f'(sqrt({_KS_NE}) + 0.12 + 0.11 / sqrt({_KS_NE})) * d_stat', 4)} AS ks_lambda
+FROM d CROSS JOIN tot
+"""
+
+
+@register("stats_ks_test", oracle=_KS_SQL, tier="T2")
+def stats_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov test: D = max |F1 − F2| between the
+    account-balance distributions of two market segments, plus the
+    scaled statistic λ = (√nₑ + 0.12 + 0.11/√nₑ)·D (the input to the
+    asymptotic p-value series) — distribution-drift detection for corpus
+    and feature monitoring.
+
+    Determinism: ECDF steps are exact integer cumulative counts divided
+    once per row (exact below 2^53), so the max and λ are bit-identical in
+    both engines; the only window runs over DISTINCT values pre-aggregated
+    per value, which also bounds the single-reducer sort input to
+    |distinct values| rows — the 100 TB-safe formulation of a global-sort
+    statistic.
+    """
+    c = load(spark, sf_dir, "customer")
+    s = (
+        c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(F.col("c_acctbal").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0)).alias("c2"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = s.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    cum = s.select(
+        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum1").cast("double") / F.col("n1")
+                    - F.col("cum2").cast("double") / F.col("n2")
+                )
+            ).alias("d_stat")
+        )
+    )
+    ne = F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    return d.crossJoin(F.broadcast(tot)).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        rnd(F.col("d_stat"), 6).alias("d_stat"),
+        rnd((F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * F.col("d_stat"), 4).alias(
+            "ks_lambda"
+        ),
     )
