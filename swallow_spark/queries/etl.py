@@ -465,3 +465,57 @@ def etl_data_expectations(spark, sf_dir):
     return one.select(
         F.expr(f"stack({len(names)}, {stack}) AS (constraint, violations)")
     ).select("constraint", F.col("violations").cast("bigint").alias("violations"))
+
+
+_CANON_SQL = f"""
+WITH RECURSIVE jac AS ({_JACCARD_SQL}),
+adj AS (
+  SELECT d1 AS src, d2 AS dst FROM jac
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM jac
+),
+reach(node, comp) AS (
+  SELECT src, src FROM adj
+  UNION
+  SELECT a.src, r.comp FROM adj a JOIN reach r ON a.dst = r.node
+),
+cc AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node),
+j AS (
+  SELECT cc.doc_id, cc.component, d.n_chars
+  FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+)
+SELECT doc_id, component,
+       FIRST_VALUE(doc_id) OVER (PARTITION BY component
+                                 ORDER BY n_chars DESC, doc_id) AS canonical_id,
+       doc_id = FIRST_VALUE(doc_id) OVER (PARTITION BY component
+                                          ORDER BY n_chars DESC, doc_id) AS kept
+FROM j
+"""
+
+
+@register("dedup_cluster_canonical", oracle=_CANON_SQL, tier="T2")
+def dedup_cluster_canonical(spark, sf_dir):
+    """Survivor selection per near-dup cluster — the step after
+    dedup_connected_components in a real corpus-dedup pass: within each
+    component, the canonical document is the longest text (tiebreak: min
+    doc_id); every member row carries its component, the canonical id, and
+    a kept flag so the downstream filter is a plain `WHERE kept`.
+
+    Scale note: reuses the label-propagation components (pair-graph sized,
+    tiny vs the corpus), one broadcast-friendly join back to documents for
+    the length attribute, one window partitioned by component (dup clusters
+    are small by construction, no skewed single reducer).
+    """
+    from pyspark.sql.window import Window
+
+    cc = dedup_connected_components(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = cc.join(d, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), "doc_id")
+    canon = F.first("doc_id").over(w)
+    return j.select(
+        "doc_id",
+        "component",
+        canon.alias("canonical_id"),
+        (F.col("doc_id") == canon).alias("kept"),
+    )

@@ -350,3 +350,97 @@ def stats_ks_test(spark, sf_dir):
             "ks_lambda"
         ),
     )
+
+
+_MW_SQL = """
+WITH s AS (
+  SELECT c_acctbal AS v,
+         SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS c2
+  FROM customer
+  WHERE c_mktsegment IN ('AUTOMOBILE', 'FURNITURE')
+  GROUP BY c_acctbal
+),
+cum AS (
+  SELECT c1, c2, (c1 + c2) AS c,
+         SUM(c1 + c2) OVER (ORDER BY v) - (c1 + c2) AS prev
+  FROM s
+),
+agg AS (
+  SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+         SUM(c1 * (2 * prev + c + 1)) AS two_r1,
+         SUM(c * c * c - c) AS tie_term
+  FROM cum
+)
+SELECT CAST(n1 AS BIGINT) AS n1,
+       CAST(n2 AS BIGINT) AS n2,
+       (FLOOR((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2) * 100 + 0.5) / 100) AS u1,
+       (FLOOR((
+          (CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2
+           - CAST(n1 * n2 AS DOUBLE) / 2)
+          / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                 * ((n1 + n2 + 1) - CAST(tie_term AS DOUBLE)
+                    / ((n1 + n2) * (n1 + n2 - 1.0))))
+        ) * 10000 + 0.5) / 10000) AS z_stat
+FROM agg
+"""
+
+
+@register("stats_mann_whitney", oracle=_MW_SQL, tier="T2")
+def stats_mann_whitney(spark, sf_dir):
+    """Mann–Whitney U (rank-sum) test with tie-corrected normal
+    approximation between two market segments' balance distributions —
+    the non-parametric complement to stats_ks_test for distribution-shift
+    monitoring.
+
+    Determinism: rank sums are computed in doubled integer units
+    (2·avg-rank = 2·prev + t + 1 is always an integer), ties contribute
+    t³−t exactly, and only the final z divides through doubles — identical
+    IEEE sequences in both engines.
+
+    Scale note: like stats_ks_test, the global window runs over the
+    per-distinct-value pre-aggregate (|distinct| rows), never the raw
+    table; everything else is one map-side-combinable aggregate.
+    """
+    c = load(spark, sf_dir, "customer")
+    s = (
+        c.filter(F.col("c_mktsegment").isin("AUTOMOBILE", "FURNITURE"))
+        .groupBy(F.col("c_acctbal").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("c_mktsegment") == "FURNITURE", 1).otherwise(0)).alias("c2"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = s.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        (F.sum(F.col("c1") + F.col("c2")).over(w) - (F.col("c1") + F.col("c2"))).alias(
+            "prev"
+        ),
+    )
+    agg = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * (F.lit(2) * F.col("prev") + F.col("c") + 1)).alias("two_r1"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie_term"),
+    )
+    u1 = (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2
+    mean_u = F.col("n1").cast("double") * F.col("n2") / 2
+    var_u = (
+        F.col("n1").cast("double") * F.col("n2") / F.lit(12.0)
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - F.col("tie_term").cast("double")
+            / ((F.col("n1") + F.col("n2")) * (F.col("n1") + F.col("n2") - F.lit(1.0)))
+        )
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        (F.floor(u1 * 100 + F.lit(0.5)) / 100).alias("u1"),
+        (F.floor((u1 - mean_u) / F.sqrt(var_u) * 10000 + F.lit(0.5)) / 10000).alias(
+            "z_stat"
+        ),
+    )
