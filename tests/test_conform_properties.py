@@ -113,10 +113,12 @@ def test_ann_variants_recall(spark):
         (r.probe_id, r.neighbor_id)
         for r in qs["sim_cosine_topk"].fn(spark, sf).collect()
     }
-    for key in ("ann_lsh_bucketed", "ann_ivf_kmeans"):
+    # multi-probe LSH measures ~0.96 on this fixture; 0.6 leaves drift room
+    floors = {"ann_lsh_bucketed": 0.6, "ann_ivf_kmeans": 0.2}
+    for key, floor in floors.items():
         approx = {(r.probe_id, r.neighbor_id) for r in qs[key].fn(spark, sf).collect()}
         recall = len(exact & approx) / len(exact)
-        assert recall >= 0.2, f"{key} recall {recall:.2f} too low"
+        assert recall >= floor, f"{key} recall {recall:.2f} too low"
 
 
 def test_connected_components_match_union_find(spark):
@@ -260,4 +262,4 @@ def test_ann_lsh_recall_second_corpus(spark):
         for r in qs["ann_lsh_bucketed"].fn(spark, sf).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.2, f"ann_lsh_bucketed sf0.01 recall {recall:.2f} too low"
+    assert recall >= 0.5, f"ann_lsh_bucketed sf0.01 recall {recall:.2f} too low"
