@@ -252,3 +252,32 @@ def test_exact_substring_mapside_combine_broadcast_df(spark):
     # df aggregate: HashAggregate above AND below its Exchange (partial+final)
     assert tree.count("HashAggregate") >= 4
     assert "CartesianProduct" not in p
+
+
+def test_bm25_pushes_terms_and_broadcasts_stats(spark):
+    """BM25 must broadcast the tiny df/stats sides and keep the big token
+    stream un-broadcast; the sum must partial-aggregate before the doc
+    exchange (micro-unit contributions are map-side combinable)."""
+    p = plan_of(spark, "text_bm25_search")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # top-20, no global sort
+    assert "CartesianProduct" not in p
+
+
+def test_triangle_count_no_nested_loop(spark):
+    """Triangle 3-join must stay equi-join (SortMerge/Hash) on edge
+    endpoints — a nested-loop here is O(E^2) at scale."""
+    p = plan_of(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_minhash_portable_single_signature_pass(spark):
+    """Portable MinHash must keep the single-aggregate signature shape of
+    the fast twin: one partial+final HashAggregate pair computing the 32
+    mins, bucket grouping instead of a signature self-join."""
+    p = plan_of(spark, "dedup_minhash_portable")
+    # docs read once, no re-scan self-join (one scan detail block; the node
+    # name itself appears twice in "formatted" output — tree + detail)
+    assert p.count("Location: InMemoryFileIndex") == 1
+    assert "partial_min" in p  # map-side combine of the 32 signature mins
