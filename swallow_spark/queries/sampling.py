@@ -74,8 +74,8 @@ def dataset_split(spark, sf_dir):
 @register("ann_ivf_kmeans", oracle=None, tier="T3")
 def ann_ivf_kmeans(spark, sf_dir):
     """IVF-style ANN: deterministic k-means (8 cells, 3 Lloyd iterations,
-    init = 8 lowest vec_ids), then per-probe brute-force over the nprobe=2
-    nearest cells only (rows-only: iterative algorithm, §2.0 rule 6; exact
+    init = 8 lowest vec_ids), then per-probe brute-force over the nprobe=3
+    nearest cells only (probe-side-only fan-out) (rows-only: iterative algorithm, §2.0 rule 6; exact
     twin = sim_cosine_topk).
 
     Scale notes: centroids are tiny (k × dim) and live on the driver /
@@ -133,7 +133,7 @@ def ann_ivf_kmeans(spark, sf_dir):
     for i in range(1, k):
         cell = F.when(F.col(f"d{i}") < best, i).otherwise(cell)
         best = F.least(best, F.col(f"d{i}"))
-    # nprobe=2: rank cells by distance via array_sort of (dist, idx) structs
+    # nprobe=3: rank cells by distance via array_sort of (dist, idx) structs
     cells_ranked = F.array_sort(
         F.array(*[F.struct(F.col(f"d{i}").alias("d"), F.lit(i).alias("i")) for i in range(k)])
     )
@@ -143,6 +143,7 @@ def ann_ivf_kmeans(spark, sf_dir):
         int_units(F.col("embedding")).alias("iv"),
         cells_ranked.getItem(0).getField("i").alias("cell0"),
         cells_ranked.getItem(1).getField("i").alias("cell1"),
+        cells_ranked.getItem(2).getField("i").alias("cell2"),
     )
     nrm = F.sqrt(dot_int(F.col("iv"), F.col("iv")).cast("double") / F.lit(SCALE))
     # zero-norm vectors excluded: cosine undefined (see llm_similarity note)
@@ -150,7 +151,8 @@ def ann_ivf_kmeans(spark, sf_dir):
     # corpus indexed by its home cell; probes search their 2 nearest cells
     corpus = n.select("vec_id", "iv", "nrm", F.col("cell0").alias("cell"))
     probes = n.filter(F.col("vec_id") < 10).select(
-        "vec_id", "iv", "nrm", F.explode(F.array("cell0", "cell1")).alias("cell")
+        "vec_id", "iv", "nrm",
+        F.explode(F.array("cell0", "cell1", "cell2")).alias("cell"),
     )
     cos = (
         dot_int(F.col("a.iv"), F.col("b.iv")).cast("double") / F.lit(SCALE)
