@@ -66,15 +66,59 @@ def graph_copurchase_degree(spark, sf_dir):
     )
 
 
-@register("graph_pagerank", oracle=None, tier="T3")
+# Exact-integer PageRank: ranks live in fixed-point units of 1e-12 (R0 =
+# 1e12), per-edge contributions are R DIV deg (floor division), and the
+# damping update is R' = 0.15e12 + (85 * sum) DIV 100 — every operation is
+# int64-exact and therefore independent of partitioning and summation
+# order, which is what makes an ITERATIVE algorithm hash-checkable against
+# DuckDB (the usual float accumulation is not). Headroom: total rank mass
+# ≈ |nodes|·1e12, ×85 stays < 2^63 for corpora up to ~10^5 nodes at this
+# unit; at larger graphs drop the unit to 1e9.
+_PR_R0 = 1_000_000_000_000
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    base = f"""
+WITH e0 AS ({_EDGES_SQL}),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, CAST({_PR_R0} AS BIGINT) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f""",
+c{i} AS (SELECT ed.dst AS node, SUM(r{i - 1}.r // ed.deg) AS csum
+         FROM ed JOIN r{i - 1} ON ed.src = r{i - 1}.node GROUP BY ed.dst),
+r{i} AS (SELECT nodes.node,
+                CAST({_PR_R0} * 15 // 100
+                     + 85 * COALESCE(c{i}.csum, 0) // 100 AS BIGINT) AS r
+         FROM nodes LEFT JOIN c{i} USING (node))"""
+        )
+    return (
+        base
+        + "".join(steps)
+        + f"""
+SELECT node, r AS rank_units
+FROM r{_PR_ITERS}
+ORDER BY rank_units DESC, node
+LIMIT 50
+"""
+    )
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle(), tier="T2")
 def graph_pagerank(spark, sf_dir):
     """PageRank (damping 0.85, 5 fixed iterations) on the undirected
-    co-purchase graph; top-50 parts by rank (6dp half-up).
-
-    Rows-only per §2.0 rule 6: the iterative float accumulation has no
-    order-independent SQL form; tests/test_graph.py checks the result
-    against a numpy dense reference (1e-6 tolerance) and rank-mass
-    conservation instead.
+    co-purchase graph; top-50 parts by rank, ORACLE-CHECKED: ranks are
+    exact int64 fixed-point (1e-12 units), contributions use floor
+    division, so the result is bit-identical regardless of partitioning or
+    summation order, and the DuckDB twin unrolls the 5 iterations as
+    chained CTE stages (aggregates are illegal in a recursive term).
+    tests/test_graph.py additionally checks against a numpy dense float
+    reference (1e-6 relative tolerance) and rank-mass conservation.
 
     Scale note: each iteration is one shuffle (contributions grouped by
     dst). The edge list is cached once; the rank vector — |nodes| rows, not
@@ -93,21 +137,27 @@ def graph_pagerank(spark, sf_dir):
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_deg = edges.join(deg, "src").select("src", "dst", "deg").persist()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
-    ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(5):
+    ranks = nodes.withColumn("r", F.lit(_PR_R0).cast("long"))
+    for _ in range(_PR_ITERS):
         contribs = (
             edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("r DIV deg").alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("csum"))
         )
         ranks = nodes.join(contribs, "node", "left").select(
             "node",
-            (F.lit(0.15) + F.lit(0.85) * F.coalesce("csum", F.lit(0.0))).alias("rank"),
+            F.expr(
+                f"CAST({_PR_R0} * 15 DIV 100"
+                f" + 85 * COALESCE(csum, 0) DIV 100 AS BIGINT)"
+            ).alias("r"),
         )
     out = (
-        ranks.select("node", (F.floor(F.col("rank") * 1e6 + F.lit(0.5)) / 1e6).alias("rank"))
-        .orderBy(F.col("rank").desc(), "node")
+        ranks.select("node", F.col("r").alias("rank_units"))
+        .orderBy(F.col("rank_units").desc(), "node")
         .limit(50)
     )
     # Materialize (and truncate the 5-iteration lineage) before unpersisting

@@ -1,19 +1,24 @@
-"""graph_pagerank has no SQL oracle (iterative float accumulation); check it
-against a dense numpy reference on the same edges at sf0.001 instead."""
+"""graph_pagerank is oracle-checked (exact int64 fixed-point ranks), but we
+additionally validate the MATH against a dense numpy float reference on the
+same edges at sf0.001 — the fixed-point truncation must stay within 1e-5 of
+the real-number PageRank, or the formulation drifted."""
 
 from __future__ import annotations
 
 import numpy as np
 import pytest
 
-from swallow_spark.queries.graph import _edges, graph_pagerank
+from swallow_spark.queries.graph import _PR_R0, _edges, graph_pagerank
 
 SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
 def pr_rows(spark):
-    return {r["node"]: r["rank"] for r in graph_pagerank(spark, SF).collect()}
+    return {
+        r["node"]: r["rank_units"] / _PR_R0
+        for r in graph_pagerank(spark, SF).collect()
+    }
 
 
 def _numpy_pagerank(edges: list[tuple[int, int]], iters: int = 5, d: float = 0.85):
@@ -42,5 +47,8 @@ def test_pagerank_matches_numpy_reference(spark, pr_rows):
 
 
 def test_pagerank_top50_is_rank_sorted_and_deterministic(spark, pr_rows):
-    again = {r["node"]: r["rank"] for r in graph_pagerank(spark, SF).collect()}
-    assert pr_rows == again  # rerun-stable at 6dp
+    again = {
+        r["node"]: r["rank_units"] / _PR_R0
+        for r in graph_pagerank(spark, SF).collect()
+    }
+    assert pr_rows == again  # rerun-stable, exact integer units
