@@ -519,3 +519,37 @@ def dedup_cluster_canonical(spark, sf_dir):
         canon.alias("canonical_id"),
         (F.col("doc_id") == canon).alias("kept"),
     )
+
+
+@register(
+    "etl_pseudonymize",
+    oracle=f"""
+SELECT md5('pepper1:' || CAST(user_id AS VARCHAR)) AS user_pseudonym,
+       event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       {sql_rnd('value', 2)} AS value
+FROM events
+""",
+    tier="T2",
+)
+def etl_pseudonymize(spark, sf_dir):
+    """Privacy-preserving event export: user ids become stable keyed-hash
+    pseudonyms (same user → same token across runs and engines, but not
+    reversible without the pepper) and timestamps coarsen to day
+    granularity — the minimization transform a training-data export
+    pipeline applies before events leave the trust boundary.
+
+    Scale note: pure map-side projection (md5 + date_trunc in JVM codegen),
+    zero shuffles; the pepper is a literal here, a secret-manager lookup in
+    production. Re-keying a 100 TB history is a full rewrite, so peppers
+    version with the dataset snapshot.
+    """
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        F.md5(F.concat(F.lit("pepper1:"), F.col("user_id").cast("string"))).alias(
+            "user_pseudonym"
+        ),
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        rnd(F.col("value"), 2).alias("value"),
+    )
