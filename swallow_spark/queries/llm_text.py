@@ -749,6 +749,11 @@ def text_repetition_ratio(spark, sf_dir):
     avoids Spark's descending sequence(1, 0) on 1-token docs.
     """
     d = load(spark, sf_dir, "documents")
+    # Fully MAP-ONLY: bigram identity = xxhash64 over the 2-token slice
+    # (tokens contain no spaces, so slice equality ⇔ joined-string
+    # equality); the most-frequent-bigram count is a per-row run-length
+    # fold over the SORTED hash array — no explode, no shuffle, the whole
+    # key is one codegen'd projection (was explode + two shuffles).
     base = d.select(
         "doc_id",
         F.split("text", " ").alias("ts"),
@@ -757,27 +762,28 @@ def text_repetition_ratio(spark, sf_dir):
         F.expr(
             "CASE WHEN size(ts) < 2 THEN array() "
             "ELSE transform(sequence(1, size(ts) - 1), "
-            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))) END"
+            "i -> xxhash64(slice(ts, i, 2))) END"
         ),
     ).filter(F.size("ts") > 0)
-    bgc = (
-        base.select("doc_id", F.explode("bg").alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # max run length in sort_array(bg) == max bigram multiplicity
+    top_c = F.expr(
+        "CASE WHEN size(ts) < 2 THEN CAST(NULL AS BIGINT) ELSE "
+        "aggregate(sort_array(bg), "
+        "named_struct('prev', CAST(NULL AS BIGINT), 'run', CAST(0 AS BIGINT), "
+        "             'best', CAST(0 AS BIGINT)), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)), "
+        "  'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)))), "
+        "acc -> acc.best) END"
     )
-    top_bg = bgc.groupBy("doc_id").agg(F.max("c").alias("top_c"))
-    return (
-        base.join(top_bg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("ts").cast("long").alias("n_tokens"),
-            rnd(
-                F.size(F.array_distinct("ts")).cast("double") / F.size("ts"), 4
-            ).alias("distinct_ratio"),
-            F.when(
-                F.size("ts") < 2, F.lit(None).cast("double")
-            ).otherwise(
-                rnd(F.col("top_c").cast("double") / (F.size("ts") - 1), 4)
-            ).alias("top_bigram_frac"),
-        )
+    return base.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens"),
+        rnd(
+            F.size(F.array_distinct("ts")).cast("double") / F.size("ts"), 4
+        ).alias("distinct_ratio"),
+        F.when(F.size("ts") < 2, F.lit(None).cast("double")).otherwise(
+            rnd(top_c.cast("double") / (F.size("ts") - 1), 4)
+        ).alias("top_bigram_frac"),
     )
