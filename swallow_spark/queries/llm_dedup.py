@@ -555,7 +555,14 @@ def dedup_simhash_portable(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
-    ).withColumn("hh", F.expr(_phs("t")))
+    )
+    # hash each DISTINCT token once, not per (doc, token) occurrence — the
+    # char-level polynomial fold is the expensive part (measured 5.2 s →
+    # ~2 s at sf0.1). The vocabulary table is broadcast here; on a corpus
+    # whose vocabulary outgrows broadcast, drop the hint and let it shuffle
+    # on the token key (plan still beats per-occurrence hashing).
+    td = tok.select("t").distinct().withColumn("hh", F.expr(_phs("t")))
+    tok = tok.join(F.broadcast(td), "t")
     bits = tok.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -583,6 +590,13 @@ def dedup_simhash_portable(spark, sf_dir):
             F.expr("transform(sequence(0, 3), k -> shiftright(sig, k * 8) & 255)")
         ).alias("seg_id", "seg_val"),
     )
+    # NOTE (measured, sf0.1): the posting-list bucket pattern that wins for
+    # LSH bands LOSES here — the tiny fixture vocabulary correlates
+    # signatures so hard that one segment bucket can hold thousands of
+    # docs, and in-row pair expansion becomes a single-task hot-bucket
+    # straggler (9.2 s vs 4.5 s). The segs×segs equi-join distributes that
+    # fan-out across tasks; the hamming filter runs BEFORE the distinct so
+    # the dedup exchange only carries surviving pairs.
     cand = (
         segs.alias("a")
         .join(
@@ -598,6 +612,7 @@ def dedup_simhash_portable(spark, sf_dir):
             .cast("long")
             .alias("hamming"),
         )
+        .filter(F.col("hamming") <= 4)
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= 4)
+    return cand
