@@ -85,7 +85,9 @@ def ann_ivf_kmeans(spark, sf_dir):
     """
     from ..ops.vectors import SCALE, dot_int, int_units
 
-    e = load(spark, sf_dir, "embeddings")
+    # cache once: the Lloyd loop + final assignment otherwise re-scan the
+    # parquet per iteration (4 scans of the embedding table saved)
+    e = load(spark, sf_dir, "embeddings").persist()
     dim = 64
     k = 8
 
@@ -160,7 +162,7 @@ def ann_ivf_kmeans(spark, sf_dir):
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    return (
+    out = (
         probes.alias("a")
         .join(
             corpus.alias("b"),
@@ -176,4 +178,8 @@ def ann_ivf_kmeans(spark, sf_dir):
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
         .select("probe_id", "neighbor_id", rnd(F.col("cos"), 4).alias("cosine"), "rk")
+        .localCheckpoint(eager=True)
     )
+    # materialize, then release the cached base table (no recompute risk)
+    e.unpersist()
+    return out
