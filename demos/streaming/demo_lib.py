@@ -376,3 +376,62 @@ def run_incremental_availablenow(spark: SparkSession, sf_dir: str, work_dir: str
         "expected_run1": n_total - n_last,
         "expected_run2": n_last,
     }
+
+
+def run_foreachbatch_upsert(spark: SparkSession, sf_dir: str, work_dir: str) -> dict:
+    """Streaming UPSERT sink via foreachBatch: each micro-batch merges into
+    a keyed parquet table (latest event per user wins, tiebreak max
+    event_id) using versioned-directory swaps — the exactly-once MERGE
+    pattern a lakehouse sink (Delta/Iceberg MERGE INTO) runs per batch,
+    spelled out with plain parquet so the semantics are inspectable.
+
+    The final table must equal the batch twin computed directly over all
+    events — asserted by the caller. Scale note: per batch this is one
+    broadcast-or-shuffle join of (existing keys × batch keys); with a real
+    table format the directory swap becomes the format's atomic commit and
+    the join becomes MERGE INTO, pruned by partition/file stats.
+    """
+    import glob
+    import os
+
+    src = chunked_replay_source(spark, sf_dir, f"{work_dir}/replay", n_chunks=4)
+    state_root = f"{work_dir}/target"
+    os.makedirs(state_root, exist_ok=True)
+    version = {"n": 0}
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def merge_batch(bdf: DataFrame, _bid: int) -> None:
+        cur_dir = f"{state_root}/v{version['n']}"
+        if version["n"] > 0:
+            cur = bdf.sparkSession.read.parquet(cur_dir)
+            merged = latest_per_user(cur.unionByName(bdf))
+        else:
+            merged = latest_per_user(bdf)
+        version["n"] += 1
+        merged.write.mode("overwrite").parquet(f"{state_root}/v{version['n']}")
+
+    q = (
+        src.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{work_dir}/ckpt_upsert")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(f"{state_root}/v{version['n']}")
+    twin = latest_per_user(load(spark, sf_dir, "events"))
+    n_final = final.count()
+    n_twin = twin.count()
+    # exact content equality, both directions
+    diff = final.exceptAll(twin).count() + twin.exceptAll(final).count()
+    return {"rows": n_final, "twin_rows": n_twin, "diff": diff,
+            "n_batches": version["n"]}

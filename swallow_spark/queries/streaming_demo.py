@@ -149,3 +149,26 @@ def stream_incremental_availablenow(spark, sf_dir):
         )
     finally:
         _sh.rmtree(work, ignore_errors=True)
+
+
+@register("stream_foreachbatch_upsert_demo", oracle=None, tier="T3")
+def stream_foreachbatch_upsert_demo(spark, sf_dir):
+    """foreachBatch streaming MERGE/upsert: micro-batches fold into a keyed
+    table (latest event per user, versioned-dir atomic swap); the final
+    table provably equals the batch twin (exceptAll both ways == 0,
+    asserted). Returns (rows, n_batches)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from demos.streaming.demo_lib import run_foreachbatch_upsert
+
+    work = _tf.mkdtemp(prefix="swallow_upsert_")
+    try:
+        r = run_foreachbatch_upsert(spark, sf_dir, work)
+        assert r["diff"] == 0, r
+        assert r["rows"] == r["twin_rows"], r
+        return spark.createDataFrame(
+            [(r["rows"], r["n_batches"])], "rows long, n_batches long"
+        )
+    finally:
+        _sh.rmtree(work, ignore_errors=True)

@@ -98,3 +98,12 @@ def test_incremental_availablenow_processes_only_new_files(spark, tmp_path):
     r = run_incremental_availablenow(spark, SF, str(tmp_path / "incr"))
     assert r["run1"] == r["expected_run1"]
     assert r["run2"] == r["expected_run2"]
+
+
+def test_foreachbatch_upsert_matches_batch_twin(spark, tmp_path):
+    from demos.streaming.demo_lib import run_foreachbatch_upsert
+
+    r = run_foreachbatch_upsert(spark, SF, str(tmp_path / "ups"))
+    assert r["diff"] == 0
+    assert r["rows"] == r["twin_rows"]
+    assert r["n_batches"] >= 2  # genuinely incremental, not one big batch
