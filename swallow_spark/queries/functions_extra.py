@@ -225,7 +225,7 @@ def fn_array_setops(spark, sf_dir):
     "fn_codec",
     oracle="""
 SELECT doc_id,
-       to_base64(encode(substring(text, 1, 48))) AS b64,
+       to_base64(encode(substring(text, 1, 14))) AS b64,
        hex(encode(text)) AS hx,
        decode(from_base64(to_base64(encode(text)))) = text AS roundtrip_ok
 FROM documents
@@ -237,12 +237,15 @@ def fn_codec(spark, sf_dir):
     round-trip check — the wire-format plumbing for opaque binary columns
     (multimodal payload transport). Spark MIME-chunks base64 beyond 76
     output chars (inserting CRLF, which DuckDB never does), so the encoded
-    comparison uses a 48-byte prefix; the round-trip equality still covers
-    the FULL text because unbase64 accepts the chunked form."""
+    comparison uses a 14-CHAR prefix — ≤ 56 UTF-8 bytes even if every char
+    is 4-byte, under the 57-byte chunk threshold for ANY future testdata
+    (the unicode drift probe caught the old 48-char cap chunking on CJK);
+    the round-trip equality still covers the FULL text because unbase64
+    accepts the chunked form."""
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.base64(F.substring("text", 1, 48).cast("binary")).alias("b64"),
+        F.base64(F.substring("text", 1, 14).cast("binary")).alias("b64"),
         F.hex(F.col("text").cast("binary")).alias("hx"),
         (
             F.unbase64(F.base64(F.col("text").cast("binary"))).cast("string")

@@ -80,11 +80,22 @@ def audio_feature_extractor(decode=decode_bytes_waveform):
 @register(
     "multimodal_audio_features",
     oracle=f"""
-WITH codes AS (
-  SELECT doc_id,
-         list_transform(generate_series(1, length(text)),
-                        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS cs
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
   FROM documents
+),
+codes AS (
+  -- true BYTE values via hex-pair decode (DuckDB cannot index BLOBs):
+  -- byte i = 16*hi + lo nibbles of hex chars 2i-1, 2i. Matches the Spark
+  -- side's uint8 view of the payload for ANY UTF-8 input, not just ASCII
+  -- (the unicode drift probe caught the old codepoint-based oracle).
+  SELECT doc_id,
+         list_transform(generate_series(CAST(1 AS BIGINT), n),
+           i -> CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1)
+                     + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1)
+                AS BIGINT)) AS cs
+  FROM h
 )
 SELECT doc_id,
        CAST(len(cs) AS BIGINT) AS n_samples,
