@@ -73,6 +73,7 @@ WITH c AS (
          CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS u,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events
+  WHERE value IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
 )
 SELECT event_type,
        {sql_rnd('CAST(SUM(u * k) AS DOUBLE) / 100 / SUM(k)', 4)} AS wavg_value
@@ -86,6 +87,8 @@ def udaf_pandas_grouped(spark, sf_dir):
 
     Exact int64 unit sums inside the UDF → order-independent, so the Arrow
     partial batches can arrive in any order and still match the SQL twin.
+    NULL-measure rows are dropped on BOTH sides before any arithmetic (the
+    NULL drift probe caught np.floor(NaN).astype(int64) producing garbage).
     """
     import numpy as np
 
@@ -96,8 +99,10 @@ def udaf_pandas_grouped(spark, sf_dir):
         raw = float((u * kk).sum()) / 100 / float(kk.sum())
         return float(np.floor(raw * 10000 + 0.5) / 10000)
 
-    e = load(spark, sf_dir, "events").withColumn(
-        "k", F.get_json_object("props", "$.k").cast("long")
+    e = (
+        load(spark, sf_dir, "events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .filter(F.col("value").isNotNull() & F.col("k").isNotNull())
     )
     return e.groupBy("event_type").agg(wavg("value", "k").alias("wavg_value"))
 
@@ -108,6 +113,7 @@ def udaf_pandas_grouped(spark, sf_dir):
 WITH c AS (
   SELECT event_id, event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS u
   FROM events
+  WHERE value IS NOT NULL
 ),
 s AS (
   SELECT event_type, CAST(SUM(u) AS DOUBLE) AS scd,
@@ -126,7 +132,8 @@ def udf_grouped_map_zscore(spark, sf_dir):
 
     Moments are computed from exact integer sums (sum of cents, sum of
     squared cents), then one fixed double-op sequence — bit-identical to the
-    SQL twin regardless of row order inside the Arrow batch.
+    SQL twin regardless of row order inside the Arrow batch. NULL-value
+    events are filtered on BOTH sides before the moments (NULL drift probe).
     """
     import numpy as np
 
@@ -145,7 +152,11 @@ def udf_grouped_map_zscore(spark, sf_dir):
             }
         )
 
-    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    e = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
     return e.groupBy("event_type").applyInPandas(
         normalize, "event_id long, event_type string, z double"
     )

@@ -1,0 +1,93 @@
+"""NULL-measure drift probe for the events table (round 4).
+
+The driver regenerates testdata between rounds. Key/timestamp columns are
+structural, but measure-ish columns (value, props) could plausibly arrive
+with NULLs — where engines diverge on aggregate NULL-skipping vs
+count-mixups (COUNT(col) vs COUNT(*)), conform-cents of NULL, and window
+frames. Every events-reading oracle key must hash-match its oracle with
+NULLs injected into value/props.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SRC = "/root/testdata/sf0.001"
+DST = "/tmp/swallow_spark_nullev/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def null_dir():
+    os.makedirs(DST, exist_ok=True)
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        src = f"{SRC}/{name}.parquet"
+        dst = f"{DST}/{name}.parquet"
+        if name == "events":
+            t = pq.read_table(src)
+            import pyarrow.compute as pc
+
+            # null out value on every 7th row and props on every 5th row
+            n_rows = len(t)
+            val_mask = pa.array([i % 7 == 0 for i in range(n_rows)])
+            prop_mask = pa.array([i % 5 == 0 for i in range(n_rows)])
+            value = pc.if_else(val_mask, pa.nulls(n_rows, t.schema.field("value").type), t["value"].combine_chunks())
+            props = pc.if_else(prop_mask, pa.nulls(n_rows, t.schema.field("props").type), t["props"].combine_chunks())
+            t = t.set_column(t.schema.get_field_index("value"), "value", value)
+            t = t.set_column(t.schema.get_field_index("props"), "props", props)
+            pq.write_table(t, dst)
+        else:
+            shutil.copyfile(src, dst)
+    yield DST
+    shutil.rmtree(os.path.dirname(DST), ignore_errors=True)
+
+
+def _event_oracle_keys():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from swallow_spark.registry import all_queries
+
+    return sorted(
+        k for k, q in all_queries().items() if q.oracle and "events" in q.oracle
+    )
+
+
+@pytest.fixture(scope="module")
+def null_duck(null_dir):
+    from swallow_spark import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{null_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", _event_oracle_keys())
+def test_event_keys_survive_null_measures(spark, null_dir, null_duck, key):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from oracle_diff import canon_pdf, digest
+
+    from swallow_spark.registry import all_queries
+
+    q = all_queries()[key]
+    s_pdf = canon_pdf(q.fn(spark, null_dir).toPandas())
+    d_pdf = canon_pdf(null_duck.sql(q.oracle).fetchdf())
+    assert list(s_pdf.columns) == list(d_pdf.columns)
+    assert len(s_pdf) == len(d_pdf)
+    assert digest(s_pdf) == digest(d_pdf)
