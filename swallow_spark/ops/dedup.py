@@ -45,6 +45,11 @@ def shingle_jaccard_pairs(
     straggler at corpus scale). No fixture shingle comes near 500 at sf≤0.1,
     so the capped output is bit-identical to the uncapped oracle there; pass
     None to disable for exact-twin comparisons."""
+    # NULL text participates in no near-dup relation. The guard is load-
+    # bearing for oracle parity: Spark's size(NULL) = -1 plus groupBy
+    # treating NULLs as equal would otherwise pair NULL docs with each
+    # other, while the SQL oracle's NULL-join semantics drop them.
+    docs = docs.filter(F.col(text_col).isNotNull())
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(

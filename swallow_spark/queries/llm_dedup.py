@@ -450,7 +450,10 @@ def dedup_minhash_portable(spark, sf_dir):
     all 32 per-permutation MINs (map-side combine) → band fold → posting-
     list bucket grouping — one shuffle on the band key, no doc-side
     broadcast, O(shingles) not O(n²)."""
-    d = load(spark, sf_dir, "documents")
+    # NULL text: see ops.dedup — without the guard the all-NULL signature
+    # lands every NULL doc in one groupBy bucket and pairs them, while the
+    # oracle's NULL-join drops them
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     hs = F.expr(f"transform(split(text, ' '), t -> {_phs('t')})")
     sh = (
         d.select("doc_id", hs.alias("hs"))

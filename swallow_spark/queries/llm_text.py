@@ -427,6 +427,11 @@ def text_fingerprint(spark, sf_dir):
         for pdf in it:
             fps = []
             for s in pdf["text"]:
+                if s is None:
+                    # NULL text → NULL fingerprint, exactly like the oracle's
+                    # length(NULL)/generate_series(NULL) propagation
+                    fps.append(None)
+                    continue
                 c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
                     np.int64
                 )
@@ -437,13 +442,18 @@ def text_fingerprint(spark, sf_dir):
                     c = np.pad(c, (0, 8 - len(c)))
                 h = (sliding_window_view(c, 8) @ pw) % _MOD
                 fps.append(int(h.min()))
+            lens = pdf["text"].str.len()  # NaN for NULL text
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "fingerprint": pd.array(fps, dtype="Int64"),
-                    "n_windows": np.maximum(
-                        pdf["text"].str.len().to_numpy() - 7, 1
-                    ).astype("int64"),
+                    "n_windows": pd.array(
+                        # NULL text → 1, because the oracle's
+                        # greatest(length(NULL) - 7, 1) IGNORES the NULL arg
+                        # (DuckDB and Spark greatest both skip NULLs)
+                        [1 if pd.isna(x) else max(int(x) - 7, 1) for x in lens],
+                        dtype="Int64",
+                    ),
                 }
             )
 

@@ -46,8 +46,14 @@ def audio_feature_extractor(decode=decode_bytes_waveform):
 
     def extract(batches):
         for pdf in batches:
+            # NULL payload → all-NULL feature row (the oracle's NULL text
+            # propagates through hex/generate_series to NULL cs/len)
+            null_row = np.array([p is None for p in pdf["payload"]])
             waves = [
-                np.asarray(decode(bytes(p)), dtype=np.int64) for p in pdf["payload"]
+                np.array([], dtype=np.int64)
+                if p is None
+                else np.asarray(decode(bytes(p)), dtype=np.int64)
+                for p in pdf["payload"]
             ]
             lens = np.array([w.size for w in waves], dtype=np.int64)
             n = len(lens)
@@ -67,7 +73,10 @@ def audio_feature_extractor(decode=decode_bytes_waveform):
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
-                    "n_samples": lens,
+                    "n_samples": pd.array(
+                        [None if b else int(x) for b, x in zip(null_row, lens)],
+                        dtype="Int64",
+                    ),
                     "mean_amp": mean,
                     "rms": rms,
                     "peak": peak,
@@ -142,6 +151,10 @@ def frame_sampler(decode=decode_bytes_frames, stride: int = 4):
         for pdf in batches:
             rows = {"doc_id": [], "frame_idx": [], "offset": [], "frame_hex": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL payload → zero frames (the oracle's lateral
+                    # unnest over a NULL series drops the row)
+                    continue
                 frames = decode(bytes(payload))
                 off = 0
                 for fi, fb in enumerate(frames):

@@ -181,7 +181,9 @@ def udf_map_in_pandas(spark, sf_dir):
         for pdf in batches:
             out = pdf[["doc_id", "text"]].copy()
             out["token"] = out["text"].str.split(" ")
-            yield out.explode("token")[["doc_id", "token"]]
+            # NULL text → no rows, mirroring DuckDB's unnest(NULL) (pandas
+            # explode would otherwise keep one NaN-token row)
+            yield out.explode("token").dropna(subset=["token"])[["doc_id", "token"]]
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(tokenize, "doc_id long, token string")
@@ -207,7 +209,9 @@ def udf_map_in_arrow(spark, sf_dir):
                 {
                     "doc_id": batch.column("doc_id"),
                     "n_tokens": pa.array(
-                        [len(t.split(" ")) for t in texts], type=pa.int64()
+                        # NULL text → NULL count (string_split(NULL) is NULL)
+                        [None if t is None else len(t.split(" ")) for t in texts],
+                        type=pa.int64(),
                     ),
                 }
             )

@@ -1,0 +1,91 @@
+"""NULL-text drift probe for the documents table (round 4).
+
+Sibling of the short-doc and unicode probes: a regenerated corpus could
+contain NULL text. SQL NULL propagation (string_split(NULL) → NULL,
+unnest(NULL) → no rows, greatest(NULL, 1) → 1) must be mirrored by the
+Python batch functions, which otherwise crash on None (this probe caught
+text_fingerprint, both multimodal batch fns and both udf_map keys).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SRC = "/root/testdata/sf0.001"
+DST = "/tmp/swallow_spark_nulltext/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def nulltext_dir():
+    os.makedirs(DST, exist_ok=True)
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        src = f"{SRC}/{name}.parquet"
+        dst = f"{DST}/{name}.parquet"
+        if name == "documents":
+            t = pq.read_table(src)
+            extra = pa.table(
+                {
+                    "doc_id": pa.array([30_000, 30_001], type=t.schema.field("doc_id").type),
+                    "text": pa.array([None, None], type=pa.string()),
+                    "lang": pa.array(["en", "fr"], type=t.schema.field("lang").type),
+                    "source": pa.array(["synthetic"] * 2, type=t.schema.field("source").type),
+                    "n_chars": pa.array([0, 0], type=t.schema.field("n_chars").type),
+                }
+            )
+            pq.write_table(pa.concat_tables([t.select(extra.column_names), extra]), dst)
+        else:
+            shutil.copyfile(src, dst)
+    yield DST
+    shutil.rmtree(os.path.dirname(DST), ignore_errors=True)
+
+
+def _doc_oracle_keys():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from swallow_spark.registry import all_queries
+
+    return sorted(
+        k for k, q in all_queries().items() if q.oracle and "documents" in q.oracle
+    )
+
+
+@pytest.fixture(scope="module")
+def nulltext_duck(nulltext_dir):
+    from swallow_spark import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{nulltext_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", _doc_oracle_keys())
+def test_doc_keys_survive_null_text(spark, nulltext_dir, nulltext_duck, key):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from oracle_diff import canon_pdf, digest
+
+    from swallow_spark.registry import all_queries
+
+    q = all_queries()[key]
+    s_pdf = canon_pdf(q.fn(spark, nulltext_dir).toPandas())
+    d_pdf = canon_pdf(nulltext_duck.sql(q.oracle).fetchdf())
+    assert list(s_pdf.columns) == list(d_pdf.columns)
+    assert len(s_pdf) == len(d_pdf)
+    assert digest(s_pdf) == digest(d_pdf)
