@@ -201,14 +201,31 @@ def sim_pairs_threshold(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL embeddings drop (the oracle's nrm-NULL rows fail nrm > 0);
+        # ragged dims zero-pad to the batch max — zero padding reproduces
+        # the oracle's prefix-dot semantics exactly (out-of-range list
+        # elements are NULL and list_sum skips them) without changing any
+        # vector's own norm (drift probe: np.stack crashed on None/ragged)
+        pdf = pdf[pdf["embedding"].notna()]
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"v1": pd.array([], dtype="int64"), "v2": pd.array([], dtype="int64"),
+                 "label": pd.array([], dtype="int32"), "cosine": pd.array([], dtype="float64")}
+            )
+        vecs = [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+        m = max(x.size for x in vecs)
+        v = np.zeros((len(vecs), m))
+        for r, x in enumerate(vecs):
+            v[r, : x.size] = x
         iv = np.floor(v * ESCALE + 0.5).astype(np.int64)
         gram = iv @ iv.T
         nrm = np.sqrt(gram.diagonal().astype(np.float64) / SCALE)
-        cos = (gram.astype(np.float64) / SCALE) / np.outer(nrm, nrm)
+        cos = (gram.astype(np.float64) / SCALE) / np.outer(
+            np.where(nrm > 0, nrm, np.nan), np.where(nrm > 0, nrm, np.nan)
+        )
         i, j = np.triu_indices(len(pdf), k=1)  # vec_id-sorted → v1 < v2
-        keep = cos[i, j] >= 0.35
+        keep = cos[i, j] >= 0.35  # NaN (zero-norm member) compares False
         i, j = i[keep], j[keep]
         return pd.DataFrame(
             {

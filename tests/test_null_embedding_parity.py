@@ -1,0 +1,93 @@
+"""NULL / ragged-dimension embedding drift probe (round 4).
+
+Sibling of the documents/events probes: a regenerated embeddings table
+could contain NULL vectors or a row with a different dimensionality.
+Every embeddings-reading oracle key must hash-match its oracle on such a
+table (this probe caught sim_pairs_threshold's np.stack crashing on
+None/ragged input; the fix mirrors the oracle's prefix-dot semantics by
+zero-padding to the batch max dimension).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SRC = "/root/testdata/sf0.001"
+DST = "/tmp/swallow_spark_nullemb/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def nullemb_dir():
+    os.makedirs(DST, exist_ok=True)
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        src = f"{SRC}/{name}.parquet"
+        dst = f"{DST}/{name}.parquet"
+        if name == "embeddings":
+            t = pq.read_table(src)
+            extra = pa.table(
+                {
+                    "vec_id": pa.array([90_000, 90_001], type=t.schema.field("vec_id").type),
+                    "label": pa.array([1, 2], type=t.schema.field("label").type),
+                    # one NULL vector, one short-dimension vector
+                    "embedding": pa.array(
+                        [None, [0.5] * 16], type=t.schema.field("embedding").type
+                    ),
+                }
+            )
+            pq.write_table(pa.concat_tables([t.select(extra.column_names), extra]), dst)
+        else:
+            shutil.copyfile(src, dst)
+    yield DST
+    shutil.rmtree(os.path.dirname(DST), ignore_errors=True)
+
+
+def _emb_oracle_keys():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from swallow_spark.registry import all_queries
+
+    return sorted(
+        k for k, q in all_queries().items() if q.oracle and "embeddings" in q.oracle
+    )
+
+
+@pytest.fixture(scope="module")
+def nullemb_duck(nullemb_dir):
+    from swallow_spark import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{nullemb_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", _emb_oracle_keys())
+def test_embedding_keys_survive_null_and_ragged(spark, nullemb_dir, nullemb_duck, key):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from oracle_diff import canon_pdf, digest
+
+    from swallow_spark.registry import all_queries
+
+    q = all_queries()[key]
+    s_pdf = canon_pdf(q.fn(spark, nullemb_dir).toPandas())
+    d_pdf = canon_pdf(nullemb_duck.sql(q.oracle).fetchdf())
+    assert list(s_pdf.columns) == list(d_pdf.columns)
+    assert len(s_pdf) == len(d_pdf)
+    assert digest(s_pdf) == digest(d_pdf)
