@@ -542,3 +542,105 @@ def ts_resample_interp(spark, sf_dir):
         "day",
         (F.floor(filled * 10000 + F.lit(0.5)) / 10000).alias("val_interp"),
     )
+
+
+_DECOMP_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+tr AS (
+  SELECT day, val,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN (FLOOR((AVG(val) OVER w) * 10000 + 0.5) / 10000)
+         END AS trend,
+         dayofweek(day) AS dow
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT *, CAST(FLOOR((val - trend) * 10000 + 0.5) AS BIGINT) AS det_u
+  FROM tr
+),
+seas AS (
+  SELECT dow,
+         (FLOOR((CAST(SUM(det_u) AS DOUBLE) / COUNT(det_u) / 10000) * 10000 + 0.5)
+          / 10000) AS seasonal
+  FROM det WHERE det_u IS NOT NULL
+  GROUP BY dow
+)
+SELECT det.day, det.val, det.trend, seas.seasonal,
+       CASE WHEN det.trend IS NOT NULL
+            THEN (FLOOR((det.val - det.trend - seas.seasonal) * 10000 + 0.5) / 10000)
+       END AS remainder
+FROM det JOIN seas ON det.dow = seas.dow
+"""
+
+
+@register("ts_classical_decompose", oracle=_DECOMP_SQL, tier="T2")
+def ts_classical_decompose(spark, sf_dir):
+    """Classical additive time-series decomposition of the daily value
+    series: trend = centered 7-day moving average (full windows only),
+    seasonal = per-weekday mean of the detrended series, remainder =
+    val − trend − seasonal — the standard pre-STL decomposition for
+    seasonality-aware monitoring.
+
+    Determinism: daily values are exact cent sums; the detrended series is
+    rounded into integer 1e-4 units BEFORE the per-weekday mean so the
+    cross-row sum is order-independent; every emitted float is one fixed
+    divide-then-round sequence shared with the oracle.
+
+    Scale note: one shuffle to daily grain (map-side combinable), one
+    |days|-row window, one 7-row seasonal broadcast join — the raw event
+    stream is scanned once.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).cast("double") / 100).alias(
+            "val"
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "val",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.floor(F.avg("val").over(w) * 10000 + F.lit(0.5)) / 10000,
+        ).alias("trend"),
+        F.dayofweek("day").alias("dow"),
+    )
+    det = tr.withColumn(
+        "det_u",
+        F.floor((F.col("val") - F.col("trend")) * 10000 + F.lit(0.5)).cast("long"),
+    )
+    seas = (
+        det.filter(F.col("det_u").isNotNull())
+        .groupBy("dow")
+        .agg(
+            (
+                F.floor(
+                    (F.sum("det_u").cast("double") / F.count("det_u") / 10000) * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("seasonal")
+        )
+    )
+    return det.join(F.broadcast(seas), "dow").select(
+        "day",
+        "val",
+        "trend",
+        "seasonal",
+        F.when(
+            F.col("trend").isNotNull(),
+            F.floor(
+                (F.col("val") - F.col("trend") - F.col("seasonal")) * 10000 + F.lit(0.5)
+            )
+            / 10000,
+        ).alias("remainder"),
+    )
