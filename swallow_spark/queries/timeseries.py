@@ -644,3 +644,84 @@ def ts_classical_decompose(spark, sf_dir):
             / 10000,
         ).alias("remainder"),
     )
+
+
+_ACF_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS u
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+lagged AS (
+  -- CALENDAR lag (day + k), not row lag: identical to the Spark join even
+  -- if the daily series ever has gap days
+  SELECT k.lag, d1.u AS a, d2.u AS b
+  FROM daily d1, unnest(generate_series(CAST(1 AS BIGINT), 7)) AS k(lag)
+  JOIN daily d2 ON d2.day = d1.day + CAST(k.lag AS INT)
+),
+s AS (
+  SELECT lag, COUNT(*) AS n,
+         SUM(a) AS sa, SUM(b) AS sb, SUM(a * b) AS sab,
+         SUM(a * a) AS saa, SUM(b * b) AS sbb
+  FROM lagged
+  GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+       (FLOOR(((n * sab - sa * sb)
+               / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                      * CAST(n * sbb - sb * sb AS DOUBLE))) * 10000 + 0.5)
+        / 10000) AS acf
+FROM s
+ORDER BY lag
+"""
+
+
+@register("ts_autocorrelation", oracle=_ACF_SQL, tier="T2")
+def ts_autocorrelation(spark, sf_dir):
+    """Lag-1..7 autocorrelation of the daily value series (Pearson corr of
+    the series against its k-day lead over overlapping days) — the
+    seasonality detector feeding ts_classical_decompose's period choice.
+
+    Determinism: all six sufficient statistics (n, Σa, Σb, Σab, Σa², Σb²)
+    are exact int64 sums of cent units, then ONE closed-form double
+    expression — no float accumulation anywhere, so partitioning cannot
+    change a bit (built-in corr() aggregates floats and cannot promise
+    that). Scale note: one daily-grain shuffle; the lag fan-out is 7× the
+    |days|-row series, not the event stream.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).cast("long").alias("u"))
+    lagged = daily.select(
+        "day", "u", F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag")
+    )
+    # lead with a column offset isn't supported; calendar lag = self-join
+    # on day + lag (also gap-day-correct, unlike a row-based lead)
+    shifted = daily.select(
+        F.col("day").alias("bday"), F.col("u").alias("b")
+    )
+    pairs = lagged.join(
+        shifted, F.date_add(F.col("day"), F.col("lag").cast("int")) == F.col("bday")
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("u") * F.col("b")).alias("sab"),
+        F.sum(F.col("u") * F.col("u")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    acf = (
+        (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+        / F.sqrt(
+            (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+            * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+        )
+    )
+    return s.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n"),
+        (F.floor(acf * 10000 + F.lit(0.5)) / 10000).alias("acf"),
+    ).orderBy("lag")
