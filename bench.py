@@ -103,6 +103,17 @@ def main() -> None:
 
     run_once("limit_topn")  # warm the JVM + parquet footers
 
+    # Page-cache pre-warm of EVERY input table (the r3 driver bench ran on
+    # a cold cache and uniformly inflated the first keys ~1.5x; the env
+    # markers make that visible, this makes it not happen).
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            try:
+                with open(os.path.join(sf_dir, f), "rb") as fh:
+                    fh.read()
+            except OSError:
+                pass
+
     # BASELINE.md protocol: warm-up + median of 3 timed runs per key.
     # Per-key fault isolation: one crashing query must not zero out the
     # whole bench record (round 2 lost its BENCH to a single load error).
