@@ -42,14 +42,24 @@ def source_csv_roundtrip(spark, sf_dir):
     return spark.read.schema(schemas.customer).option("header", "true").csv(path)
 
 
-@register("source_jsonl_roundtrip", oracle=None, tier="T3")
+@register(
+    "source_jsonl_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    tier="T2",
+)
 def source_jsonl_roundtrip(spark, sf_dir):
     """documents → line-delimited JSON → read back with explicit schema
-    (swallow JSON-file adapter analog)."""
+    (swallow JSON-file adapter analog). ORACLE-CHECKED against the source
+    table itself: JSON round-trips strings (incl. unicode), NULLs and
+    integers losslessly, so the read-back must hash-equal the original —
+    promoted from rows-only in round 4 (CSV stays rows-only: empty strings
+    come back as NULL there, inherently lossy)."""
     path = _io_dir(sf_dir, "documents_jsonl")
     d = load(spark, sf_dir, "documents")
     d.write.mode("overwrite").json(path)
-    return spark.read.schema(schemas.documents).json(path)
+    return spark.read.schema(schemas.documents).json(path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
 
 
 @register(
@@ -214,14 +224,26 @@ def multimodal_pipeline(spark, sf_dir):
     )
 
 
-@register("source_merge_schema", oracle=None, tier="T3")
+@register(
+    "source_merge_schema",
+    oracle="""
+SELECT CAST(NULL AS VARCHAR) AS ingest_tag, CAST(COUNT(*) AS BIGINT) AS n
+FROM region
+UNION ALL
+SELECT 'v2', CAST(COUNT(*) AS BIGINT) FROM region
+""",
+    tier="T2",
+)
 def source_merge_schema(spark, sf_dir):
     """Schema evolution on read: batch 1 writes (r_regionkey, r_name),
     batch 2 adds a populated `ingest_tag` column; mergeSchema=true unions
     the schemas and back-fills nulls for the old files — how a long-lived
     100 TB parquet table absorbs added columns without rewrite.
 
-    Returns per-tag counts (tag null = pre-evolution files)."""
+    Returns per-tag counts (tag null = pre-evolution files) — ORACLE-
+    CHECKED: both evolution batches derive from region, so the merged
+    per-tag counts are exactly one region count per batch (promoted from
+    rows-only in round 4)."""
     path = _io_dir(sf_dir, "region_evolving")
     r = load(spark, sf_dir, "region")
     r.write.mode("overwrite").parquet(path)
