@@ -177,7 +177,18 @@ def sink_python_datasource(spark, sf_dir):
     return back.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
 
 
-@register("multimodal_pipeline", oracle=None, tier="T3")
+@register(
+    "multimodal_pipeline",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       substr(sha256(text), 1, 12) AS sha_head,
+       CAST(n_chars % 640 AS INT) AS width,
+       CAST(n_chars % 480 AS INT) AS height
+FROM documents
+""",
+    tier="T2",
+)
 def multimodal_pipeline(spark, sf_dir):
     """Multimodal column plumbing: opaque binary payload + typed metadata
     struct, feature-extracted with an Arrow-batched mapInPandas.
@@ -186,7 +197,9 @@ def multimodal_pipeline(spark, sf_dir):
     "image" is the utf-8 text payload and decode derives deterministic fake
     dimensions. The Spark-side plumbing — BinaryType column, metadata struct,
     mapInPandas batch signature, output schema — is real and is exactly what
-    a jpeg/wav decoder would plug into.
+    a jpeg/wav decoder would plug into. ORACLE-CHECKED since round 4: the
+    stub features (byte count, sha256 head, meta fields) all have exact
+    DuckDB twins (sha256 of the same utf-8 bytes in both engines).
     """
     import hashlib
 
@@ -205,14 +218,22 @@ def multimodal_pipeline(spark, sf_dir):
 
     def decode_stub(batches):
         for pdf in batches:
-            # Real decoder would go here (PIL.Image.open etc.) — stubbed:
+            # Real decoder would go here (PIL.Image.open etc.) — stubbed.
+            # None payloads (NULL text) propagate as NULLs like the oracle's
+            # sha256(NULL)/octet_length(NULL).
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["payload"].map(len),
-                    "sha1_head": pdf["payload"].map(
-                        lambda b: hashlib.sha1(bytes(b)).hexdigest()[:12]
+                    "n_bytes": pd.array(
+                        [None if b is None else len(b) for b in pdf["payload"]],
+                        dtype="Int64",
                     ),
+                    "sha_head": [
+                        None
+                        if b is None
+                        else hashlib.sha256(bytes(b)).hexdigest()[:12]
+                        for b in pdf["payload"]
+                    ],
                     "width": pdf["meta"].map(lambda m: m["width"]),
                     "height": pdf["meta"].map(lambda m: m["height"]),
                 }
@@ -220,7 +241,7 @@ def multimodal_pipeline(spark, sf_dir):
 
     return with_blob.mapInPandas(
         decode_stub,
-        "doc_id long, n_bytes long, sha1_head string, width int, height int",
+        "doc_id long, n_bytes long, sha_head string, width int, height int",
     )
 
 
