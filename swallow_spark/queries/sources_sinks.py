@@ -88,13 +88,26 @@ _CORRUPT_SCHEMA = T.StructType(
 )
 
 
-@register("source_corrupt_tolerant", oracle=None, tier="T3")
+@register(
+    "source_corrupt_tolerant",
+    oracle="""
+SELECT CAST(id AS BIGINT) AS id, payload, CAST(is_corrupt AS INT) AS is_corrupt
+FROM (VALUES (1, 'ok', 0), (2, 'fine', 0),
+             (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 1),
+             (4, 'good', 0),
+             (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 1)) t(id, payload, is_corrupt)
+""",
+    tier="T2",
+)
 def source_corrupt_tolerant(spark, sf_dir):
     """PERMISSIVE JSON read: bad records land in _corrupt_record instead of
     failing the job (swallow's skip-bad-document semantics).
 
     Returns (id, payload, is_corrupt) with exactly the 2 planted bad lines
-    flagged."""
+    flagged. ORACLE-CHECKED since round 4: the key plants its own input, so
+    the expected PERMISSIVE-mode output is a constant — the oracle is that
+    literal (malformed records null all data columns and set the corrupt
+    marker)."""
     path = _io_dir(sf_dir, "corrupt_jsonl")
     os.makedirs(path, exist_ok=True)
     lines = [
