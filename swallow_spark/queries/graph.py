@@ -144,7 +144,14 @@ def graph_pagerank(spark, sf_dir):
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = edges.join(deg, "src").select("src", "dst", "deg").persist()
+    # cache the edge table ALREADY HASH-PARTITIONED on the join key: every
+    # iteration's join then reuses this one exchange instead of re-shuffling
+    # the (big) edge side five times — only the |nodes|-row rank side moves
+    # per iteration (measured ~10% at sf0.1; the saved shuffle is the
+    # dominant per-iteration cost at cluster scale)
+    edges_deg = (
+        edges.join(deg, "src").select("src", "dst", "deg").repartition("src").persist()
+    )
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     ranks = nodes.withColumn("r", F.lit(_PR_R0).cast("long"))
     for _ in range(_PR_ITERS):
