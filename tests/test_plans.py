@@ -281,3 +281,51 @@ def test_minhash_portable_single_signature_pass(spark):
     # name itself appears twice in "formatted" output — tree + detail)
     assert p.count("Location: InMemoryFileIndex") == 1
     assert "partial_min" in p  # map-side combine of the 32 signature mins
+
+
+# Keys where a BroadcastNestedLoopJoin is INTENTIONAL and bounded: the
+# scalar-subquery pattern (crossJoin of a broadcast 1-row aggregate), tiny
+# theta joins (nation×nation), or probe-broadcast similarity scans. A key
+# appearing here has been audited; anything else showing a nested-loop or
+# cartesian is a scale bug.
+BNLJ_ALLOWED = {
+    "basket_association_rules",
+    "fn_haversine",
+    "join_cross_limited",
+    "q11_important_stock",
+    "q22_global_sales_opportunity",
+    "sim_cosine_topk",
+    "sim_knn_join_label",
+    "stats_chisq_independence",
+    "stats_ks_test",
+    "stats_mann_whitney",
+    "text_bm25_search",
+    "text_cooccurrence_pmi",
+    "text_tfidf_topk",
+    "text_unigram_logprob",
+    "ts_gap_fill",
+    "ts_locf",
+    "ts_resample_interp",
+}
+
+_PLAN_AUDIT_SKIP_PREFIXES = (
+    "source_", "sink_", "etl_compact", "etl_range_partition", "stream_",
+)
+
+
+def test_no_unaudited_nested_loop_joins(spark):
+    """Repo-wide anti-pattern audit: no declared key may introduce a
+    CartesianProduct or an unaudited BroadcastNestedLoopJoin — the two plan
+    shapes that silently explode at 100 TB."""
+    from swallow_spark.registry import declared_queries
+
+    offenders = []
+    for name, q in declared_queries().items():
+        if name.startswith(_PLAN_AUDIT_SKIP_PREFIXES):
+            continue
+        p = plan_of(spark, name)
+        if "CartesianProduct" in p:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in p and name not in BNLJ_ALLOWED:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
