@@ -30,16 +30,33 @@ def _io_dir(sf_dir: str, name: str) -> str:
     return f"{_IO_ROOT}/{tag}/{name}"
 
 
-@register("source_csv_roundtrip", oracle=None, tier="T3")
+@register(
+    "source_csv_roundtrip",
+    oracle="SELECT * FROM customer",
+    tier="T2",
+)
 def source_csv_roundtrip(spark, sf_dir):
-    """customer → csv (header) → read back with the explicit declared schema.
-
-    Timestamp-free table keeps csv round-trip lossless; schema-on-read is the
-    swallow CSVio analog."""
+    """customer → csv (header) → read back with the explicit declared schema
+    (swallow CSVio analog). ORACLE-CHECKED against the source table since
+    round 4: with distinct null/empty markers (nullValue='\\N' on both
+    sides, quoted-empty emptyValue on write) the round-trip is lossless
+    even for empty strings vs NULLs — the default CSV options conflate the
+    two. Doubles survive via Java shortest-repr toString → exact parse."""
     path = _io_dir(sf_dir, "customer_csv")
     c = load(spark, sf_dir, "customer")
-    c.write.mode("overwrite").option("header", "true").csv(path)
-    return spark.read.schema(schemas.customer).option("header", "true").csv(path)
+    (
+        c.write.mode("overwrite")
+        .option("header", "true")
+        .option("nullValue", "\\N")
+        .option("emptyValue", '""')
+        .csv(path)
+    )
+    return (
+        spark.read.schema(schemas.customer)
+        .option("header", "true")
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
 
 
 @register(
