@@ -553,3 +553,54 @@ def etl_pseudonymize(spark, sf_dir):
         F.date_trunc("day", F.col("ts")).alias("day"),
         rnd(F.col("value"), 2).alias("value"),
     )
+
+
+@register(
+    "etl_forget_users",
+    oracle="""
+WITH del AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+kept AS (
+  SELECT e.* FROM events e LEFT JOIN del ON e.user_id = del.user_id
+  WHERE del.user_id IS NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events) 
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_deleted_total,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM del) AS n_users_forgotten
+FROM kept
+GROUP BY event_type
+""",
+    tier="T2",
+)
+def etl_forget_users(spark, sf_dir):
+    """Right-to-be-forgotten deletion pass: drop every event belonging to a
+    deletion list of users (here the deterministic user_id % 97 == 0
+    cohort), emit per-type surviving counts plus a global audit record
+    (rows deleted, users forgotten) — the governance op a training-data
+    platform must run before each corpus snapshot.
+
+    Scale note: the deletion list is tiny relative to the corpus →
+    broadcast LEFT ANTI join, so the 100 TB fact side never shuffles; the
+    audit scalars are broadcast 1-row aggregates (the scalar-subquery
+    pattern). With a real table format the anti-join becomes MERGE DELETE
+    plus a file-rewrite of only the affected partitions.
+    """
+    e = load(spark, sf_dir, "events")
+    del_list = e.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    kept = e.join(F.broadcast(del_list), "user_id", "left_anti")
+    totals = (
+        e.agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(kept.agg(F.count(F.lit(1)).alias("n_kept_total"))))
+        .crossJoin(F.broadcast(del_list.agg(F.count(F.lit(1)).alias("n_users"))))
+        .select(
+            (F.col("n_events") - F.col("n_kept_total")).alias("n_deleted_total"),
+            F.col("n_users").alias("n_users_forgotten"),
+        )
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .crossJoin(F.broadcast(totals))
+        .select("event_type", "n_kept", "n_deleted_total", "n_users_forgotten")
+    )
