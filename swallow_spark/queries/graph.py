@@ -147,8 +147,9 @@ def graph_pagerank(spark, sf_dir):
     # cache the edge table ALREADY HASH-PARTITIONED on the join key: every
     # iteration's join then reuses this one exchange instead of re-shuffling
     # the (big) edge side five times — only the |nodes|-row rank side moves
-    # per iteration (measured ~10% at sf0.1; the saved shuffle is the
-    # dominant per-iteration cost at cluster scale)
+    # per iteration. At local[32]/sf0.1 this is noise-level (in-memory
+    # shuffles are cheap); the saved per-iteration edge shuffle is the
+    # dominant cost on a real cluster, which is what the shape is for.
     edges_deg = (
         edges.join(deg, "src").select("src", "dst", "deg").repartition("src").persist()
     )
