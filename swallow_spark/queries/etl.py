@@ -604,3 +604,68 @@ def etl_forget_users(spark, sf_dir):
         .crossJoin(F.broadcast(totals))
         .select("event_type", "n_kept", "n_deleted_total", "n_users_forgotten")
     )
+
+
+@register(
+    "etl_cdc_apply",
+    oracle="""
+WITH log AS (
+  SELECT o_custkey AS key,
+         o_orderdate AS seq_ts, o_orderkey AS seq_id,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS val_cents
+  FROM orders
+),
+ranked AS (
+  SELECT key, op, val_cents, seq_id,
+         ROW_NUMBER() OVER (PARTITION BY key
+                            ORDER BY seq_ts DESC, seq_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY key) AS n_ops
+  FROM log
+)
+SELECT key AS custkey,
+       CAST(val_cents AS DOUBLE) / 100 AS last_value,
+       seq_id AS last_seq,
+       CAST(n_ops AS BIGINT) AS n_ops
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+""",
+    tier="T2",
+)
+def etl_cdc_apply(spark, sf_dir):
+    """Apply a change-data-capture log: each order is an upsert ('U') or a
+    delete ('D' — the deterministic orderkey % 13 cohort) keyed by
+    customer; latest change wins by (event time, change id), and a key
+    whose final op is a delete vanishes from the materialized state. The
+    complement to etl_merge_upsert (single-batch MERGE) and etl_scd2 (full
+    history): this is the compact-to-latest-state pass a CDC sink runs.
+
+    Scale note: one shuffle on the key; ROW_NUMBER + the per-key count
+    share a single window partition/sort (no second exchange). On a real
+    100 TB CDC stream you'd run exactly this as foreachBatch MERGE with
+    the log pre-bucketed by key so the window sort is partition-local.
+    """
+    o = load(spark, sf_dir, "orders")
+    log = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("seq_ts"),
+        F.col("o_orderkey").alias("seq_id"),
+        F.when(F.col("o_orderkey") % 13 == 0, "D").otherwise("U").alias("op"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("val_cents"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq_ts").desc(), F.col("seq_id").desc())
+    wc = Window.partitionBy("key")
+    ranked = log.select(
+        "key",
+        "op",
+        "val_cents",
+        "seq_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_ops"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        F.col("key").alias("custkey"),
+        (F.col("val_cents").cast("double") / 100).alias("last_value"),
+        F.col("seq_id").alias("last_seq"),
+        F.col("n_ops").alias("n_ops"),
+    )

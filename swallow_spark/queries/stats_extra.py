@@ -444,3 +444,99 @@ def stats_mann_whitney(spark, sf_dir):
             "z_stat"
         ),
     )
+
+
+_TT_CENTS = "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)"
+
+_TT_SQL = f"""
+WITH g AS (
+  SELECT
+    SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN {_TT_CENTS} ELSE 0 END) AS s1,
+    SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN {_TT_CENTS} * {_TT_CENTS} ELSE 0 END) AS q1,
+    SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS n2,
+    SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN {_TT_CENTS} ELSE 0 END) AS s2,
+    SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN {_TT_CENTS} * {_TT_CENTS} ELSE 0 END) AS q2
+  FROM customer
+  WHERE c_mktsegment IN ('HOUSEHOLD', 'BUILDING')
+),
+d AS (
+  SELECT n1, n2,
+         CAST(s1 AS DOUBLE) / n1 AS m1,
+         CAST(s2 AS DOUBLE) / n2 AS m2,
+         (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+           / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1,
+         (CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)
+           / (CAST(n2 AS DOUBLE) * (n2 - 1)) AS v2
+  FROM g
+),
+e AS (
+  SELECT n1, n2, m1, m2, v1, v2, v1 / n1 + v2 / n2 AS se2 FROM d
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       {sql_rnd('(m1 - m2) / 100', 4)} AS mean_diff,
+       {sql_rnd('(m1 - m2) / sqrt(se2)', 4)} AS t_stat,
+       {sql_rnd(
+           'se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)'
+           ' + (v2 / n2) * (v2 / n2) / (n2 - 1))', 2)} AS df_welch
+FROM e
+"""
+
+
+@register("stats_ttest_welch", oracle=_TT_SQL, tier="T2")
+def stats_ttest_welch(spark, sf_dir):
+    """Welch's two-sample t-test (unequal variances) between the
+    HOUSEHOLD and BUILDING segments' account balances: t statistic plus
+    the Welch–Satterthwaite degrees of freedom — the parametric member of
+    the drift-test family (KS = distribution shape, Mann–Whitney = rank
+    shift, Welch = mean shift).
+
+    Determinism: n/Σx/Σx² are exact int64 in integer cents (headroom:
+    cents² ≤ ~1.2e12, so Σx² stays < 2^53 — exactly double-representable —
+    through sf0.1; beyond that the int64 sums are still exact and the ONE
+    int→double conversion rounds identically in both engines), and every
+    subsequent double op is spelled identically on both sides, so the IEEE
+    sequences match bit-for-bit before the final half-up rounds.
+
+    Scale note: one map-side-combinable aggregate over the filtered scan —
+    a single row crosses the shuffle; nothing here grows with data size.
+    """
+    c = load(spark, sf_dir, "customer")
+    cb = F.expr(_TT_CENTS)
+    is1 = F.col("c_mktsegment") == "HOUSEHOLD"
+    is2 = F.col("c_mktsegment") == "BUILDING"
+    g = c.filter(F.col("c_mktsegment").isin("HOUSEHOLD", "BUILDING")).agg(
+        F.sum(F.when(is1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(is1, cb).otherwise(0)).alias("s1"),
+        F.sum(F.when(is1, cb * cb).otherwise(0)).alias("q1"),
+        F.sum(F.when(is2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(is2, cb).otherwise(0)).alias("s2"),
+        F.sum(F.when(is2, cb * cb).otherwise(0)).alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    v1 = (n1.cast("double") * F.col("q1") - F.col("s1").cast("double") * F.col("s1")) / (
+        n1.cast("double") * (n1 - 1)
+    )
+    v2 = (n2.cast("double") * F.col("q2") - F.col("s2").cast("double") * F.col("s2")) / (
+        n2.cast("double") * (n2 - 1)
+    )
+    d = g.select("n1", "n2", m1.alias("m1"), m2.alias("m2"), v1.alias("v1"), v2.alias("v2"))
+    e = d.select(
+        "n1", "n2", "m1", "m2", "v1", "v2",
+        (F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")).alias("se2"),
+    )
+    vn1 = F.col("v1") / F.col("n1")
+    vn2 = F.col("v2") / F.col("n2")
+    return e.select(
+        "n1",
+        "n2",
+        rnd((F.col("m1") - F.col("m2")) / 100, 4).alias("mean_diff"),
+        rnd((F.col("m1") - F.col("m2")) / F.sqrt(F.col("se2")), 4).alias("t_stat"),
+        rnd(
+            F.col("se2") * F.col("se2")
+            / (vn1 * vn1 / (F.col("n1") - 1) + vn2 * vn2 / (F.col("n2") - 1)),
+            2,
+        ).alias("df_welch"),
+    )

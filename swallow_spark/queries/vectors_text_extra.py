@@ -171,3 +171,163 @@ def vec_quantize_int8(spark, sf_dir):
         F.array_max("iq").cast("long").alias("max_q"),
         F.array_min("iq").cast("long").alias("min_q"),
     )
+
+
+# ------------------------------------------------------ distributed linear algebra
+# Tall-skinny Gram trick: for N×d embeddings with d small (64), Xᵀ X is d×d —
+# each partition reduces its rows to ONE d×d partial (Arrow-batched numpy
+# matmul), partials sum by (i, j). Coordinates are quantized to integer 1e-6
+# units first, so every partial and the final sum are exact int64 — the
+# result is bit-identical at any partition count, which is what lets an
+# inherently "numeric" operator be hash-checked against DuckDB.
+
+_VEC_DIM = 64
+_VEC_UNITS = 1_000_000
+
+
+def _gram_partials(augment: bool):
+    """mapInPandas body: per-batch int64 Gram partial over valid embeddings.
+
+    augment=True appends a constant-1 coordinate, so the Gram's last
+    row/column carries Σq (column sums) and the corner carries n·units² —
+    one pass yields second moments AND first moments AND the count.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = _VEC_DIM + (1 if augment else 0)
+
+    def body(batches):
+        acc = np.zeros((d, d), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            vecs = [
+                np.asarray(v, dtype=np.float64)
+                for v in pdf["embedding"]
+                if v is not None and len(v) == _VEC_DIM
+            ]
+            if not vecs:
+                continue
+            q = np.floor(np.stack(vecs) * _VEC_UNITS + 0.5).astype(np.int64)
+            if augment:
+                q = np.hstack([q, np.full((q.shape[0], 1), _VEC_UNITS, dtype=np.int64)])
+            acc += q.T @ q
+            seen = True
+        if seen:
+            iu = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"), "g": acc[iu]}
+            )
+
+    return body
+
+
+@register(
+    "vec_gram_matrix",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, g.i AS i,
+         CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * {_VEC_UNITS} + 0.5) AS BIGINT) AS qv
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+  WHERE embedding IS NOT NULL AND len(embedding) = {_VEC_DIM}
+)
+SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
+       CAST(SUM(a.qv * b.qv) AS BIGINT) AS g
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY a.i, b.i
+""",
+    tier="T2",
+)
+def vec_gram_matrix(spark, sf_dir):
+    """Exact XᵀX Gram matrix of the embedding corpus in integer 1e-6
+    units, upper triangle as (i, j, g) scalar rows — the one-pass input to
+    covariance/PCA/ridge normal equations. NULL or ragged embeddings are
+    excluded on both sides.
+
+    Scale note: each partition ships exactly one d(d+1)/2-row partial
+    (2 080 rows for d=64) regardless of row count — at 100 TB the shuffle
+    carries |partitions|·2 080 rows, nothing scales with N. The oracle
+    spells the same sums as an unnest self-join (DuckDB has no matmul);
+    int64 headroom: |q| ≤ ~2e6 ⇒ products ≤ 4e12, safe past 10⁶ rows/entry.
+    """
+    e = load(spark, sf_dir, "embeddings").select("embedding")
+    out_schema = "i int, j int, g long"
+    partials = e.mapInPandas(_gram_partials(augment=False), schema=out_schema)
+    return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+@register("vec_pca_project", oracle=None, tier="T2")
+def vec_pca_project(spark, sf_dir):
+    """Distributed PCA via the tall-skinny Gram trick: one augmented-Gram
+    pass (second moments + column sums + count in a single 65×65 int64
+    matrix), a driver-side 64×64 eigendecomposition (numpy — the d×d
+    problem is microscopic next to N), then a broadcast projection pass
+    emitting each vector's top-2 principal coordinates. Rows-only per
+    §2.0 rule 6 (no eigensolver in DuckDB); tests/test_vectors.py checks
+    the projections against a dense numpy PCA reference and the Gram pass
+    is independently oracle-checked as vec_gram_matrix.
+
+    Determinism: the collected Gram is exact int64 (partition-count
+    independent), eigh on identical input is deterministic on one
+    platform, and the eigenvector sign is pinned (largest-|coordinate|
+    component made positive, lowest index wins ties) — so the output is
+    stable across runs and partitionings.
+
+    Scale note: the only driver-side data is d(d+1)/2 = 2 145 longs; both
+    passes are map-only over the corpus (zero shuffles besides the 2 080-row
+    partial sum) — the same recipe runs unchanged on 100 TB.
+    """
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    d = _VEC_DIM
+    partials = e.select("embedding").mapInPandas(
+        _gram_partials(augment=True), schema="i int, j int, g long"
+    )
+    rows = partials.groupBy("i", "j").agg(F.sum("g").alias("g")).collect()
+    G = np.zeros((d + 1, d + 1), dtype=np.float64)
+    for r in rows:
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = r["g"]
+    n = G[d, d] / (_VEC_UNITS * _VEC_UNITS)
+    s = G[:d, d] / _VEC_UNITS  # Σq per dim, in integer units
+    mean_q = s / n
+    cov = (G[:d, :d] - np.outer(s, s) / n) / n  # units², biased covariance
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, ::-1][:, :2].copy()  # top-2 by descending eigenvalue
+    for c in range(2):
+        k = int(np.argmax(np.abs(comps[:, c])))  # argmax: lowest index wins ties
+        if comps[k, c] < 0:
+            comps[:, c] = -comps[:, c]
+    b_mean = spark.sparkContext.broadcast(mean_q)
+    b_comps = spark.sparkContext.broadcast(comps)
+
+    def project(batches):
+        import pandas as pd
+
+        m, V = b_mean.value, b_comps.value
+        for pdf in batches:
+            keep = pdf["embedding"].map(
+                lambda v: v is not None and len(v) == _VEC_DIM
+            )
+            pdf = pdf[keep]
+            if not len(pdf):
+                continue
+            q = np.floor(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+                * _VEC_UNITS
+                + 0.5
+            )
+            p = (q - m) @ V / _VEC_UNITS  # back to original coordinate scale
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "pc1": np.floor(p[:, 0] * 1e6 + 0.5) / 1e6,
+                    "pc2": np.floor(p[:, 1] * 1e6 + 0.5) / 1e6,
+                }
+            )
+
+    return e.select("vec_id", "label", "embedding").mapInPandas(
+        project, schema="vec_id long, label int, pc1 double, pc2 double"
+    )

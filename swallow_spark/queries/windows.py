@@ -400,3 +400,52 @@ def win_rolling_distinct_7d(spark, sf_dir):
     # table. Tiny (|types| × |calendar days|): broadcast semi-join.
     days = daily.select("event_type", "day").distinct()
     return counts.join(F.broadcast(days), ["event_type", "day"], "left_semi")
+
+
+@register(
+    "win_rolling_median",
+    oracle=f"""
+SELECT event_id, user_id,
+       median({sql_cents('value')}) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100 AS med7_value
+FROM events
+""",
+    tier="T2",
+)
+def win_rolling_median(spark, sf_dir):
+    """Exact 7-row rolling median of event value per user — the
+    outlier-robust complement to win_moving_avg. Spark has no exact median
+    window function, so the frame is materialized as a sorted integer-cent
+    array (collect_list over the ROWS frame + array_sort) and the median
+    read positionally: odd count → middle element, even count → mean of
+    the two middle elements, mirroring DuckDB's median interpolation
+    exactly (both halves are x.0 or x.5 — exact doubles).
+
+    Scale note: same shuffle/sort shape as every keyed window (one
+    exchange on user_id); the collected frame is bounded at 7 elements per
+    row, so memory is O(frame), not O(partition). For frames of thousands
+    of rows you'd switch to the two-heap streaming algorithm inside
+    applyInPandas instead of per-row arrays.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    a = F.array_sort(F.collect_list(cents(F.col("value"))).over(w))
+    n = F.size(a)
+    mid_hi = ((n + 1) / F.lit(2)).cast("int")  # exact: n+1 even when n odd
+    lo = (n / F.lit(2)).cast("int")
+    # collect_list drops NULLs, so an all-NULL frame is an EMPTY array:
+    # guard n = 0 into NULL (DuckDB's median of an all-NULL frame) before
+    # any element_at — index 0 is a runtime error, even in Spark
+    med_cents = (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, F.element_at(a, mid_hi).cast("double"))
+        .otherwise((F.element_at(a, lo) + F.element_at(a, lo + 1)) / F.lit(2.0))
+    )
+    return e.select(
+        "event_id", "user_id", (med_cents / F.lit(100)).alias("med7_value")
+    )

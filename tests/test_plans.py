@@ -290,6 +290,7 @@ def test_minhash_portable_single_signature_pass(spark):
 # cartesian is a scale bug.
 BNLJ_ALLOWED = {
     "basket_association_rules",
+    "etl_forget_users",  # audit scalars: crossJoin of broadcast 1-row aggregates
     "fn_haversine",
     "join_cross_limited",
     "q11_important_stock",
