@@ -413,3 +413,79 @@ def dedup_embedding_cosine(spark, sf_dir):
         n.join(dups, "vec_id", "left_anti")
         .select("vec_id", "label")
     )
+
+
+_SEMCL_SQL = f"""
+WITH RECURSIVE {_NORMS_SQL},
+pr AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2
+  FROM norms a JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL} >= 0.35
+),
+adj AS (
+  SELECT v1 AS src, v2 AS dst FROM pr
+  UNION ALL
+  SELECT v2 AS src, v1 AS dst FROM pr
+),
+reach(node, comp) AS (
+  SELECT src, src FROM adj
+  UNION
+  SELECT a.src, r.comp FROM adj a JOIN reach r ON a.dst = r.node
+)
+SELECT node AS vec_id, MIN(comp) AS cluster_id,
+       CAST(node = MIN(comp) AS INT) AS is_survivor
+FROM reach GROUP BY node
+"""
+
+
+@register("dedup_semantic_clusters", oracle=_SEMCL_SQL, tier="T2")
+def dedup_semantic_clusters(spark, sf_dir):
+    """SEMANTIC dedup end-to-end: cosine-threshold pair graph (same-label
+    blocking, cosine ≥ 0.35 — sim_pairs_threshold's edge set) → connected
+    components by min-label propagation → survivor flag (cluster minimum
+    keeps, the rest are semantic duplicates to drop). The embedding-space
+    twin of dedup_connected_components' shingle-Jaccard clustering, and
+    the last stage of the modern near-dup stack (exact → MinHash →
+    embedding-cosine).
+
+    Determinism: the edge set is oracle-exact (integer-unit cosine, one
+    division, fixed rounding), and min-reachable-id is a unique integer
+    fixed point regardless of iteration/partition order — so an ITERATIVE
+    clustering is still hash-checked against DuckDB's recursive CTE.
+
+    Scale note: propagation runs on the pair graph only (edges are the
+    thresholded survivors of the blocked similarity join — orders of
+    magnitude smaller than the corpus); each iteration is one small
+    self-join with localCheckpoint truncating lineage, capped at graph
+    diameter 50. The corpus is scanned once, inside the pair stage.
+    """
+    pairs = sim_pairs_threshold(spark, sf_dir).select("v1", "v2").localCheckpoint()
+    adj = pairs.select(F.col("v1").alias("src"), F.col("v2").alias("dst")).unionByName(
+        pairs.select(F.col("v2").alias("src"), F.col("v1").alias("dst"))
+    )
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    for _ in range(50):
+        neigh = adj.join(labels, adj.src == labels.node).select(
+            F.col("dst").alias("node"), "comp"
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).cast("int").alias("is_survivor"),
+    )

@@ -295,6 +295,7 @@ BNLJ_ALLOWED = {
     "join_cross_limited",
     "q11_important_stock",
     "q22_global_sales_opportunity",
+    "search_hybrid_rrf",  # probe-broadcast cosine arm (same as sim_cosine_topk)
     "sim_cosine_topk",
     "sim_knn_join_label",
     "stats_chisq_independence",
