@@ -669,3 +669,65 @@ def etl_cdc_apply(spark, sf_dir):
         F.col("seq_id").alias("last_seq"),
         F.col("n_ops").alias("n_ops"),
     )
+
+
+_KANON_K = 5
+# quasi-identifier tuple: segment × nation × coarse balance bucket
+_KANON_BUCKET = "CAST(FLOOR(c_acctbal / 1000) AS BIGINT)"
+
+_KANON_SQL = f"""
+WITH cells AS (
+  SELECT c_mktsegment, c_nationkey, {_KANON_BUCKET} AS bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_cells,
+       CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT) AS n_rows_to_suppress,
+       CAST(MIN(n) AS BIGINT) AS min_cell,
+       (FLOOR(CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS DOUBLE)
+              / SUM(n) * 1000000 + 0.5) / 1000000) AS suppression_rate
+FROM cells
+GROUP BY c_mktsegment
+"""
+
+
+@register("etl_k_anonymity", oracle=_KANON_SQL, tier="T2")
+def etl_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (segment, nation, $1000-balance-bucket): per-segment cell counts,
+    violating cells (size < k), rows that would need suppression or
+    coarsening, and the suppression rate — the release gate that runs
+    after etl_pseudonymize and before a dataset leaves the trust boundary
+    (pseudonyms alone don't stop a quasi-identifier linkage attack).
+
+    Determinism: pure integer counts; the single rate divides once and
+    half-up rounds to 6dp.
+
+    Scale note: two chained map-side-combinable aggregates (cell counts,
+    then per-segment rollup) — shuffles carry |cells| rows, never the
+    table; at 100 TB the QI tuple is the natural partition key and hot
+    cells are exactly the SAFE ones (big n), so no skew concern.
+    """
+    c = load(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.expr(_KANON_BUCKET).alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    viol = F.when(F.col("n") < _KANON_K, 1).otherwise(0)
+    viol_rows = F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(F.lit(0))
+    return cells.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(viol).alias("n_violating_cells"),
+        F.sum(viol_rows).alias("n_rows_to_suppress"),
+        F.min("n").alias("min_cell"),
+        (
+            F.floor(
+                F.sum(viol_rows).cast("double") / F.sum("n") * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("suppression_rate"),
+    )

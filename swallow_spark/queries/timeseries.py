@@ -725,3 +725,113 @@ def ts_autocorrelation(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         (F.floor(acf * 10000 + F.lit(0.5)) / 10000).alias("acf"),
     ).orderBy("lag")
+
+
+# Holt's linear-trend smoothing constants (mirrored literals in both folds)
+_HOLT_A = "0.3"  # level alpha
+_HOLT_B = "0.2"  # trend beta
+
+
+def _holt_l(acc1: str, acc2: str, x1: str) -> str:
+    """New-level expression — built from each engine's accessor spellings so
+    the arithmetic is literally identical; duplicated where the trend update
+    needs it (no let-bindings in either lambda dialect)."""
+    return f"({_HOLT_A} * {x1} + (1.0 - {_HOLT_A}) * ({acc1} + {acc2}))"
+
+
+def _holt_step(acc1: str, acc2: str, x1: str) -> tuple[str, str]:
+    nl = _holt_l(acc1, acc2, x1)
+    nb = f"({_HOLT_B} * ({nl} - {acc1}) + (1.0 - {_HOLT_B}) * {acc2})"
+    return nl, nb
+
+
+_DK_NL, _DK_NB = _holt_step("acc[1]", "acc[2]", "x[1]")
+
+# State is a 2-element DOUBLE list [level, trend], NOT a struct: DuckDB
+# v1.0's list_reduce evaluates struct fields sequentially against an
+# in-place-updated accumulator (a later field referencing acc.l reads the
+# NEW level — measured, see tests/test_timeseries_holt.py), while list
+# elements all read the pre-step accumulator like Spark's named_struct
+# does. Lists behave identically in both engines; structs do not.
+_HOLT_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS dval
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+srt AS (
+  SELECT user_id,
+         list_transform(list(dval ORDER BY day),
+                        v -> [v, CAST(0.0 AS DOUBLE)]) AS lst
+  FROM daily GROUP BY user_id
+),
+fold AS (
+  SELECT user_id, len(lst) AS n_days,
+         list_reduce(lst, (acc, x) -> [{_DK_NL}, {_DK_NB}]) AS st
+  FROM srt
+)
+SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+       (FLOOR(st[1] * 10000 + 0.5) / 10000) AS level,
+       (FLOOR(st[2] * 10000 + 0.5) / 10000) AS trend,
+       (FLOOR((st[1] + st[2]) * 10000 + 0.5) / 10000) AS forecast_next
+FROM fold
+"""
+
+
+@register("ts_holt_linear", oracle=_HOLT_SQL, tier="T2")
+def ts_holt_linear(spark, sf_dir):
+    """Holt double-exponential smoothing (level α=0.3, trend β=0.2,
+    b₁=0 init) of each user's daily value series: final level, trend, and
+    the one-step-ahead forecast — the trend-aware upgrade of ts_ewma for
+    metric forecasting.
+
+    Determinism: like ts_ewma, a left fold over the day-ordered daily
+    aggregate with the same arithmetic in both engines. The fold state is
+    a 2-element double ARRAY [level, trend] rather than a struct — DuckDB
+    v1.0's list_reduce mutates a struct accumulator field-by-field within
+    one step (a later field reads the new level), while array-element
+    accumulators read pre-step values in both engines, keeping the IEEE
+    sequences identical. The new-level expression is duplicated inside the
+    trend update (no let-bindings in either lambda dialect).
+
+    Scale note: per-user fold over the DAILY aggregate (bounded by
+    calendar days, not events); one shuffle on user_id covers the
+    collect_list and the groupBy, the same shape as ts_ewma.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        money_sum(F.col("value")).alias("dval")
+    )
+    nl, nb = _holt_step("element_at(acc, 1)", "element_at(acc, 2)", "element_at(x, 1)")
+    return (
+        daily.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "dval"))).alias("s"))
+        .withColumn(
+            "lst", F.expr("transform(s, v -> array(v.dval, CAST(0.0 AS DOUBLE)))")
+        )
+        .withColumn(
+            "st",
+            F.expr(
+                f"aggregate(slice(lst, 2, greatest(size(lst) - 1, 0)),"
+                f" element_at(lst, 1), (acc, x) -> array({nl}, {nb}))"
+            ),
+        )
+        .select(
+            "user_id",
+            F.size("lst").cast("long").alias("n_days"),
+            (F.floor(F.expr("element_at(st, 1)") * 10000 + F.lit(0.5)) / 10000).alias(
+                "level"
+            ),
+            (F.floor(F.expr("element_at(st, 2)") * 10000 + F.lit(0.5)) / 10000).alias(
+                "trend"
+            ),
+            (
+                F.floor(
+                    (F.expr("element_at(st, 1)") + F.expr("element_at(st, 2)")) * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("forecast_next"),
+        )
+    )
