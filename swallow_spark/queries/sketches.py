@@ -170,3 +170,128 @@ def agg_bitmap_distinct(spark, sf_dir):
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------- bloom filter
+_BF_K, _BF_M = 3, 131_072  # hash functions x bit-array width
+_BF_SEG = "BUILDING"  # membership set: one segment's customer keys
+
+
+def _bf_positions_spark(key_expr: str):
+    """The k salted bit positions of a key — same affine family as the CMS."""
+    h = poly_hash(key_expr)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seed"),
+                (
+                    (F.lit(2 * i + 1) * h + F.lit(97 * i + 13)) % F.lit(POLY_P)
+                    % F.lit(_BF_M)
+                ).alias("pos"),
+            )
+            for i in range(_BF_K)
+        ]
+    )
+
+
+def _bf_positions_sql(key_expr: str) -> str:
+    h = sql_poly_hash_duck(key_expr)
+    return (
+        "["
+        + ", ".join(
+            f"{{'seed': {i}, 'pos': ((2 * {i} + 1) * {h} + 97 * {i} + 13)"
+            f" % {POLY_P} % {_BF_M}}}"
+            for i in range(_BF_K)
+        )
+        + "]"
+    )
+
+
+_BF_SQL = f"""
+WITH bits AS (
+  SELECT DISTINCT p.seed, p.pos
+  FROM customer, unnest({_bf_positions_sql("CAST(c_custkey AS VARCHAR)")}) AS t(p)
+  WHERE c_mktsegment = '{_BF_SEG}'
+),
+probe AS (
+  SELECT c_custkey, c_mktsegment, p.seed, p.pos
+  FROM customer, unnest({_bf_positions_sql("CAST(c_custkey AS VARCHAR)")}) AS t(p)
+),
+hits AS (
+  SELECT pr.c_custkey, pr.c_mktsegment, COUNT(*) AS k_hit
+  FROM probe pr JOIN bits b ON pr.seed = b.seed AND pr.pos = b.pos
+  GROUP BY pr.c_custkey, pr.c_mktsegment
+),
+verdicts AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CASE WHEN h.k_hit = {_BF_K} THEN 1 ELSE 0 END AS positive
+  FROM customer c LEFT JOIN hits h ON c.c_custkey = h.c_custkey
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(positive) AS BIGINT) AS n_bloom_positive,
+       (FLOOR(CASE WHEN c_mktsegment = '{_BF_SEG}' THEN 0.0
+              ELSE CAST(SUM(positive) AS DOUBLE) / COUNT(*) END * 1000000 + 0.5)
+        / 1000000) AS fp_rate
+FROM verdicts
+GROUP BY c_mktsegment
+"""
+
+
+@register("sketch_bloom_filter", oracle=_BF_SQL, tier="T2")
+def sketch_bloom_filter(spark, sf_dir):
+    """Portable Bloom filter (k=3, m=131072): build the bit set from one
+    segment's customer keys, probe EVERY customer, report per-segment
+    bloom-positive counts and the measured false-positive rate (0 by
+    definition for the member segment — no false negatives, a property
+    the oracle proves since its n_bloom_positive equals the segment
+    count). The join-prefilter primitive: ship the small side's bloom to
+    the 100 TB side and drop non-candidates before the shuffle.
+
+    Determinism: bit positions come from conform.poly_hash's affine
+    family (same ints in both engines), so the filter — collisions, false
+    positives and all — is bit-identical; the one rate division half-up
+    rounds to 6dp.
+
+    Scale note: the bit set is ≤ k·|members| distinct (seed, pos) rows —
+    broadcast territory (the DataFrame analog of shipping the m-bit
+    array); the probe explodes k rows per key, hash-joins the broadcast
+    bits, and reduces per key — map-side work, one |keys|-row shuffle.
+    """
+    c = load(spark, sf_dir, "customer")
+    key = "CAST(c_custkey AS STRING)"
+    bits = (
+        c.filter(F.col("c_mktsegment") == _BF_SEG)
+        .select(F.explode(_bf_positions_spark(key)).alias("p"))
+        .select(F.col("p.seed").alias("seed"), F.col("p.pos").alias("pos"))
+        .distinct()
+    )
+    probe = c.select(
+        "c_custkey", "c_mktsegment", F.explode(_bf_positions_spark(key)).alias("p")
+    ).select("c_custkey", "c_mktsegment", F.col("p.seed").alias("seed"), F.col("p.pos").alias("pos"))
+    hits = (
+        probe.join(F.broadcast(bits), ["seed", "pos"])
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+    )
+    verdicts = (
+        c.select("c_custkey", "c_mktsegment")
+        .join(hits.select("c_custkey", "k_hit"), "c_custkey", "left")
+        .select(
+            "c_mktsegment",
+            F.when(F.col("k_hit") == _BF_K, 1).otherwise(0).alias("positive"),
+        )
+    )
+    return verdicts.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("positive").cast("long").alias("n_bloom_positive"),
+        (
+            F.floor(
+                F.when(F.col("c_mktsegment") == _BF_SEG, F.lit(0.0))
+                .otherwise(F.sum("positive").cast("double") / F.count(F.lit(1)))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("fp_rate"),
+    )
