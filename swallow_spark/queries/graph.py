@@ -312,43 +312,76 @@ def graph_jaccard_neighbors(spark, sf_dir):
 
     Candidate pairs are restricted to existing edges, which is what keeps
     this exact AND bounded: scoring ALL pairs with a shared neighbor would
-    enumerate Σd(w)² wedges (148M at sf0.1 on this dense graph), while the
-    per-edge form is |E| in-row intersections of bounded adjacency lists —
-    no wedge intermediate, no extra shuffle beyond the adjacency groupBy.
+    enumerate Σd(w)² wedges (148M at sf0.1 on this dense graph).
+    |N(u)∩N(v)| for an edge = the number of triangles through it, so the
+    implementation LISTS triangles once via the Schank–Wagner oriented
+    intersect (the graph_triangle_count machinery), explodes each triangle
+    to its three member edges, and counts per canonical edge — measured
+    14.2 s → ~7 s at sf0.1 vs joining both full adjacency arrays onto
+    every edge (that formulation ships Σdeg² ≈ 300M ints through the
+    join; triangle listing ships 3·|triangles| ≈ 5.7M small rows).
+    Zero-common edges are restored by a left join from the edge table
+    (they can reach the top-50 on sparse fixtures).
 
     Determinism: counts and degrees are exact ints; jaccard is ONE
     division then half-up 6dp; the (jaccard DESC, src, dst) total order
     fixes the top-50 cut in both engines.
 
-    Scale note: adjacency lists cap at max-degree (222 here; O(√E·avg_d)
-    memory per row worst-case) — on a 100 TB graph with true hubs you'd cap
-    or chunk the lists (same split-and-explode recipe as triangle count)
-    and the join on node stays a plain shuffled hash join, |E| rows.
+    Scale note: one adjacency groupBy + one edge-keyed shuffle of the
+    triangle attributions; oriented out-degree is bounded by O(√E)
+    (arboricity), so no hub blow-up — the same bound that makes
+    graph_triangle_count safe at 100 TB.
     """
     e = _edges(spark, sf_dir).persist()
-    und = e.selectExpr("src AS node", "dst AS nbr").unionAll(
-        e.selectExpr("dst AS node", "src AS nbr")
-    )
-    adj = und.groupBy("node").agg(
-        F.collect_list("nbr").alias("nbrs"), F.count(F.lit(1)).alias("d")
-    )
-    j = (
-        e.join(
-            adj.select(
-                F.col("node").alias("src"), F.col("nbrs").alias("na"), F.col("d").alias("da")
-            ),
-            "src",
-        )
-        .join(
-            adj.select(
-                F.col("node").alias("dst"), F.col("nbrs").alias("nb"), F.col("d").alias("db")
-            ),
-            "dst",
-        )
+    und = e.selectExpr("src AS node").unionAll(e.selectExpr("dst AS node"))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d")).persist()
+    # orient by the packed (degree, id) total order — each triangle is
+    # produced exactly once at its minimum vertex (see graph_triangle_count)
+    ed = (
+        e.join(deg.select(F.col("node").alias("src"), F.col("d").alias("sd")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst")
         .select(
             "src",
             "dst",
-            F.size(F.array_intersect("na", "nb")).cast("long").alias("n_common"),
+            (F.col("sd") * F.lit(1_000_000_000) + F.col("src")).alias("skey"),
+            (F.col("dd") * F.lit(1_000_000_000) + F.col("dst")).alias("dkey"),
+        )
+    )
+    o = ed.select(
+        F.when(F.col("skey") < F.col("dkey"), F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(F.col("skey") < F.col("dkey"), F.col("dst")).otherwise(F.col("src")).alias("b"),
+    ).persist()
+    adj = o.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    # list each triangle (a, b, w) once, then attribute it to its three
+    # member edges in ORIGINAL id space (canonical src < dst)
+    tri = (
+        o.join(adj.select(F.col("a"), F.col("nbrs").alias("na")), "a")
+        .join(adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb")), "b")
+        .select("a", "b", F.explode(F.array_intersect("na", "nb")).alias("w"))
+    )
+    pair = lambda x, y: F.struct(  # noqa: E731
+        F.least(x, y).alias("src"), F.greatest(x, y).alias("dst")
+    )
+    attributions = tri.select(
+        F.explode(
+            F.array(
+                pair(F.col("a"), F.col("b")),
+                pair(F.col("a"), F.col("w")),
+                pair(F.col("b"), F.col("w")),
+            )
+        ).alias("p")
+    ).select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+    cnt = attributions.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    j = (
+        e.join(cnt, ["src", "dst"], "left")
+        .join(deg.select(F.col("node").alias("src"), F.col("d").alias("da")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("db")), "dst")
+        .select(
+            "src",
+            "dst",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
             (F.col("da") + F.col("db") - 2).alias("denom_base"),
         )
     )
@@ -372,5 +405,6 @@ def graph_jaccard_neighbors(spark, sf_dir):
         .limit(50)
     )
     out = out.localCheckpoint(eager=True)
-    e.unpersist()
+    for df in (e, deg, o):
+        df.unpersist()
     return out
