@@ -489,3 +489,113 @@ def dedup_semantic_clusters(spark, sf_dir):
         F.col("comp").alias("cluster_id"),
         (F.col("node") == F.col("comp")).cast("int").alias("is_survivor"),
     )
+
+
+# --- matryoshka truncation evaluation: does the 16-dim prefix of the
+# embedding preserve the full-64-dim top-k neighborhood?
+_MAT_DIM = 16
+
+_MAT_NORMS16_SQL = f"""
+iv16 AS (
+  SELECT vec_id, label, {sql_int_units(f'embedding[1:{_MAT_DIM}]')} AS iv
+  FROM embeddings
+),
+norms16 AS (
+  SELECT * FROM (
+    SELECT vec_id, label, iv,
+           sqrt(CAST({sql_dot_int('iv', 'iv')} AS DOUBLE) / {SCALE}) AS nrm
+    FROM iv16
+  ) WHERE nrm > 0
+)
+"""
+
+_MAT_SQL = f"""
+WITH {_NORMS_SQL},
+{_MAT_NORMS16_SQL.strip().lstrip()},
+full5 AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_COS_SQL} DESC, b.vec_id) AS rk
+    FROM norms a JOIN norms b ON b.vec_id != a.vec_id
+    WHERE a.vec_id < {_N_PROBES}
+  ) WHERE rk <= {_K}
+),
+tr5 AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_COS_SQL} DESC, b.vec_id) AS rk
+    FROM norms16 a JOIN norms16 b ON b.vec_id != a.vec_id
+    WHERE a.vec_id < {_N_PROBES}
+  ) WHERE rk <= {_K}
+),
+hit AS (
+  SELECT f.probe_id, COUNT(*) AS n_overlap
+  FROM full5 f JOIN tr5 t
+    ON f.probe_id = t.probe_id AND f.neighbor_id = t.neighbor_id
+  GROUP BY f.probe_id
+)
+SELECT p.probe_id,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / {_K} AS recall_at_{_K}
+FROM (SELECT DISTINCT probe_id FROM full5) p
+LEFT JOIN hit h ON p.probe_id = h.probe_id
+"""
+
+
+@register("vec_matryoshka_recall", oracle=_MAT_SQL, tier="T2")
+def vec_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation evaluation: per probe, the top-5 cosine
+    neighborhood under the 16-dim embedding PREFIX versus under the full
+    64 dims, reported as recall@5 — the measurement that decides whether
+    a cheaper truncated index (MRL-style) can serve first-stage retrieval
+    at 100 TB with the full vectors kept only for re-ranking.
+
+    Determinism: both neighborhoods use the exact integer-unit cosine
+    with total tie-breaks; recall is exact-count / 5 (x.0/x.2 doubles).
+
+    Scale note: two broadcast-probe scans (the brute-force baseline shape
+    of sim_cosine_topk); the truncated arm reads 4× fewer coordinates —
+    at scale that arm becomes the IVF/LSH candidate generator and this
+    key becomes its recall monitor.
+    """
+    full5 = sim_cosine_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    e = load(spark, sf_dir, "embeddings")
+    iv16 = e.select(
+        "vec_id",
+        int_units(F.slice(F.col("embedding"), 1, _MAT_DIM)).alias("iv"),
+    )
+    n16 = iv16.withColumn(
+        "nrm", F.sqrt(dot_int(F.col("iv"), F.col("iv")).cast("double") / F.lit(SCALE))
+    ).filter(F.col("nrm") > 0)
+    probes = n16.filter(F.col("vec_id") < _N_PROBES).alias("a")
+    corpus = n16.alias("b")
+    wk = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    tr5 = (
+        F.broadcast(probes)
+        .join(corpus, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            _pair_cos().alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _K)
+        .select("probe_id", "neighbor_id")
+    )
+    hit = full5.join(tr5, ["probe_id", "neighbor_id"]).groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        full5.select("probe_id")
+        .distinct()
+        .join(hit, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / F.lit(_K)).alias(
+                f"recall_at_{_K}"
+            ),
+        )
+    )

@@ -835,3 +835,121 @@ def ts_holt_linear(spark, sf_dir):
             ).alias("forecast_next"),
         )
     )
+
+
+# CUSUM control chart: slack k and alarm threshold h in dollars; the fold
+# state is [s_plus, s_minus, n_alarms] (array, not struct — see ts_holt_linear)
+_CUSUM_K = "0.5"
+_CUSUM_H = "50.0"
+
+
+def _cusum_step(acc1: str, acc2: str, acc3: str, x1: str, x2: str) -> tuple[str, str, str]:
+    """x carries [deviation d = dval - mean, 0, 0]; state updates:
+    s⁺ = max(0, s⁺ + d - k), s⁻ = max(0, s⁻ - d - k),
+    n_alarms += (s⁺' > h OR s⁻' > h). The alarm test re-spells the two
+    updates (no let-bindings in either lambda dialect)."""
+    sp = f"GREATEST(0.0, {acc1} + {x1} - {_CUSUM_K})"
+    sm = f"GREATEST(0.0, {acc2} - {x1} - {_CUSUM_K})"
+    na = f"({acc3} + (CASE WHEN {sp} > {_CUSUM_H} OR {sm} > {_CUSUM_H} THEN 1.0 ELSE 0.0 END))"
+    return sp, sm, na
+
+
+_CU_SP, _CU_SM, _CU_NA = _cusum_step("acc[1]", "acc[2]", "acc[3]", "x[1]", "x[2]")
+
+_CUSUM_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+m AS (
+  SELECT user_id,
+         CAST(SUM(cents) AS DOUBLE) / 100 / COUNT(*) AS mean_val
+  FROM daily GROUP BY user_id
+),
+srt AS (
+  SELECT d.user_id,
+         list_transform(list(CAST(d.cents AS DOUBLE) / 100 - m.mean_val ORDER BY d.day),
+                        v -> [v, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]) AS lst
+  FROM daily d JOIN m ON d.user_id = m.user_id
+  GROUP BY d.user_id
+),
+fold AS (
+  SELECT user_id, len(lst) AS n_days,
+         list_reduce(list_prepend([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                                   CAST(0.0 AS DOUBLE)], lst),
+                     (acc, x) -> [{_CU_SP}, {_CU_SM}, {_CU_NA}]) AS st
+  FROM srt
+)
+SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+       (FLOOR(st[1] * 10000 + 0.5) / 10000) AS cusum_pos,
+       (FLOOR(st[2] * 10000 + 0.5) / 10000) AS cusum_neg,
+       CAST(st[3] AS BIGINT) AS n_alarms
+FROM fold
+"""
+
+
+@register("ts_cusum", oracle=_CUSUM_SQL, tier="T2")
+def ts_cusum(spark, sf_dir):
+    """Two-sided CUSUM control chart per user (slack k=$0.5, alarm
+    threshold h=$50) over the daily value series centered on the user's
+    own mean: final S⁺/S⁻ and how many days tripped an alarm — the
+    change-point screen that catches slow drifts a z-score test misses
+    (complements ts_anomaly_zscore).
+
+    Determinism: deviations are exact-cent daily sums minus a
+    once-divided mean (identical IEEE sequence both sides); the fold is
+    seeded with an explicit zero state (Spark aggregate() zero ↔ DuckDB
+    list_prepend) over the day-ordered deviation list, with array state
+    per the ts_holt_linear rule; the alarm counter lives in the state as
+    a double and casts to BIGINT once at the end.
+
+    Scale note: identical shape to ts_ewma/ts_holt_linear — per-user fold
+    over the bounded daily aggregate, one shuffle on user_id.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    m = daily.groupBy("user_id").agg(
+        (F.sum("cents").cast("double") / 100 / F.count(F.lit(1))).alias("mean_val")
+    )
+    sp, sm, na = _cusum_step(
+        "element_at(acc, 1)", "element_at(acc, 2)", "element_at(acc, 3)",
+        "element_at(x, 1)", "element_at(x, 2)",
+    )
+    return (
+        daily.join(m, "user_id")
+        .select(
+            "user_id",
+            "day",
+            (F.col("cents").cast("double") / 100 - F.col("mean_val")).alias("d"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "d"))).alias("s"))
+        .withColumn(
+            "lst",
+            F.expr(
+                "transform(s, v -> array(v.d, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)))"
+            ),
+        )
+        .withColumn(
+            "st",
+            F.expr(
+                f"aggregate(lst, array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),"
+                f" CAST(0.0 AS DOUBLE)), (acc, x) -> array({sp}, {sm}, {na}))"
+            ),
+        )
+        .select(
+            "user_id",
+            F.size("lst").cast("long").alias("n_days"),
+            (F.floor(F.expr("element_at(st, 1)") * 10000 + F.lit(0.5)) / 10000).alias(
+                "cusum_pos"
+            ),
+            (F.floor(F.expr("element_at(st, 2)") * 10000 + F.lit(0.5)) / 10000).alias(
+                "cusum_neg"
+            ),
+            F.expr("CAST(element_at(st, 3) AS BIGINT)").alias("n_alarms"),
+        )
+    )

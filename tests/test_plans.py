@@ -307,6 +307,7 @@ BNLJ_ALLOWED = {
     "text_unigram_logprob",
     "ts_gap_fill",
     "ts_locf",
+    "vec_matryoshka_recall",  # probe-broadcast cosine arms (same as sim_cosine_topk)
     "ts_resample_interp",
 }
 
