@@ -332,3 +332,36 @@ def test_no_unaudited_nested_loop_joins(spark):
         if "BroadcastNestedLoopJoin" in p and name not in BNLJ_ALLOWED:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_gram_matrix_partial_then_final(spark):
+    """The Gram pipeline must be map-only up to a tiny (i, j) aggregate:
+    one parquet scan feeding ArrowEvalPython/mapInPandas, then a
+    partial+final HashAggregate over the 2 080-row partials — nothing
+    corpus-sized may cross the exchange."""
+    p = plan_of(spark, "vec_gram_matrix")
+    assert p.count("Location: InMemoryFileIndex") == 1  # embeddings read once
+    assert "partial_sum" in p  # map-side combine of the partial Grams
+    assert "CartesianProduct" not in p
+
+
+def test_bloom_filter_broadcasts_bit_set(spark):
+    """The probe side must hash-join a BROADCAST position set (the bloom
+    bitmap analog); shipping the probe side instead would shuffle the
+    100 TB side."""
+    p = plan_of(spark, "sketch_bloom_filter")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cdc_apply_single_window_exchange(spark):
+    """ROW_NUMBER and the per-key count are two Window nodes sharing ONE
+    partition/sort: exactly one Exchange (on the CDC key) feeds both.
+    (graph_jaccard_neighbors has no plan test: localCheckpoint collapses
+    its declared plan to Scan ExistingRDD; its shape is covered by the
+    pre-checkpoint construction sharing graph_triangle_count's audited
+    machinery.)"""
+    p = plan_of(spark, "etl_cdc_apply")
+    assert p.count("+- Exchange") == 1
+    assert p.count("Window (") == 2
