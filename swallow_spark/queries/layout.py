@@ -159,3 +159,71 @@ def etl_range_partition_write(spark, sf_dir):
         [(int(total), int(overlaps))],
         "total_rows bigint, n_overlapping_file_pairs bigint",
     )
+
+
+# how many reducer buckets to simulate for the skew probe
+_SKEW_BUCKETS = 32
+
+_SKEW_SQL = f"""
+WITH keys AS (
+  SELECT 'o_custkey' AS key_name, o_custkey % {_SKEW_BUCKETS} AS bucket FROM orders
+  UNION ALL
+  SELECT 'o_orderkey', o_orderkey % {_SKEW_BUCKETS} FROM orders
+),
+bc AS (
+  SELECT key_name, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM keys GROUP BY key_name, bucket
+)
+SELECT key_name,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+       CAST(MAX(n) AS BIGINT) AS max_bucket_rows,
+       CAST(MIN(n) AS BIGINT) AS min_bucket_rows,
+       (FLOOR(CAST(MAX(n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) / {_SKEW_BUCKETS})
+              * 10000 + 0.5) / 10000) AS skew_factor
+FROM bc
+GROUP BY key_name
+""".strip()
+
+
+@register("etl_partition_skew", oracle=_SKEW_SQL, tier="T2")
+def etl_partition_skew(spark, sf_dir):
+    """Pre-flight shuffle-skew probe: simulate hash partitioning of
+    candidate join/partition keys into 32 reducer buckets and report the
+    max/min bucket loads and the skew factor (max bucket ÷ ideal even
+    share) — the measurement you run BEFORE a 100 TB join to decide
+    whether a key needs salting or AQE skew handling. Modulo stands in
+    for the hash so both engines (and the reader) see the same buckets;
+    real skew comes from key-value distribution, which modulo preserves.
+
+    Determinism: pure integer counts; the one ratio divides twice in the
+    same order both sides, half-up 4dp.
+
+    Scale note: this probe is itself skew-proof — the per-(key, bucket)
+    count is a map-side-combinable aggregate whose shuffle carries at
+    most 2·32 rows, regardless of how skewed the DATA is.
+    """
+    o = load(spark, sf_dir, "orders")
+    keys = o.select(
+        F.lit("o_custkey").alias("key_name"),
+        (F.col("o_custkey") % _SKEW_BUCKETS).alias("bucket"),
+    ).unionByName(
+        o.select(
+            F.lit("o_orderkey").alias("key_name"),
+            (F.col("o_orderkey") % _SKEW_BUCKETS).alias("bucket"),
+        )
+    )
+    bc = keys.groupBy("key_name", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    return bc.groupBy("key_name").agg(
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+        F.max("n").alias("max_bucket_rows"),
+        F.min("n").alias("min_bucket_rows"),
+        (
+            F.floor(
+                F.max("n").cast("double")
+                / (F.sum("n").cast("double") / _SKEW_BUCKETS)
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("skew_factor"),
+    )

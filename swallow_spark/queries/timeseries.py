@@ -953,3 +953,132 @@ def ts_cusum(spark, sf_dir):
             F.expr("CAST(element_at(st, 3) AS BIGINT)").alias("n_alarms"),
         )
     )
+
+
+@register(
+    "ts_time_weighted_avg",
+    oracle="""
+WITH seg AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS t_next
+  FROM events
+),
+w AS (
+  SELECT user_id, SUM(cents * (t_next - t)) AS wsum, SUM(t_next - t) AS dur
+  FROM seg WHERE t_next IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(dur AS BIGINT) AS observed_us,
+       (FLOOR(CAST(wsum AS DOUBLE) / dur / 100 * 10000 + 0.5) / 10000) AS twap
+FROM w
+""",
+    tier="T2",
+)
+def ts_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average value per user (TWAP): each event's value
+    holds until the next event (step interpolation), weighted by its
+    holding duration in epoch-µs — the right average for irregularly
+    sampled series where a plain AVG over-weights bursts.
+
+    Determinism: weights are exact integer µs durations × integer cents
+    (headroom: cents ≤ 1e6 × duration ≤ ~3e13 µs/year ≈ 3e19 … per-TERM;
+    at year-long gaps drop to ms units — here gaps are minutes, terms
+    ≤ ~1e12, sums « 2^63), ONE division at the end, half-up 4dp.
+
+    Scale note: one keyed window (lead) sharing its exchange with the
+    groupBy on the same key — single shuffle; the weighted sum is
+    map-side combinable.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.expr("unix_micros(ts)"), "event_id")
+    seg = e.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.expr("unix_micros(ts)").alias("t"),
+        F.lead(F.expr("unix_micros(ts)")).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    agg = seg.groupBy("user_id").agg(
+        F.sum(F.col("cents") * (F.col("t_next") - F.col("t"))).alias("wsum"),
+        F.sum(F.col("t_next") - F.col("t")).alias("dur"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("dur").cast("long").alias("observed_us"),
+        (
+            F.floor(
+                F.col("wsum").cast("double") / F.col("dur") / 100 * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("twap"),
+    )
+
+
+@register(
+    "ts_backtest_snaive",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+fc AS (
+  SELECT user_id, day, cents,
+         lag(cents, 7) OVER (PARTITION BY user_id ORDER BY day) AS pred
+  FROM daily
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       (FLOOR(CAST(SUM(ABS(cents - pred)) AS DOUBLE) / COUNT(*) / 100 * 10000 + 0.5)
+        / 10000) AS mae,
+       (FLOOR(CAST(SUM(CASE WHEN cents - pred > 0 THEN cents - pred
+                            ELSE pred - cents END) AS DOUBLE)
+              / SUM(cents + pred) * 1000000 + 0.5) / 1000000) AS smape_half
+FROM fc WHERE pred IS NOT NULL
+GROUP BY user_id
+""",
+    tier="T2",
+)
+def ts_backtest_snaive(spark, sf_dir):
+    """Forecast backtest of the seasonal-naive model (ŷ_t = y_{t-7 obs}):
+    per-user MAE in dollars and aggregate ½-sMAPE (Σ|err| / Σ(y+ŷ)) — the
+    baseline every fancier forecaster (ts_holt_linear, ts_ewma) must beat
+    before it ships. Scoring starts once 7 prior observations exist.
+
+    Determinism: errors are exact integer-cent differences; each reported
+    metric divides once and half-up rounds.
+
+    Scale note: the keyed lag window and the per-user aggregate share one
+    user_id exchange; everything is map-side combinable after the lag.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    fc = daily.withColumn("pred", F.lag("cents", 7).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    err = F.abs(F.col("cents") - F.col("pred"))
+    return fc.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        (
+            F.floor(
+                F.sum(err).cast("double") / F.count(F.lit(1)) / 100 * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("mae"),
+        (
+            F.floor(
+                F.sum(err).cast("double")
+                / F.sum(F.col("cents") + F.col("pred"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("smape_half"),
+    )
