@@ -599,3 +599,74 @@ def vec_matryoshka_recall(spark, sf_dir):
             ),
         )
     )
+
+
+# label-noise audit sample: the first _NOISE_PROBES vectors get a full kNN check
+_NOISE_PROBES = 100
+_NOISE_K = 5
+
+_NOISE_SQL = f"""
+WITH {_NORMS_SQL},
+nn AS (
+  SELECT probe_id, probe_label, neighbor_label FROM (
+    SELECT a.vec_id AS probe_id, a.label AS probe_label,
+           b.label AS neighbor_label,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_COS_SQL} DESC, b.vec_id) AS rk
+    FROM norms a JOIN norms b ON b.vec_id != a.vec_id
+    WHERE a.vec_id < {_NOISE_PROBES}
+  ) WHERE rk <= {_NOISE_K}
+)
+SELECT probe_id AS vec_id, probe_label AS label,
+       CAST(SUM(CASE WHEN neighbor_label != probe_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_disagree,
+       CAST(SUM(CASE WHEN neighbor_label != probe_label THEN 1 ELSE 0 END)
+            >= {_NOISE_K - 1} AS INT) AS suspect
+FROM nn
+GROUP BY probe_id, probe_label
+"""
+
+
+@register("vec_label_noise_knn", oracle=_NOISE_SQL, tier="T2")
+def vec_label_noise_knn(spark, sf_dir):
+    """Label-noise audit (confident-learning-lite): for each vector in the
+    audit sample, how many of its 5 nearest cosine neighbors carry a
+    DIFFERENT label; ≥4 disagreements flags a suspected mislabel — the
+    data-quality screen run before labels feed a classifier or an RLHF
+    reward model.
+
+    Determinism: exact integer-unit cosine, total tie-breaks, integer
+    disagreement counts.
+
+    Scale note: the audit sample is a broadcast probe set against one
+    corpus scan (sim_cosine_topk's shape); auditing a FULL 100 TB corpus
+    swaps the brute-force arm for the IVF/LSH candidate generator
+    (ann_ivf_kmeans / ann_lsh_bucketed) with this same disagreement
+    aggregate on top.
+    """
+    n = _norms(spark, sf_dir)
+    probes = n.filter(F.col("vec_id") < _NOISE_PROBES).alias("a")
+    corpus = n.alias("b")
+    wk = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    nn = (
+        F.broadcast(probes)
+        .join(corpus, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("a.label").alias("probe_label"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("b.label").alias("neighbor_label"),
+            _pair_cos().alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _NOISE_K)
+    )
+    disagree = F.sum(
+        F.when(F.col("neighbor_label") != F.col("probe_label"), 1).otherwise(0)
+    )
+    return nn.groupBy(
+        F.col("probe_id").alias("vec_id"), F.col("probe_label").alias("label")
+    ).agg(
+        disagree.cast("long").alias("n_disagree"),
+        (disagree >= _NOISE_K - 1).cast("int").alias("suspect"),
+    )

@@ -183,3 +183,81 @@ def ann_ivf_kmeans(spark, sf_dir):
     # materialize, then release the cached base table (no recompute risk)
     e.unpersist()
     return out
+
+
+# temperature-sampling of the corpus source mix (multilingual-style rebalance)
+_TEMP_TAU = "0.7"
+_TEMP_TARGET = 10_000  # documents drawn in the hypothetical mixed epoch
+
+_TEMP_SQL = f"""
+WITH src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM src),
+pw AS (
+  SELECT source, n,
+         CAST(FLOOR(POW(CAST(n AS DOUBLE) / total, {_TEMP_TAU}) * 1000000 + 0.5)
+              AS BIGINT) AS w_micro
+  FROM src CROSS JOIN tot
+),
+z AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS zsum FROM pw)
+SELECT source, n AS n_docs,
+       (FLOOR(CAST(n AS DOUBLE) / (SELECT total FROM tot) * 1000000 + 0.5)
+        / 1000000) AS p_raw,
+       (FLOOR(CAST(w_micro AS DOUBLE) / zsum * 1000000 + 0.5) / 1000000) AS p_mixed,
+       CAST(FLOOR(CAST(w_micro AS DOUBLE) / zsum * {_TEMP_TARGET} + 0.5) AS BIGINT)
+         AS expected_draws
+FROM pw CROSS JOIN z
+""".strip()
+
+
+@register("sample_temperature_mix", oracle=_TEMP_SQL, tier="T2")
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-based corpus mixing (τ=0.7): per-source raw share
+    p_i, rebalanced share p_i^τ / Σp_j^τ, and the expected document draws
+    in a 10 000-doc epoch — the standard multilingual/multi-domain
+    rebalance that up-samples small sources without flattening the mix
+    (τ=1 keeps raw proportions, τ→0 approaches uniform).
+
+    Determinism: the only libm call (POW) is floored to integer
+    micro-units immediately — the same quantize-then-sum recipe
+    text_unigram_logprob uses for ln() — so normalization runs on exact
+    ints with one mirrored division per output.
+
+    Scale note: |sources| rows after the first count — everything
+    downstream is broadcast scalar math; the count itself is the only
+    corpus-wide aggregate.
+    """
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = src.agg(F.sum("n").alias("total"))
+    pw = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "total",
+        F.floor(
+            F.pow(F.col("n").cast("double") / F.col("total"), F.lit(float(_TEMP_TAU)))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    z = pw.agg(F.sum("w_micro").alias("zsum"))
+    return pw.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        (
+            F.floor(F.col("n").cast("double") / F.col("total") * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("p_raw"),
+        (
+            F.floor(F.col("w_micro").cast("double") / F.col("zsum") * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("p_mixed"),
+        F.floor(
+            F.col("w_micro").cast("double") / F.col("zsum") * _TEMP_TARGET + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("expected_draws"),
+    )

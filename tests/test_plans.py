@@ -295,6 +295,7 @@ BNLJ_ALLOWED = {
     "join_cross_limited",
     "q11_important_stock",
     "q22_global_sales_opportunity",
+    "sample_temperature_mix",  # broadcast 1-row total/normalizer cross joins
     "search_hybrid_rrf",  # probe-broadcast cosine arm (same as sim_cosine_topk)
     "sim_cosine_topk",
     "sim_knn_join_label",
@@ -307,6 +308,7 @@ BNLJ_ALLOWED = {
     "text_unigram_logprob",
     "ts_gap_fill",
     "ts_locf",
+    "vec_label_noise_knn",  # probe-broadcast cosine arm (same as sim_cosine_topk)
     "vec_matryoshka_recall",  # probe-broadcast cosine arms (same as sim_cosine_topk)
     "ts_resample_interp",
 }
