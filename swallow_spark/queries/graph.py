@@ -408,3 +408,52 @@ def graph_jaccard_neighbors(spark, sf_dir):
     for df in (e, deg, o):
         df.unpersist()
     return out
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+WITH e AS ({_EDGES_SQL}),
+und AS (SELECT src AS node FROM e UNION ALL SELECT dst FROM e),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY node),
+binned AS (
+  SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS log2_bin, d
+  FROM deg
+)
+SELECT log2_bin,
+       CAST(POW(2.0, log2_bin) AS BIGINT) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(d) AS BIGINT) AS min_degree,
+       CAST(MAX(d) AS BIGINT) AS max_degree
+FROM binned
+GROUP BY log2_bin
+""",
+    tier="T2",
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Log₂-binned degree histogram of the co-purchase graph (the
+    power-law fingerprint): per bin, node count and the min/max degree
+    observed — the first diagnostic you run on a new 100 TB graph to
+    size hub mitigation (salting caps, list chunking) before any join.
+
+    Determinism: degrees are exact ints; the bin index floor(log₂ d) is
+    computed as length(bin(d)) − 1 — pure integer/string ops in both
+    engines — because a floating ln(d)/ln(2) sits EXACTLY on the floor
+    boundary for power-of-two degrees, where a 1-ulp libm difference
+    between JVM and C flips the bin.
+
+    Scale note: degree table + one |bins|-row aggregate — nothing beyond
+    the edge builder's shuffle.
+    """
+    e = _edges(spark, sf_dir)
+    und = e.selectExpr("src AS node").unionAll(e.selectExpr("dst AS node"))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    binned = deg.select(
+        (F.length(F.bin(F.col("d"))) - 1).cast("long").alias("log2_bin"), "d"
+    )
+    return binned.groupBy("log2_bin").agg(
+        F.pow(F.lit(2.0), F.col("log2_bin")).cast("long").alias("bin_lo"),
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("d").alias("min_degree"),
+        F.max("d").alias("max_degree"),
+    )

@@ -331,3 +331,109 @@ def vec_pca_project(spark, sf_dir):
     return e.select("vec_id", "label", "embedding").mapInPandas(
         project, schema="vec_id long, label int, pc1 double, pc2 double"
     )
+
+
+_DRIFT_UNITS = 10_000  # per-element integer units for centroid math
+
+_DRIFT_SQL = f"""
+WITH ex AS (
+  SELECT label, vec_id % 2 AS cohort, g.i AS i,
+         CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * {_DRIFT_UNITS} + 0.5) AS BIGINT) AS u
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+),
+cent AS (
+  SELECT label, cohort, i,
+         CAST(SUM(u) AS DOUBLE) / COUNT(*) AS cu
+  FROM ex GROUP BY label, cohort, i
+),
+pair AS (
+  SELECT a.label, a.i, a.cu AS c0, b.cu AS c1
+  FROM cent a JOIN cent b ON a.label = b.label AND a.i = b.i
+  WHERE a.cohort = 0 AND b.cohort = 1
+),
+agg AS (
+  SELECT label,
+         SUM(CAST(FLOOR((c0 - c1) * (c0 - c1) * 1000000 + 0.5) AS BIGINT)) AS d2,
+         SUM(CAST(FLOOR(c0 * c1 * 1000000 + 0.5) AS BIGINT)) AS dot01,
+         SUM(CAST(FLOOR(c0 * c0 * 1000000 + 0.5) AS BIGINT)) AS n0,
+         SUM(CAST(FLOOR(c1 * c1 * 1000000 + 0.5) AS BIGINT)) AS n1
+  FROM pair GROUP BY label
+)
+SELECT label,
+       (FLOOR(sqrt(CAST(d2 AS DOUBLE) / 1000000) / {_DRIFT_UNITS} * 1000000 + 0.5)
+        / 1000000) AS centroid_l2,
+       (FLOOR(CAST(dot01 AS DOUBLE) / (sqrt(CAST(n0 AS DOUBLE)) * sqrt(CAST(n1 AS DOUBLE)))
+              * 1000000 + 0.5) / 1000000) AS centroid_cos
+FROM agg
+"""
+
+
+@register("vec_centroid_drift", oracle=_DRIFT_SQL, tier="T2")
+def vec_centroid_drift(spark, sf_dir):
+    """Embedding-drift monitor: split each label's vectors into two
+    deterministic cohorts (vec_id parity — stand-in for yesterday/today
+    snapshots), compare per-label centroids by L2 distance and cosine —
+    the check that catches an embedding-model version bump or a corpus
+    shift before it poisons downstream ANN indexes.
+
+    Determinism: per-dimension sums are exact integer units; each
+    centroid coordinate divides once (exact-int / count); the 64
+    per-dimension distance/cosine TERMS are floored to int64 micro-units
+    before their sum, so the reduction is order- and
+    partition-independent, with half-up 6dp rounds at the end.
+
+    Scale note: posexplode → one (label, cohort, dim)-keyed aggregate;
+    centroid tables are |labels|·64 rows — broadcast-sized — so the
+    compare stage is trivial at any corpus size.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "label",
+        "cohort",
+        "pos",
+        F.floor(F.col("x").cast("double") * _DRIFT_UNITS + F.lit(0.5)).alias("u"),
+    )
+    cent = ex.groupBy("label", "cohort", "pos").agg(
+        (F.sum("u").cast("double") / F.count(F.lit(1))).alias("cu")
+    )
+    a = cent.filter(F.col("cohort") == 0).select(
+        "label", "pos", F.col("cu").alias("c0")
+    )
+    b = cent.filter(F.col("cohort") == 1).select(
+        "label", "pos", F.col("cu").alias("c1")
+    )
+    pair = a.join(b, ["label", "pos"])
+    # per-term quantization BEFORE the sum: the 64 per-dimension double
+    # terms would otherwise add in partition order (order-dependent floats);
+    # as int64 micro-units the sums are exact and partition-independent
+    q = lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast("long")  # noqa: E731
+    agg = pair.groupBy("label").agg(
+        F.sum(q((F.col("c0") - F.col("c1")) * (F.col("c0") - F.col("c1")))).alias("d2"),
+        F.sum(q(F.col("c0") * F.col("c1"))).alias("dot01"),
+        F.sum(q(F.col("c0") * F.col("c0"))).alias("n0"),
+        F.sum(q(F.col("c1") * F.col("c1"))).alias("n1"),
+    )
+    return agg.select(
+        "label",
+        (
+            F.floor(
+                F.sqrt(F.col("d2").cast("double") / 1000000) / _DRIFT_UNITS * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("centroid_l2"),
+        (
+            F.floor(
+                F.col("dot01").cast("double")
+                / (F.sqrt(F.col("n0").cast("double")) * F.sqrt(F.col("n1").cast("double")))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("centroid_cos"),
+    )
