@@ -28,3 +28,10 @@ def test_reindex_example():
 def test_training_corpus_example():
     stdout = _run("training_corpus_pipeline.py")
     assert "train" in stdout and "test" in stdout
+
+
+def test_embedding_quality_example():
+    stdout = _run("embedding_quality_pipeline.py")
+    assert "semantic_dups=" in stdout
+    assert "label_suspects=" in stdout
+    assert "truncated_recall=" in stdout
