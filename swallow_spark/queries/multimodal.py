@@ -255,3 +255,101 @@ def multimodal_image_tiles(spark, sf_dir):
             F.length("tile").cast("long").alias("tile_len"),
         )
     )
+
+
+# dHash over the first 61 payload bytes: bit i (i = 1..60) is b[i] > b[i+1]
+_PHASH_BITS = 60
+_PHASH_MIN_BYTES = _PHASH_BITS + 1
+
+# hex-pair byte decode (see multimodal_audio_features for why hex, not
+# codepoints): byte i of the payload from hex chars 2i-1, 2i
+_PH_BYTE = (
+    "(16 * (strpos('0123456789ABCDEF', substr(hx, 2 * ({i}) - 1, 1)) - 1)"
+    " + (strpos('0123456789ABCDEF', substr(hx, 2 * ({i}), 1)) - 1))"
+)
+
+_PHASH_SQL = f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+ph AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(CAST(1 AS BIGINT), {_PHASH_BITS}),
+           i -> CASE WHEN {_PH_BYTE.format(i='i')} > {_PH_BYTE.format(i='i + 1')}
+                     THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END))
+              AS BIGINT) AS phash
+  FROM h WHERE n >= {_PHASH_MIN_BYTES}
+)
+SELECT doc_id, phash,
+       CAST(COUNT(*) OVER (PARTITION BY phash) > 1 AS INT) AS is_dup
+FROM ph
+"""
+
+
+def phash_extractor(decode=None):
+    """mapInPandas body: dHash-{bits} of each payload's leading bytes.
+
+    `decode` is the injectable decoder seam (same convention as
+    audio_feature_extractor); the default reads the raw bytes — a real
+    image pipeline would decode pixels and dHash a downscaled grayscale
+    grid, with everything after the decode unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    weights = (np.int64(1) << np.arange(_PHASH_BITS, dtype=np.int64))
+
+    def extract(batches):
+        for pdf in batches:
+            rows = [
+                (did, payload)
+                for did, payload in zip(pdf["doc_id"], pdf["payload"])
+                if payload is not None and len(payload) >= _PHASH_MIN_BYTES
+            ]
+            if not rows:
+                continue
+            ids = np.array([r[0] for r in rows], dtype=np.int64)
+            # one (n, 61) uint8 matrix from the leading byte slices, then a
+            # fully vectorized compare + weighted sum across the batch
+            mat = np.stack(
+                [
+                    np.frombuffer(r[1], dtype=np.uint8, count=_PHASH_MIN_BYTES)
+                    for r in rows
+                ]
+            )
+            bits = mat[:, : _PHASH_BITS] > mat[:, 1 : _PHASH_BITS + 1]
+            phash = bits.astype(np.int64) @ weights
+            yield pd.DataFrame({"doc_id": ids, "phash": phash})
+
+    return extract
+
+
+@register("multimodal_phash_dedup", oracle=_PHASH_SQL, tier="T2")
+def multimodal_phash_dedup(spark, sf_dir):
+    """Perceptual-hash dedup over opaque binary payloads: a 60-bit dHash
+    (consecutive-byte gradient signs) per document, with documents sharing
+    a hash flagged as perceptual duplicates — the image/audio analog of
+    content-hash dedup, robust to content that differs only in trailing
+    bytes. Payloads shorter than 61 bytes are excluded on both sides.
+
+    ORACLE-CHECKED via the hex-pair byte decode (byte-exact for any UTF-8
+    payload, per the unicode drift probe's lesson on the audio key);
+    gradient bits and the bit-weighted sum are pure int64.
+
+    Scale note: the hash pass is map-only (one Arrow batch sweep, no
+    shuffle); the dup flag is a window count keyed by the 60-bit hash —
+    shuffle carries |docs| fixed-width rows, and hot hash buckets ARE the
+    signal, not skew to mitigate.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    ph = d.mapInPandas(phash_extractor(), "doc_id long, phash long")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("phash")
+    return ph.select(
+        "doc_id",
+        "phash",
+        (F.count(F.lit(1)).over(w) > 1).cast("int").alias("is_dup"),
+    )
