@@ -540,3 +540,86 @@ def stats_ttest_welch(spark, sf_dir):
             2,
         ).alias("df_welch"),
     )
+
+
+_GINI_SQL = """
+WITH s AS (
+  SELECT o_orderpriority AS grp,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, v, c,
+         SUM(c) OVER (PARTITION BY grp ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr
+  FROM s
+),
+agg AS (
+  SELECT grp,
+         SUM(c) AS n,
+         SUM(c * v) AS sv,
+         -- sum of rank-weighted values with ties collapsed: each of the c
+         -- equal values at cumulative position cr takes the average rank
+         -- block (2*cr - c + 1)/2, kept in DOUBLED integer units
+         SUM(v * c * (2 * cr - c + 1)) AS two_rw
+  FROM cum GROUP BY grp
+)
+SELECT grp AS o_orderpriority,
+       CAST(n AS BIGINT) AS n_orders,
+       (FLOOR((CAST(two_rw AS DOUBLE) / (CAST(n AS DOUBLE) * sv)
+               - (CAST(n AS DOUBLE) + 1) / n) * 1000000 + 0.5) / 1000000) AS gini
+FROM agg
+"""
+
+
+@register("agg_gini", oracle=_GINI_SQL, tier="T2")
+def agg_gini(spark, sf_dir):
+    """Gini coefficient of order value per priority class (the
+    concentration complement to agg_hhi): G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx),
+    computed tie-correctly from the per-distinct-value pre-aggregate —
+    corpus-spend / revenue-inequality monitoring.
+
+    Determinism: rank-weighted sums stay in DOUBLED integer units
+    (2·avg-rank of a tie block is always an integer: 2·cr − c + 1 summed
+    over the block), exactly the Mann–Whitney recipe; two mirrored double
+    divisions at the end, half-up 6dp.
+
+    Scale note: like stats_ks_test, the window runs over DISTINCT values
+    per group (not raw rows), so the per-group sort input is |distinct|
+    and everything else is map-side combinable.
+    """
+    o = load(spark, sf_dir, "orders")
+    s = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = s.withColumn("cr", F.sum("c").over(w))
+    agg = cum.groupBy("grp").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("v")).alias("sv"),
+        F.sum(F.col("v") * F.col("c") * (2 * F.col("cr") - F.col("c") + 1)).alias(
+            "two_rw"
+        ),
+    )
+    return agg.select(
+        F.col("grp").alias("o_orderpriority"),
+        F.col("n").cast("long").alias("n_orders"),
+        (
+            F.floor(
+                (
+                    F.col("two_rw").cast("double")
+                    / (F.col("n").cast("double") * F.col("sv"))
+                    - (F.col("n").cast("double") + 1) / F.col("n")
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("gini"),
+    )
