@@ -314,3 +314,57 @@ def fn_haversine(spark, sf_dir):
         F.col("b.n_name").alias("to_nation"),
         (F.floor(dist * 10 + F.lit(0.5)) / 10).alias("km"),
     )
+
+
+# Portable day-of-week WITHOUT engine dow functions: Spark's dayofweek is
+# 1=Sunday while DuckDB's is 0=Sunday — instead derive from exact epoch-day
+# arithmetic (1970-01-01 was a THURSDAY): dow = (epoch_days + 4) % 7, 0=Sunday.
+_BD_SPAN = 30  # business days counted in [o_orderdate, o_orderdate + 30d)
+
+
+@register(
+    "fn_business_days",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS e0
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT o_orderkey, d0 AS order_date,
+       CAST(((e0 + 4) % 7 + 7) % 7 AS BIGINT) AS dow0_sun,
+       CAST(len(list_filter(generate_series(e0, e0 + {_BD_SPAN} - 1),
+                            e -> ((e + 4) % 7 + 7) % 7 NOT IN (0, 6)))
+            AS BIGINT) AS business_days_30
+FROM base
+""",
+    tier="T2",
+)
+def fn_business_days(spark, sf_dir):
+    """Business-day calendar arithmetic on a 1%-sampled order set: the
+    order date's day-of-week and the count of weekdays in the next 30
+    days — WITHOUT either engine's dow function (Spark counts Sunday as
+    1, DuckDB as 0; a silent off-by-one). Instead dow derives from exact
+    epoch-day integer arithmetic (1970-01-01 = Thursday ⇒
+    dow = (epoch_days + 4) mod 7, 0 = Sunday) — the portable-hash design
+    rule applied to calendars.
+
+    Scale note: map-only; the 30-element day list is generated in-row and
+    never stored.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d0"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "e0"
+        ),
+    )
+    return base.select(
+        "o_orderkey",
+        F.col("d0").alias("order_date"),
+        (((F.col("e0") + 4) % 7 + 7) % 7).cast("long").alias("dow0_sun"),
+        F.expr(
+            f"CAST(size(filter(sequence(e0, e0 + {_BD_SPAN} - 1),"
+            f" e -> ((e + 4) % 7 + 7) % 7 NOT IN (0, 6))) AS BIGINT)"
+        ).alias("business_days_30"),
+    )

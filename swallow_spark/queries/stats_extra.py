@@ -623,3 +623,94 @@ def agg_gini(spark, sf_dir):
             / 1000000
         ).alias("gini"),
     )
+
+
+_ANOVA_CENTS = "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)"
+
+_ANOVA_SQL = f"""
+WITH g AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({_ANOVA_CENTS}) AS BIGINT) AS s,
+         CAST(SUM({_ANOVA_CENTS} * {_ANOVA_CENTS}) AS BIGINT) AS q
+  FROM customer GROUP BY c_mktsegment
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(s) AS BIGINT) AS ss,
+         CAST(SUM(q) AS BIGINT) AS qq,
+         -- per-group S²/n quantized to integer centi-cent² units BEFORE the
+         -- cross-group sum (group iteration order differs between engines)
+         CAST(SUM(CAST(FLOOR(CAST(s AS DOUBLE) * s / n * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS ssn_centi
+  FROM g
+),
+f AS (
+  SELECT k, nn,
+         CAST(ssn_centi AS DOUBLE) / 100 - CAST(ss AS DOUBLE) * ss / nn AS ssb,
+         CAST(qq AS DOUBLE) - CAST(ssn_centi AS DOUBLE) / 100 AS ssw
+  FROM t
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n_total,
+       {sql_rnd('ssb / 10000', 2)} AS ssb_dollars2,
+       {sql_rnd('ssw / 10000', 2)} AS ssw_dollars2,
+       {sql_rnd('(ssb / (k - 1)) / (ssw / (nn - k))', 4)} AS f_stat
+FROM f
+"""
+
+
+@register("stats_anova_oneway", oracle=_ANOVA_SQL, tier="T2")
+def stats_anova_oneway(spark, sf_dir):
+    """One-way ANOVA across ALL market segments' account balances:
+    between/within sums of squares and the F statistic — the k-group
+    generalization of stats_ttest_welch for segment-means drift.
+
+    Determinism: per-group n/Σx/Σx² are exact int64 cents; the one
+    order-sensitive reduction (Σᵢ Sᵢ²/nᵢ across groups) quantizes each
+    group's term to integer centi-units BEFORE the sum, so cross-group
+    iteration order cannot move a bit; the remaining arithmetic is
+    mirrored IEEE with half-up rounds.
+
+    Scale note: one map-side-combinable aggregate + a k-row reduction —
+    nothing scales with table size.
+    """
+    c = load(spark, sf_dir, "customer")
+    cb = F.expr(_ANOVA_CENTS)
+    g = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cb).alias("s"),
+        F.sum(cb * cb).alias("q"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum(
+            F.floor(
+                F.col("s").cast("double") * F.col("s") / F.col("n") * 100 + F.lit(0.5)
+            ).cast("long")
+        ).alias("ssn_centi"),
+    )
+    fdf = t.select(
+        "k",
+        "nn",
+        (
+            F.col("ssn_centi").cast("double") / 100
+            - F.col("ss").cast("double") * F.col("ss") / F.col("nn")
+        ).alias("ssb"),
+        (F.col("qq").cast("double") - F.col("ssn_centi").cast("double") / 100).alias(
+            "ssw"
+        ),
+    )
+    return fdf.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_total"),
+        rnd(F.col("ssb") / 10000, 2).alias("ssb_dollars2"),
+        rnd(F.col("ssw") / 10000, 2).alias("ssw_dollars2"),
+        rnd(
+            (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("nn") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+    )
