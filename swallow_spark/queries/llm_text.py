@@ -797,3 +797,127 @@ def text_repetition_ratio(spark, sf_dir):
             rnd(top_c.cast("double") / (F.size("ts") - 1), 4)
         ).alias("top_bigram_frac"),
     )
+
+
+# ------------------------------------------------------------- RAKE keywords
+_RAKE_TOPN = 20
+
+_RAKE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE text IS NOT NULL
+),
+tok AS (
+  SELECT doc_id, g.pos AS pos, ts[g.pos] AS token,
+         CASE WHEN ts[g.pos] IN {_STOP_IN} THEN 1 ELSE 0 END AS is_stop
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS pos) g
+),
+marked AS (
+  SELECT doc_id, pos, token, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS phrase_id
+  FROM tok
+),
+words AS (SELECT doc_id, phrase_id, pos, token FROM marked WHERE is_stop = 0),
+phrases AS (
+  SELECT doc_id, phrase_id,
+         string_agg(token, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM words GROUP BY doc_id, phrase_id
+),
+wstat AS (
+  SELECT w.token,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(p.plen) AS BIGINT) AS degree
+  FROM words w JOIN phrases p
+    ON w.doc_id = p.doc_id AND w.phrase_id = p.phrase_id
+  GROUP BY w.token
+),
+scored AS (
+  SELECT p.phrase, p.plen,
+         CAST(SUM(s.degree * 1000000 // s.freq) AS BIGINT) AS score_micro
+  FROM words w
+  JOIN phrases p ON w.doc_id = p.doc_id AND w.phrase_id = p.phrase_id
+  JOIN wstat s ON s.token = w.token
+  GROUP BY p.doc_id, p.phrase_id, p.phrase, p.plen
+)
+SELECT DISTINCT phrase, CAST(plen AS BIGINT) AS n_words,
+       (FLOOR(CAST(score_micro AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000) AS rake
+FROM scored
+ORDER BY rake DESC, phrase
+LIMIT {_RAKE_TOPN}
+"""
+
+
+@register("text_rake_keywords", oracle=_RAKE_SQL, tier="T2")
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction: stopword-delimited candidate phrases,
+    word score = degree/frequency over the phrase co-occurrence graph,
+    phrase score = Σ word scores; corpus top-20 phrases — the classic
+    unsupervised keyword extractor for corpus topic profiling.
+
+    Determinism: word scores are integer floor-divisions in micro-units
+    (degree·1e6 DIV freq) summed exactly per phrase; identical phrase
+    TEXT implies identical word multiset implies identical score, so the
+    cross-doc DISTINCT is well-defined; (rake DESC, phrase) pins the cut.
+
+    Scale note: phrase segmentation is one keyed window (running stopword
+    count per doc); word stats and phrase scoring are joins keyed by
+    token / (doc, phrase) — explode-heavy but shuffle-bounded like the
+    rest of the text family; the word-stat table is vocabulary-sized and
+    broadcastable.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "token")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "token",
+        F.when(F.col("token").isin(*STOPWORDS), 1).otherwise(0).alias("is_stop"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = tok.withColumn("phrase_id", F.sum("is_stop").over(w))
+    words = marked.filter(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_id", "pos", "token"
+    )
+    phrases = words.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    wstat = (
+        words.join(phrases.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"])
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree"))
+    )
+    scored = (
+        words.join(phrases, ["doc_id", "phrase_id"])
+        .join(F.broadcast(wstat), "token")
+        .groupBy("doc_id", "phrase_id", "phrase", "plen")
+        .agg(F.sum(F.expr("degree * 1000000 DIV freq")).alias("score_micro"))
+    )
+    return (
+        scored.select(
+            "phrase",
+            F.col("plen").cast("long").alias("n_words"),
+            (
+                F.floor(
+                    F.col("score_micro").cast("double") / 1000000 * 10000 + F.lit(0.5)
+                )
+                / 10000
+            ).alias("rake"),
+        )
+        .distinct()
+        .orderBy(F.col("rake").desc(), "phrase")
+        .limit(_RAKE_TOPN)
+    )

@@ -714,3 +714,83 @@ def stats_anova_oneway(spark, sf_dir):
             4,
         ).alias("f_stat"),
     )
+
+
+_PARETO_SQL = """
+WITH rev AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey AS cust,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT seg, cust, cents,
+         SUM(cents) OVER (PARTITION BY seg ORDER BY cents DESC, cust
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+         SUM(cents) OVER (PARTITION BY seg) AS tot
+  FROM rev
+)
+SELECT seg AS c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       -- a customer is needed while the PRIOR cumulative is below 80% of
+       -- total: 5*(cr - cents) < 4*tot — exact integer comparison, no floats
+       CAST(SUM(CASE WHEN 5 * (cr - cents) < 4 * tot THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_top80,
+       (FLOOR(CAST(SUM(CASE WHEN 5 * (cr - cents) < 4 * tot THEN 1 ELSE 0 END)
+                   AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000) AS top80_pct
+FROM cum
+GROUP BY seg
+"""
+
+
+@register("agg_pareto_coverage", oracle=_PARETO_SQL, tier="T2")
+def agg_pareto_coverage(spark, sf_dir):
+    """Pareto concentration per segment: how many customers (and what
+    fraction of the base) cover 80% of segment revenue — the 80/20
+    check that complements agg_gini/agg_hhi with an actionable head
+    count.
+
+    Determinism: revenue is exact integer cents; the 80% threshold is
+    the exact integer comparison 5·cum_prev < 4·total (no float 0.8
+    anywhere); one division for the final pct, half-up 6dp.
+
+    Scale note: per-customer revenue reduces the window input to
+    |customers| rows; the cumulative and the total share one
+    segment-keyed partition/sort.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    rev = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("cust"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    wc = (
+        Window.partitionBy("seg")
+        .orderBy(F.col("cents").desc(), "cust")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("seg")
+    cum = rev.select(
+        "seg",
+        "cents",
+        F.sum("cents").over(wc).alias("cr"),
+        F.sum("cents").over(wt).alias("tot"),
+    )
+    needed = F.when(5 * (F.col("cr") - F.col("cents")) < 4 * F.col("tot"), 1).otherwise(0)
+    return cum.groupBy(F.col("seg").alias("c_mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(needed).cast("long").alias("n_top80"),
+        (
+            F.floor(
+                F.sum(needed).cast("double") / F.count(F.lit(1)) * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("top80_pct"),
+    )
