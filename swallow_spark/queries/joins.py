@@ -447,3 +447,55 @@ def join_null_safe(spark, sf_dir):
         .groupBy(F.col("ck").alias("nationkey"))
         .agg(F.count(F.lit(1)).alias("pairs"))
     )
+
+
+@register(
+    "join_argmax_rows",
+    oracle="""
+SELECT o_custkey,
+       arg_max(o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000000
+                 + o_orderkey) AS top_orderkey,
+       CAST(arg_max(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000000
+                 + o_orderkey) AS DOUBLE) / 100 AS top_price,
+       arg_max(o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000000
+                 + o_orderkey) AS top_status
+FROM orders
+GROUP BY o_custkey
+""",
+    tier="T2",
+)
+def join_argmax_rows(spark, sf_dir):
+    """Whole-row arg-max per group WITHOUT a window: each customer's
+    single largest order (key, price, status) via max_by over a packed
+    deterministic tiebreak key — the aggregate formulation of 'top-1 per
+    group'.
+
+    Scale note: this is the plan-shape point of the key. The window
+    top-1 shuffles EVERY fact row to its group's reducer and sorts by
+    (group, order key); max_by partial-aggregates map-side — each map
+    task keeps ONE candidate per group, so the exchange carries |groups|
+    rows instead of |facts|. (With a string-typed max_by argument Spark
+    picks SortAggregate over HashAggregate — a local group-key sort of
+    the reduced data, not the window's full-data sort; the partial_max_by
+    before the exchange is the load-bearing property, plan-asserted in
+    tests/test_plans.py.)
+
+    Determinism: packed key = cents·1e10 + orderkey (exact int64, ties
+    impossible), same recipe as agg_argminmax.
+    """
+    o = load(spark, sf_dir, "orders")
+    key = (
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        * F.lit(10_000_000_000)
+        + F.col("o_orderkey")
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    withk = o.select("o_custkey", "o_orderkey", "o_orderstatus", cents.alias("cents"), key.alias("k"))
+    return withk.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "k").alias("top_orderkey"),
+        (F.max_by("cents", "k").cast("double") / 100).alias("top_price"),
+        F.max_by("o_orderstatus", "k").alias("top_status"),
+    )

@@ -10,6 +10,7 @@ same split on every run, every engine, every cluster size — the property a
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..conform import rnd
 from ..io import load
@@ -260,4 +261,55 @@ def sample_temperature_mix(spark, sf_dir):
         )
         .cast("long")
         .alias("expected_draws"),
+    )
+
+
+_RESV_K = 10  # per-group sample size
+
+_RESV_SQL = f"""
+WITH ranked AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY (c_custkey * 2654435761) % 1000000007, c_custkey) AS rk
+  FROM customer
+)
+SELECT c_mktsegment, c_custkey,
+       (FLOOR(c_acctbal * 100 + 0.5) / 100) AS acctbal,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_RESV_K}
+"""
+
+
+@register("sample_reservoir_per_group", oracle=_RESV_SQL, tier="T2")
+def sample_reservoir_per_group(spark, sf_dir):
+    """Fixed-size (k=10) per-segment sample — the deterministic analog of
+    per-group reservoir sampling: rank rows inside each group by a
+    Knuth-multiplicative hash of the key and keep the first k. Rerun- and
+    partition-stable (same sample every run, any cluster size), which
+    true random reservoirs are not — the property an eval-set builder
+    needs.
+
+    Determinism: the hash is pure int64 arithmetic ((key · 2654435761)
+    mod 1e9+7 — fits: key ≤ ~1.5e7 at sf100 × 2.65e9 ≈ 4e16 « 2^63) with
+    the raw key as tiebreak; ranks are exact.
+
+    Scale note: one shuffle on the group key; the rank filter is a
+    WindowGroupLimit pushdown (top-k per group never materializes full
+    partitions in memory). At extreme group sizes switch to the
+    max_by-ladder (join_argmax_rows) or a two-phase threshold sample.
+    """
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        (F.col("c_custkey") * F.lit(2654435761)) % F.lit(1000000007), "c_custkey"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RESV_K)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            (F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)) / 100).alias("acctbal"),
+            F.col("rk").cast("long").alias("rk"),
+        )
     )

@@ -1,0 +1,79 @@
+"""Property tests for the array-state fold oracles (ts_holt_linear,
+ts_cusum): DuckDB's list_reduce over array state must equal a plain
+Python reference fold for arbitrary series — this is the invariant the
+struct-accumulator aliasing quirk (tests/test_timeseriess_holt.py) would
+silently violate if the formulation regressed to structs."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+series = st.lists(
+    st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=30,
+)
+
+A, B = 0.3, 0.2  # Holt constants (mirror timeseries._HOLT_A/_HOLT_B)
+K, H = 0.5, 50.0  # CUSUM constants
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+@settings(max_examples=200, deadline=None)
+@given(series)
+def test_holt_fold_matches_python(con, xs):
+    # bind the series as a parameter: an inline literal would parse as
+    # DECIMAL first and lose the last ulp before the DOUBLE cast
+    got = con.execute(
+        f"""
+        SELECT list_reduce(list_transform(CAST(? AS DOUBLE[]),
+                                          v -> [v, CAST(0.0 AS DOUBLE)]),
+          (acc, x) -> [
+            ({A} * x[1] + (1.0 - {A}) * (acc[1] + acc[2])),
+            ({B} * (({A} * x[1] + (1.0 - {A}) * (acc[1] + acc[2])) - acc[1])
+             + (1.0 - {B}) * acc[2])
+          ])
+        """,
+        [xs],
+    ).fetchone()[0]
+    l, b = xs[0], 0.0
+    for x in xs[1:]:
+        nl = A * x + (1.0 - A) * (l + b)
+        nb = B * (nl - l) + (1.0 - B) * b
+        l, b = nl, nb
+    assert got[0] == l and got[1] == b  # bit-identical, not approx
+
+
+@settings(max_examples=200, deadline=None)
+@given(series)
+def test_cusum_fold_matches_python(con, xs):
+    got = con.execute(
+        f"""
+        SELECT list_reduce(list_prepend(
+            [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+            list_transform(CAST(? AS DOUBLE[]),
+                           v -> [v, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+          (acc, x) -> [
+            GREATEST(0.0, acc[1] + x[1] - {K}),
+            GREATEST(0.0, acc[2] - x[1] - {K}),
+            (acc[3] + (CASE WHEN GREATEST(0.0, acc[1] + x[1] - {K}) > {H}
+                              OR GREATEST(0.0, acc[2] - x[1] - {K}) > {H}
+                            THEN 1.0 ELSE 0.0 END))
+          ])
+        """,
+        [xs],
+    ).fetchone()[0]
+    sp = sm = na = 0.0
+    for x in xs:
+        nsp = max(0.0, sp + x - K)
+        nsm = max(0.0, sm - x - K)
+        na = na + (1.0 if (nsp > H or nsm > H) else 0.0)
+        sp, sm = nsp, nsm
+    assert got == [sp, sm, na]

@@ -367,3 +367,16 @@ def test_cdc_apply_single_window_exchange(spark):
     p = plan_of(spark, "etl_cdc_apply")
     assert p.count("+- Exchange") == 1
     assert p.count("Window (") == 2
+
+
+def test_argmax_rows_partial_aggregates_before_exchange(spark):
+    """The aggregate top-1 formulation must partial-aggregate map-side
+    (one candidate per group crosses the shuffle) and never fall back to
+    a Window — that's win_row_number_topk's plan, which shuffles every
+    fact row."""
+    p = plan_of(spark, "join_argmax_rows")
+    assert "partial_max_by" in p  # map-side candidate per group
+    exchange = p.find("Exchange")
+    assert exchange != -1
+    assert p.find("partial_max_by") > exchange  # below the exchange in tree order
+    assert "Window" not in p
