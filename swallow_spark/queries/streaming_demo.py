@@ -172,3 +172,53 @@ def stream_foreachbatch_upsert_demo(spark, sf_dir):
         )
     finally:
         _sh.rmtree(work, ignore_errors=True)
+
+
+@register("stream_python_datasource_demo", oracle=None, tier="T3")
+def stream_python_datasource_demo(spark, sf_dir):
+    """Custom Python STREAMING DataSource end-to-end: readStream from the
+    swallow_eventstream connector (deterministic bounded feed, 100-row
+    micro-batches), per-user running totals in complete mode to a memory
+    sink, drained and verified against the closed form. Rows-only per
+    §2.I (streaming lifecycle, no SQL twin); the connector's replay
+    contract (readBetweenOffsets) is what a broker adapter must honor for
+    exactly-once — tests/test_python_datasource.py checks it directly.
+    """
+    import time
+
+    from ..sources.event_stream_source import MAX_ROWS, register as register_stream
+
+    register_stream(spark)
+    feed = spark.readStream.format("swallow_eventstream").load()
+    agg = feed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("amount") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = spark.sql("SELECT SUM(n_events) AS n FROM pyds_stream").collect()
+            if got and got[0]["n"] == MAX_ROWS:
+                break
+            time.sleep(0.5)
+        rows = spark.sql(
+            "SELECT user_id, n_events, CAST(cents AS DOUBLE) / 100 AS total"
+            " FROM pyds_stream"
+        ).collect()
+    finally:
+        q.stop()
+    # closed-form check: user u gets the events i in [0, MAX_ROWS) with i%7==u
+    want = {}
+    for i in range(MAX_ROWS):
+        u = i % 7
+        n, c = want.get(u, (0, 0))
+        want[u] = (n + 1, c + int(((i * 37) % 1000) / 100.0 * 100 + 0.5))
+    assert {r["user_id"]: (r["n_events"], int(r["total"] * 100 + 0.5)) for r in rows} == want
+    return spark.createDataFrame(rows)

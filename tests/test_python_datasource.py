@@ -49,3 +49,37 @@ def test_writer_commit_marker_and_roundtrip(spark, tmp_path):
         spark.read.format("swallow_jsonl").schema(schema).option("path", out).load()
     )
     assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_event_stream_replay_contract():
+    """The streaming source's exactly-once contract: readBetweenOffsets
+    must regenerate ANY committed range bit-identically to what read()
+    originally returned — the invariant a broker adapter must honor."""
+    from swallow_spark.sources.event_stream_source import build_datasource
+
+    ds_cls = build_datasource()
+    ds = ds_cls(options={})
+    reader = ds.simpleStreamReader(ds.schema())
+    start = reader.initialOffset()
+    seen = []
+    offs = [start]
+    while True:
+        it, nxt = reader.read(offs[-1])
+        rows = list(it)
+        if not rows:
+            break
+        seen.append(rows)
+        offs.append(nxt)
+    assert sum(len(r) for r in seen) == 300
+    for i, rows in enumerate(seen):
+        replay = list(reader.readBetweenOffsets(offs[i], offs[i + 1]))
+        assert replay == rows
+
+
+def test_event_stream_demo_runs(spark):
+    from swallow_spark.registry import all_queries
+
+    df = all_queries()["stream_python_datasource_demo"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    assert df.count() == 7  # one row per user_id mod 7
