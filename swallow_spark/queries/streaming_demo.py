@@ -222,3 +222,71 @@ def stream_python_datasource_demo(spark, sf_dir):
         want[u] = (n + 1, c + int(((i * 37) % 1000) / 100.0 * 100 + 0.5))
     assert {r["user_id"]: (r["n_events"], int(r["total"] * 100 + 0.5)) for r in rows} == want
     return spark.createDataFrame(rows)
+
+
+@register("stream_python_sink_demo", oracle=None, tier="T3")
+def stream_python_sink_demo(spark, sf_dir):
+    """Streaming CONNECTOR pair end-to-end: the swallow_eventstream
+    streaming source piped into the swallow_jsonl streaming SINK
+    (per-epoch task files sealed by a _COMMITTED marker carrying the
+    batch row count — the exactly-once protocol of a bulk-indexer /
+    object-store sink). Drains the bounded feed, then audits the sink
+    directory: only sealed batches, marker counts equal file line
+    counts, and the union of all batches is exactly the 300-event feed.
+    Returns the per-batch audit as a batch DataFrame (rows-only, §2.I).
+    """
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..sources.event_stream_source import MAX_ROWS, register as reg_stream
+    from ..sources.jsonl_source import register as reg_jsonl
+
+    reg_stream(spark)
+    reg_jsonl(spark)
+    out = tempfile.mkdtemp(prefix="swallow_stream_sink_")
+    chk = tempfile.mkdtemp(prefix="swallow_stream_chk_")
+    try:
+        feed = spark.readStream.format("swallow_eventstream").load()
+        q = (
+            feed.writeStream.format("swallow_jsonl")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            total = 0
+            while time.time() < deadline:
+                q.processAllAvailable()
+                total = 0
+                for b in os.listdir(out):
+                    marker = os.path.join(out, b, "_COMMITTED")
+                    if os.path.exists(marker):
+                        total += int(open(marker).read())
+                if total >= MAX_ROWS:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        audit, seqs = [], []
+        for b in sorted(os.listdir(out)):
+            bdir = os.path.join(out, b)
+            marker = os.path.join(bdir, "_COMMITTED")
+            assert os.path.exists(marker), f"unsealed batch {b}"
+            want_n = int(open(marker).read())
+            rows = []
+            for f in os.listdir(bdir):
+                if f.endswith(".jsonl"):
+                    with open(os.path.join(bdir, f), encoding="utf-8") as fh:
+                        rows += [_json.loads(line) for line in fh if line.strip()]
+            assert len(rows) == want_n, f"batch {b}: marker {want_n} != {len(rows)}"
+            seqs += [r["seq"] for r in rows]
+            audit.append((b, want_n))
+        assert sorted(seqs) == list(range(MAX_ROWS))  # exactly-once union
+        return spark.createDataFrame(audit, "batch string, n_rows long")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)

@@ -116,9 +116,59 @@ def build_datasource():
                 if m is not None and os.path.exists(m.path):
                     os.remove(m.path)
 
+    from pyspark.sql.datasource import DataSourceStreamWriter
+
+    class SwallowJsonlStreamWriter(DataSourceStreamWriter):
+        """STREAMING sink half of the connector (bulk-indexer adapter
+        analog): every micro-batch's tasks write task files under
+        batch-<epochId>/, and commit() seals the batch with a marker
+        recording its row count. Exactly-once on replay: a re-run of a
+        failed epoch overwrites its own directory, and readers only trust
+        sealed batches (marker present) — the same protocol an ES-bulk /
+        object-store streaming sink uses."""
+
+        def __init__(self, options, schema):
+            self.path = options.get("path")
+            self.fields = [f.name for f in schema.fields]
+
+        def write(self, rows):
+            # executed per task; epoch id arrives via the TaskContext
+            from pyspark import TaskContext
+
+            epoch = TaskContext.get().getLocalProperty("streaming.sql.batchId")
+            bdir = os.path.join(self.path, f"batch-{epoch}")
+            os.makedirs(bdir, exist_ok=True)
+            out = os.path.join(bdir, f"task-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(out, "w", encoding="utf-8") as fh:
+                for row in rows:
+                    doc = {}
+                    for f in self.fields:
+                        v = row[f]
+                        if isinstance(v, dt.datetime):
+                            v = v.isoformat(sep=" ")
+                        elif isinstance(v, dt.date):
+                            v = v.isoformat()
+                        doc[f] = v
+                    fh.write(json.dumps(doc) + "\n")
+                    n += 1
+            return _Committed(out, n)
+
+        def commit(self, messages, batchId):
+            bdir = os.path.join(self.path, f"batch-{batchId}")
+            os.makedirs(bdir, exist_ok=True)
+            with open(os.path.join(bdir, "_COMMITTED"), "w") as fh:
+                fh.write(str(sum(m.n for m in messages)))
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
     class SwallowJsonlDataSource(DataSource):
         """spark.read.format("swallow_jsonl").schema(s).option("path", p) /
-        df.write.format("swallow_jsonl").option("path", p)"""
+        df.write.format("swallow_jsonl").option("path", p) /
+        df.writeStream.format("swallow_jsonl").option("path", p)"""
 
         @classmethod
         def name(cls) -> str:
@@ -132,6 +182,9 @@ def build_datasource():
             if overwrite and path and os.path.isdir(path):
                 shutil.rmtree(path, ignore_errors=True)
             return SwallowJsonlWriter(self.options, schema)
+
+        def streamWriter(self, schema, overwrite):
+            return SwallowJsonlStreamWriter(self.options, schema)
 
     return SwallowJsonlDataSource
 

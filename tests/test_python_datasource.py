@@ -83,3 +83,12 @@ def test_event_stream_demo_runs(spark):
         spark, "/root/testdata/sf0.001"
     )
     assert df.count() == 7  # one row per user_id mod 7
+
+
+def test_stream_sink_demo_runs(spark):
+    from swallow_spark.registry import all_queries
+
+    df = all_queries()["stream_python_sink_demo"].fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert sum(r.n_rows for r in rows) == 300
+    assert all(r.batch.startswith("batch-") for r in rows)
