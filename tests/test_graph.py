@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 from swallow_spark.queries.graph import _PR_R0, _edges, graph_pagerank
+from swallow_spark.registry import all_queries
 
 SF = "/root/testdata/sf0.001"
 
@@ -52,3 +53,35 @@ def test_pagerank_top50_is_rank_sorted_and_deterministic(spark, pr_rows):
         for r in graph_pagerank(spark, SF).collect()
     }
     assert pr_rows == again  # rerun-stable, exact integer units
+
+
+def test_kcore_matches_pandas_peeling(spark):
+    """graph_kcore vs an exact pandas peeling reference at sf0.001, plus
+    the defining invariant: every core node's within-core degree >= k."""
+    import pandas as pd
+
+    from swallow_spark.queries.graph import _edges
+
+    e = _edges(spark, SF).toPandas()
+    und = pd.concat(
+        [e, e.rename(columns={"src": "dst", "dst": "src"})[["src", "dst"]]]
+    )
+    # mirror _kcore_k: floor(median / 2); pandas interpolated median and
+    # Spark exact percentile agree on this integer distribution
+    k = max(1, int(float(und.groupby("src").size().median())) // 2)
+    while True:
+        deg = und.groupby("src").size()
+        keep = set(deg[deg >= k].index)
+        nxt = und[und["src"].isin(keep) & und["dst"].isin(keep)]
+        if len(nxt) == len(und):
+            break
+        und = nxt
+    want = und.groupby("src").size().to_dict()
+
+    got = {
+        r["node"]: r["core_degree"]
+        for r in all_queries()["graph_kcore"].fn(spark, SF).collect()
+    }
+    assert got == want
+    assert got  # the median-degree core must be non-empty
+    assert all(d >= k for d in got.values())
