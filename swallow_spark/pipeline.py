@@ -178,6 +178,62 @@ class Repartition:
         return df.repartition(self.num, *cols) if cols else df.repartition(self.num)
 
 
+@dataclass(frozen=True)
+class Dedup:
+    """Keep exactly one row per key, chosen by a deterministic order —
+    the facade's exact-dedup verb (swallow's unique-by analog).
+
+    Scale note: compiles to row_number over (key, order) — one shuffle on
+    the key; for pure whole-row dedup prefer the cheaper distinct().
+    """
+
+    by: tuple  # key expressions
+    order_by: tuple  # total-order tiebreak expressions (ascending)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*[F.expr(b) for b in self.by]).orderBy(
+            *[F.expr(o) for o in self.order_by]
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+
+@dataclass(frozen=True)
+class Sample:
+    """Deterministic key-hash percentage sample (rerun- and
+    partition-stable, unlike df.sample) — the facade's corpus-sampling
+    verb. `key` must be an integer SQL expression."""
+
+    key: str
+    percent: int  # keep rows where hash(key) mod 100 < percent
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        h = f"pmod(pmod(pmod({self.key}, 1000003) * 1103515245, 1000003), 100)"
+        return df.filter(F.expr(f"{h} < {self.percent}"))
+
+    def sql(self) -> str:
+        """The identical predicate in DuckDB spelling (pmod ≡ %% on
+        non-negative ints; the inner pmod keeps everything non-negative)."""
+        h = f"((({self.key} % 1000003) * 1103515245) % 1000003) % 100"
+        return f"{h} < {self.percent}"
+
+
+@dataclass(frozen=True)
+class Union:
+    """Append another source's rows by column name (swallow's multi-source
+    concat)."""
+
+    other: object
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.unionByName(self.other.read(df.sparkSession))
+
+
 # ----------------------------------------------------------------- sinks
 
 
