@@ -142,3 +142,87 @@ def class_weights(spark, sf_dir):
             F.sum("cnt").over(w).cast("double") / (F.count(F.lit(1)).over(w) * F.col("cnt"))
         ).alias("weight"),
     )
+
+
+_CURR_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_dis
+  FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0
+),
+q AS (
+  SELECT doc_id, lang, n_tok,
+         n_dis * 1000000 // n_tok AS quality_micro
+  FROM t
+),
+r AS (
+  SELECT lang, n_tok, quality_micro,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY quality_micro DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM q
+)
+SELECT lang, CAST(3 * (rk - 1) // n AS BIGINT) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tot_tok,
+       (FLOOR(CAST(SUM(quality_micro) AS DOUBLE) / COUNT(*) / 1000000 * 10000 + 0.5)
+        / 10000) AS avg_quality
+FROM r
+GROUP BY lang, phase
+"""
+
+
+@register("doc_curriculum_order", oracle=_CURR_SQL, tier="T2")
+def doc_curriculum_order(spark, sf_dir):
+    """Curriculum scheduling: rank each language's documents by a
+    deterministic quality signal (distinct-token ratio in integer
+    micro-units) and split into three equal phases — highest-quality
+    first — reporting per-phase doc counts, token mass, and mean quality.
+    The ordering a curriculum-learning data loader consumes.
+
+    Determinism: quality is an integer floor-division; ranks carry a
+    total tie-break; phase = 3·(rank−1) DIV count is pure int.
+
+    Scale note: ranking is per-language (the window partition key), so no
+    global sort; everything after the window is map-side combinable. At
+    100 TB you would bucket the rank output by (lang, phase) for the
+    loader to range-read.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_dis"),
+    ).filter(F.col("n_tok") > 0)
+    q = t.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.expr("n_dis * 1000000 DIV n_tok").alias("quality_micro"),
+    )
+    wr = Window.partitionBy("lang").orderBy(F.col("quality_micro").desc(), "doc_id")
+    wn = Window.partitionBy("lang")
+    r = q.select(
+        "lang",
+        "n_tok",
+        "quality_micro",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("lang", F.expr("CAST(3 * (rk - 1) DIV n AS BIGINT)").alias("phase")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tot_tok"),
+        (
+            F.floor(
+                F.sum("quality_micro").cast("double")
+                / F.count(F.lit(1))
+                / 1000000
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("avg_quality"),
+    )
