@@ -1082,3 +1082,154 @@ def ts_backtest_snaive(spark, sf_dir):
             / 1000000
         ).alias("smape_half"),
     )
+
+
+_MAD_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+med AS (
+  -- exact median in DOUBLED units: 2*median of ints is always an integer
+  -- (odd n: 2x the middle; even n: the sum of the two middles)
+  SELECT user_id,
+         CAST(2 * median(cents) AS BIGINT) AS med2
+  FROM daily GROUP BY user_id
+),
+dev AS (
+  SELECT d.user_id, d.day, d.cents, m.med2,
+         ABS(2 * d.cents - m.med2) AS adev2
+  FROM daily d JOIN med m ON d.user_id = m.user_id
+),
+mad AS (
+  SELECT user_id, CAST(2 * median(adev2) AS BIGINT) AS mad4
+  FROM dev GROUP BY user_id
+)
+SELECT v.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       -- |x - med| > 3*MAD in exact ints: 4*|2x - med2| = 8|x-med| vs
+       -- 3*2*mad4 = 24*MAD ... both sides scaled by 8: |x-med|*8 > MAD*24
+       CAST(SUM(CASE WHEN 4 * v.adev2 > 3 * m.mad4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       (FLOOR(CAST(m.mad4 AS DOUBLE) / 4 / 100 * 10000 + 0.5) / 10000) AS mad_value
+FROM dev v JOIN mad m ON v.user_id = m.user_id
+GROUP BY v.user_id, m.mad4
+"""
+
+
+@register("ts_outlier_mad", oracle=_MAD_SQL, tier="T2")
+def ts_outlier_mad(spark, sf_dir):
+    """Robust outlier screen per user: days whose daily value deviates
+    from the user's MEDIAN by more than 3× the median absolute deviation
+    — the heavy-tail-safe complement to ts_anomaly_zscore (mean/std are
+    themselves dragged by the outliers they hunt; median/MAD are not).
+
+    Determinism: medians of integers are computed in DOUBLED units
+    (2·median is always an exact integer — odd n: twice the middle, even
+    n: the sum of the two middles), the deviation |2x − med2| stays
+    integer, the MAD doubles again (mad4 = 4·MAD), and the 3×MAD
+    comparison is the exact integer inequality 4·adev2 > 3·mad4 — no
+    float enters until the one reported MAD value.
+
+    Scale note: two keyed exact-median aggregates + one join, all on the
+    bounded daily table; percentile_disc-style medians per user sort
+    |days|-sized groups, never raw events.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    med = daily.groupBy("user_id").agg(
+        (2 * F.expr("percentile(cents, 0.5)")).cast("long").alias("med2")
+    )
+    dev = daily.join(med, "user_id").select(
+        "user_id",
+        "cents",
+        "med2",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("adev2"),
+    )
+    mad = dev.groupBy("user_id").agg(
+        (2 * F.expr("percentile(adev2, 0.5)")).cast("long").alias("mad4")
+    )
+    v = dev.join(mad, "user_id")
+    return v.groupBy("user_id", "mad4").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            F.when(4 * F.col("adev2") > 3 * F.col("mad4"), 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+        (
+            F.floor(F.col("mad4").cast("double") / 4 / 100 * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("mad_value"),
+    ).select("user_id", "n_days", "n_outliers", "mad_value")
+
+
+_DRAWDOWN_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+cum AS (
+  SELECT user_id, day,
+         SUM(cents) OVER (PARTITION BY user_id ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eq
+  FROM daily
+),
+dd AS (
+  SELECT user_id, day, eq,
+         MAX(eq) OVER (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM cum
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(peak - eq) AS DOUBLE) / 100 AS max_drawdown,
+       CAST(MAX(eq) AS DOUBLE) / 100 AS peak_equity,
+       CAST(SUM(CASE WHEN eq < peak THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_under_water
+FROM dd
+GROUP BY user_id
+"""
+
+
+@register("ts_max_drawdown", oracle=_DRAWDOWN_SQL, tier="T2")
+def ts_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of each user's cumulative daily value curve
+    (peak-to-trough decline of the running equity), plus peak equity and
+    days spent below a prior peak — the risk-profile summary for any
+    cumulative metric (spend, revenue, token budget burn-down).
+
+    Determinism: the equity curve is an exact integer-cent running sum;
+    running max, drawdown and the under-water flag are all integer
+    comparisons; division by 100 is the only float op.
+
+    Scale note: the running sum and running max share one (user_id)
+    partition/sort; the final aggregate is map-side combinable over the
+    bounded daily table.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # peak uses the SAME day-ordered frame as the running sum — the two
+    # windows share one partition/sort in the physical plan
+    dd = daily.select("user_id", "day", F.sum("cents").over(w).alias("eq")).select(
+        "user_id",
+        "eq",
+        F.max("eq").over(w).alias("peak"),
+    )
+    return dd.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.max(F.col("peak") - F.col("eq")).cast("double") / 100).alias("max_drawdown"),
+        (F.max("eq").cast("double") / 100).alias("peak_equity"),
+        F.sum(F.when(F.col("eq") < F.col("peak"), 1).otherwise(0))
+        .cast("long")
+        .alias("days_under_water"),
+    )
