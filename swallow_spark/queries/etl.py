@@ -731,3 +731,54 @@ def etl_k_anonymity(spark, sf_dir):
             / 1000000
         ).alias("suppression_rate"),
     )
+
+
+from ..conform import poly_hash, sql_poly_hash_duck  # noqa: E402
+
+# canonical row serialization for the checksum: fixed column order, fixed
+# separator, cents-exact money rendering (float->string formatting differs
+# between engines; integers do not)
+_CKSUM_ROW = (
+    "CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' "
+    "|| CAST(c_nationkey AS VARCHAR) || '|' "
+    "|| CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+)
+
+_CKSUM_SQL = f"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM({sql_poly_hash_duck(f"({_CKSUM_ROW})")}) AS BIGINT) AS checksum
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("etl_table_checksum", oracle=_CKSUM_SQL, tier="T2")
+def etl_table_checksum(spark, sf_dir):
+    """Replication-audit checksum: per-segment row count plus an
+    ORDER-INDEPENDENT content checksum (sum of portable per-row hashes
+    over a canonical serialization) — compare source and replica without
+    moving either table; any single-cell change moves the sum.
+
+    Determinism: the row serialization renders money as integer cents
+    (float→string formatting is engine-specific; integer rendering is
+    not); conform.poly_hash gives both engines the same int64 per row,
+    and the SUM is exact (hash < 1e9+7, rows ≤ ~1.5e7 at sf100 →
+    ≤ ~1.5e16 « 2^63) and summation-order independent.
+
+    Scale note: map-only hash + one map-side-combinable aggregate —
+    the cheapest possible full-table integrity pass; at 100 TB you run
+    it per partition and compare partition-level sums to localize a
+    divergence.
+    """
+    c = load(spark, sf_dir, "customer")
+    row = (
+        "CAST(c_custkey AS STRING) || '|' || c_name || '|' "
+        "|| CAST(c_nationkey AS STRING) || '|' "
+        "|| CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS STRING)"
+    )
+    h = poly_hash(f"({row})")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).cast("long").alias("checksum"),
+    )
