@@ -265,7 +265,7 @@ def stream_python_sink_demo(spark, sf_dir):
                 for b in os.listdir(out):
                     marker = os.path.join(out, b, "_COMMITTED")
                     if os.path.exists(marker):
-                        total += int(open(marker).read())
+                        total += _json.load(open(marker))["n"]
                 if total >= MAX_ROWS:
                     break
                 time.sleep(0.5)
@@ -276,17 +276,111 @@ def stream_python_sink_demo(spark, sf_dir):
             bdir = os.path.join(out, b)
             marker = os.path.join(bdir, "_COMMITTED")
             assert os.path.exists(marker), f"unsealed batch {b}"
-            want_n = int(open(marker).read())
+            manifest = _json.load(open(marker))
+            # trust ONLY the manifest-listed files (exactly-once contract:
+            # orphan task files from a crashed attempt are invisible)
             rows = []
-            for f in os.listdir(bdir):
-                if f.endswith(".jsonl"):
-                    with open(os.path.join(bdir, f), encoding="utf-8") as fh:
-                        rows += [_json.loads(line) for line in fh if line.strip()]
+            for f, want_file_n in sorted(manifest["files"].items()):
+                with open(os.path.join(bdir, f), encoding="utf-8") as fh:
+                    file_rows = [_json.loads(line) for line in fh if line.strip()]
+                assert len(file_rows) == want_file_n, f"{b}/{f}: manifest mismatch"
+                rows += file_rows
+            want_n = manifest["n"]
             assert len(rows) == want_n, f"batch {b}: marker {want_n} != {len(rows)}"
             seqs += [r["seq"] for r in rows]
             audit.append((b, want_n))
         assert sorted(seqs) == list(range(MAX_ROWS))  # exactly-once union
         return spark.createDataFrame(audit, "batch string, n_rows long")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+
+
+_ROUNDTRIP_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM (SELECT i % 7 AS user_id, (i * 37) % 1000 AS cents
+      FROM range(0, 300) t(i))
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("stream_connector_roundtrip", oracle=_ROUNDTRIP_ORACLE, tier="T2")
+def stream_connector_roundtrip(spark, sf_dir):
+    """Oracle-checked end-to-end roundtrip of the custom connector PAIR:
+    the deterministic swallow_eventstream streaming source is drained
+    through the swallow_jsonl streaming SINK's marker-manifest commit
+    protocol, then read back with the swallow_jsonl READER in
+    mode=committed (only manifest-listed files of sealed batches are
+    visible), and aggregated per user. Because the feed is pure offset
+    arithmetic (event i: user i%7, cents (i*37)%1000), the readback has a
+    closed-form DuckDB oracle — this makes the §2.A adapter surface
+    hash-checked rather than rows-only.
+
+    Scale notes: the sink's exactly-once protocol (deterministic
+    task-<partitionId> filenames + manifest-listed reads) is exactly the
+    object-store/bulk-indexer recovery contract; the readback aggregation
+    is an ordinary partial+final hash aggregate.
+    """
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ..sources.event_stream_source import MAX_ROWS, register as reg_stream
+    from ..sources.jsonl_source import register as reg_jsonl
+
+    reg_stream(spark)
+    reg_jsonl(spark)
+    out = tempfile.mkdtemp(prefix="swallow_roundtrip_sink_")
+    chk = tempfile.mkdtemp(prefix="swallow_roundtrip_chk_")
+    try:
+        feed = spark.readStream.format("swallow_eventstream").load()
+        q = (
+            feed.writeStream.format("swallow_jsonl")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            import json as _json
+
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                q.processAllAvailable()
+                total = 0
+                for b in os.listdir(out):
+                    marker = os.path.join(out, b, "_COMMITTED")
+                    if os.path.exists(marker):
+                        total += _json.load(open(marker))["n"]
+                if total >= MAX_ROWS:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        back = (
+            spark.read.format("swallow_jsonl")
+            .schema("seq bigint, user_id bigint, amount double")
+            .option("path", out)
+            .option("mode", "committed")
+            .load()
+        )
+        rows = (
+            back.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("amount") * 100).cast("long")).alias("total_cents"),
+            )
+            .orderBy("user_id")
+            .collect()
+        )
+        # materialize before the tmpdir vanishes; rebuild as a local DF with
+        # the declared schema so the driver's lazy collect sees stable data
+        return spark.createDataFrame(
+            rows, "user_id bigint, n_events bigint, total_cents bigint"
+        )
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)

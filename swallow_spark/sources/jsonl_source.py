@@ -48,9 +48,25 @@ def build_datasource():
         def __init__(self, options, schema):
             self.path = options.get("path")
             self.skip_bad = options.get("skip_bad", "true").lower() == "true"
+            # mode=committed: path is a STREAMING-SINK output dir; trust only
+            # the files enumerated in each sealed batch's _COMMITTED marker
+            # (exactly-once read side of the connector pair — orphan task
+            # files from a crashed pre-commit attempt are never visible).
+            self.committed_only = options.get("mode", "").lower() == "committed"
             self.fields = [f.name for f in schema.fields]
 
         def partitions(self):
+            if self.committed_only:
+                files = []
+                for b in sorted(os.listdir(self.path)):
+                    bdir = os.path.join(self.path, b)
+                    marker = os.path.join(bdir, "_COMMITTED")
+                    if not (b.startswith("batch-") and os.path.exists(marker)):
+                        continue  # unsealed / foreign dir: invisible
+                    with open(marker, encoding="utf-8") as fh:
+                        manifest = json.load(fh)
+                    files += [os.path.join(bdir, f) for f in sorted(manifest["files"])]
+                return [_FilePartition(p) for p in files]
             if os.path.isdir(self.path):
                 files = sorted(
                     os.path.join(self.path, f)
@@ -121,11 +137,15 @@ def build_datasource():
     class SwallowJsonlStreamWriter(DataSourceStreamWriter):
         """STREAMING sink half of the connector (bulk-indexer adapter
         analog): every micro-batch's tasks write task files under
-        batch-<epochId>/, and commit() seals the batch with a marker
-        recording its row count. Exactly-once on replay: a re-run of a
-        failed epoch overwrites its own directory, and readers only trust
-        sealed batches (marker present) — the same protocol an ES-bulk /
-        object-store streaming sink uses."""
+        batch-<epochId>/, and commit() seals the batch with a JSON
+        manifest marker recording the EXACT task filenames and their row
+        counts. Exactly-once on replay is guaranteed twice over:
+        (a) task files are named deterministically task-<partitionId>.jsonl,
+        so a replayed epoch OVERWRITES its own files rather than appending
+        beside orphans from a crashed attempt, and (b) readers trust only
+        files enumerated in the manifest, so even a foreign stray file in
+        the batch dir is invisible — the same protocol an ES-bulk /
+        object-store streaming sink uses (marker-manifest commit)."""
 
         def __init__(self, options, schema):
             self.path = options.get("path")
@@ -135,12 +155,16 @@ def build_datasource():
             # executed per task; epoch id arrives via the TaskContext
             from pyspark import TaskContext
 
-            epoch = TaskContext.get().getLocalProperty("streaming.sql.batchId")
+            ctx = TaskContext.get()
+            epoch = ctx.getLocalProperty("streaming.sql.batchId")
             bdir = os.path.join(self.path, f"batch-{epoch}")
             os.makedirs(bdir, exist_ok=True)
-            out = os.path.join(bdir, f"task-{uuid.uuid4().hex}.jsonl")
+            # deterministic per-task name: a replayed epoch overwrites, so a
+            # crash-before-commit can never inflate the sealed batch
+            out = os.path.join(bdir, f"task-{ctx.partitionId()}.jsonl")
+            tmp = out + f".inprogress-{uuid.uuid4().hex}"
             n = 0
-            with open(out, "w", encoding="utf-8") as fh:
+            with open(tmp, "w", encoding="utf-8") as fh:
                 for row in rows:
                     doc = {}
                     for f in self.fields:
@@ -152,13 +176,20 @@ def build_datasource():
                         doc[f] = v
                     fh.write(json.dumps(doc) + "\n")
                     n += 1
+            os.replace(tmp, out)  # atomic publish: no torn task files
             return _Committed(out, n)
 
         def commit(self, messages, batchId):
             bdir = os.path.join(self.path, f"batch-{batchId}")
             os.makedirs(bdir, exist_ok=True)
-            with open(os.path.join(bdir, "_COMMITTED"), "w") as fh:
-                fh.write(str(sum(m.n for m in messages)))
+            manifest = {
+                "n": sum(m.n for m in messages),
+                "files": {os.path.basename(m.path): m.n for m in messages},
+            }
+            tmp = os.path.join(bdir, f"_COMMITTED.tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp, os.path.join(bdir, "_COMMITTED"))
 
         def abort(self, messages, batchId):
             for m in messages:

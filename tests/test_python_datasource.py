@@ -92,3 +92,82 @@ def test_stream_sink_demo_runs(spark):
     rows = df.collect()
     assert sum(r.n_rows for r in rows) == 300
     assert all(r.batch.startswith("batch-") for r in rows)
+
+
+def test_committed_mode_ignores_orphans_and_unsealed(spark, tmp_path):
+    """Exactly-once READ side: mode=committed must see only files listed in
+    a sealed batch's manifest — orphan task files from a crashed pre-commit
+    attempt and entire unsealed batch dirs are invisible."""
+    import json
+
+    from swallow_spark.sources.jsonl_source import register
+
+    register(spark)
+    sink = tmp_path / "sink"
+    b0 = sink / "batch-0"
+    b0.mkdir(parents=True)
+    (b0 / "task-0.jsonl").write_text('{"id": 1}\n{"id": 2}\n')
+    # orphan from a crashed attempt: present on disk, absent from manifest
+    (b0 / "task-9.jsonl").write_text('{"id": 99}\n')
+    (b0 / "_COMMITTED").write_text(json.dumps({"n": 2, "files": {"task-0.jsonl": 2}}))
+    # unsealed batch: has data but no marker → entirely invisible
+    b1 = sink / "batch-1"
+    b1.mkdir()
+    (b1 / "task-0.jsonl").write_text('{"id": 50}\n')
+    back = (
+        spark.read.format("swallow_jsonl")
+        .schema("id long")
+        .option("path", str(sink))
+        .option("mode", "committed")
+        .load()
+    )
+    assert sorted(r.id for r in back.collect()) == [1, 2]
+
+
+def test_stream_task_files_deterministic(spark, tmp_path):
+    """Replay safety: streaming task files are named task-<partitionId>, so
+    a re-run of a failed epoch overwrites rather than appending."""
+    import json
+    import os
+
+    from swallow_spark.sources.event_stream_source import register as reg_stream
+    from swallow_spark.sources.jsonl_source import register as reg_jsonl
+
+    reg_stream(spark)
+    reg_jsonl(spark)
+    out = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    feed = spark.readStream.format("swallow_eventstream").load()
+    q = (
+        feed.writeStream.format("swallow_jsonl")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batches = [b for b in sorted(os.listdir(out)) if b.startswith("batch-")]
+    assert batches, "no batches written"
+    for b in batches:
+        bdir = os.path.join(out, b)
+        files = sorted(f for f in os.listdir(bdir) if f.endswith(".jsonl"))
+        # deterministic names with no uuid component
+        assert all(f.startswith("task-") and f[5:-6].isdigit() for f in files), files
+        manifest = json.loads(open(os.path.join(bdir, "_COMMITTED")).read())
+        assert sorted(manifest["files"]) == files
+        assert sum(manifest["files"].values()) == manifest["n"]
+
+
+def test_stream_connector_roundtrip_key(spark):
+    from swallow_spark.registry import all_queries
+
+    df = all_queries()["stream_connector_roundtrip"].fn(spark, "/root/testdata/sf0.001")
+    rows = {r.user_id: (r.n_events, r.total_cents) for r in df.collect()}
+    want = {}
+    for i in range(300):
+        u = i % 7
+        n, c = want.get(u, (0, 0))
+        want[u] = (n + 1, c + (i * 37) % 1000)
+    assert rows == want
