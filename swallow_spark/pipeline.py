@@ -213,13 +213,21 @@ class Sample:
     percent: int  # keep rows where hash(key) mod 100 < percent
 
     def apply(self, df: DataFrame) -> DataFrame:
-        h = f"pmod(pmod(pmod({self.key}, 1000003) * 1103515245, 1000003), 100)"
+        # BIGINT cast up front: an INT32 key would overflow at the
+        # * 1103515245 step in both engines (ANSI Spark throws)
+        h = (
+            f"pmod(pmod(pmod(CAST({self.key} AS BIGINT), 1000003)"
+            f" * 1103515245, 1000003), 100)"
+        )
         return df.filter(F.expr(f"{h} < {self.percent}"))
 
     def sql(self) -> str:
-        """The identical predicate in DuckDB spelling (pmod ≡ %% on
-        non-negative ints; the inner pmod keeps everything non-negative)."""
-        h = f"((({self.key} % 1000003) * 1103515245) % 1000003) % 100"
+        """The identical predicate in DuckDB spelling. DuckDB's % returns
+        NEGATIVE remainders for negative keys (Spark's pmod never does), so
+        the innermost mod is spelled ((x % m + m) % m); every later operand
+        is then non-negative, where % ≡ pmod."""
+        h0 = f"((CAST({self.key} AS BIGINT) % 1000003 + 1000003) % 1000003)"
+        h = f"(({h0} * 1103515245) % 1000003) % 100"
         return f"{h} < {self.percent}"
 
 

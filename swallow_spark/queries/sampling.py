@@ -75,16 +75,21 @@ def dataset_split(spark, sf_dir):
 @register("ann_ivf_kmeans", oracle=None, tier="T3")
 def ann_ivf_kmeans(spark, sf_dir):
     """IVF-style ANN: deterministic k-means (8 cells, 3 Lloyd iterations,
-    init = 8 lowest vec_ids), then per-probe brute-force over the nprobe=3
-    nearest cells only (probe-side-only fan-out) (rows-only: iterative algorithm, §2.0 rule 6; exact
-    twin = sim_cosine_topk).
+    init = 8 lowest vec_ids), then per-probe brute-force over the nprobe=5
+    nearest cells only (probe-side-only fan-out; the corpus is indexed once
+    by home cell, so raising nprobe costs nothing corpus-side — same trick
+    as the LSH multi-probe) (rows-only: iterative algorithm, §2.0 rule 6;
+    exact twin = sim_cosine_topk).
 
     Scale notes: centroids are tiny (k × dim) and live on the driver /
     broadcast — the canonical IVF layout. Assignment is a map-only pass;
-    each Lloyd iteration is one groupBy(cell) average. Cell id becomes the
-    shuffle key for search, bounding the candidate set per probe.
+    each Lloyd iteration is one groupBy(cell) aggregate of exact integer
+    1e-4-unit sums (single division at the end), so the centroids — and
+    therefore near-tie cell assignments — are partition-order independent
+    like the rest of the vector family. Cell id becomes the shuffle key for
+    search, bounding the candidate set per probe.
     """
-    from ..ops.vectors import SCALE, dot_int, int_units
+    from ..ops.vectors import ESCALE, SCALE, dot_int, int_units
 
     # cache once: the Lloyd loop + final assignment otherwise re-scan the
     # parquet per iteration (4 scans of the embedding table saved)
@@ -120,10 +125,24 @@ def ann_ivf_kmeans(spark, sf_dir):
                 "cell", F.posexplode(F.col("embedding")).alias("i", "x")
             )
             .groupBy("cell", "i")
-            .agg(F.avg("x").alias("m"))
+            # exact int64 1e-4-unit sums, ONE division afterwards:
+            # partition-order independent, unlike a double F.avg
+            .agg(
+                F.sum(
+                    F.floor(F.col("x").cast("double") * F.lit(ESCALE) + F.lit(0.5)).cast("long")
+                ).alias("s"),
+                F.count("*").alias("cnt"),
+            )
             .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ims"))
-            .select("cell", F.transform("ims", lambda s: s.getField("m")).alias("c"))
+            .agg(F.array_sort(F.collect_list(F.struct("i", "s", "cnt"))).alias("ims"))
+            .select(
+                "cell",
+                F.transform(
+                    "ims",
+                    lambda t: (t.getField("s").cast("double") / t.getField("cnt").cast("double"))
+                    / F.lit(float(ESCALE)),
+                ).alias("c"),
+            )
             .collect()
         )
         new = {r.cell: r.c for r in means}
@@ -136,7 +155,8 @@ def ann_ivf_kmeans(spark, sf_dir):
     for i in range(1, k):
         cell = F.when(F.col(f"d{i}") < best, i).otherwise(cell)
         best = F.least(best, F.col(f"d{i}"))
-    # nprobe=3: rank cells by distance via array_sort of (dist, idx) structs
+    # nprobe=5: rank cells by distance via array_sort of (dist, idx) structs
+    nprobe = 5
     cells_ranked = F.array_sort(
         F.array(*[F.struct(F.col(f"d{i}").alias("d"), F.lit(i).alias("i")) for i in range(k)])
     )
@@ -144,18 +164,20 @@ def ann_ivf_kmeans(spark, sf_dir):
         "vec_id",
         "label",
         int_units(F.col("embedding")).alias("iv"),
-        cells_ranked.getItem(0).getField("i").alias("cell0"),
-        cells_ranked.getItem(1).getField("i").alias("cell1"),
-        cells_ranked.getItem(2).getField("i").alias("cell2"),
+        *[
+            cells_ranked.getItem(j).getField("i").alias(f"cell{j}")
+            for j in range(nprobe)
+        ],
     )
     nrm = F.sqrt(dot_int(F.col("iv"), F.col("iv")).cast("double") / F.lit(SCALE))
     # zero-norm vectors excluded: cosine undefined (see llm_similarity note)
     n = assigned.withColumn("nrm", nrm).filter(F.col("nrm") > 0)
-    # corpus indexed by its home cell; probes search their 2 nearest cells
+    # corpus indexed by its home cell; probes fan out to their nprobe=5
+    # nearest cells (probe-side-only cost — the index is built once)
     corpus = n.select("vec_id", "iv", "nrm", F.col("cell0").alias("cell"))
     probes = n.filter(F.col("vec_id") < 10).select(
         "vec_id", "iv", "nrm",
-        F.explode(F.array("cell0", "cell1", "cell2")).alias("cell"),
+        F.explode(F.array(*[f"cell{j}" for j in range(nprobe)])).alias("cell"),
     )
     cos = (
         dot_int(F.col("a.iv"), F.col("b.iv")).cast("double") / F.lit(SCALE)

@@ -640,16 +640,18 @@ t AS (
          CAST(SUM(n) AS BIGINT) AS nn,
          CAST(SUM(s) AS BIGINT) AS ss,
          CAST(SUM(q) AS BIGINT) AS qq,
-         -- per-group S²/n quantized to integer centi-cent² units BEFORE the
-         -- cross-group sum (group iteration order differs between engines)
-         CAST(SUM(CAST(FLOOR(CAST(s AS DOUBLE) * s / n * 100 + 0.5) AS BIGINT))
-              AS BIGINT) AS ssn_centi
+         -- per-group S²/n quantized to integer WHOLE-cent² units BEFORE the
+         -- cross-group sum (group iteration order differs between engines);
+         -- whole cent² (not centi) so the quantized term is bounded by qq
+         -- and never the binding int64 constraint
+         CAST(SUM(CAST(FLOOR(CAST(s AS DOUBLE) * s / n + 0.5) AS BIGINT))
+              AS BIGINT) AS ssn_cent2
   FROM g
 ),
 f AS (
   SELECT k, nn,
-         CAST(ssn_centi AS DOUBLE) / 100 - CAST(ss AS DOUBLE) * ss / nn AS ssb,
-         CAST(qq AS DOUBLE) - CAST(ssn_centi AS DOUBLE) / 100 AS ssw
+         CAST(ssn_cent2 AS DOUBLE) - CAST(ss AS DOUBLE) * ss / nn AS ssb,
+         CAST(qq AS DOUBLE) - CAST(ssn_cent2 AS DOUBLE) AS ssw
   FROM t
 )
 SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n_total,
@@ -668,9 +670,16 @@ def stats_anova_oneway(spark, sf_dir):
 
     Determinism: per-group n/Σx/Σx² are exact int64 cents; the one
     order-sensitive reduction (Σᵢ Sᵢ²/nᵢ across groups) quantizes each
-    group's term to integer centi-units BEFORE the sum, so cross-group
-    iteration order cannot move a bit; the remaining arithmetic is
-    mirrored IEEE with half-up rounds.
+    group's term to integer whole-cent² units BEFORE the sum, so
+    cross-group iteration order cannot move a bit; the remaining
+    arithmetic is mirrored IEEE with half-up rounds. Quantization error
+    (< k cent² total) is ~6 orders of magnitude below the 2-decimal
+    dollar² output resolution.
+
+    int64 headroom: each quantized term Sᵢ²/nᵢ ≤ Σx² (Cauchy–Schwarz), so
+    the binding constraint is the exact cent² moment qq ≈ n·(max cents)²
+    — overflow at roughly SF 250, the same bound documented for
+    stats_ttest_welch / ts_time_weighted_avg.
 
     Scale note: one map-side-combinable aggregate + a k-row reduction —
     nothing scales with table size.
@@ -689,18 +698,18 @@ def stats_anova_oneway(spark, sf_dir):
         F.sum("q").alias("qq"),
         F.sum(
             F.floor(
-                F.col("s").cast("double") * F.col("s") / F.col("n") * 100 + F.lit(0.5)
+                F.col("s").cast("double") * F.col("s") / F.col("n") + F.lit(0.5)
             ).cast("long")
-        ).alias("ssn_centi"),
+        ).alias("ssn_cent2"),
     )
     fdf = t.select(
         "k",
         "nn",
         (
-            F.col("ssn_centi").cast("double") / 100
+            F.col("ssn_cent2").cast("double")
             - F.col("ss").cast("double") * F.col("ss") / F.col("nn")
         ).alias("ssb"),
-        (F.col("qq").cast("double") - F.col("ssn_centi").cast("double") / 100).alias(
+        (F.col("qq").cast("double") - F.col("ssn_cent2").cast("double")).alias(
             "ssw"
         ),
     )

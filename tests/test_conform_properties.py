@@ -113,8 +113,9 @@ def test_ann_variants_recall(spark):
         (r.probe_id, r.neighbor_id)
         for r in qs["sim_cosine_topk"].fn(spark, sf).collect()
     }
-    # multi-probe LSH measures ~0.96 on this fixture; 0.6 leaves drift room
-    floors = {"ann_lsh_bucketed": 0.6, "ann_ivf_kmeans": 0.6}
+    # measured on this fixture: multi-probe LSH ~0.96, IVF nprobe=5 0.98
+    # (0.96 at sf0.01); floors leave room for testdata-regeneration drift
+    floors = {"ann_lsh_bucketed": 0.6, "ann_ivf_kmeans": 0.8}
     for key, floor in floors.items():
         approx = {(r.probe_id, r.neighbor_id) for r in qs[key].fn(spark, sf).collect()}
         recall = len(exact & approx) / len(exact)

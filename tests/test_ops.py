@@ -181,6 +181,25 @@ def test_pipeline_facade_runs(spark, tmp_path):
     assert back.count() == df.count() > 0
 
 
+def test_sample_sql_matches_spark_on_negative_keys(spark):
+    """Sample.apply (Spark pmod) and Sample.sql (DuckDB %) must keep the
+    SAME rows even for negative keys — DuckDB's % returns negative
+    remainders, which the ((x % m + m) % m) spelling neutralizes."""
+    import duckdb
+
+    from swallow_spark.pipeline import Sample
+
+    s = Sample(key="k", percent=30)
+    keys = list(range(-500, 500))
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    spark_kept = sorted(r.k for r in s.apply(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " + ",".join(f"({k})" for k in keys) + ") v(k)")
+    duck_kept = sorted(r[0] for r in con.execute(f"SELECT k FROM t WHERE {s.sql()}").fetchall())
+    assert spark_kept == duck_kept
+    assert any(k < 0 for k in spark_kept)  # the sample actually spans negatives
+
+
 def test_max_posting_caps_hot_shingle_fanout(spark):
     from swallow_spark.ops.dedup import shingle_jaccard_pairs
 
