@@ -586,36 +586,105 @@ def dedup_simhash_portable(spark, sf_dir):
         )
     )
     sigs = bits.select("doc_id", sig_expr.alias("sig"))
-    segs = sigs.select(
-        "doc_id",
+    # NOTE (measured, sf0.1): the posting-list bucket pattern that wins for
+    # LSH bands LOSES here — the tiny fixture vocabulary correlates
+    # signatures so hard that one segment bucket can hold thousands of
+    # docs, and in-row pair expansion becomes a single-task hot-bucket
+    # straggler (9.2 s vs 4.5 s). Three skew weapons instead (r4 verdict
+    # item 1, measured ~2.3× faster same-box at sf0.1):
+    #   1. PAIR DISTINCT SIGNATURES, not documents: a near-dup corpus has
+    #      far fewer distinct sigs than docs (1820 vs 5000 on this
+    #      fixture), so the quadratic verify shrinks ~(docs/sigs)²; doc
+    #      pairs are recovered afterwards by expanding per-sig doc groups
+    #      (same-sig groups → hamming-0 pairs, cross-sig survivors → all
+    #      cross products). At 100 TB this is the dominant win — exact
+    #      signature collisions are the norm in a duplicated corpus.
+    #   2. SALT the sig-level self-join: the left side carries a
+    #      deterministic pmod(xxhash64(sig), 8) salt, the right side
+    #      replicates to all 8 salts — a hot (seg_id, seg_val) bucket's
+    #      pair expansion splits across 8 tasks for an 8× right-side
+    #      inflation of a tiny table. Each (s1 < s2) pair still meets
+    #      exactly once: at the left row's own salt.
+    #   3. FIRST-MATCH emission instead of distinct: a sig pair agreeing
+    #      on several segments is kept only from its LOWEST matching
+    #      segment (cheap bit math on the two carried sigs), so
+    #      uniqueness is structural and no dedup exchange exists anywhere
+    #      downstream of the join.
+    # materialize the tiny sig-group table ONCE (localCheckpoint truncates
+    # lineage): it feeds four consumers below, which would otherwise each
+    # recompute the whole scan→hash→signature pipeline (5 documents scans
+    # observed in the un-checkpointed plan).
+    groups = (
+        sigs.groupBy("sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .localCheckpoint(eager=True)
+    )
+    # groups is small (distinct sigs ≪ docs) — broadcast for the expansion
+    # joins below; on a corpus whose distinct-sig table outgrows broadcast,
+    # drop the hints and both expansions shuffle on the sig key.
+    same = (
+        groups.select(F.explode("docs").alias("d1"), "docs")
+        .select("d1", F.explode("docs").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("hamming", F.lit(0).cast("long"))
+    )
+    ssegs = groups.select("sig").select(
         "sig",
         F.posexplode(
             F.expr("transform(sequence(0, 3), k -> shiftright(sig, k * 8) & 255)")
         ).alias("seg_id", "seg_val"),
     )
-    # NOTE (measured, sf0.1): the posting-list bucket pattern that wins for
-    # LSH bands LOSES here — the tiny fixture vocabulary correlates
-    # signatures so hard that one segment bucket can hold thousands of
-    # docs, and in-row pair expansion becomes a single-task hot-bucket
-    # straggler (9.2 s vs 4.5 s). The segs×segs equi-join distributes that
-    # fan-out across tasks; the hamming filter runs BEFORE the distinct so
-    # the dedup exchange only carries surviving pairs.
-    cand = (
-        segs.alias("a")
-        .join(
-            segs.alias("b"),
-            (F.col("a.seg_id") == F.col("b.seg_id"))
-            & (F.col("a.seg_val") == F.col("b.seg_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-            .cast("long")
-            .alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 4)
-        .distinct()
+    n_salts = 8
+    a = ssegs.select(
+        "sig", "seg_id", "seg_val",
+        F.pmod(F.xxhash64("sig"), F.lit(n_salts)).alias("salt"),
     )
-    return cand
+    b = ssegs.select(
+        "sig", "seg_id", "seg_val",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("salt"),
+    )
+    joined = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.seg_id") == F.col("b.seg_id"))
+        & (F.col("a.seg_val") == F.col("b.seg_val"))
+        & (F.col("a.salt") == F.col("b.salt"))
+        & (F.col("a.sig") < F.col("b.sig")),
+    )
+
+    def _seg(col, k):
+        return F.shiftright(col, k * 8).bitwiseAND(F.lit(255))
+
+    # true iff some segment BEFORE this row's seg_id also matches — then a
+    # lower-seg_id join row already emitted this sig pair
+    earlier_match = F.lit(False)
+    for k in range(3):
+        earlier_match = earlier_match | (
+            (F.col("a.seg_id") > k)
+            & (_seg(F.col("a.sig"), k) == _seg(F.col("b.sig"), k))
+        )
+    spairs = (
+        joined.withColumn(
+            "hamming",
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).cast("long"),
+        )
+        .filter((F.col("hamming") <= 4) & ~earlier_match)
+        .select(F.col("a.sig").alias("s1"), F.col("b.sig").alias("s2"), "hamming")
+    )
+    cross = (
+        spairs.join(
+            F.broadcast(groups.select(F.col("sig").alias("s1"), F.col("docs").alias("docs1"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(groups.select(F.col("sig").alias("s2"), F.col("docs").alias("docs2"))),
+            "s2",
+        )
+        .select(F.explode("docs1").alias("x"), "docs2", "hamming")
+        .select("x", F.explode("docs2").alias("y"), "hamming")
+        .select(
+            F.least("x", "y").alias("d1"),
+            F.greatest("x", "y").alias("d2"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross)
