@@ -1,0 +1,168 @@
+"""Property tests pinning the as-of join family's tie-break semantics
+(r4 verdict item 6): random event/order interleavings — including heavy
+equal-timestamp collisions — are run through the REGISTERED queries
+(join_asof backward, join_asof_nearest) on a synthetic events table, and
+the Spark result must equal BOTH the DuckDB oracle and an independent
+pure-Python reference.
+
+Each hypothesis example bundles many independent per-user scenarios into
+one events table (the windows partition by user_id, so each user is its
+own test case); 30 examples × ≥7 users ≥ 200 interleavings total while
+paying Spark job latency only once per example.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_BASE = dt.datetime(2024, 1, 1)
+
+# one user's event stream: (ts_offset_seconds, is_purchase, value) —
+# ts offsets drawn from a TINY range so equal-timestamp ties are common
+_user_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.booleans(),
+        st.integers(min_value=0, max_value=999),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+_scenario = st.lists(_user_events, min_size=7, max_size=12)
+
+
+def _materialize(case, tmpdir):
+    rows = []
+    eid = 0
+    for uid, events in enumerate(case):
+        for off, is_p, val in events:
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": _BASE + dt.timedelta(seconds=off),
+                    "user_id": uid,
+                    "event_type": "purchase" if is_p else "view",
+                    "value": float(val),
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    pdf = pd.DataFrame(rows)
+    path = f"{tmpdir}/events.parquet"
+    con = duckdb.connect()
+    con.execute("COPY (SELECT * FROM pdf) TO '" + path + "' (FORMAT PARQUET)")
+    con.close()
+    return rows
+
+
+def _per_user(rows):
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for evs in by_user.values():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+    return by_user
+
+
+def _ref_backward(rows):
+    """join_asof semantics: window (ts, event_id) ordered, unbounded
+    preceding → CURRENT ROW (an event that is itself a purchase sees its
+    own value)."""
+    out = {}
+    for evs in _per_user(rows).values():
+        lastp = None
+        for e in evs:
+            if e["event_type"] == "purchase":
+                lastp = e["value"]
+            out[e["event_id"]] = lastp
+    return out
+
+
+def _ref_nearest(rows):
+    """join_asof_nearest semantics: nearest purchase epoch-second distance
+    in either direction, tie → backward; both windows include the current
+    row."""
+    out = {}
+    for evs in _per_user(rows).values():
+        n = len(evs)
+        for i, e in enumerate(evs):
+            t = int(e["ts"].timestamp())
+            bv = bt = fv = ft = None
+            for j in range(i, -1, -1):
+                if evs[j]["event_type"] == "purchase":
+                    bv, bt = evs[j]["value"], int(evs[j]["ts"].timestamp())
+                    break
+            for j in range(i, n):
+                if evs[j]["event_type"] == "purchase":
+                    fv, ft = evs[j]["value"], int(evs[j]["ts"].timestamp())
+                    break
+            if bt is None and ft is None:
+                out[e["event_id"]] = (None, None)
+            elif ft is None:
+                out[e["event_id"]] = (bv, "b")
+            elif bt is None:
+                out[e["event_id"]] = (fv, "f")
+            elif t - bt <= ft - t:
+                out[e["event_id"]] = (bv, "b")
+            else:
+                out[e["event_id"]] = (fv, "f")
+    return out
+
+
+def _oracle(sql, tmpdir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmpdir}/events.parquet')"
+    )
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    from swallow_spark.registry import all_queries
+
+    return all_queries()
+
+
+@settings(max_examples=30, deadline=None)
+@given(_scenario)
+def test_join_asof_backward_three_way(spark, qs, tmp_path_factory, case):
+    tmpdir = str(tmp_path_factory.mktemp("asof"))
+    rows = _materialize(case, tmpdir)
+    want = _ref_backward(rows)
+
+    got_spark = {
+        r.event_id: r.last_purchase_value
+        for r in qs["join_asof"].fn(spark, tmpdir).collect()
+    }
+    assert got_spark == want
+
+    got_duck = {r[0]: r[2] for r in _oracle(qs["join_asof"].oracle, tmpdir)}
+    assert got_duck == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(_scenario)
+def test_join_asof_nearest_three_way(spark, qs, tmp_path_factory, case):
+    tmpdir = str(tmp_path_factory.mktemp("asofn"))
+    rows = _materialize(case, tmpdir)
+    want = _ref_nearest(rows)
+
+    got_spark = {
+        r.event_id: (r.nearest_purchase_value, r.direction)
+        for r in qs["join_asof_nearest"].fn(spark, tmpdir).collect()
+    }
+    assert got_spark == want
+
+    got_duck = {r[0]: (r[2], r[3]) for r in _oracle(qs["join_asof_nearest"].oracle, tmpdir)}
+    assert got_duck == want
