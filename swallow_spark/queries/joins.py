@@ -499,3 +499,34 @@ def join_argmax_rows(spark, sf_dir):
         (F.max_by("cents", "k").cast("double") / 100).alias("top_price"),
         F.max_by("o_orderstatus", "k").alias("top_status"),
     )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+"""
+
+
+@register("join_lateral_topn", oracle=_LATERAL_SQL, tier="T2")
+def join_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery (top-2 customers by balance per nation)
+    — the SQL-standard spelling of per-group top-n, run through Spark's
+    lateral-join support verbatim; DuckDB executes the identical SQL.
+    Deterministic: ties broken by c_custkey inside the LATERAL ORDER BY.
+
+    Scale notes: Catalyst decorrelates the LATERAL into a window
+    (row_number ≤ 2 partitioned by nationkey) + equi join — the same plan
+    win_row_number_topk declares directly, so per-nation candidate sets
+    never materialize beyond the window's sort; no nested-loop
+    re-execution per outer row.
+    """
+    load(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        _LATERAL_SQL.replace("nation n", "lat_nation n").replace(
+            "customer c", "lat_customer c"
+        )
+    )

