@@ -280,3 +280,35 @@ def sub_recursive_cte(spark, sf_dir):
     """
     load(spark, sf_dir, "supplier").createOrReplaceTempView("sub_rec_supplier")
     return spark.sql(_RECURSIVE_SQL.replace("supplier", "sub_rec_supplier").replace("//", "DIV"))
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE o_totalprice > 1000
+GROUP BY o_orderstatus
+""",
+    tier="T2",
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (|>, new surface in Spark 4): the same
+    filter→aggregate expressed as a linear pipeline instead of nested
+    clauses. DuckDB's oracle is the equivalent ANSI spelling — results must
+    hash-match, proving the pipe operators are pure sugar over the same
+    plan (Catalyst compiles both to an identical aggregate).
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("pipe_orders")
+    return spark.sql(
+        """
+        FROM pipe_orders
+        |> WHERE o_totalprice > 1000
+        |> AGGREGATE COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+           GROUP BY o_orderstatus
+        |> SELECT o_orderstatus, n, cents
+        """
+    )

@@ -248,3 +248,37 @@ def udtf_python(spark, sf_dir):
         "SELECT doc_id, t.pos, t.token "
         "FROM udtf_docs, LATERAL swallow_tokenize(text) t"
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+SELECT o_orderkey,
+       CAST(length(CAST(o_orderkey AS VARCHAR)) AS BIGINT) AS n_digits,
+       CAST(list_sum(list_transform(string_split_regex(CAST(o_orderkey AS VARCHAR), ''),
+                                    c -> TRY_CAST(c AS BIGINT))) AS BIGINT) AS digit_sum
+FROM orders
+""",
+    tier="T2",
+)
+def udf_arrow_scalar(spark, sf_dir):
+    """Arrow-OPTIMIZED row UDF (`@udf(useArrow=True)`, Spark 4): plain
+    Python semantics per row, but values cross the JVM↔Python boundary in
+    Arrow record batches instead of pickled rows — the drop-in upgrade for
+    legacy row UDFs that can't be rewritten as vectorized pandas_udfs.
+    Deterministic integer digit arithmetic, exact in both engines.
+
+    Scale note: Arrow serialization removes the pickle tax (~2-5× on wide
+    rows) but per-row Python bytecode still runs — pandas_udf remains the
+    true vectorized path (udf_pandas_scalar)."""
+
+    @F.udf("long", useArrow=True)
+    def digit_sum(x: int) -> int:
+        return sum(int(c) for c in str(x))
+
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.length(F.col("o_orderkey").cast("string")).cast("long").alias("n_digits"),
+        digit_sum("o_orderkey").alias("digit_sum"),
+    )
