@@ -412,25 +412,43 @@ def ann_lsh_bucketed(spark, sf_dir):
     """
     e = load(spark, sf_dir, "embeddings")
 
-    # table t, plane p, dim i weight = (hash(t,p,i) % 1001 - 500) / 500
+    # table t, plane p, dim i weight = (xxhash64("t:p:i") % 1001 - 500)/500.
+    # The weights are CONSTANTS — hashing them per (vector, element) cost
+    # 1536 concat+xxhash64 evaluations per vector (measured: the dominant
+    # term). Precompute the 24×64 matrix with ONE tiny Spark job (keeping
+    # the exact same deterministic hash family — no Python reimplementation
+    # of xxhash64) and inline the weights as literals, so the per-vector
+    # work collapses to 24 literal-array dot products in codegen.
+    dim = 64
+    keys = [
+        (t, p, i)
+        for t in range(_LSH_TABLES)
+        for p in range(_LSH_BITS)
+        for i in range(dim)
+    ]
+    wdf = spark.createDataFrame(keys, "t int, p int, i int").select(
+        "t", "p", "i",
+        (
+            (
+                F.pmod(
+                    F.xxhash64(F.concat_ws(":", "t", "p", F.col("i").cast("string"))),
+                    F.lit(1001),
+                ).cast("double")
+                - 500
+            )
+            / 500
+        ).alias("w"),
+    )
+    wmap = {(r.t, r.p, r.i): r.w for r in wdf.collect()}
+
     def plane_dot(t, p):
+        warr = F.array(*[F.lit(wmap[(t, p, i)]) for i in range(dim)])
+        # slice to the weight width; NULL/short elements contribute 0.0
         return F.aggregate(
             F.zip_with(
-                F.col("embedding"),
-                F.sequence(F.lit(0), F.size(F.col("embedding")) - 1),
-                lambda x, i: x.cast("double")
-                * (
-                    (
-                        F.pmod(
-                            F.xxhash64(
-                                F.concat_ws(":", F.lit(t), F.lit(p), i.cast("string"))
-                            ),
-                            F.lit(1001),
-                        ).cast("double")
-                        - 500
-                    )
-                    / 500
-                ),
+                F.slice(F.col("embedding"), 1, dim),
+                warr,
+                lambda x, wl: F.coalesce(x.cast("double") * wl, F.lit(0.0)),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -449,8 +467,14 @@ def ann_lsh_bucketed(spark, sf_dir):
         F.posexplode(buckets).alias("table", "bucket"),
     )
     nrm = F.sqrt(dot_int(F.col("iv"), F.col("iv")).cast("double") / F.lit(SCALE))
-    # zero-norm vectors excluded: cosine undefined (see _NORMS_SQL note)
-    n = bucketed.withColumn("nrm", nrm).filter(F.col("nrm") > 0)
+    # zero-norm vectors excluded: cosine undefined (see _NORMS_SQL note).
+    # Checkpoint: the signature table feeds BOTH join sides (probe +
+    # corpus), which otherwise each recompute the 24 plane dots.
+    n = (
+        bucketed.withColumn("nrm", nrm)
+        .filter(F.col("nrm") > 0)
+        .localCheckpoint(eager=True)
+    )
     cos = _pair_cos()
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
     # multi-probe expansion: probes also visit the Hamming-1 buckets of
