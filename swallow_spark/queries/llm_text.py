@@ -921,3 +921,90 @@ def text_rake_keywords(spark, sf_dir):
         .orderBy(F.col("rake").desc(), "phrase")
         .limit(_RAKE_TOPN)
     )
+
+
+_LINE_DEDUP_W = 10  # tokens per pseudo-line (the fixture has no newlines)
+_LINE_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(ts[(i*{_LINE_DEDUP_W}+1):(i*{_LINE_DEDUP_W}+{_LINE_DEDUP_W})], ' ') AS chunk
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(ts)/{_LINE_DEDUP_W}.0) AS BIGINT) - 1)) AS g(i)
+),
+cdf AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk),
+kept AS (
+  SELECT c.doc_id, c.idx, c.chunk, (d.df <= 1) AS keep
+  FROM chunks c JOIN cdf d ON c.chunk = d.chunk
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       (FLOOR(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+              * 1000000 + 0.5) / 1000000) AS retention,
+       -- COALESCE: a fully-boilerplate doc keeps nothing; its cleaned text
+       -- is the EMPTY string (length 0), matching Spark's array_join([])
+       CAST(COALESCE(length(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY idx)), 0) AS BIGINT)
+         AS clean_chars
+FROM kept GROUP BY doc_id
+"""
+
+
+@register("text_line_dedup", oracle=_LINE_DEDUP_SQL, tier="T2")
+def text_line_dedup(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal — THE standard web-corpus
+    cleaning pass: split every document into lines (here fixed 10-token
+    pseudo-lines, since the fixture text has no newlines), drop every line
+    whose exact text occurs in MORE THAN ONE document (headers, footers,
+    nav boilerplate), and report per-document retention + cleaned length.
+
+    Scale notes: one explode to (doc_id, idx, line) narrow rows, one
+    line-keyed aggregate for document frequency (map-side combinable), one
+    join back on the line key, one doc-keyed aggregate to reassemble —
+    all shuffle keys are either the line text or doc_id, nothing
+    quadratic, no broadcast required (the df table scales with corpus
+    size and stays on the shuffle path).
+    """
+    d = load(spark, sf_dir, "documents")
+    w = _LINE_DEDUP_W
+    ts = F.split(F.col("text"), " ")
+    chunk_arr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(split(text, ' '))/{w}.0) as int) - 1), "
+        f"i -> array_join(slice(split(text, ' '), i*{w}+1, {w}), ' '))"
+    )
+    chunks = d.select(
+        "doc_id", F.posexplode(chunk_arr).alias("idx", "chunk")
+    )
+    cdf = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    kept = chunks.join(cdf, "chunk").select(
+        "doc_id", "idx", "chunk", (F.col("df") <= 1).alias("keep")
+    )
+    clean_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("keep"), F.struct("idx", "chunk")).otherwise(None)
+                )
+            ),
+            lambda s: s.getField("chunk"),
+        ),
+        " ",
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("retention"),
+        F.length(clean_text).cast("long").alias("clean_chars"),
+    )
