@@ -817,3 +817,81 @@ def vec_label_noise_knn(spark, sf_dir):
         disagree.cast("long").alias("n_disagree"),
         (disagree >= _NOISE_K - 1).cast("int").alias("suspect"),
     )
+
+
+_TRIPLET_SQL = f"""
+WITH {_NORMS_SQL},
+pairs AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         b.vec_id AS other_id, (b.label = a.label) AS same,
+         {_COS_SQL} AS cos
+  FROM norms a JOIN norms b ON b.vec_id != a.vec_id
+  WHERE a.vec_id < {_N_PROBES}
+),
+pos AS (
+  SELECT anchor_id, other_id AS positive_id, cos AS pos_cos,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, other_id) AS rk
+  FROM pairs WHERE same
+),
+neg AS (
+  SELECT anchor_id, other_id AS negative_id, cos AS neg_cos,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, other_id) AS rk
+  FROM pairs WHERE NOT same
+)
+SELECT p.anchor_id, p.positive_id, n.negative_id,
+       {sql_rnd('p.pos_cos', 4)} AS pos_cos,
+       {sql_rnd('n.neg_cos', 4)} AS neg_cos,
+       {sql_rnd('p.pos_cos - n.neg_cos', 4)} AS margin
+FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+WHERE p.rk = 1 AND n.rk = 1
+"""
+
+
+@register("vec_triplet_mining", oracle=_TRIPLET_SQL, tier="T2")
+def vec_triplet_mining(spark, sf_dir):
+    """Hard-triplet mining for metric-learning training data: for each
+    anchor, its top SAME-label neighbor (the positive) and its top
+    DIFFERENT-label neighbor (the hard negative), plus the margin between
+    them — the triplets a contrastive/triplet-loss trainer feeds on.
+    Deterministic: exact integer-dot cosine, id tie-breaks.
+
+    Scale notes: anchors broadcast over one corpus scan (same shape as
+    sim_cosine_topk); both arms are window top-1 per anchor, so nothing
+    beyond |anchors| × corpus streams — at 100 TB with many anchors,
+    swap the candidate generator to the LSH/IVF/sign-bucket paths and
+    keep this exact top-1 as the rerank stage."""
+    n = _norms(spark, sf_dir)
+    anchors = n.filter(F.col("vec_id") < _N_PROBES).alias("a")
+    corpus = n.alias("b")
+    cos = _pair_cos()
+    pairs = (
+        F.broadcast(anchors)
+        .join(corpus, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("anchor_id"),
+            F.col("b.vec_id").alias("other_id"),
+            (F.col("b.label") == F.col("a.label")).alias("same"),
+            cos.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), "other_id")
+    pos = (
+        pairs.filter(F.col("same"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("anchor_id", F.col("other_id").alias("positive_id"), F.col("cos").alias("pos_cos"))
+    )
+    neg = (
+        pairs.filter(~F.col("same"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("anchor_id", F.col("other_id").alias("negative_id"), F.col("cos").alias("neg_cos"))
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "negative_id",
+        rnd(F.col("pos_cos"), 4).alias("pos_cos"),
+        rnd(F.col("neg_cos"), 4).alias("neg_cos"),
+        rnd(F.col("pos_cos") - F.col("neg_cos"), 4).alias("margin"),
+    )
