@@ -282,3 +282,50 @@ def udf_arrow_scalar(spark, sf_dir):
         F.length(F.col("o_orderkey").cast("string")).cast("long").alias("n_digits"),
         digit_sum("o_orderkey").alias("digit_sum"),
     )
+
+
+@register(
+    "udtf_polymorphic",
+    oracle="""
+SELECT doc_id,
+       arr[1] AS part0, arr[2] AS part1, arr[3] AS part2, arr[4] AS part3
+FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+""",
+    tier="T2",
+)
+def udtf_polymorphic(spark, sf_dir):
+    """POLYMORPHIC Python UDTF (Spark 4): the static analyze() hook derives
+    the output schema from the call site's literal argument — here
+    first_n(text, 4) emits columns part0..part3, but first_n(text, 2)
+    would emit two. This is the table-function shape connectors use for
+    schema-on-call sources (swallow's dynamic-mapping readers). DuckDB
+    oracle: plain list indexing (out-of-range → NULL, matching eval's
+    padding).
+
+    Scale note: same execution profile as a plain UDTF — Arrow-batched
+    lateral, one Python worker pass, no shuffle."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class FirstN:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            st = StructType()
+            for i in range(n.value):
+                st = st.add(f"part{i}", "string")
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, n: int):
+            # NULL text → one all-NULL row (the doc survives the lateral),
+            # matching the oracle's list-index-of-NULL semantics
+            toks = text.split(" ") if text is not None else []
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    spark.udtf.register("swallow_first_n", FirstN)
+    d = load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("udtf_poly_docs")
+    return spark.sql(
+        "SELECT doc_id, t.* FROM udtf_poly_docs, LATERAL swallow_first_n(text, 4) t"
+    )
