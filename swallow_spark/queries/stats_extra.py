@@ -803,3 +803,95 @@ def agg_pareto_coverage(spark, sf_dir):
             / 1000000
         ).alias("top80_pct"),
     )
+
+
+_LEVENE_SQL = f"""
+WITH base AS (
+  SELECT c_mktsegment, {_ANOVA_CENTS} AS cents FROM customer
+),
+med AS (
+  -- exact median in DOUBLED units: 2*median of ints is always an integer
+  SELECT c_mktsegment, CAST(2 * median(cents) AS BIGINT) AS med2
+  FROM base GROUP BY c_mktsegment
+),
+dev AS (
+  SELECT b.c_mktsegment, abs(2 * b.cents - m.med2) AS z2
+  FROM base b JOIN med m USING (c_mktsegment)
+),
+g AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(z2) AS BIGINT) AS s,
+         CAST(SUM(z2 * z2) AS BIGINT) AS q
+  FROM dev GROUP BY c_mktsegment
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(s) AS BIGINT) AS ss,
+         CAST(SUM(q) AS BIGINT) AS qq,
+         CAST(SUM(CAST(FLOOR(CAST(s AS DOUBLE) * s / n + 0.5) AS BIGINT))
+              AS BIGINT) AS ssn
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n_total,
+       {sql_rnd('((CAST(ssn AS DOUBLE) - CAST(ss AS DOUBLE) * ss / nn) / (k - 1)) / ((CAST(qq AS DOUBLE) - CAST(ssn AS DOUBLE)) / (nn - k))', 4)} AS w_stat
+FROM t
+"""
+
+
+@register("stats_levene", oracle=_LEVENE_SQL, tier="T2")
+def stats_levene(spark, sf_dir):
+    """Brown–Forsythe (median-centered Levene) test for homogeneity of
+    variances across market segments — the standard pre-check before
+    trusting stats_anova_oneway's pooled-variance F. W is the one-way
+    ANOVA F statistic computed on z = |x − group median|.
+
+    Determinism: group medians in DOUBLED integer units (2·median of ints
+    is exact), deviations z2 = |2x − med2| stay integer, per-group
+    n/Σz2/Σz2² are exact int64, and the one cross-group reduction
+    quantizes each Sᵢ²/nᵢ to whole units before summing (same recipe as
+    stats_anova_oneway). W is scale-invariant, so the doubled units
+    cancel exactly.
+
+    int64 headroom: Σz2² ≈ n·(2·max|dev|)² ≈ 2.4e18 at sf1 → overflow
+    near SF 30; the quantized Σ Sᵢ²/nᵢ term is bounded by Σz2²
+    (Cauchy–Schwarz), so it is never the binding constraint.
+
+    Scale note: one median aggregate + one moment aggregate + a k-row
+    reduction — medians sort within segment partitions, nothing global.
+    """
+    c = load(spark, sf_dir, "customer")
+    cb = F.expr(_ANOVA_CENTS)
+    base = c.select("c_mktsegment", cb.alias("cents"))
+    med = base.groupBy("c_mktsegment").agg(
+        (2 * F.expr("percentile(cents, 0.5)")).cast("long").alias("med2")
+    )
+    dev = base.join(med, "c_mktsegment").select(
+        "c_mktsegment", F.abs(2 * F.col("cents") - F.col("med2")).alias("z2")
+    )
+    g = dev.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z2").alias("s"),
+        F.sum(F.col("z2") * F.col("z2")).alias("q"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum(
+            F.floor(
+                F.col("s").cast("double") * F.col("s") / F.col("n") + F.lit(0.5)
+            ).cast("long")
+        ).alias("ssn"),
+    )
+    ssb = F.col("ssn").cast("double") - F.col("ss").cast("double") * F.col("ss") / F.col("nn")
+    ssw = F.col("qq").cast("double") - F.col("ssn").cast("double")
+    return t.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_total"),
+        rnd((ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 4).alias(
+            "w_stat"
+        ),
+    )
