@@ -530,3 +530,67 @@ def join_lateral_topn(spark, sf_dir):
             "customer c", "lat_customer c"
         )
     )
+
+
+_PIT_SQL = """
+WITH p AS (
+  SELECT user_id, ts, value, event_id,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+v AS (
+  SELECT user_id, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+         value
+  FROM p WHERE rn = 1
+)
+SELECT f.event_id, f.user_id, v.value AS value_at_time
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type != 'purchase') f
+LEFT JOIN v ON v.user_id = f.user_id AND f.ts >= v.valid_from
+           AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+"""
+
+
+@register("join_point_in_time", oracle=_PIT_SQL, tier="T2")
+def join_point_in_time(spark, sf_dir):
+    """Point-in-time (SCD2 dimension-version) join: every non-purchase
+    event is matched to the purchase-value version VALID AT its timestamp
+    — the warehouse spelling is a half-open interval join against
+    [valid_from, valid_to) version rows (the DuckDB oracle), but the
+    scalable Spark implementation is the generic union-tag as-of op
+    (ops/asof.asof_join_backward): ONE shuffle on the user key, no range
+    join, no per-fact candidate scan. The hash-match proves the two
+    spellings equivalent, including at version boundaries (a fact AT a
+    version's valid_from belongs to that version — at-or-after inclusive
+    on both sides).
+
+    Determinism: versions are deduped to one per (user, ts) (max event_id
+    wins) and NULL-valued purchases are excluded from the dimension on
+    BOTH sides, so `last(ignorenulls)` can never skip a matched version.
+
+    Scale notes: at 100 TB the version table partitions on the same user
+    key as the fact stream — the union-tag window is one co-partitioned
+    sort, while the interval-join spelling would need binning
+    (join_interval_binned) to avoid a per-user range scan.
+    """
+    from pyspark.sql.window import Window
+
+    from ..ops.asof import asof_join_backward
+
+    e = load(spark, sf_dir, "events")
+    wdup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    versions = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    facts = e.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join_backward(
+        facts, versions, on="user_id", ts="ts", value_cols=["value"]
+    )
+    return out.select(
+        "event_id", "user_id", F.col("value_asof").alias("value_at_time")
+    )
