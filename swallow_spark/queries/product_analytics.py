@@ -215,3 +215,81 @@ def win_activity_streaks(spark, sf_dir):
         F.sum("len").cast("long").alias("active_days"),
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
     )
+
+
+_ATTRIB_SQL = """
+WITH t AS (
+  SELECT user_id, ts, event_type AS channel,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type IN ('click', 'view')
+),
+td AS (SELECT user_id, ts, channel FROM t WHERE rn = 1),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+a AS (
+  SELECT p.user_id, p.value, td.channel
+  FROM p ASOF LEFT JOIN td ON p.user_id = td.user_id AND p.ts >= td.ts
+)
+SELECT COALESCE(channel, 'none') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM a GROUP BY 1
+"""
+
+
+@register("funnel_attribution_last_touch", oracle=_ATTRIB_SQL, tier="T2")
+def funnel_attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: every purchase is credited to the
+    user's latest click/view AT-OR-BEFORE it (no prior touch → 'none'),
+    then revenue rolls up per channel — the conversion-credit report every
+    product-analytics stack ships. The DuckDB oracle uses its NATIVE
+    `ASOF LEFT JOIN`; the Spark side is the union-tag running-window asof
+    (Spark has no native asof) — the hash match proves the two engines'
+    asof semantics line up, including purchases exactly AT a touch
+    timestamp (touch wins: at-or-before inclusive).
+
+    Determinism: touches dedupe to one per (user, ts) (max event_id), so
+    equal-ts tie-breaks are pinned on both sides; revenue sums exact
+    integer cents (NULL purchase values counted but not summed, both
+    engines).
+
+    Scale notes: one shuffle on user_id for the tagged union + window,
+    one partial+final aggregate on the (tiny-cardinality) channel key —
+    the event stream is scanned once, no join fan-out.
+    """
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    wdup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    touches = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("event_type").alias("channel"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    tagged = purchases.select(
+        "user_id", "ts", "value", F.lit(1).alias("is_p"), F.lit(None).cast("string").alias("ch")
+    ).unionByName(
+        touches.select(
+            "user_id", "ts", F.lit(None).cast("double").alias("value"),
+            F.lit(0).alias("is_p"), F.col("channel").alias("ch"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = (
+        tagged.withColumn("channel", F.last("ch", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select(F.coalesce(F.col("channel"), F.lit("none")).alias("channel"), "value")
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
