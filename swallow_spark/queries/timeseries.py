@@ -1233,3 +1233,144 @@ def ts_max_drawdown(spark, sf_dir):
         .cast("long")
         .alias("days_under_water"),
     )
+
+
+_SEAS_STRENGTH_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+tr AS (
+  SELECT day, val,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN (FLOOR((AVG(val) OVER w) * 10000 + 0.5) / 10000)
+         END AS trend,
+         dayofweek(day) AS dow
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT *, CAST(FLOOR((val - trend) * 10000 + 0.5) AS BIGINT) AS det_u
+  FROM tr
+),
+seas AS (
+  SELECT dow,
+         CAST(FLOOR((FLOOR((CAST(SUM(det_u) AS DOUBLE) / COUNT(det_u) / 10000)
+                            * 10000 + 0.5) / 10000) * 10000 + 0.5) AS BIGINT)
+           AS seas_u
+  FROM det WHERE det_u IS NOT NULL
+  GROUP BY dow
+),
+resid AS (
+  -- residual series in WHOLE-CENT units (floor of 1e-4 units / 100):
+  -- coarser units keep the exact squared sums inside int64 (~SF 100)
+  SELECT CAST(FLOOR(CAST(det.det_u AS DOUBLE) / 100) AS BIGINT) AS det_c,
+         CAST(FLOOR(CAST(det.det_u - seas.seas_u AS DOUBLE) / 100) AS BIGINT) AS rem_c
+  FROM det JOIN seas ON det.dow = seas.dow
+  WHERE det.det_u IS NOT NULL
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(det_c) AS BIGINT) AS sd, CAST(SUM(det_c * det_c) AS BIGINT) AS qd,
+         CAST(SUM(rem_c) AS BIGINT) AS sr, CAST(SUM(rem_c * rem_c) AS BIGINT) AS qr
+  FROM resid
+)
+SELECT n AS n_days,
+       (FLOOR(((CAST(qd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n) / n) / 10000 * 100 + 0.5) / 100) AS var_detrended_d2,
+       (FLOOR(((CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / n) / n) / 10000 * 100 + 0.5) / 100) AS var_remainder_d2,
+       (FLOOR(GREATEST(0.0, 1.0 - ((CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / n) / n)
+                              / ((CAST(qd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n) / n))
+              * 10000 + 0.5) / 10000) AS strength_seasonal
+FROM m
+"""
+
+
+@register("ts_seasonal_strength", oracle=_SEAS_STRENGTH_SQL, tier="T2")
+def ts_seasonal_strength(spark, sf_dir):
+    """Seasonality-strength metric (Hyndman's FS = max(0, 1 −
+    Var(remainder)/Var(detrended))) on the classical decomposition of the
+    daily series — the scalar a monitoring stack thresholds to decide
+    whether weekday-aware baselines are warranted.
+
+    Determinism: reuses ts_classical_decompose's integer-unit pipeline
+    (exact cent sums → 1e-4-unit detrended → 4dp seasonal means), then
+    quantizes both residual series to WHOLE CENTS before the variance
+    moments, so Σx and Σx² are exact int64 (headroom to ~SF 100 — the
+    1e-4-unit squares would overflow near SF 1) and the variance ratio is
+    a fixed double expression on exact integers.
+
+    Scale note: everything after the daily aggregate operates on
+    |days|-sized series; one window, one 7-row join, one global moment
+    reduction.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).cast("double") / 100).alias("val")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "val",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.floor(F.avg("val").over(w) * 10000 + F.lit(0.5)) / 10000,
+        ).alias("trend"),
+        F.dayofweek("day").alias("dow"),
+    )
+    det = tr.withColumn(
+        "det_u", F.floor((F.col("val") - F.col("trend")) * 10000 + F.lit(0.5)).cast("long")
+    )
+    seas = (
+        det.filter(F.col("det_u").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.floor(
+                (
+                    F.floor(
+                        (F.sum("det_u").cast("double") / F.count("det_u") / 10000)
+                        * 10000
+                        + F.lit(0.5)
+                    )
+                    / 10000
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("seas_u")
+        )
+    )
+    resid = (
+        det.filter(F.col("det_u").isNotNull())
+        .join(seas, "dow")
+        .select(
+            F.floor(F.col("det_u").cast("double") / 100).cast("long").alias("det_c"),
+            F.floor((F.col("det_u") - F.col("seas_u")).cast("double") / 100)
+            .cast("long")
+            .alias("rem_c"),
+        )
+    )
+    m = resid.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("det_c").alias("sd"),
+        F.sum(F.col("det_c") * F.col("det_c")).alias("qd"),
+        F.sum("rem_c").alias("sr"),
+        F.sum(F.col("rem_c") * F.col("rem_c")).alias("qr"),
+    )
+    var_d = (F.col("qd").cast("double") - F.col("sd").cast("double") * F.col("sd") / F.col("n")) / F.col("n")
+    var_r = (F.col("qr").cast("double") - F.col("sr").cast("double") * F.col("sr") / F.col("n")) / F.col("n")
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        (F.floor(var_d / 10000 * 100 + F.lit(0.5)) / 100).alias("var_detrended_d2"),
+        (F.floor(var_r / 10000 * 100 + F.lit(0.5)) / 100).alias("var_remainder_d2"),
+        (
+            F.floor(
+                F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_d) * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("strength_seasonal"),
+    )
