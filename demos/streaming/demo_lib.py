@@ -435,3 +435,93 @@ def run_foreachbatch_upsert(spark: SparkSession, sf_dir: str, work_dir: str) -> 
     diff = final.exceptAll(twin).count() + twin.exceptAll(final).count()
     return {"rows": n_final, "twin_rows": n_twin, "diff": diff,
             "n_batches": version["n"]}
+
+
+def run_stream_stream_left_outer(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> dict:
+    """LEFT OUTER watermarked stream-stream join — the semantics the inner
+    variant cannot show: a purchase with NO click in its 5-minute window is
+    held in state until the GLOBAL watermark (min across both sides) passes
+    its eviction bound, then emitted once with NULL click columns.
+
+    A bounded replay never advances the watermark past its own tail, so the
+    last unmatched purchases would stay in state forever; a SENTINEL chunk
+    (one far-future click + one far-future purchase, so BOTH watermark
+    operators advance) flushes them deterministically. The sentinel
+    purchase itself stays in state (nothing ever evicts it) and is excluded
+    from the returned counts by its known event_id.
+
+    Returns {"matched": n, "null_rows": n} — asserted against the exact
+    batch computation by the caller/test.
+    """
+    import os
+    import time as _time
+
+    src_dir = f"{work_dir}/replay_outer"
+    left = chunked_replay_source(spark, sf_dir, src_dir, n_chunks=4)
+
+    # sentinel chunk: far-future click + purchase advance BOTH sides'
+    # watermarks past every real event, flushing unmatched join state
+    e = load(spark, sf_dir, "events")
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    sent = spark.createDataFrame(
+        [
+            (10_000_001, max_ts, 0, "click", 0.0, "{}"),
+            (10_000_002, max_ts, 0, "purchase", 0.0, "{}"),
+        ],
+        e.schema,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 DAYS"))
+    sent.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/_sent")
+    import glob as _glob
+
+    part = sorted(_glob.glob(f"{src_dir}/_sent/part-*.parquet"))[0]
+    dst = f"{src_dir}/chunk-9999.parquet"
+    os.replace(part, dst)
+    os.utime(dst, (int(_time.time()) + 60, int(_time.time()) + 60))
+
+    right = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    clicks = (
+        left.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        right.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 5 MINUTES"
+        ),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_outer")
+        .outputMode("append")
+        .option("checkpointLocation", f"{work_dir}/ckpt_outer")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    row = spark.sql(
+        "SELECT SUM(CASE WHEN c_id IS NOT NULL THEN 1 ELSE 0 END) AS matched,"
+        "       SUM(CASE WHEN c_id IS NULL THEN 1 ELSE 0 END) AS null_rows"
+        " FROM ss_outer WHERE p_id < 10000000"
+    ).collect()[0]
+    return {"matched": row.matched or 0, "null_rows": row.null_rows or 0}

@@ -384,3 +384,47 @@ def stream_connector_roundtrip(spark, sf_dir):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+@register("stream_stream_outer_demo", oracle=None, tier="T3")
+def stream_stream_outer_demo(spark, sf_dir):
+    """LEFT OUTER watermarked stream-stream join, run as a REAL streaming
+    query over the deterministic replay (see demos/streaming/demo_lib.
+    run_stream_stream_left_outer): unmatched purchases are emitted with
+    NULL click columns only after the global watermark passes them — the
+    state-eviction semantics the inner variant (stream_stream_join_demo)
+    cannot express. Asserted in-key against the exact batch computation:
+    matched rows == the batch pair count, NULL rows == purchases with no
+    click in their window (rows-only, §2.I)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from demos.streaming.demo_lib import run_stream_stream_left_outer
+
+    from ..io import load
+
+    work = _tf.mkdtemp(prefix="swallow_sso_")
+    try:
+        got = run_stream_stream_left_outer(spark, sf_dir, work)
+        e = load(spark, sf_dir, "events")
+        p = e.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("u"), F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        c = e.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("u"), F.col("ts").alias("c_ts"),
+        )
+        cond = (F.col("c_ts") >= F.col("p_ts")) & (
+            F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 5 MINUTES")
+        )
+        pairs = p.join(c, ["u"]).filter(cond)
+        want_matched = pairs.count()
+        want_null = p.count() - pairs.select("p_id").distinct().count()
+        assert got["matched"] == want_matched, (got, want_matched)
+        assert got["null_rows"] == want_null, (got, want_null)
+        return spark.createDataFrame(
+            [("matched", got["matched"]), ("null_rows", got["null_rows"])],
+            "kind string, n long",
+        )
+    finally:
+        _sh.rmtree(work, ignore_errors=True)
