@@ -1,0 +1,96 @@
+"""Property test for the interval self-join family: the plain range join
+(join_interval) and its binned equi-join rewrite (join_interval_binned)
+must produce the SAME pair set as a pure-Python reference on random event
+interleavings — the rewrite's provably-identical claim, pinned under ts
+collisions and bin-boundary cases (offsets straddle the 300 s bin width).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_BASE = dt.datetime(2024, 1, 1)
+
+# per-user event offsets in seconds, spanning several 300 s bins with
+# clusters near bin edges (multiples of 300 ± small deltas are likely)
+_user_events = st.lists(
+    st.integers(min_value=0, max_value=1200),
+    min_size=1,
+    max_size=10,
+)
+_scenario = st.lists(_user_events, min_size=6, max_size=10)
+
+
+def _materialize(case, tmpdir):
+    rows = []
+    eid = 0
+    for uid, offs in enumerate(case):
+        for off in offs:
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": _BASE + dt.timedelta(seconds=off),
+                    "user_id": uid,
+                    "event_type": "view",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    pdf = pd.DataFrame(rows)
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT * FROM pdf) TO '" + tmpdir + "/events.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    return rows
+
+
+def _ref_pairs(rows):
+    """join_interval semantics: (e1, e2) with same user, e1.event_id <
+    e2.event_id, e2.ts in [e1.ts, e1.ts + 5 min]."""
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    out = set()
+    for evs in by_user.values():
+        for a in evs:
+            for b in evs:
+                if (
+                    a["event_id"] < b["event_id"]
+                    and b["ts"] >= a["ts"]
+                    and (b["ts"] - a["ts"]).total_seconds() <= 300
+                ):
+                    out.add((a["event_id"], b["event_id"]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def qs():
+    from swallow_spark.registry import all_queries
+
+    return all_queries()
+
+
+@settings(max_examples=25, deadline=None)
+@given(_scenario)
+def test_interval_join_and_binned_rewrite_match_reference(
+    spark, qs, tmp_path_factory, case
+):
+    tmpdir = str(tmp_path_factory.mktemp("ivl"))
+    rows = _materialize(case, tmpdir)
+    want = _ref_pairs(rows)
+
+    plain = {(r.e1, r.e2) for r in qs["join_interval"].fn(spark, tmpdir).collect()}
+    assert plain == want
+
+    binned = {
+        (r.e1, r.e2) for r in qs["join_interval_binned"].fn(spark, tmpdir).collect()
+    }
+    assert binned == want
