@@ -312,3 +312,37 @@ def sql_pipe_syntax(spark, sf_dir):
         |> SELECT o_orderstatus, n, cents
         """
     )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+FROM orders
+WHERE o_totalprice > 1000 AND o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+""",
+    tier="T2",
+)
+def sql_parameterized(spark, sf_dir):
+    """Parameterized SQL (Spark 4 API surface): named `:param` markers bound
+    via the args dict — injection-safe literals, the way a swallow-style
+    service templates user-supplied thresholds — plus `{df}` DataFrame
+    substitution so the query runs against an in-scope DataFrame without a
+    temp-view registration. The oracle inlines the same constants.
+    """
+    o = load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS max_cents
+        FROM {orders}
+        WHERE o_totalprice > :lo AND o_orderpriority = :prio
+        GROUP BY o_orderstatus
+        """,
+        args={"lo": 1000.0, "prio": "1-URGENT"},
+        orders=o,
+    )
