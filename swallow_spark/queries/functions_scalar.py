@@ -280,3 +280,41 @@ def fn_conv_cast(spark, sf_dir):
         F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_epoch_us"),
         F.lit("42.5").cast("double").alias("str_num"),
     )
+
+
+_COLLATION_SQL = """
+WITH m AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg
+  FROM customer
+)
+SELECT lower(seg) AS segment, CAST(COUNT(*) AS BIGINT) AS n
+FROM m GROUP BY lower(seg)
+"""
+
+
+@register("fn_collation_ci", oracle=_COLLATION_SQL, tier="T2")
+def fn_collation_ci(spark, sf_dir):
+    """Case-insensitive COLLATION grouping (Spark 4 collation support):
+    segment labels are deterministically case-mangled (even keys upper,
+    odd keys lower), then grouped under `COLLATE UTF8_LCASE` — the engine
+    merges case variants natively instead of via an explicit lower()
+    projection. The emitted group label is lower()ed so the
+    representative-row choice (partition-order dependent under collation
+    grouping) never reaches the output; the DuckDB oracle groups by
+    lower() directly — the hash match proves the collation path merges
+    exactly the same groups.
+    """
+    c = load(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("collate_customer")
+    return spark.sql(
+        """
+        WITH m AS (
+          SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                      ELSE lower(c_mktsegment) END AS seg
+          FROM collate_customer
+        )
+        SELECT lower(seg COLLATE UTF8_LCASE) AS segment, COUNT(*) AS n
+        FROM m GROUP BY seg COLLATE UTF8_LCASE
+        """
+    )
