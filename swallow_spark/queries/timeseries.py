@@ -1374,3 +1374,131 @@ def ts_seasonal_strength(spark, sf_dir):
             / 10000
         ).alias("strength_seasonal"),
     )
+
+
+_HW_A, _HW_B, _HW_G = "0.3", "0.2", "0.1"  # level / trend / seasonal
+
+
+def _hw_step(acc, x1):
+    """Holt-Winters additive step expressions over a 9-element array state
+    [level, trend, s_head..s_tail] (seasonal queue rotates left each step,
+    so the head s-slot always applies to the CURRENT observation). No
+    let-bindings in either lambda dialect, so nl is duplicated inside nb
+    and ns — identical IEEE sequences in both engines."""
+    a, b, g = _HW_A, _HW_B, _HW_G
+    nl = f"({a} * ({x1} - {acc}[3]) + (1.0 - {a}) * ({acc}[1] + {acc}[2]))"
+    nb = f"({b} * ({nl} - {acc}[1]) + (1.0 - {b}) * {acc}[2])"
+    ns = f"({g} * ({x1} - {nl}) + (1.0 - {g}) * {acc}[3])"
+    return nl, nb, ns
+
+
+_HW_NL, _HW_NB, _HW_NS = _hw_step("acc", "x[1]")
+_HW_STEP_DUCK = (
+    f"[{_HW_NL}, {_HW_NB}, acc[4], acc[5], acc[6], acc[7], acc[8], acc[9], {_HW_NS}]"
+)
+
+_HW_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS dval
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+srt AS (
+  SELECT user_id,
+         list_transform(list(dval ORDER BY day),
+                        v -> [v, CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                              0.0]) AS lst
+  FROM daily GROUP BY user_id
+),
+fold AS (
+  SELECT user_id, len(lst) AS n_days,
+         list_reduce(lst, (acc, x) -> {_HW_STEP_DUCK}) AS st
+  FROM srt
+)
+SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+       (FLOOR(st[1] * 10000 + 0.5) / 10000) AS level,
+       (FLOOR(st[2] * 10000 + 0.5) / 10000) AS trend,
+       (FLOOR(st[3] * 10000 + 0.5) / 10000) AS seasonal_next,
+       (FLOOR((st[1] + st[2] + st[3]) * 10000 + 0.5) / 10000) AS forecast_next
+FROM fold
+"""
+
+
+@register("ts_holt_winters", oracle=_HW_SQL, tier="T2")
+def ts_holt_winters(spark, sf_dir):
+    """Holt-Winters ADDITIVE triple-exponential smoothing (α=0.3, β=0.2,
+    γ=0.1, weekly period m=7) of each user's daily value series — the
+    seasonal upgrade of ts_holt_linear for weekday-patterned metrics.
+    Emits final level, trend, next-step seasonal component, and the
+    one-step-ahead forecast l + b + s.
+
+    State is a 9-element double ARRAY [level, trend, s₁..s₇] where the
+    seasonal queue rotates left each step (head slot applies to the
+    current observation), so the step lambda is pure element arithmetic —
+    the same array-state discipline as ts_holt_linear (struct accumulators
+    alias in-place in DuckDB's list_reduce; array elements read pre-step
+    values in both engines). Init: l₁ = x₁, b₁ = 0, seasonals 0 (additive
+    zero-init — the standard cold-start; a production fit would seed
+    seasonals from the first full period).
+
+    Scale note: identical shape to ts_holt_linear — one user_id shuffle
+    covers the day-ordered collect and the fold; series length is bounded
+    by calendar days, not events.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        money_sum(F.col("value")).alias("dval")
+    )
+    nl, nb, ns = _hw_step("acc", "element_at(x, 1)")
+    nl = nl.replace("acc[1]", "element_at(acc, 1)").replace(
+        "acc[2]", "element_at(acc, 2)"
+    ).replace("acc[3]", "element_at(acc, 3)")
+    nb = nb.replace("acc[1]", "element_at(acc, 1)").replace(
+        "acc[2]", "element_at(acc, 2)"
+    ).replace("acc[3]", "element_at(acc, 3)")
+    ns = ns.replace("acc[1]", "element_at(acc, 1)").replace(
+        "acc[2]", "element_at(acc, 2)"
+    ).replace("acc[3]", "element_at(acc, 3)")
+    step = (
+        f"array({nl}, {nb}, element_at(acc, 4), element_at(acc, 5),"
+        f" element_at(acc, 6), element_at(acc, 7), element_at(acc, 8),"
+        f" element_at(acc, 9), {ns})"
+    )
+    return (
+        daily.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "dval"))).alias("s"))
+        .withColumn(
+            "lst",
+            F.expr(
+                "transform(s, v -> array(v.dval, CAST(0.0 AS DOUBLE), 0.0D, 0.0D,"
+                " 0.0D, 0.0D, 0.0D, 0.0D, 0.0D))"
+            ),
+        )
+        .withColumn(
+            "st",
+            F.expr(
+                f"aggregate(slice(lst, 2, greatest(size(lst) - 1, 0)),"
+                f" element_at(lst, 1), (acc, x) -> {step})"
+            ),
+        )
+        .select(
+            "user_id",
+            F.size("lst").cast("long").alias("n_days"),
+            (F.floor(F.expr("element_at(st, 1)") * 10000 + F.lit(0.5)) / 10000).alias("level"),
+            (F.floor(F.expr("element_at(st, 2)") * 10000 + F.lit(0.5)) / 10000).alias("trend"),
+            (F.floor(F.expr("element_at(st, 3)") * 10000 + F.lit(0.5)) / 10000).alias("seasonal_next"),
+            (
+                F.floor(
+                    (
+                        F.expr("element_at(st, 1)")
+                        + F.expr("element_at(st, 2)")
+                        + F.expr("element_at(st, 3)")
+                    )
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("forecast_next"),
+        )
+    )

@@ -77,3 +77,36 @@ def test_cusum_fold_matches_python(con, xs):
         na = na + (1.0 if (nsp > H or nsm > H) else 0.0)
         sp, sm = nsp, nsm
     assert got == [sp, sm, na]
+
+
+HW_A, HW_B, HW_G = 0.3, 0.2, 0.1  # Holt-Winters constants (mirror timeseries)
+
+
+@settings(max_examples=200, deadline=None)
+@given(series)
+def test_holt_winters_fold_matches_python(con, xs):
+    """The 9-element array-state Holt-Winters fold (rotating seasonal
+    queue) must bit-match a plain Python reference for arbitrary series."""
+    got = con.execute(
+        f"""
+        SELECT list_reduce(list_transform(CAST(? AS DOUBLE[]),
+                 v -> [v, CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+          (acc, x) -> [
+            ({HW_A} * (x[1] - acc[3]) + (1.0 - {HW_A}) * (acc[1] + acc[2])),
+            ({HW_B} * (({HW_A} * (x[1] - acc[3]) + (1.0 - {HW_A}) * (acc[1] + acc[2])) - acc[1])
+             + (1.0 - {HW_B}) * acc[2]),
+            acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+            ({HW_G} * (x[1] - ({HW_A} * (x[1] - acc[3]) + (1.0 - {HW_A}) * (acc[1] + acc[2])))
+             + (1.0 - {HW_G}) * acc[3])
+          ])
+        """,
+        [xs],
+    ).fetchone()[0]
+    st = [xs[0], 0.0] + [0.0] * 7
+    for x in xs[1:]:
+        l, b, s = st[0], st[1], st[2]
+        nl = HW_A * (x - s) + (1.0 - HW_A) * (l + b)
+        nb = HW_B * (nl - l) + (1.0 - HW_B) * b
+        ns = HW_G * (x - nl) + (1.0 - HW_G) * s
+        st = [nl, nb] + st[3:] + [ns]
+    assert got == st
