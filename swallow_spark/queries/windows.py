@@ -449,3 +449,85 @@ def win_rolling_median(spark, sf_dir):
     return e.select(
         "event_id", "user_id", (med_cents / F.lit(100)).alias("med7_value")
     )
+
+
+_ROLLCORR_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS px,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS cy
+  FROM events GROUP BY 1
+),
+f AS (
+  SELECT day, COALESCE(px, 0) AS x, COALESCE(cy, 0) AS y FROM daily
+),
+w AS (
+  SELECT day, x, y,
+         CAST(COUNT(*) OVER win AS BIGINT) AS n,
+         CAST(SUM(x) OVER win AS BIGINT) AS sx,
+         CAST(SUM(y) OVER win AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER win AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER win AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER win AS BIGINT) AS syy
+  FROM f
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT day, n,
+       CASE WHEN n >= 10
+             AND (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+             AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+            THEN (FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                        / sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        / sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                        * 10000 + 0.5) / 10000)
+       END AS corr30
+FROM w
+"""
+
+
+@register("win_rolling_corr", oracle=_ROLLCORR_SQL, tier="T2")
+def win_rolling_corr(spark, sf_dir):
+    """30-day rolling Pearson correlation between the daily purchase and
+    click revenue series — the co-movement monitor a metrics stack uses to
+    detect funnel decoupling. NULL until 10 observations or when either
+    variance is zero (corr undefined).
+
+    Determinism: the five window moments (Σx, Σy, Σxy, Σx², Σy², n) are
+    EXACT int64 sums over integer cents inside one shared ROWS frame —
+    partition/order effects cannot move a bit — and the correlation is a
+    fixed double expression on those integers with a shared half-up round.
+    int64 headroom: daily cents ~1e8 at sf1 → x·y ~1e16 × 30 rows ≈ 3e17
+    (~30× headroom at sf1; overflow near SF 5 — quantize x/y to whole
+    dollars to extend, same recipe as siblings).
+
+    Scale note: the window runs over the DAILY table (|days| rows — one
+    partition is fine and explicitly bounded); the event stream is
+    reduced map-side first.
+    """
+    e = load(spark, sf_dir, "events")
+    cent = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.coalesce(F.sum(F.when(F.col("event_type") == "purchase", cent)), F.lit(0)).alias("x"),
+        F.coalesce(F.sum(F.when(F.col("event_type") == "click", cent)), F.lit(0)).alias("y"),
+    )
+    win = Window.orderBy("day").rowsBetween(-29, 0)
+    w = daily.select(
+        "day",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    corr = F.when(
+        (F.col("n") >= 10) & (vx > 0) & (vy > 0),
+        F.floor(cov / F.sqrt(vx) / F.sqrt(vy) * 10000 + F.lit(0.5)) / 10000,
+    )
+    return w.select("day", F.col("n").cast("long").alias("n"), corr.alias("corr30"))
