@@ -525,3 +525,87 @@ def run_stream_stream_left_outer(
         " FROM ss_outer WHERE p_id < 10000000"
     ).collect()[0]
     return {"matched": row.matched or 0, "null_rows": row.null_rows or 0}
+
+
+def run_incremental_dedup(spark: SparkSession, sf_dir: str, work_dir: str) -> dict:
+    """Incremental corpus dedup — the production shape: documents ARRIVE in
+    micro-batches, and each batch is deduped (a) within itself and (b)
+    against the PERSISTED signature store of everything already accepted,
+    then appends its new signatures to the store (foreachBatch). The
+    surviving set must equal the batch twin exactly: global
+    min-doc_id-per-content-hash (dedup_exact's survivor rule), because
+    chunks replay in doc_id order.
+
+    Scale notes: the store is a parquet table keyed by content hash — at
+    100 TB it would be bucketed by hash so the anti-join is co-partitioned;
+    the per-batch cost is |batch| + |store-side of the join|, never a
+    corpus rescan.
+    """
+    import glob
+    import os
+    import time as _time
+
+    src_dir = f"{work_dir}/docs_replay"
+    store = f"{work_dir}/sig_store"
+    out = f"{work_dir}/kept"
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+
+    d = load(spark, sf_dir, "documents")
+    chunked = d.withColumn("chunk", F.ntile(4).over(Window.orderBy("doc_id")))
+    tmp = f"{src_dir}/_tmp"
+    chunked.repartition(4, "chunk").write.mode("overwrite").partitionBy("chunk").parquet(tmp)
+    base_mtime = _time.time() - 3600
+    n_chunks = 0
+    for i in range(1, 5):
+        parts = sorted(glob.glob(f"{tmp}/chunk={i}/part-*.parquet"))
+        for m, part in enumerate(parts):
+            dst = f"{src_dir}/chunk-{i:03d}-{m:02d}.parquet"
+            os.replace(part, dst)
+            os.utime(dst, (base_mtime + i, base_mtime + i))
+            n_chunks += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def handle(batch_df, batch_id):
+        b = batch_df.select(
+            "doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("h")
+        )
+        w = Window.partitionBy("h").orderBy("doc_id")
+        b = b.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+        if os.path.isdir(store) and glob.glob(f"{store}/*.parquet"):
+            seen = batch_df.sparkSession.read.parquet(store).select("h")
+            b = b.join(seen, "h", "left_anti")
+        b = b.localCheckpoint(eager=True)  # freeze before the store grows
+        b.select("h").write.mode("append").parquet(store)
+        b.select("doc_id", "h").write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{work_dir}/ckpt_dedup")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    twin = {
+        r.survivor
+        for r in d.select(
+            "doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("survivor"))
+        .collect()
+    }
+    return {
+        "kept": len(kept),
+        "twin": len(twin),
+        "set_equal": kept == twin,
+        "n_files": n_chunks,
+    }

@@ -428,3 +428,32 @@ def stream_stream_outer_demo(spark, sf_dir):
         )
     finally:
         _sh.rmtree(work, ignore_errors=True)
+
+
+@register("stream_incremental_dedup_demo", oracle=None, tier="T3")
+def stream_incremental_dedup_demo(spark, sf_dir):
+    """Incremental exact dedup of an ARRIVING corpus (see demos/streaming/
+    demo_lib.run_incremental_dedup): documents stream in 4 micro-batches;
+    each batch dedupes within itself and anti-joins the persisted
+    signature store of everything already accepted, then appends its new
+    signatures (foreachBatch) — the production pattern for deduping new
+    crawl data against a historical corpus without rescanning it. The
+    surviving doc_id set is asserted EQUAL to the batch twin
+    (min-doc_id-per-content-hash, dedup_exact's survivor rule). Rows-only
+    (streaming lifecycle, §2.I)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from demos.streaming.demo_lib import run_incremental_dedup
+
+    work = _tf.mkdtemp(prefix="swallow_incrdedup_")
+    try:
+        r = run_incremental_dedup(spark, sf_dir, work)
+        assert r["set_equal"], r
+        assert r["kept"] == r["twin"], r
+        return spark.createDataFrame(
+            [(r["kept"], r["twin"], r["n_files"])],
+            "kept long, twin long, n_files long",
+        )
+    finally:
+        _sh.rmtree(work, ignore_errors=True)

@@ -120,3 +120,16 @@ def test_stream_stream_left_outer_demo(spark):
     got = {r.kind: r.n for r in df.collect()}
     assert set(got) == {"matched", "null_rows"}
     assert got["null_rows"] > 0  # the semantics under test actually fired
+
+
+def test_stream_incremental_dedup_demo(spark):
+    """Incremental foreachBatch dedup against the persisted signature store
+    must yield exactly the batch twin's survivor set."""
+    from swallow_spark.registry import all_queries
+
+    df = all_queries()["stream_incremental_dedup_demo"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    r = df.collect()[0]
+    assert r.kept == r.twin > 0
+    assert r.n_files >= 4
