@@ -14,6 +14,10 @@ from __future__ import annotations
 
 import sys
 
+# module scope: PySpark resolves stringified type hints (PEP 563, active
+# via the future import above) against the function's module globals
+from typing import Iterator, Tuple  # noqa: UP035
+
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -328,4 +332,45 @@ def udtf_polymorphic(spark, sf_dir):
     d.createOrReplaceTempView("udtf_poly_docs")
     return spark.sql(
         "SELECT doc_id, t.* FROM udtf_poly_docs, LATERAL swallow_first_n(text, 4) t"
+    )
+
+
+@register(
+    "udf_pandas_iter",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+       {sql_rnd('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 2)} AS charged
+FROM lineitem
+""",
+    tier="T2",
+)
+def udf_pandas_iter(spark, sf_dir):
+    """ITERATOR-form pandas UDF (`Iterator[pd.Series] -> Iterator[pd.Series]`,
+    §2.J): the variant for UDFs with expensive one-time setup — the
+    initialization (here a closure-built constant pipeline; in production a
+    model/tokenizer load) happens ONCE PER PYTHON WORKER, then every Arrow
+    batch streams through it, instead of paying setup per batch like the
+    plain scalar form. Arithmetic mirrors the oracle exactly (floor half-up
+    cents).
+
+    Scale note: identical execution profile to udf_pandas_scalar per batch;
+    the iterator form is strictly better whenever setup cost is nonzero —
+    at 1000 executors a 2 s model load happens 1000×, not
+    1000 × batches×."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def charged(
+        it: Iterator[Tuple[pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        # one-time setup per worker (stand-in for a model/tokenizer load)
+        cents = 100.0
+        for ep, disc, tax in it:
+            yield np.floor(ep * (1 - disc) * (1 + tax) * cents + 0.5) / cents
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charged("l_extendedprice", "l_discount", "l_tax").alias("charged"),
     )
