@@ -895,3 +895,91 @@ def stats_levene(spark, sf_dir):
             "w_stat"
         ),
     )
+
+
+_JK_FOLDS = 20
+_JK_FOLD = f"(((c_custkey % 1000003) * 2654435761) % 1000003) % {_JK_FOLDS}"
+
+_JACKKNIFE_SQL = f"""
+WITH base AS (
+  SELECT {_JK_FOLD} AS fold, {_ANOVA_CENTS} AS cents FROM customer
+),
+g AS (
+  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_i, CAST(SUM(cents) AS BIGINT) AS s_i
+  FROM base GROUP BY fold
+),
+t AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(s_i) AS BIGINT) AS s FROM g
+),
+mi AS (
+  -- leave-one-fold-out mean in exact integer MILLI-cents (per-fold floor)
+  SELECT g.fold,
+         CAST(FLOOR(CAST(t.s - g.s_i AS DOUBLE) / (t.n - g.n_i) * 1000 + 0.5)
+              AS BIGINT) AS mi_m
+  FROM g, t
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(mi_m) AS BIGINT) AS sum_mi,
+         CAST(SUM(mi_m * mi_m) AS BIGINT) AS sum_mi2
+  FROM mi
+)
+SELECT t.n AS n_total, agg.k AS k_folds,
+       {sql_rnd('CAST(t.s AS DOUBLE) / t.n / 100', 4)} AS mean_dollars,
+       {sql_rnd('sqrt((CAST(agg.k - 1 AS DOUBLE) / agg.k)'
+                ' * (CAST(sum_mi2 AS DOUBLE) - CAST(sum_mi AS DOUBLE) * sum_mi / agg.k))'
+                ' / 1000 / 100', 4)} AS jackknife_se_dollars
+FROM t, agg
+"""
+
+
+@register("stats_jackknife_se", oracle=_JACKKNIFE_SQL, tier="T2")
+def stats_jackknife_se(spark, sf_dir):
+    """Delete-a-group jackknife standard error of the mean account balance
+    (20 deterministic key-hash folds) — the resampling-based uncertainty
+    estimate survey pipelines attach to point estimates when the analytic
+    formula is distrusted; hash-fold assignment makes it rerun- and
+    partition-stable, unlike RNG bootstrap resamples.
+
+    Determinism: fold assignment is the repo's portable multiplicative
+    hash; per-fold leave-out means are floored into exact integer
+    milli-cents BEFORE any cross-fold reduction, so Σmᵢ and Σmᵢ² are
+    exact int64 (mᵢ ≈ 5e8 milli-cents → mᵢ² ≈ 2.5e17, ×20 folds ≈ 5e18:
+    inside int64 at any SF since fold count is fixed and mᵢ is a mean,
+    not a sum); the SE is one fixed double expression on those integers.
+
+    Scale note: one map-side-combinable fold aggregate + a 20-row
+    reduction — nothing scales beyond the first groupBy.
+    """
+    c = load(spark, sf_dir, "customer")
+    fold = F.expr(_JK_FOLD)
+    cb = F.expr(_ANOVA_CENTS)
+    g = c.select(fold.alias("fold"), cb.alias("cents")).groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_i"), F.sum("cents").alias("s_i")
+    )
+    t = g.agg(F.sum("n_i").alias("n"), F.sum("s_i").alias("s"))
+    mi = g.crossJoin(F.broadcast(t)).select(
+        F.floor(
+            (F.col("s") - F.col("s_i")).cast("double")
+            / (F.col("n") - F.col("n_i"))
+            * 1000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mi_m")
+    )
+    agg = mi.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("mi_m").alias("sum_mi"),
+        F.sum(F.col("mi_m") * F.col("mi_m")).alias("sum_mi2"),
+    )
+    kd = F.col("k").cast("double")
+    var = (kd - 1) / kd * (
+        F.col("sum_mi2").cast("double")
+        - F.col("sum_mi").cast("double") * F.col("sum_mi") / kd
+    )
+    return agg.crossJoin(F.broadcast(t)).select(
+        F.col("n").cast("long").alias("n_total"),
+        F.col("k").cast("long").alias("k_folds"),
+        rnd(F.col("s").cast("double") / F.col("n") / 100, 4).alias("mean_dollars"),
+        rnd(F.sqrt(var) / 1000 / 100, 4).alias("jackknife_se_dollars"),
+    )

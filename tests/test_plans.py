@@ -322,6 +322,7 @@ BNLJ_ALLOWED = {
     "sim_cosine_topk",
     "sim_knn_join_label",
     "stats_chisq_independence",
+    "stats_jackknife_se",  # broadcast 1-row total/20-row fold cross joins
     "stats_ks_test",
     "stats_mann_whitney",
     "text_bm25_search",
