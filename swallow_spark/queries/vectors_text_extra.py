@@ -437,3 +437,89 @@ def vec_centroid_drift(spark, sf_dir):
             / 1000000
         ).alias("centroid_cos"),
     )
+
+
+_EMB_PROFILE_SQL = """
+WITH base AS (
+  SELECT label, len(embedding) AS dim,
+         CAST(list_sum(list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 100000000 + 0.5)
+                        AS BIGINT))) AS BIGINT) AS sq_units,
+         CAST(list_sum(list_transform(embedding,
+              x -> CASE WHEN x IS NULL THEN 1 ELSE 0 END)) AS BIGINT) AS n_null_elems
+  FROM embeddings
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(dim) AS BIGINT) AS min_dim,
+       CAST(MAX(dim) AS BIGINT) AS max_dim,
+       CAST(SUM(CASE WHEN sq_units = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vectors,
+       CAST(SUM(CASE WHEN n_null_elems > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_nulls,
+       (FLOOR(CAST(SUM(CAST(FLOOR(sqrt(CAST(sq_units AS DOUBLE) / 100000000)
+                                  * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+              / COUNT(*) / 1000000 * 10000 + 0.5) / 10000) AS avg_norm
+FROM base GROUP BY label
+"""
+
+
+@register("vec_embedding_profile", oracle=_EMB_PROFILE_SQL, tier="T2")
+def vec_embedding_profile(spark, sf_dir):
+    """Embedding-table data-quality profile per label — the vector-corpus
+    analog of etl_profile_table, the first thing to run before trusting a
+    similarity index: vector counts, dim min/max (ragged-row detector),
+    zero-vector and NULL-element counts (both poison cosine), and the
+    average L2 norm.
+
+    Determinism: per-vector squared norms are exact integer 1e-8-unit
+    sums (same quantization as ops/vectors); each vector's L2 norm is
+    then floored into integer MICRO-norms (sqrt is a per-row
+    deterministic op), so the per-label mean is an exact int64 sum with
+    ONE trailing division — no cross-row double accumulation anywhere.
+
+    Scale note: map-only projection + one small-key aggregate.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    sq_units = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * x.cast("double") * F.lit(100_000_000) + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n_null = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: F.when(x.isNull(), 1).otherwise(0)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    base = e.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        sq_units.alias("sq_units"),
+        n_null.alias("n_null_elems"),
+    )
+    return base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("dim").cast("long").alias("min_dim"),
+        F.max("dim").cast("long").alias("max_dim"),
+        F.sum(F.when(F.col("sq_units") == 0, 1).otherwise(0)).cast("long").alias("n_zero_vectors"),
+        F.sum(F.when(F.col("n_null_elems") > 0, 1).otherwise(0)).cast("long").alias("n_with_nulls"),
+        (
+            F.floor(
+                F.sum(
+                    F.floor(
+                        F.sqrt(F.col("sq_units").cast("double") / F.lit(100_000_000))
+                        * F.lit(1_000_000)
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1_000_000)
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("avg_norm"),
+    )
