@@ -293,3 +293,57 @@ def funnel_attribution_last_touch(spark, sf_dir):
             "revenue_cents"
         ),
     )
+
+
+@register(
+    "seq_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS prob
+FROM pairs
+""",
+    tier="T2",
+)
+def seq_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream: for each
+    (prev_type -> next_type) bigram of a user's time-ordered events, the
+    transition count and row-normalized probability — the input to
+    next-action prediction and anomalous-flow detection.
+
+    Determinism: prob is an exact-integer ratio (two BIGINT counts cast to
+    DOUBLE, one IEEE division) — no float accumulation, so any partitioning
+    gives bit-identical output in both engines.
+
+    Scale note: one shuffle on user_id feeds the lag window (per-user
+    sequences are independent); the bigram aggregate then reduces to at most
+    |event_types|^2 rows, so the second window (row normalization) runs on a
+    trivially small table. At 100 TB the transition matrix is still tiny —
+    partial aggregation does all the work map-side.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wn = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wn).cast("double")).alias("prob"),
+    )

@@ -346,3 +346,45 @@ def sql_parameterized(spark, sf_dir):
         args={"lo": 1000.0, "prio": "1-URGENT"},
         orders=o,
     )
+
+
+@register(
+    "sql_execute_immediate",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE o_totalprice > 150000.0
+GROUP BY o_orderpriority
+""",
+    tier="T2",
+)
+def sql_execute_immediate(spark, sf_dir):
+    """Dynamic SQL (Spark 4 surface): a session variable set with SET VAR is
+    passed through EXECUTE IMMEDIATE ... USING into a `?` placeholder — the
+    templated-report shape (query text assembled at runtime, values bound as
+    parameters, never string-spliced). The oracle inlines the same constant.
+
+    Scale note: EXECUTE IMMEDIATE is pure front-end — the inner query
+    compiles to the identical Catalyst plan as the static spelling
+    (partial agg + exchange on o_orderpriority), so there is no runtime
+    cost to the indirection.
+    """
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_exec_imm")
+    spark.sql("DECLARE OR REPLACE VARIABLE exec_imm_lo DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR exec_imm_lo = 150000.0")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  COUNT(*) AS n,
+                  SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+           FROM orders_exec_imm
+           WHERE o_totalprice > ?
+           GROUP BY o_orderpriority'
+          USING exec_imm_lo
+        """
+    )
