@@ -1502,3 +1502,115 @@ def ts_holt_winters(spark, sf_dir):
             ).alias("forecast_next"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Croston's method (intermittent demand): two coupled EWMAs over the SPARSE
+# demand sequence — smoothed demand size z and smoothed inter-demand
+# interval p; forecast rate = z / p. State is a 2-element DOUBLE array
+# [z, p] (array, not struct — see the _HOLT_SQL note), each element
+# x = [demand, gap_days]. First element initializes the state (DuckDB
+# list_reduce and Spark aggregate(slice(..,2,..), first, ..) agree).
+_CROSTON_A = "0.3"
+
+
+def _croston_step(acc1: str, acc2: str, x1: str, x2: str) -> tuple[str, str]:
+    nz = f"({acc1} + {_CROSTON_A} * ({x1} - {acc1}))"
+    np_ = f"({acc2} + {_CROSTON_A} * ({x2} - {acc2}))"
+    return nz, np_
+
+
+_CR_NZ, _CR_NP = _croston_step("acc[1]", "acc[2]", "x[1]", "x[2]")
+
+_CROSTON_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+           AS dval
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+gapped AS (
+  SELECT user_id, day, dval,
+         CAST(COALESCE(day - lag(day) OVER (PARTITION BY user_id ORDER BY day),
+                       1) AS DOUBLE) AS gap
+  FROM daily
+),
+srt AS (
+  SELECT user_id, list(CAST([dval, gap] AS DOUBLE[]) ORDER BY day) AS lst
+  FROM gapped GROUP BY user_id
+),
+fold AS (
+  SELECT user_id, len(lst) AS n_demand_days,
+         list_reduce(lst, (acc, x) -> [{_CR_NZ}, {_CR_NP}]) AS st
+  FROM srt
+)
+SELECT user_id, CAST(n_demand_days AS BIGINT) AS n_demand_days,
+       (FLOOR(st[1] * 10000 + 0.5) / 10000) AS demand_level,
+       (FLOOR(st[2] * 10000 + 0.5) / 10000) AS interval_level,
+       (FLOOR((st[1] / st[2]) * 10000 + 0.5) / 10000) AS croston_rate
+FROM fold
+"""
+
+
+@register("ts_croston", oracle=_CROSTON_SQL, tier="T2")
+def ts_croston(spark, sf_dir):
+    """Croston's intermittent-demand forecast per user: EWMA of nonzero
+    daily purchase totals (z) and of the gaps between purchase days (p),
+    alpha=0.3, forecast rate z/p — the standard sparse-demand upgrade of
+    ts_ewma (plain EWMA decays toward zero on quiet days; Croston folds
+    only over DEMAND days and models the spacing separately).
+
+    Determinism: same fold recipe as ts_holt_linear — array state, the
+    first (day-ordered) element initializes [z, p], identical IEEE step
+    arithmetic in both engines, 1e-4 quantization only at output. The
+    first gap is pinned to 1.0 on both sides (no lag available).
+
+    Scale note: the fold runs over each user's PURCHASE-day aggregate
+    (sparse by construction — no calendar densification), so the shuffle
+    carries only demand days; one user_id exchange feeds the daily
+    aggregate, the lag window, and the collect_list.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(money_sum(F.col("value")).alias("dval"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    gapped = daily.withColumn(
+        "gap",
+        F.coalesce(F.datediff("day", F.lag("day").over(w)), F.lit(1)).cast("double"),
+    )
+    nz, np_ = _croston_step(
+        "element_at(acc, 1)", "element_at(acc, 2)", "element_at(x, 1)", "element_at(x, 2)"
+    )
+    return (
+        gapped.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "dval", "gap"))).alias("s"))
+        .withColumn("lst", F.expr("transform(s, v -> array(v.dval, v.gap))"))
+        .withColumn(
+            "st",
+            F.expr(
+                f"aggregate(slice(lst, 2, greatest(size(lst) - 1, 0)),"
+                f" element_at(lst, 1), (acc, x) -> array({nz}, {np_}))"
+            ),
+        )
+        .select(
+            "user_id",
+            F.size("lst").cast("long").alias("n_demand_days"),
+            (F.floor(F.expr("element_at(st, 1)") * 10000 + F.lit(0.5)) / 10000).alias(
+                "demand_level"
+            ),
+            (F.floor(F.expr("element_at(st, 2)") * 10000 + F.lit(0.5)) / 10000).alias(
+                "interval_level"
+            ),
+            (
+                F.floor(
+                    F.expr("element_at(st, 1) / element_at(st, 2)") * 10000 + F.lit(0.5)
+                )
+                / 10000
+            ).alias("croston_rate"),
+        )
+    )

@@ -374,3 +374,65 @@ def udf_pandas_iter(spark, sf_dir):
         "l_linenumber",
         charged("l_extendedprice", "l_discount", "l_tax").alias("charged"),
     )
+
+
+@register(
+    "udf_window_weighted_ma",
+    oracle="""
+WITH daily AS (
+  SELECT DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS mon,
+         CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT day, CAST(cents AS BIGINT) AS cents,
+       CASE
+         WHEN lag(cents, 2) OVER win IS NOT NULL THEN
+           CAST(1 * lag(cents, 2) OVER win + 2 * lag(cents, 1) OVER win
+                + 3 * cents AS DOUBLE) / 6.0
+         WHEN lag(cents, 1) OVER win IS NOT NULL THEN
+           CAST(1 * lag(cents, 1) OVER win + 2 * cents AS DOUBLE) / 3.0
+         ELSE CAST(cents AS DOUBLE)
+       END AS wma3
+FROM daily
+WINDOW win AS (PARTITION BY mon ORDER BY day)
+""",
+    tier="T2",
+)
+def udf_window_weighted_ma(spark, sf_dir):
+    """Pandas UDF over a BOUNDED WINDOW FRAME (§2.J surface not covered by
+    the grouped-agg key): a linearly-weighted 3-day moving average of daily
+    order revenue, computed by a grouped-agg pandas UDF applied
+    `.over(rowsBetween(-2, 0))` — Spark ships each frame to Python as one
+    Arrow batch in frame order. The oracle spells the same weighted average
+    with explicit lag() arithmetic (frames of length 1/2/3 re-base weights
+    to 1..len, exactly what positional weighting over a short frame means).
+
+    Determinism: the numerator is an exact int64 dot product of cent values
+    with integer weights (np.int64 arithmetic in Python, BIGINT in DuckDB);
+    a single double division by the exact weight sum (1.0/3.0/6.0) follows
+    — bit-identical on both engines. int64 headroom: daily cents ~1e10 at
+    sf0.1, x3 weight ~ 3e12 at sf100 — 6 orders below overflow.
+
+    Scale note: frames are per-MONTH partitions of a calendar-bounded daily
+    aggregate (<=31 rows each), so the Python window path touches thousands
+    of rows regardless of fact-table scale; the heavy lifting (the daily
+    cents rollup) is a plain partial-agg shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    @F.pandas_udf("double")
+    def _wma(v: pd.Series) -> float:
+        import numpy as np
+
+        a = v.to_numpy(dtype="int64")
+        wts = np.arange(1, len(a) + 1, dtype="int64")
+        return float(int((a * wts).sum())) / float(int(wts.sum()))
+
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("mon"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents"))
+    w = Window.partitionBy("mon").orderBy("day").rowsBetween(-2, Window.currentRow)
+    return daily.select("day", "cents", _wma("cents").over(w).alias("wma3"))
