@@ -517,3 +517,69 @@ def graph_kcore(spark, sf_dir):
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+@register(
+    "graph_shortest_hops",
+    oracle=f"""
+WITH RECURSIVE e0 AS ({_EDGES_SQL}),
+und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+seed AS (SELECT MIN(src) AS node FROM und),
+bfs(node, d) AS (
+  SELECT node, 0 FROM seed
+  UNION
+  SELECT u.dst, b.d + 1
+  FROM bfs b JOIN und u ON u.src = b.node
+  WHERE b.d < 4
+),
+md AS (SELECT node, MIN(d) AS d FROM bfs GROUP BY node)
+SELECT CAST(d AS BIGINT) AS distance,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS sum_node_id
+FROM md GROUP BY d
+""",
+    tier="T2",
+)
+def graph_shortest_hops(spark, sf_dir):
+    """BFS hop distance from a deterministic seed (the smallest part key in
+    the co-purchase graph), bounded at 4 hops: per-distance node count and
+    node-id checksum — the reachability profile behind 'how local is this
+    product neighborhood'. The oracle runs the same traversal as a
+    recursive CTE; MIN(d) per node collapses the CTE's (node, depth)
+    multiplicity to true BFS distance.
+
+    Scale note: textbook frontier BFS — each hop is ONE join of the current
+    frontier against the src-partitioned edge table plus an anti-join
+    against the visited set (both shuffles bounded by |frontier| and
+    |visited|, never |V|x|E|); localCheckpoint truncates the per-iteration
+    lineage exactly like graph_pagerank. Hop count is fixed (4), so the
+    plan depth is static regardless of data scale.
+    """
+    e = _edges(spark, sf_dir)
+    und = (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src")
+        .persist()
+    )
+    seed = und.agg(F.min("src").alias("node"))
+    dist = seed.withColumn("d", F.lit(0)).localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for hop in range(1, 5):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["src"])
+            .select(und["dst"].alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("d", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    out = dist.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("node").cast("long").alias("sum_node_id"),
+    ).select(F.col("d").cast("long").alias("distance"), "n_nodes", "sum_node_id")
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return out

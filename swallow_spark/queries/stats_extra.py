@@ -983,3 +983,119 @@ def stats_jackknife_se(spark, sf_dir):
         rnd(F.col("s").cast("double") / F.col("n") / 100, 4).alias("mean_dollars"),
         rnd(F.sqrt(var) / 1000 / 100, 4).alias("jackknife_se_dollars"),
     )
+
+
+# --- deterministic Poisson bootstrap --------------------------------------
+# Inverse-CDF thresholds for Poisson(lambda=1) on a 1e4 grid: cumulative
+# probabilities e^-1 * (1, 2, 2.5, 2.666.., 2.708..) rounded DOWN to the
+# grid so the integer comparison is exact and identical in both engines.
+_POIS_THRESH = (3678, 7357, 9196, 9810, 9963)
+
+
+def _pois_w(u: str) -> str:
+    """SQL CASE mapping a uniform 0..9999 draw to a Poisson(1) weight 0-5
+    (P(w>5) < 1e-4 is truncated into w=5 — same truncation both engines)."""
+    t = _POIS_THRESH
+    return (
+        f"CASE WHEN {u} < {t[0]} THEN 0 WHEN {u} < {t[1]} THEN 1 "
+        f"WHEN {u} < {t[2]} THEN 2 WHEN {u} < {t[3]} THEN 3 "
+        f"WHEN {u} < {t[4]} THEN 4 ELSE 5 END"
+    )
+
+
+def _boot_sql() -> str:
+    from ..conform import sql_poly_hash_duck
+
+    h = sql_poly_hash_duck("concat(CAST(o_orderkey AS VARCHAR), ':', CAST(b AS VARCHAR))")
+    return f"""
+WITH grid AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         g.b
+  FROM orders CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS b) g
+),
+weighted AS (
+  SELECT b, cents, {_pois_w(f"(({h}) % 10000)")} AS w FROM grid
+),
+reps AS (
+  SELECT b, SUM(w) AS n_b, SUM(w * cents) AS s_b FROM weighted GROUP BY b
+),
+qm AS (
+  SELECT b, CAST(FLOOR(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) + 0.5) AS BIGINT)
+              AS mb_cents
+  FROM reps
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS b_reps,
+         SUM(mb_cents) AS s1, SUM(mb_cents * mb_cents) AS s2
+  FROM qm
+)
+SELECT b_reps,
+       (FLOOR(CAST(s1 AS DOUBLE) / (8.0 * 100.0) * 10000 + 0.5) / 10000)
+         AS boot_mean,
+       (FLOOR(SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 8.0)
+                   / 7.0) / 100.0 * 10000 + 0.5) / 10000) AS boot_se
+FROM mom
+"""
+
+
+@register("stats_poisson_bootstrap", oracle=_boot_sql(), tier="T2")
+def stats_poisson_bootstrap(spark, sf_dir):
+    """Poisson bootstrap standard error of the mean order price — the
+    single-pass, shuffle-free resampling scheme used at data scale (each row
+    draws an independent Poisson(1) replication weight per replicate, so no
+    sampling pass over the data is ever materialized). B=8 replicates.
+
+    Determinism: the 'random' weights are the portable polynomial hash of
+    (o_orderkey, replicate) reduced mod 1e4 and mapped through a fixed
+    integer inverse-CDF grid — fully reproducible on both engines, any
+    partitioning. Replicate means are quantized to int64 cents before the
+    cross-replicate moments (cross-group double sums are partition-order
+    dependent; int64 sums are not). int64 headroom: mb_cents^2 ~ 2e14, x8
+    replicates ~ 2e15 — three orders below overflow, scale-independent
+    (the mean does not grow with SF).
+
+    Scale note: the replicate grid is an in-row explode (no join), weights
+    are computed map-side, and the whole job is one partial-agg shuffle of
+    8 groups; the 8-row moment step is a second trivial aggregate. This is
+    the textbook 100 TB bootstrap — one linear scan, O(B) state.
+    """
+    from ..conform import sql_poly_hash_spark
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    grid = o.select(
+        "o_orderkey", "cents", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("b")
+    )
+    h = sql_poly_hash_spark("concat(CAST(o_orderkey AS STRING), ':', CAST(b AS STRING))")
+    weighted = grid.withColumn("w", F.expr(_pois_w(f"(({h}) % 10000)")))
+    reps = weighted.groupBy("b").agg(
+        F.sum("w").alias("n_b"), F.sum(F.col("w") * F.col("cents")).alias("s_b")
+    )
+    qm = reps.select(
+        F.floor(F.col("s_b").cast("double") / F.col("n_b").cast("double") + F.lit(0.5))
+        .cast("long")
+        .alias("mb_cents")
+    )
+    mom = qm.agg(
+        F.count(F.lit(1)).cast("long").alias("b_reps"),
+        F.sum("mb_cents").alias("s1"),
+        F.sum(F.col("mb_cents") * F.col("mb_cents")).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    return mom.select(
+        "b_reps",
+        (F.floor(s1d / (F.lit(8.0) * F.lit(100.0)) * 10000 + F.lit(0.5)) / 10000).alias(
+            "boot_mean"
+        ),
+        (
+            F.floor(
+                F.sqrt((s2d - s1d * s1d / F.lit(8.0)) / F.lit(7.0)) / F.lit(100.0) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("boot_se"),
+    )
