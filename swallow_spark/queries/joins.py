@@ -594,3 +594,69 @@ def join_point_in_time(spark, sf_dir):
     return out.select(
         "event_id", "user_id", F.col("value_asof").alias("value_at_time")
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+WITH tagged AS (
+  SELECT event_id, user_id, ts,
+         last_value(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                         THEN ts END IGNORE NULLS)
+           OVER w AS pts,
+         last_value(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                         THEN value END IGNORE NULLS)
+           OVER w AS pval
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       CASE WHEN pts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(pts) <= 7200000000
+            THEN pval END AS tolerated_purchase_value
+FROM tagged
+""",
+    tier="T2",
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of backward join WITH TOLERANCE (pandas merge_asof's `tolerance`
+    semantics): each event picks the user's latest non-null purchase value
+    at-or-before its timestamp, but only if that purchase is within 2
+    hours — staler matches become NULL instead of silently joining.
+
+    Implementation: the running `last(ignorenulls)` carries a STRUCT of
+    (match ts, match value) so both fields provably come from the SAME
+    purchase row (two independent last() windows could diverge when a
+    purchase has NULL value); the gap test compares exact integer
+    microseconds. The oracle restricts both windows to non-null-value
+    purchases, which pins the identical row choice.
+
+    Scale note: same single user_id shuffle as join_asof — tolerance is a
+    post-window filter, not a join-condition change, so no extra exchange
+    and no range-explosion anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = F.last(
+        F.when(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull(),
+            F.struct(F.col("ts").alias("pts"), F.col("value").alias("pval")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return e.withColumn("m", m).select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("m").isNotNull()
+            & (F.unix_micros("ts") - F.unix_micros("m.pts") <= F.lit(7200000000)),
+            F.col("m.pval"),
+        ).alias("tolerated_purchase_value"),
+    )

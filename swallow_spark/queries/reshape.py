@@ -388,3 +388,48 @@ def sql_execute_immediate(spark, sf_dir):
           USING exec_imm_lo
         """
     )
+
+
+@register(
+    "sql_scalar_udf",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                           * 100 + 0.5) AS BIGINT)) AS BIGINT) AS charged_cents
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tier="T2",
+)
+def sql_scalar_udf(spark, sf_dir):
+    """SQL-declared scalar UDF (Spark 4 CREATE FUNCTION ... RETURN expr):
+    the charge formula lives as a named catalog function instead of a
+    Python UDF — Catalyst inlines the body, so the call costs nothing and
+    stays inside whole-stage codegen (the right way to share business
+    logic across queries; contrast udf_python_scalar, the slow path).
+    The oracle inlines the same expression.
+
+    Determinism: the UDF body is pure double IEEE arithmetic identical in
+    both engines, floored to integer cents per row before the SUM.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_sqludf")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charge_cents(
+            p DOUBLE, d DOUBLE, t DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(FLOOR(p * (1.0 - d) * (1.0 + t) * 100 + 0.5) AS BIGINT)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(charge_cents(l_extendedprice, l_discount, l_tax))
+                 AS charged_cents
+        FROM lineitem_sqludf
+        GROUP BY l_returnflag
+        """
+    )

@@ -326,3 +326,35 @@ def source_merge_schema(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy(F.col("ingest_tag").asc_nulls_first())
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="SELECT * FROM nation",
+    tier="T2",
+)
+def source_xml_roundtrip(spark, sf_dir):
+    """nation → XML files → read back with the explicit declared schema
+    (Spark 4 ships the XML source natively — the swallow XMLio analog).
+    Element content is XML-escaped on write, so free-text comments with
+    &/</> survive; the explicit schema on read pins types (inference would
+    widen n_nationkey to the default long anyway, but never rely on it).
+
+    Scale note: XML write/read parallelizes per-partition like any file
+    source; rowTag framing keeps records independently splittable at read.
+    """
+    path = _io_dir(sf_dir, "nation_xml")
+    n = load(spark, sf_dir, "nation")
+    (
+        n.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(path)
+    )
+    return (
+        spark.read.schema(schemas.nation)
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(path)
+    )

@@ -1614,3 +1614,72 @@ def ts_croston(spark, sf_dir):
             ).alias("croston_rate"),
         )
     )
+
+
+@register(
+    "ts_ohlc_bars",
+    oracle="""
+WITH wk AS (
+  SELECT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS week, ts, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+win AS (
+  SELECT user_id, week, cents,
+         first_value(cents) OVER w AS open_c,
+         last_value(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING) AS close_c
+  FROM wk
+  WINDOW w AS (PARTITION BY user_id, week ORDER BY ts, event_id)
+)
+SELECT user_id, week,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(open_c) AS BIGINT) AS open_c,
+       CAST(MAX(cents) AS BIGINT) AS high_c,
+       CAST(MIN(cents) AS BIGINT) AS low_c,
+       CAST(MIN(close_c) AS BIGINT) AS close_c
+FROM win GROUP BY user_id, week
+""",
+    tier="T2",
+)
+def ts_ohlc_bars(spark, sf_dir):
+    """Weekly OHLC candlestick bars per user: open/high/low/close of the
+    event value plus tick count — the financial-rollup shape (open/close
+    need ORDER-AWARE extraction, high/low are plain MIN/MAX).
+
+    Determinism: values are exact integer cents before any aggregate;
+    open/close tie-break on (ts, event_id) is total, so first_value /
+    last_value pick a unique row in both engines.
+
+    Scale note: one shuffle on (user_id, week) serves both the window
+    (open/close) and the group-by (the window's partition key equals the
+    aggregation key, so Catalyst reuses the exchange); bars are bounded by
+    users x weeks, far below event cardinality.
+    """
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wk = e.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    wbase = Window.partitionBy("user_id", "week").orderBy("ts", "event_id")
+    win = wk.select(
+        "user_id",
+        "week",
+        "cents",
+        F.first("cents").over(wbase).alias("open_c"),
+        F.last("cents")
+        .over(wbase.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("close_c"),
+    )
+    return win.groupBy("user_id", "week").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("open_c").alias("open_c"),
+        F.max("cents").alias("high_c"),
+        F.min("cents").alias("low_c"),
+        F.min("close_c").alias("close_c"),
+    )
