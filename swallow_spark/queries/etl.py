@@ -782,3 +782,62 @@ def etl_table_checksum(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(h).cast("long").alias("checksum"),
     )
+
+
+_REF_EDGES = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _ref_audit_sql() -> str:
+    parts = []
+    for name, child, fk, parent, pk in _REF_EDGES:
+        parts.append(
+            f"""
+SELECT '{name}' AS fk_edge,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_rows,
+       (SELECT CAST(COUNT(DISTINCT {fk}) AS BIGINT) FROM {child}) AS n_fk_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+         AS n_orphans"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("etl_referential_audit", oracle=_ref_audit_sql(), tier="T2")
+def etl_referential_audit(spark, sf_dir):
+    """Referential-integrity audit over the whole star schema: for each FK
+    edge, child row count, distinct FK count, and orphan rows (child keys
+    with no parent) — the nightly data-quality gate a warehouse runs before
+    publishing a snapshot (complements etl_data_expectations, which checks
+    per-column value contracts).
+
+    Scale note: each orphan check is a LEFT ANTI hash join against the
+    (small) parent key set — dims broadcast, the fact-side anti joins on
+    the pre-aggregated distinct FK projection; no full-row shuffle. The
+    six per-edge scalar rows are unioned lazily into one plan so the
+    driver fires a single job.
+    """
+    out = None
+    for name, child, fk, parent, pk in _REF_EDGES:
+        c = load(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
+        stats = c.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("fk").cast("long").alias("n_fk_keys"),
+        )
+        orphans = (
+            c.join(F.broadcast(p), c["fk"] == p["pk"], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        )
+        edge = (
+            stats.join(F.broadcast(orphans))
+            .select(F.lit(name).alias("fk_edge"), "n_rows", "n_fk_keys", "n_orphans")
+        )
+        out = edge if out is None else out.unionByName(edge)
+    return out

@@ -433,3 +433,40 @@ def sql_scalar_udf(spark, sf_dir):
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "sql_pivot_syntax",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_cents,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_cents,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_cents
+FROM orders GROUP BY o_orderpriority
+""",
+    tier="T2",
+)
+def sql_pivot_syntax(spark, sf_dir):
+    """SQL PIVOT clause (the declarative twin of reshape_pivot's DataFrame
+    groupBy().pivot()): order revenue by priority, statuses fanned into
+    columns with an explicit IN list — the explicit list is what makes
+    PIVOT scale-safe (no distinct-value discovery job) and schema-stable.
+    The oracle spells the same table as FILTER aggregates.
+    """
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_pivot")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT o_orderpriority, o_orderstatus,
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders_pivot
+        )
+        PIVOT (SUM(cents) FOR o_orderstatus IN ('F' AS f_cents,
+                                                'O' AS o_cents,
+                                                'P' AS p_cents))
+        """
+    )

@@ -1099,3 +1099,45 @@ def stats_poisson_bootstrap(spark, sf_dir):
             / 10000
         ).alias("boot_se"),
     )
+
+
+@register(
+    "stats_crosstab",
+    oracle="""
+SELECT CAST(user_id % 10 AS VARCHAR) AS user_id_event_type,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY user_id % 10
+""",
+    tier="T2",
+)
+def stats_crosstab(spark, sf_dir):
+    """Contingency table via df.stat.crosstab (the DataFrameStatFunctions
+    surface): user-cohort (user_id mod 10) x event_type counts. The column
+    set is data-derived at runtime; the oracle pins the five known event
+    types as FILTER aggregates — if the generator ever adds a type, the
+    schema mismatch (not a silent wrong count) flags it.
+
+    Determinism: pure integer counts. Columns are sorted by the driver's
+    canonicalization, so the dynamic column order is immaterial.
+
+    Scale note: crosstab compiles to a pivot aggregate — one partial-agg
+    shuffle of |cohorts| x |types| cells, nothing collected to the driver
+    beyond the final tiny table.
+    """
+    e = load(spark, sf_dir, "events")
+    ct = e.withColumn("cohort", (F.col("user_id") % 10)).stat.crosstab(
+        "cohort", "event_type"
+    )
+    # crosstab returns the row-key column as string named 'cohort_event_type'
+    return ct.select(
+        F.col("cohort_event_type").alias("user_id_event_type"),
+        F.col("click").cast("long").alias("click"),
+        F.col("error").cast("long").alias("error"),
+        F.col("purchase").cast("long").alias("purchase"),
+        F.col("signup").cast("long").alias("signup"),
+        F.col("view").cast("long").alias("view"),
+    )

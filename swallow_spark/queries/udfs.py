@@ -436,3 +436,63 @@ def udf_window_weighted_ma(spark, sf_dir):
     ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents"))
     w = Window.partitionBy("mon").orderBy("day").rowsBetween(-2, Window.currentRow)
     return daily.select("day", "cents", _wma("cents").over(w).alias("wma3"))
+
+
+@register(
+    "udf_apply_in_arrow",
+    oracle="""
+WITH c AS (
+  SELECT event_id, event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT event_type, SUM(cents) // COUNT(*) AS mean_c FROM c GROUP BY event_type
+)
+SELECT c.event_id, c.event_type,
+       CAST(c.cents - m.mean_c AS BIGINT) AS dev_cents
+FROM c JOIN m USING (event_type)
+""",
+    tier="T2",
+)
+def udf_apply_in_arrow(spark, sf_dir):
+    """Grouped-map via applyInArrow (Spark 4's pandas-free grouped map —
+    each group arrives as a raw pyarrow.Table, zero pandas conversion
+    cost): demean event values within each event_type using an exact
+    integer floor-mean, emitting per-row deviations in cents.
+
+    Determinism: all arithmetic is int64 (cents, exact group sum, floor
+    division) — no float accumulation anywhere, so group partitioning and
+    Arrow batch boundaries cannot change a single output bit. The oracle
+    spells the same floor-mean with BIGINT // .
+
+    Scale note: one shuffle on event_type; inside each group the compute is
+    a vectorized numpy pass over Arrow buffers (no per-row Python). Wide
+    groups stream as multiple record batches within one Table. For skewed
+    group keys the salting template (ops/relational.salted_join) applies,
+    but a 5-value demean is better served by the pure-SQL window twin —
+    this key exists to prove the applyInArrow seam.
+    """
+    import pyarrow as pa
+
+    def _demean(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cents = tbl.column("cents").to_numpy(zero_copy_only=False).astype("int64")
+        mean_c = int(cents.sum()) // len(cents)
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "event_type": tbl.column("event_type"),
+                "dev_cents": pa.array(cents - mean_c, type=pa.int64()),
+            }
+        )
+
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = e.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return c.groupBy("event_type").applyInArrow(
+        _demean, schema="event_id long, event_type string, dev_cents long"
+    )

@@ -313,6 +313,7 @@ def test_simhash_portable_salted_sig_pairing(spark):
 BNLJ_ALLOWED = {
     "basket_association_rules",
     "etl_forget_users",  # audit scalars: crossJoin of broadcast 1-row aggregates
+    "etl_referential_audit",  # per-edge scalar rows: broadcast 1-row aggregate joins
     "fn_haversine",
     "join_cross_limited",
     "q11_important_stock",
