@@ -559,23 +559,31 @@ def graph_shortest_hops(spark, sf_dir):
     und = (
         e.select("src", "dst")
         .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition("src")
         .persist()
     )
     seed = und.agg(F.min("src").alias("node"))
     dist = seed.withColumn("d", F.lit(0)).localCheckpoint(eager=True)
     frontier = dist.select("node")
     for hop in range(1, 5):
+        # The frontier (and the visited set) of a hop-bounded ego BFS stay
+        # small, so both sides BROADCAST: each hop is a map-side join over
+        # the persisted edge table — zero per-iteration exchange of |E|.
+        # (Full-graph BFS where |visited| -> |V| would flip the anti-join
+        # back to a shuffle join; the frontier broadcast still holds.)
+        # Only the frontier is materialized per hop; dist stays a lazy
+        # union of already-checkpointed frontiers.
         nxt = (
-            frontier.join(und, frontier["node"] == und["src"])
+            und.join(F.broadcast(frontier), und["src"] == frontier["node"])
             .select(und["dst"].alias("node"))
             .distinct()
-            .join(dist.select("node"), "node", "left_anti")
+            .join(F.broadcast(dist.select("node")), "node", "left_anti")
             .withColumn("d", F.lit(hop))
             .localCheckpoint(eager=True)
         )
-        dist = dist.union(nxt).localCheckpoint(eager=True)
+        dist = dist.union(nxt)
         frontier = nxt.select("node")
+        if nxt.isEmpty():  # scans the materialized checkpoint — no recompute
+            break
     out = dist.groupBy("d").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("node").cast("long").alias("sum_node_id"),
