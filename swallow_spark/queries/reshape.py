@@ -470,3 +470,139 @@ def sql_pivot_syntax(spark, sf_dir):
                                                 'P' AS p_cents))
         """
     )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+GROUP BY ALL
+""",
+    tier="T2",
+)
+def sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL / ORDER BY ALL (Spark 4 SQL surface): every
+    non-aggregate select item becomes a grouping key implicitly — the
+    ad-hoc-exploration spelling that removes the copy-the-select-list
+    failure mode. DuckDB supports the identical syntax, so the oracle IS
+    the same text: the hash match proves both engines resolve ALL to the
+    same key set ((status, priority) here).
+
+    Scale note: resolves at analysis time to an ordinary partial+final
+    hash aggregate keyed (o_orderstatus, o_orderpriority) — no runtime
+    cost over the explicit spelling.
+    """
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gball")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM orders_gball
+        GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "sql_window_clause",
+    oracle="""
+WITH w AS (
+  SELECT o_orderstatus, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT o_orderstatus, o_orderkey, cents,
+         rank() OVER win AS rk,
+         CAST(SUM(cents) OVER win AS BIGINT) AS run_cents
+  FROM w
+  WINDOW win AS (PARTITION BY o_orderstatus
+                 ORDER BY cents DESC, o_orderkey)
+)
+SELECT o_orderstatus, o_orderkey, cents, CAST(rk AS BIGINT) AS rk, run_cents
+FROM r WHERE rk <= 5
+""",
+    tier="T2",
+)
+def sql_window_clause(spark, sf_dir):
+    """Named WINDOW clause (shared window spec): rank and a running
+    integer-cent sum both bind the same `WINDOW win AS (...)` definition —
+    the one-definition-two-functions surface that keeps sibling window
+    functions provably over the same frame. DuckDB supports the identical
+    clause; the oracle mirrors it verbatim.
+
+    Determinism: the spec orders by (cents DESC, o_orderkey) — a total
+    order, so rank and the running sum are unique. Scale note: both
+    functions share ONE Window physical node (single partition-by-status
+    shuffle + sort serves both), which .explain confirms; Spark further
+    pushes rk<=5 into the sort as WindowGroupLimit.
+    """
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_winclause")
+    return spark.sql(
+        """
+        WITH w AS (
+          SELECT o_orderstatus, o_orderkey,
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders_winclause
+        ),
+        r AS (
+          SELECT o_orderstatus, o_orderkey, cents,
+                 rank() OVER win AS rk,
+                 SUM(cents) OVER win AS run_cents
+          FROM w
+          WINDOW win AS (PARTITION BY o_orderstatus
+                         ORDER BY cents DESC, o_orderkey)
+        )
+        SELECT o_orderstatus, o_orderkey, cents, CAST(rk AS BIGINT) AS rk,
+               run_cents
+        FROM r WHERE rk <= 5
+        """
+    )
+
+
+@register(
+    "sql_identifier_clause",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS min_cents
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+    tier="T2",
+)
+def sql_identifier_clause(spark, sf_dir):
+    """IDENTIFIER() clause (Spark 4 surface): the table name arrives as a
+    bound :param and is resolved through IDENTIFIER(:tbl) — dynamic object
+    selection (per-tenant table routing, env-prefixed catalogs) without
+    string-splicing SQL, the injection-safe half of what
+    sql_execute_immediate does for values. The oracle inlines the resolved
+    table.
+
+    Scale note: IDENTIFIER resolves during analysis; the plan is the
+    ordinary pushed-filter scan + partial/final aggregate, identical to a
+    static FROM.
+    """
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_ident_t1")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS min_cents
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderstatus = :st
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders_ident_t1", "st": "O"},
+    )
