@@ -1683,3 +1683,100 @@ def ts_ohlc_bars(spark, sf_dir):
         F.min("cents").alias("low_c"),
         F.min("close_c").alias("close_c"),
     )
+
+
+_BOLL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day, cents,
+         COUNT(*)      OVER win AS wn,
+         SUM(cents)    OVER win AS s1,
+         SUM(cents * cents) OVER win AS s2
+  FROM daily
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+b AS (
+  SELECT event_type, day, cents,
+         FLOOR((CAST(s1 AS DOUBLE) / 7 / 100) * 10000 + 0.5) / 10000 AS ma,
+         FLOOR((CAST(s1 AS DOUBLE) / 7
+                + 2 * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / 7) / 6))
+               / 100 * 10000 + 0.5) / 10000 AS upper_band,
+         FLOOR((CAST(s1 AS DOUBLE) / 7
+                - 2 * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / 7) / 6))
+               / 100 * 10000 + 0.5) / 10000 AS lower_band
+  FROM w WHERE wn = 7
+)
+SELECT event_type, day, CAST(cents AS DOUBLE) / 100 AS revenue, ma,
+       upper_band, lower_band,
+       CASE WHEN CAST(cents AS DOUBLE) / 100 > upper_band THEN 'H'
+            WHEN CAST(cents AS DOUBLE) / 100 < lower_band THEN 'L'
+            ELSE '-' END AS breakout
+FROM b
+"""
+
+
+@register("ts_bollinger_bands", oracle=_BOLL_SQL, tier="T2")
+def ts_bollinger_bands(spark, sf_dir):
+    """Bollinger bands over per-type daily revenue: 7-day rolling mean
+    ± 2 rolling sample standard deviations, with H/L breakout flags —
+    the rolling-volatility channel (vs ts_anomaly_zscore's GLOBAL
+    per-type stats). Only complete 7-row frames emit a band.
+
+    Determinism: the frame carries exact integer-cent sums (Σc, Σc²) —
+    rolling mean and variance derive from integers in one fixed IEEE
+    expression per row, then quantize half-up 4dp BEFORE the breakout
+    comparison, so both engines compare identical quantized bands
+    against integer cents. Scale note: daily pre-aggregation shrinks the
+    fact stream to |types|×|days| rows; the rolling window partitions by
+    event_type — no global sort. Σc² of 7 daily-cent values ≈ 7·(3e6)²
+    ≈ 6e13 at sf0.1, int64-safe to ~SF 3000.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(win).alias("wn"),
+        F.sum("cents").over(win).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("s2"),
+    ).where(F.col("wn") == 7)
+    mean_c = F.col("s1").cast("double") / 7
+    sd_c = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / 7) / 6
+    )
+    q = lambda c: F.floor(c / 100 * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    b = w.select(
+        "event_type",
+        "day",
+        "cents",
+        q(mean_c).alias("ma"),
+        q(mean_c + 2 * sd_c).alias("upper_band"),
+        q(mean_c - 2 * sd_c).alias("lower_band"),
+    )
+    rev = F.col("cents").cast("double") / 100
+    return b.select(
+        "event_type",
+        "day",
+        rev.alias("revenue"),
+        "ma",
+        "upper_band",
+        "lower_band",
+        F.when(rev > F.col("upper_band"), "H")
+        .when(rev < F.col("lower_band"), "L")
+        .otherwise("-")
+        .alias("breakout"),
+    )
