@@ -326,6 +326,7 @@ BNLJ_ALLOWED = {
     "stats_jackknife_se",  # broadcast 1-row total/20-row fold cross joins
     "stats_ks_test",
     "stats_mann_whitney",
+    "stats_kendall_tau",  # deliberately bounded 25-nation pair set + 1-row n crossjoin
     "text_bm25_search",
     "text_cooccurrence_pmi",
     "text_tfidf_topk",
