@@ -606,3 +606,232 @@ def sql_identifier_clause(spark, sf_dir):
         """,
         args={"tbl": "orders_ident_t1", "st": "O"},
     )
+
+
+@register(
+    "sql_unpivot_syntax",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS max_cents
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS val FROM base
+UNION ALL
+SELECT o_orderpriority, 'cents', cents FROM base
+UNION ALL
+SELECT o_orderpriority, 'max_cents', max_cents FROM base
+""",
+    tier="T2",
+)
+def sql_unpivot_syntax(spark, sf_dir):
+    """SQL UNPIVOT clause (the declarative twin of reshape_unpivot's
+    DataFrame unpivot/melt): a per-priority metrics table is folded from
+    wide (three BIGINT metric columns) to long (metric, val) rows — the
+    export shape for metric stores. The oracle spells the same fold as the
+    classic UNION ALL, so the hash match proves the clause is pure sugar.
+
+    Scale note: UNPIVOT is a map-side generate (3 output rows per input
+    row, no shuffle beyond the feeding aggregate); the UNION ALL spelling
+    would scan the aggregate three times without a CTE — the clause form
+    never does.
+    """
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_unpivot")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, metric, val FROM (
+          SELECT o_orderpriority,
+                 COUNT(*) AS n_orders,
+                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents,
+                 MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS max_cents
+          FROM orders_unpivot GROUP BY o_orderpriority
+        )
+        UNPIVOT (val FOR metric IN (n_orders, cents, max_cents))
+        """
+    )
+
+
+@register(
+    "sql_star_except",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+""",
+    tier="T2",
+)
+def sql_star_except(spark, sf_dir):
+    """SELECT * EXCEPT (...) (Spark 4 SQL surface): project every column of
+    a wide aggregate except the ones being dropped — the schema-stable way
+    to strip internal/debug columns before publishing a table (listing the
+    kept columns would silently pin an old schema). The oracle lists the
+    surviving columns explicitly, proving EXCEPT resolves to exactly that
+    set.
+
+    Scale note: star-except resolves at analysis time to an ordinary
+    projection, so column pruning still reaches the scan — the dropped
+    column here never leaves the aggregate.
+    """
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_star_except")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (debug_rank) FROM (
+          SELECT o_orderstatus, o_orderpriority,
+                 COUNT(*) AS n,
+                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents,
+                 MAX(o_orderkey) AS debug_rank
+          FROM orders_star_except
+          GROUP BY o_orderstatus, o_orderpriority
+        )
+        """
+    )
+
+
+@register(
+    "sql_order_by_all",
+    oracle="""
+WITH base AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT * FROM base
+ORDER BY o_orderstatus, o_orderpriority, n
+LIMIT 7
+""",
+    tier="T2",
+)
+def sql_order_by_all(spark, sf_dir):
+    """ORDER BY ALL (Spark 4 SQL surface): sort by every select item
+    left-to-right without restating the list — paired with LIMIT so the
+    ordering is observable in the result (the kept 7 rows differ if ALL
+    resolved differently). DuckDB's oracle spells the resolved column list
+    explicitly; the hash match proves the same total order.
+
+    Determinism: (status, priority) is a candidate key of the aggregate,
+    so the ALL-order is total and the LIMIT cut is unique. Scale note:
+    resolves to an ordinary TakeOrderedAndProject — a top-k heap per
+    partition + driver merge, never a global sort.
+    """
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_oball")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_oball
+        GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY ALL
+        LIMIT 7
+        """
+    )
+
+
+@register(
+    "sql_values_inline",
+    oracle="""
+WITH tier(prio, tier_name, weight) AS (
+  VALUES ('1-URGENT',  'hot',  3),
+         ('2-HIGH',    'hot',  2),
+         ('3-MEDIUM',  'warm', 1),
+         ('4-NOT SPECIFIED', 'cold', 0),
+         ('5-LOW',     'cold', 0)
+)
+SELECT t.tier_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(t.weight AS BIGINT)
+                * CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS weighted_cents
+FROM orders o JOIN tier t ON o.o_orderpriority = t.prio
+GROUP BY t.tier_name
+""",
+    tier="T2",
+)
+def sql_values_inline(spark, sf_dir):
+    """Inline VALUES table constructor: a literal lookup table (priority →
+    tier, weight) declared in the query text and joined against the fact
+    table — the no-ETL way to ship a small mapping with the query itself
+    (feature flags, tier weights, enum renames). Both engines support the
+    identical clause.
+
+    Scale note: a VALUES relation is a LocalRelation — Catalyst broadcasts
+    it (5 rows), so the join is a map-side broadcast-hash join; the
+    aggregate shuffles only the 3 tier groups.
+    """
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_values_inline")
+    return spark.sql(
+        """
+        SELECT t.tier_name,
+               COUNT(*) AS n,
+               SUM(CAST(t.weight AS BIGINT)
+                   * CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS weighted_cents
+        FROM orders_values_inline o
+        JOIN VALUES ('1-URGENT',  'hot',  3),
+                    ('2-HIGH',    'hot',  2),
+                    ('3-MEDIUM',  'warm', 1),
+                    ('4-NOT SPECIFIED', 'cold', 0),
+                    ('5-LOW',     'cold', 0) AS t(prio, tier_name, weight)
+          ON o.o_orderpriority = t.prio
+        GROUP BY t.tier_name
+        """
+    )
+
+
+@register(
+    "sql_transform_script",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tier="T2",
+)
+def sql_transform_script(spark, sf_dir):
+    """Hive-style script transform (SELECT TRANSFORM ... USING 'cat'): rows
+    cross a pipe into an external process and come back as tab-separated
+    strings — the legacy streaming-script integration surface (awk/sed/
+    custom binaries in ETL). `cat` is the identity script, so casting the
+    round-tripped strings back must reproduce the original aggregate
+    exactly; the oracle computes it directly.
+
+    Scale note: every TRANSFORM row forks through a pipe with string
+    serialization both ways — orders of magnitude slower than codegen, so
+    the script runs on the 5-row PRE-AGGREGATED table, never the fact
+    stream. That aggregate-first shape is the only defensible use of
+    script transforms at 100 TB.
+    """
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_transform_script")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(n AS BIGINT) AS n,
+               CAST(cents AS BIGINT) AS cents
+        FROM (
+          SELECT TRANSFORM (o_orderpriority, n, cents)
+            USING 'cat' AS (o_orderpriority STRING, n STRING, cents STRING)
+          FROM (
+            SELECT o_orderpriority,
+                   COUNT(*) AS n,
+                   SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                     AS cents
+            FROM orders_transform_script
+            GROUP BY o_orderpriority
+          )
+        )
+        """
+    )
