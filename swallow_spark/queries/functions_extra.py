@@ -368,3 +368,54 @@ def fn_business_days(spark, sf_dir):
             f" e -> ((e + 4) % 7 + 7) % 7 NOT IN (0, 6))) AS BIGINT)"
         ).alias("business_days_30"),
     )
+
+
+@register(
+    "fn_aes_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(((octet_length(encode(o_orderpriority)) // 16) + 1) * 16 AS BIGINT)
+         AS ct_bytes
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tier="T2",
+)
+def fn_aes_roundtrip(spark, sf_dir):
+    """Column-level encryption surface (aes_encrypt / aes_decrypt — the
+    at-rest field-protection path for PII columns before they leave the
+    cluster): each order's priority string is AES-128-ECB encrypted with a
+    16-byte key, decrypted back, and the DECRYPTED value is the grouping
+    key — so the aggregate only matches the oracle if every row survives
+    the round trip byte-exact. ECB mode is used deliberately: it is the
+    only deterministic mode (GCM/CBC salt a random IV per call, breaking
+    both repeatability and group-by-on-ciphertext), which is exactly the
+    classic determinism/security tradeoff tokenization systems document —
+    noted here, not endorsed for production secrets.
+
+    ct_bytes pins the PKCS#7 padding contract: ciphertext length is the
+    plaintext length rounded UP to the next full 16-byte block (every
+    priority is < 16 chars → one block). The oracle computes the same
+    closed form from octet_length since DuckDB has no AES builtin.
+
+    Scale note: aes_encrypt/decrypt are JVM codegen expressions — no UDF,
+    no shuffle beyond the final aggregate.
+    """
+    o = load(spark, sf_dir, "orders")
+    key = "swallow16bytekey"  # 16 bytes -> AES-128
+    ct = F.expr(f"aes_encrypt(o_orderpriority, '{key}', 'ECB')")
+    return (
+        o.select(
+            ct.alias("ct"),
+        )
+        .select(
+            F.expr(f"CAST(aes_decrypt(ct, '{key}', 'ECB') AS STRING)").alias(
+                "o_orderpriority"
+            ),
+            F.octet_length("ct").cast("long").alias("ct_bytes"),
+        )
+        .groupBy("o_orderpriority", "ct_bytes")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("o_orderpriority", "n", "ct_bytes")
+    )

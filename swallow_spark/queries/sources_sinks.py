@@ -358,3 +358,63 @@ def source_xml_roundtrip(spark, sf_dir):
         .option("rowTag", "nation")
         .load(path)
     )
+
+
+from ..conform import sql_poly_hash_duck as _binf_phd  # noqa: E402
+from ..conform import sql_poly_hash_spark as _binf_phs  # noqa: E402
+
+
+@register(
+    "source_binaryfile",
+    oracle=f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST({_binf_phd('text')} AS BIGINT) AS content_hash
+FROM documents WHERE doc_id < 24
+""",
+    tier="T2",
+)
+def source_binaryfile(spark, sf_dir):
+    """binaryFile source (Spark's built-in whole-file binary reader — the
+    ingest path for raw media/model blobs, swallow's file-adapter analog
+    for opaque payloads): 24 fixture documents are materialized as
+    standalone .txt files, read back as (path, length, content BINARY)
+    rows via format("binaryFile") with a pathGlobFilter, and verified
+    against the source table by byte length + portable content hash of the
+    UTF-8-decoded payload.
+
+    Determinism: file names are doc_<id>.txt so doc_id round-trips through
+    regexp_extract on the path; `length` is the file's exact byte size
+    (equals octet_length(text) — the files are written as raw UTF-8);
+    content_hash is conform.poly_hash over the decoded string in BOTH
+    engines. Setup materializes a BOUNDED 24-row sample driver-side
+    (sorted, collect-bounded) — the measured operator is the binaryFile
+    scan, which is distributed (one task per file, files >
+    maxPartitionBytes are NOT split; binaryFile never splits a file).
+
+    Scale note: at 100 TB the binaryFile reader is for many medium blobs
+    (images, audio) — one row per file, so small-file pressure is on the
+    driver's file listing; pack tiny payloads into parquet BINARY columns
+    instead (multimodal_join's layout) and keep binaryFile for objects
+    that must stay addressable as files.
+    """
+    path = _io_dir(sf_dir, "documents_binaryfile")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 24)
+    # Bounded setup (24 files): write each doc's text as raw UTF-8 bytes.
+    rows = d.select("doc_id", "text").orderBy("doc_id").collect()
+    os.makedirs(path, exist_ok=True)
+    for r in rows:
+        with open(f"{path}/doc_{r['doc_id']}.txt", "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+    )
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.expr(_binf_phs("decode(content, 'UTF-8')")).cast("long").alias("content_hash"),
+    )
