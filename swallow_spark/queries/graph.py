@@ -703,3 +703,121 @@ def graph_adamic_adar(spark, sf_dir):
     for df in (e, deg, o):
         df.unpersist()
     return out
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+WITH e AS ({_EDGES_SQL}),
+eb AS (
+  SELECT sa.p_brand AS bs, sb.p_brand AS bd
+  FROM e
+  JOIN part sa ON e.src = sa.p_partkey
+  JOIN part sb ON e.dst = sb.p_partkey
+),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM eb),
+wb AS (
+  SELECT bs AS brand, CAST(COUNT(*) AS BIGINT) AS e_within
+  FROM eb WHERE bs = bd GROUP BY bs
+),
+db AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS d_sum
+  FROM (SELECT bs AS brand FROM eb UNION ALL SELECT bd FROM eb)
+  GROUP BY brand
+),
+per AS (
+  SELECT db.brand,
+         COALESCE(wb.e_within, 0) AS e_within,
+         db.d_sum,
+         4 * mm.m * COALESCE(wb.e_within, 0) - db.d_sum * db.d_sum
+           AS contrib_num
+  FROM db LEFT JOIN wb ON db.brand = wb.brand CROSS JOIN mm
+),
+tot AS (SELECT CAST(SUM(contrib_num) AS BIGINT) AS q_num FROM per)
+SELECT per.brand, per.e_within, per.d_sum, CAST(per.contrib_num AS BIGINT) AS contrib_num,
+       FLOOR(CAST(tot.q_num AS DOUBLE) / (4.0 * mm.m * mm.m) * 1000000 + 0.5)
+         / 1000000 AS modularity_q
+FROM per CROSS JOIN tot CROSS JOIN mm
+""",
+    tier="T2",
+)
+def graph_modularity(spark, sf_dir):
+    """Newman modularity of the brand partition over the co-purchase graph:
+    do customers co-purchase WITHIN part brands more than a degree-matched
+    random graph predicts? Q = Σ_c [e_c/m − (d_c/2m)²] where e_c = edges
+    inside community c, d_c = degree sum of c's nodes, m = |edges| — the
+    community-quality score every clustering pipeline reports.
+
+    Exact-integer form: 4m²·Q = Σ_c (4·m·e_c − d_c²), so each brand's
+    contribution and the global numerator are exact int64 (4m² ≈ 2.3e13 at
+    sf0.1; overflows int64 around m ≈ 1.5e9 edges ≈ SF 60 — carry the
+    contribution as DECIMAL(38,0) beyond that). Q itself is ONE IEEE
+    division of exact integers, half-up 6dp.
+
+    Scale notes: edges come from the shared posting-list basket builder
+    (one l_orderkey shuffle); brand labels attach via two broadcast joins
+    of the part dim; d_c/e_c are partial+final aggregates over 25 brands;
+    m and the Q numerator are 1-row broadcast scalars (the audited
+    scalar-subquery crossJoin pattern).
+    """
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    e = _edges(spark, sf_dir)
+    eb = (
+        e.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("src"), F.col("p_brand").alias("bs"))),
+            "src",
+        )
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("dst"), F.col("p_brand").alias("bd"))),
+            "dst",
+        )
+        .select("bs", "bd")
+    )
+    eb = eb.persist()
+    mm = eb.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    wb = (
+        eb.filter(F.col("bs") == F.col("bd"))
+        .groupBy(F.col("bs").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_within"))
+    )
+    db = (
+        eb.selectExpr("bs AS brand")
+        .unionAll(eb.selectExpr("bd AS brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_sum"))
+    )
+    per = (
+        db.join(F.broadcast(wb), "brand", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "brand",
+            F.coalesce("e_within", F.lit(0)).cast("long").alias("e_within"),
+            "d_sum",
+            (
+                4 * F.col("m") * F.coalesce("e_within", F.lit(0))
+                - F.col("d_sum") * F.col("d_sum")
+            )
+            .cast("long")
+            .alias("contrib_num"),
+        )
+    )
+    tot = per.agg(F.sum("contrib_num").cast("long").alias("q_num"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "brand",
+            "e_within",
+            "d_sum",
+            "contrib_num",
+            (
+                F.floor(
+                    F.col("q_num").cast("double")
+                    / (4.0 * F.col("m") * F.col("m"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("modularity_q"),
+        )
+    )

@@ -326,6 +326,7 @@ BNLJ_ALLOWED = {
     "stats_jackknife_se",  # broadcast 1-row total/20-row fold cross joins
     "stats_ks_test",
     "stats_mann_whitney",
+    "graph_modularity",  # broadcast 1-row m / Q-numerator scalar cross joins
     "stats_kendall_tau",  # deliberately bounded 25-nation pair set + 1-row n crossjoin
     "text_bm25_search",
     "text_cooccurrence_pmi",
