@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..conform import money_sum, sql_money_sum
+from ..conform import cents, money_sum, sql_money_sum
 from ..io import load
 from ..registry import register
 
@@ -1779,4 +1779,120 @@ def ts_bollinger_bands(spark, sf_dir):
         .when(rev < F.col("lower_band"), "L")
         .otherwise("-")
         .alias("breakout"),
+    )
+
+
+_RSI_STEP_SPARK = (
+    "array((element_at(acc, 1) * CAST(13 AS DOUBLE)"
+    " + greatest(element_at(x, 1), CAST(0 AS DOUBLE))) / CAST(14 AS DOUBLE),"
+    " (element_at(acc, 2) * CAST(13 AS DOUBLE)"
+    " + greatest(-element_at(x, 1), CAST(0 AS DOUBLE))) / CAST(14 AS DOUBLE))"
+)
+
+_RSI_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+ser AS (
+  SELECT user_id, list(c ORDER BY day) AS xs
+  FROM daily GROUP BY user_id
+),
+del AS (
+  SELECT user_id,
+         list_transform(generate_series(1, len(xs) - 1),
+                        i -> CAST(xs[i + 1] - xs[i] AS DOUBLE)) AS ds
+  FROM ser WHERE len(xs) >= 2
+),
+st AS (
+  SELECT user_id, CAST(len(ds) AS BIGINT) AS n_deltas,
+         list_reduce(
+           list_prepend(
+             [greatest(ds[1], CAST(0 AS DOUBLE)),
+              greatest(-ds[1], CAST(0 AS DOUBLE))],
+             list_transform(ds[2:], d -> [d, CAST(0 AS DOUBLE)])),
+           (acc, x) -> [(acc[1] * CAST(13 AS DOUBLE)
+                         + greatest(x[1], CAST(0 AS DOUBLE)))
+                        / CAST(14 AS DOUBLE),
+                        (acc[2] * CAST(13 AS DOUBLE)
+                         + greatest(-x[1], CAST(0 AS DOUBLE)))
+                        / CAST(14 AS DOUBLE)]) AS s
+  FROM del
+)
+SELECT user_id, n_deltas,
+       CASE WHEN s[1] + s[2] > 0
+            THEN FLOOR((CAST(100 AS DOUBLE) * s[1]) / (s[1] + s[2]) * 10000
+                       + 0.5) / 10000
+       END AS rsi
+FROM st
+"""
+
+
+@register("ts_rsi", oracle=_RSI_SQL, tier="T2")
+def ts_rsi(spark, sf_dir):
+    """Wilder's Relative Strength Index (period 14) of each user's daily
+    purchase-revenue series — the bounded-oscillator momentum screen
+    (RSI > 70 overbought / < 30 oversold in the finance reading; here a
+    drift detector for per-entity metric streams). Day-over-day deltas
+    split into gain/loss streams, each smoothed by the Wilder recursion
+    avg' = (13·avg + v)/14 (an EWMA with α = 1/14), RSI = 100·g/(g+l).
+
+    Determinism: the day series is the exact int64-cent daily aggregate;
+    deltas are exact integer differences cast to double once; both engines
+    fold the identical day-ordered list with a 2-element double ARRAY
+    state [avg_gain, avg_loss] seeded from the first delta (array-element
+    accumulators read pre-step values identically in Spark aggregate() and
+    DuckDB list_reduce — the ts_holt_winters discipline), and +,·,/ are
+    IEEE-exact in both engines. Final RSI is half-up 4dp; all-zero delta
+    series emit NULL (0/0 guard).
+
+    Scale note: one user_id shuffle covers the daily aggregate, the
+    day-ordered collect and the fold; series length is bounded by calendar
+    days, not events — the same shape as every ts_* fold key.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(cents(F.col("value"))).cast("long").alias("c"))
+    )
+    return (
+        daily.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "c"))).alias("s"))
+        .withColumn("xs", F.expr("transform(s, v -> v.c)"))
+        .filter(F.size("xs") >= 2)
+        .withColumn(
+            "ds",
+            F.expr(
+                "transform(sequence(1, size(xs) - 1),"
+                " i -> CAST(element_at(xs, i + 1) - element_at(xs, i) AS DOUBLE))"
+            ),
+        )
+        .withColumn(
+            "st",
+            F.expr(
+                "aggregate(slice(ds, 2, greatest(size(ds) - 1, 0)),"
+                " array(greatest(element_at(ds, 1), CAST(0 AS DOUBLE)),"
+                "       greatest(-element_at(ds, 1), CAST(0 AS DOUBLE))),"
+                f" (acc, x) -> {_RSI_STEP_SPARK.replace('element_at(x, 1)', 'x')})"
+            ),
+        )
+        .select(
+            "user_id",
+            F.size("ds").cast("long").alias("n_deltas"),
+            F.when(
+                F.expr("element_at(st, 1) + element_at(st, 2)") > 0,
+                F.floor(
+                    F.expr(
+                        "(CAST(100 AS DOUBLE) * element_at(st, 1))"
+                        " / (element_at(st, 1) + element_at(st, 2))"
+                    )
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000,
+            ).alias("rsi"),
+        )
     )
