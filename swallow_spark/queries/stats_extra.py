@@ -1141,3 +1141,272 @@ def stats_crosstab(spark, sf_dir):
         F.col("signup").cast("long").alias("signup"),
         F.col("view").cast("long").alias("view"),
     )
+
+
+# ----------------------------------------------------------- Kaplan-Meier
+# Subjects: users with a signup event. Event: first purchase AT-OR-AFTER
+# the first signup; duration = days from signup day to purchase day.
+# Censored: no such purchase; censor duration = days from signup day to the
+# global max event date. KM convention: subjects censored at t are still at
+# risk at t (n_t counts dur >= t, events and censored alike).
+_KM_SQL = """
+WITH su AS (
+  SELECT user_id, MIN(ts) AS sts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+pu AS (
+  SELECT e.user_id, MIN(e.ts) AS pts
+  FROM events e JOIN su ON su.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= su.sts
+  GROUP BY e.user_id
+),
+mx AS (SELECT CAST(MAX(ts) AS DATE) AS maxd FROM events),
+dur AS (
+  SELECT su.user_id,
+         CASE WHEN pu.pts IS NOT NULL
+              THEN datediff('day', CAST(su.sts AS DATE), CAST(pu.pts AS DATE))
+              ELSE datediff('day', CAST(su.sts AS DATE), mx.maxd) END AS dur,
+         CASE WHEN pu.pts IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM su LEFT JOIN pu ON su.user_id = pu.user_id CROSS JOIN mx
+),
+hist AS (
+  SELECT dur, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(ev) AS BIGINT) AS d
+  FROM dur GROUP BY dur
+),
+risk AS (
+  SELECT dur, cnt, d,
+         CAST(SUM(cnt) OVER () AS BIGINT)
+           - CAST(COALESCE(SUM(cnt) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_at_risk
+  FROM hist
+),
+ev AS (SELECT dur, d, n_at_risk FROM risk WHERE d > 0)
+SELECT e1.dur AS t, e1.d AS d_events, e1.n_at_risk,
+       FLOOR(list_reduce(
+               list_prepend(CAST(1 AS DOUBLE),
+                 list(CAST(1 AS DOUBLE)
+                      - CAST(e2.d AS DOUBLE) / CAST(e2.n_at_risk AS DOUBLE)
+                      ORDER BY e2.dur)),
+               (a, f) -> a * f) * 1000000 + 0.5) / 1000000 AS survival
+FROM ev e1 JOIN ev e2 ON e2.dur <= e1.dur
+GROUP BY e1.dur, e1.d, e1.n_at_risk
+"""
+
+
+@register("stats_survival_km", oracle=_KM_SQL, tier="T2")
+def stats_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve for signup→first-purchase conversion:
+    S(t) = Π_{u≤t} (1 − d_u/n_u) over distinct event days, with users who
+    never purchase right-censored at the end of the observation window —
+    THE time-to-event estimator (retention, churn, time-to-label) that
+    naive conversion rates get wrong by ignoring censoring.
+
+    Determinism: durations are exact day diffs; the risk table (d_t,
+    n_t) is exact integers via a cumulative count over the duration
+    histogram (n_t = N − #{dur < t}); each factor is ONE IEEE division
+    and the product folds the day-ordered factor list seeded with 1.0 —
+    division and multiplication are correctly-rounded in both engines, so
+    the fold is bit-identical; the curve is half-up 6dp. KM convention:
+    censored-at-t subjects remain in n_t.
+
+    Scale notes: everything reduces on user_id (signup/purchase firsts),
+    then the curve lives on the duration histogram — bounded by calendar
+    days, not users — so the prefix-product join (e2.dur <= e1.dur) is a
+    deliberately bounded O(days²) triangle on a ≤-hundreds-row table; the
+    global max date is a broadcast 1-row scalar (audited crossJoin
+    pattern).
+    """
+    e = load(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("sts"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("sts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    mx = e.agg(F.max(F.col("ts")).cast("date").alias("maxd"))
+    dur = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("pts").isNotNull(),
+                F.datediff(F.col("pts").cast("date"), F.col("sts").cast("date")),
+            )
+            .otherwise(F.datediff(F.col("maxd"), F.col("sts").cast("date")))
+            .cast("long")
+            .alias("dur"),
+            F.when(F.col("pts").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    hist = dur.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_bef = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = hist.select(
+        "dur",
+        "d",
+        (
+            F.sum("cnt").over(w_all)
+            - F.coalesce(F.sum("cnt").over(w_bef), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    ev = risk.filter(F.col("d") > 0)
+    e1 = ev.select(
+        F.col("dur").alias("t"),
+        F.col("d").alias("d_events"),
+        F.col("n_at_risk"),
+    )
+    e2 = ev.select(
+        F.col("dur").alias("dur2"),
+        (
+            F.lit(1).cast("double")
+            - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+        ).alias("factor"),
+    )
+    return (
+        e1.join(F.broadcast(e2), F.col("dur2") <= F.col("t"))
+        .groupBy("t", "d_events", "n_at_risk")
+        .agg(F.sort_array(F.collect_list(F.struct("dur2", "factor"))).alias("fs"))
+        .select(
+            "t",
+            "d_events",
+            "n_at_risk",
+            (
+                F.floor(
+                    F.expr(
+                        "aggregate(transform(fs, v -> v.factor),"
+                        " CAST(1 AS DOUBLE), (a, f) -> a * f)"
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("survival"),
+        )
+    )
+
+
+# ------------------------------------------------- permutation test (A/B)
+# Portable replicate assignment: h(event_id, r) = ((event_id * 31 + r) *
+# 2654435761) % 1000000007, group = h % 2. Pure int64 (event_id·31·2.65e9
+# ≈ 8e15 at sf0.1; overflows ~event_id 1e8 ≈ SF 100 — mod event_id first
+# beyond that). Replicate 0 is the OBSERVED split (user parity).
+_PERM_R = 8
+_PERM_SQL = f"""
+WITH obs AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+),
+rep AS (
+  SELECT r, CASE WHEN r = 0 THEN user_id % 2
+                 ELSE ((event_id * 31 + r) * 2654435761) % 1000000007 % 2
+            END AS grp, c
+  FROM obs CROSS JOIN (SELECT unnest(generate_series(0, {_PERM_R})) AS r)
+),
+cell AS (
+  SELECT r, grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+  FROM rep GROUP BY r, grp
+),
+diff AS (
+  SELECT r,
+         MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+         MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+         CAST(FLOOR((MAX(CASE WHEN grp = 0 THEN CAST(s AS DOUBLE) END)
+                     / MAX(CASE WHEN grp = 0 THEN CAST(n AS DOUBLE) END)
+                     - MAX(CASE WHEN grp = 1 THEN CAST(s AS DOUBLE) END)
+                       / MAX(CASE WHEN grp = 1 THEN CAST(n AS DOUBLE) END))
+                    * 10000 + 0.5) AS BIGINT) AS diff_microcents
+  FROM cell GROUP BY r
+),
+base AS (SELECT ABS(diff_microcents) AS obs_abs FROM diff WHERE r = 0)
+SELECT diff.r, diff.n0, diff.n1, diff.diff_microcents,
+       ABS(diff.diff_microcents) >= base.obs_abs AS is_extreme
+FROM diff CROSS JOIN base
+"""
+
+
+@register("stats_permutation_test", oracle=_PERM_SQL, tier="T2")
+def stats_permutation_test(spark, sf_dir):
+    """Permutation (randomization) test for an A/B mean difference:
+    purchase values split by the observed cohort (user parity) vs 8
+    deterministic hash-relabeled pseudo-replicates — the
+    distribution-free alternative to ab_test_ztest (no normality
+    assumption; the p-value is the share of is_extreme replicates). Real
+    deployments run hundreds of replicates; 8 keeps the declared key
+    bounded while exercising the full shape.
+
+    Determinism: group labels come from the Knuth-multiplicative portable
+    hash (pure int64, identical in both engines); per-cell sums are exact
+    cents; each replicate's mean difference is two exact-int divisions and
+    one subtraction, quantized to micro-cents BEFORE the cross-replicate
+    comparison (the cross-dimension rule).
+
+    Scale notes: the replicate dimension explodes map-side (9×) and
+    immediately partial-aggregates to 18 cells — no extra shuffle beyond
+    one (r, grp) aggregate; the observed-row scalar joins back as a
+    broadcast 1-row aggregate (audited crossJoin pattern).
+    """
+    e = load(spark, sf_dir, "events")
+    obs = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    rep = obs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_R))).alias("r"),
+        "event_id",
+        "user_id",
+        "c",
+    ).select(
+        "r",
+        F.when(F.col("r") == 0, F.col("user_id") % 2)
+        .otherwise(
+            ((F.col("event_id") * 31 + F.col("r")) * F.lit(2654435761))
+            % F.lit(1000000007)
+            % 2
+        )
+        .alias("grp"),
+        "c",
+    )
+    cell = rep.groupBy("r", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    diff = cell.groupBy("r").agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.floor(
+            (
+                F.max(F.when(F.col("grp") == 0, F.col("s").cast("double")))
+                / F.max(F.when(F.col("grp") == 0, F.col("n").cast("double")))
+                - F.max(F.when(F.col("grp") == 1, F.col("s").cast("double")))
+                / F.max(F.when(F.col("grp") == 1, F.col("n").cast("double")))
+            )
+            * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("diff_microcents"),
+    )
+    base = diff.filter(F.col("r") == 0).select(
+        F.abs(F.col("diff_microcents")).alias("obs_abs")
+    )
+    return diff.crossJoin(F.broadcast(base)).select(
+        "r",
+        "n0",
+        "n1",
+        "diff_microcents",
+        (F.abs(F.col("diff_microcents")) >= F.col("obs_abs")).alias("is_extreme"),
+    )

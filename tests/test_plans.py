@@ -328,6 +328,8 @@ BNLJ_ALLOWED = {
     "stats_mann_whitney",
     "graph_modularity",  # broadcast 1-row m / Q-numerator scalar cross joins
     "stats_kendall_tau",  # deliberately bounded 25-nation pair set + 1-row n crossjoin
+    "stats_survival_km",  # bounded O(days^2) prefix-product triangle + 1-row maxdate
+    "stats_permutation_test",  # broadcast 1-row observed-diff crossjoin
     "text_bm25_search",
     "text_cooccurrence_pmi",
     "text_tfidf_topk",
