@@ -531,3 +531,77 @@ def win_rolling_corr(spark, sf_dir):
         F.floor(cov / F.sqrt(vx) / F.sqrt(vy) * 10000 + F.lit(0.5)) / 10000,
     )
     return w.select("day", F.col("n").cast("long").alias("n"), corr.alias("corr30"))
+
+
+@register(
+    "win_skyline_dominance",
+    oracle="""
+WITH pts AS (
+  SELECT p_brand, p_partkey,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT p.p_brand, p.p_partkey, p.price_cents, p.size
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.p_brand = p.p_brand
+    AND q.price_cents <= p.price_cents AND q.size >= p.size
+    AND (q.price_cents < p.price_cents OR q.size > p.size)
+)
+""",
+    tier="T2",
+)
+def win_skyline_dominance(spark, sf_dir):
+    """Skyline / 2-D Pareto frontier per brand: the parts not DOMINATED by
+    any same-brand part that is both cheaper-or-equal and larger-or-equal
+    (with at least one strict) — the multi-objective shortlist operator
+    (best price-size tradeoffs) that plain top-k cannot express. Spark has
+    no skyline primitive; for 2-D it reduces to ONE window pass, and the
+    oracle keeps the quadratic NOT EXISTS dominance definition — the hash
+    match proves the O(n log n) rewrite implements exactly that semantics.
+
+    Rewrite: sort each brand by price; p is dominated iff (a) some
+    strictly-cheaper part has size ≥ p.size — max(size) over the RANGE
+    frame ending 1 cent before p — or (b) an equal-priced part has size >
+    p.size — max(size) over the (brand, price) partition. Equal
+    (price, size) duplicates dominate neither way and all stay on the
+    frontier, which the strictness clause pins in both engines.
+
+    Determinism: prices are exact int64 cents (the RANGE frame needs the
+    integer key), sizes exact ints — no floats anywhere. Scale note: one
+    shuffle on p_brand serves both windows (same partition key; the
+    equal-price max is a window over a finer key of the same sort order,
+    no second exchange), vs the oracle's O(n²)-per-brand self-join —
+    the classic skyline result that sorted order makes 2-D dominance a
+    running max.
+    """
+    p = load(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_equal = Window.partitionBy("p_brand", "price_cents")
+    return (
+        p.withColumn("max_sz_cheaper", F.max("size").over(w_cheaper))
+        .withColumn("max_sz_equal", F.max("size").over(w_equal))
+        .filter(
+            ~(
+                (
+                    F.col("max_sz_cheaper").isNotNull()
+                    & (F.col("max_sz_cheaper") >= F.col("size"))
+                )
+                | (F.col("max_sz_equal") > F.col("size"))
+            )
+        )
+        .select("p_brand", "p_partkey", "price_cents", "size")
+    )
