@@ -96,3 +96,58 @@ def training_data_clean(spark, sf_dir):
         .filter(quality >= 0.25)
         .select("doc_id", "lang", rnd(quality, 4).alias("quality"))
     )
+
+
+@register(
+    "training_epoch_shuffle",
+    oracle="""
+WITH sh AS (
+  SELECT e.epoch, d.doc_id,
+         (d.doc_id * 2654435761 + e.epoch * 97) % 1000000007 AS h
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS epoch) e
+),
+r AS (
+  SELECT epoch, doc_id, h,
+         ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS pos
+  FROM sh
+)
+SELECT epoch, CAST(pos AS BIGINT) AS pos, doc_id, CAST(h AS BIGINT) AS h
+FROM r WHERE pos <= 20
+""",
+    tier="T2",
+)
+def training_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch corpus shuffle — the training-loader verb
+    that gives every epoch a DIFFERENT but fully reproducible document
+    order (same seed → same batches on any cluster size, the property
+    data-order-debugging and exact run-resumption depend on; true random
+    shuffles lose it). Order key: Knuth-multiplicative hash of
+    (doc_id, epoch); the declared key pins the first 20 positions of
+    epochs 0 and 1.
+
+    Determinism: pure int64 arithmetic (doc_id·2.65e9 « 2^63 up to
+    doc_id ≈ 3e9; mod doc_id first beyond), identical in both engines;
+    (h, doc_id) is a total order.
+
+    Scale notes: the epoch dimension explodes map-side; the top-20 pin is
+    a WindowGroupLimit (per-partition heap, no full sort). A real loader
+    materializes the WHOLE epoch order instead with
+    repartition(N, h).sortWithinPartitions(h, doc_id) — a single shuffle
+    whose output files ARE the shuffled shards, no global sort needed.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    sh = d.select(
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("epoch"),
+        "doc_id",
+    ).select(
+        "epoch",
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761) + F.col("epoch") * 97) % F.lit(1000000007)).alias("h"),
+    )
+    w = Window.partitionBy("epoch").orderBy("h", "doc_id")
+    return (
+        sh.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 20)
+        .select("epoch", F.col("pos").cast("long").alias("pos"), "doc_id", F.col("h").cast("long").alias("h"))
+    )
