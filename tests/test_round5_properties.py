@@ -1,0 +1,222 @@
+"""Property tests for the round-5 continuation operators: skyline
+dominance, Wilder RSI, and the Kaplan-Meier curve — each pinned against an
+independent pure-Python reference on adversarial random inputs (tiny value
+ranges so ties/duplicates are common), the same discipline as
+test_asof_properties.py.
+
+Each hypothesis example bundles many brands/users into ONE table so Spark
+job latency is paid once per example.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_BASE = dt.datetime(2024, 1, 1)
+
+
+def _write(pdf, path):
+    con = duckdb.connect()
+    con.execute(f"COPY (SELECT * FROM pdf) TO '{path}' (FORMAT PARQUET)")
+    con.close()
+
+
+# --------------------------------------------------------------- skyline
+
+# per-brand point set: (price_cents, size) from TINY ranges → many exact
+# ties and duplicate points
+_brand_points = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 6)), min_size=1, max_size=12
+)
+_skyline_case = st.lists(_brand_points, min_size=3, max_size=6)
+
+
+def _ref_skyline(points):
+    """Brute-force dominance: p survives iff no q is <= on price, >= on
+    size, with at least one strict."""
+    out = set()
+    for i, (cp, sp) in enumerate(points):
+        dominated = any(
+            (cq <= cp and sq >= sp and (cq < cp or sq > sp))
+            for j, (cq, sq) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            out.add((cp, sp))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(_skyline_case)
+def test_skyline_matches_bruteforce(spark, tmp_path_factory, case):
+    from swallow_spark.registry import all_queries
+
+    tmpdir = str(tmp_path_factory.mktemp("skyline"))
+    rows = []
+    pk = 0
+    for b, pts in enumerate(case):
+        for cents, size in pts:
+            rows.append(
+                {
+                    "p_partkey": pk,
+                    "p_brand": f"Brand#{b}",
+                    "p_size": size,
+                    "p_retailprice": cents / 100.0,
+                }
+            )
+            pk += 1
+    _write(pd.DataFrame(rows), f"{tmpdir}/part.parquet")
+    got = all_queries()["win_skyline_dominance"].fn(spark, tmpdir).collect()
+    by_brand = {}
+    for r in got:
+        by_brand.setdefault(r["p_brand"], set()).add((r["price_cents"], r["size"]))
+    for b, pts in enumerate(case):
+        want = _ref_skyline(pts)
+        assert by_brand.get(f"Brand#{b}", set()) == want, f"brand {b}"
+
+
+# ------------------------------------------------------------------- RSI
+
+# per-user series of (day_offset, value_cents); day offsets overlap so some
+# days aggregate multiple purchases, some users have <2 days (filtered out)
+_user_series = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 400)), min_size=1, max_size=14
+)
+_rsi_case = st.lists(_user_series, min_size=5, max_size=9)
+
+
+def _ref_rsi(series):
+    """Python mirror of the Wilder fold: daily cent totals sorted by day,
+    integer deltas, [avg_gain, avg_loss] state seeded from delta 1, step
+    avg' = (13*avg + v)/14 in IEEE doubles (same op order as both
+    engines)."""
+    daily = {}
+    for day, c in series:
+        daily[day] = daily.get(day, 0) + c
+    xs = [daily[d] for d in sorted(daily)]
+    if len(xs) < 2:
+        return None
+    ds = [float(xs[i + 1] - xs[i]) for i in range(len(xs) - 1)]
+    g, l = max(ds[0], 0.0), max(-ds[0], 0.0)
+    for d in ds[1:]:
+        g = (g * 13.0 + max(d, 0.0)) / 14.0
+        l = (l * 13.0 + max(-d, 0.0)) / 14.0
+    if g + l > 0:
+        return (len(ds), math.floor((100.0 * g) / (g + l) * 10000 + 0.5) / 10000)
+    return (len(ds), None)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_rsi_case)
+def test_rsi_matches_python_reference(spark, tmp_path_factory, case):
+    from swallow_spark.registry import all_queries
+
+    tmpdir = str(tmp_path_factory.mktemp("rsi"))
+    rows = []
+    eid = 0
+    for uid, series in enumerate(case):
+        for day, c in series:
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": _BASE + dt.timedelta(days=day, hours=3),
+                    "user_id": uid,
+                    "event_type": "purchase",
+                    "value": c / 100.0,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    _write(pd.DataFrame(rows), f"{tmpdir}/events.parquet")
+    got = {
+        r["user_id"]: (r["n_deltas"], r["rsi"])
+        for r in all_queries()["ts_rsi"].fn(spark, tmpdir).collect()
+    }
+    for uid, series in enumerate(case):
+        want = _ref_rsi(series)
+        assert got.get(uid) == want, f"user {uid}: {got.get(uid)} != {want}"
+
+
+# --------------------------------------------------------- Kaplan-Meier
+
+# users: (signup_day, purchase_day_or_None); tiny day range → tied event
+# times and censoring collisions
+_km_user = st.tuples(st.integers(0, 6), st.one_of(st.none(), st.integers(0, 9)))
+_km_case = st.lists(_km_user, min_size=4, max_size=20)
+
+
+def _ref_km(users, max_day):
+    """Pure-Python KM: duration = purchase−signup (events with purchase ≥
+    signup) else censor at max_day−signup; n_t counts dur >= t."""
+    durs = []
+    for sd, pd_ in users:
+        if pd_ is not None and pd_ >= sd:
+            durs.append((pd_ - sd, 1))
+        else:
+            durs.append((max_day - sd, 0))
+    out = {}
+    surv = 1.0
+    for t in sorted({d for d, ev in durs if ev == 1}):
+        n = sum(1 for d, _ in durs if d >= t)
+        d_ev = sum(1 for d, ev in durs if d == t and ev == 1)
+        surv = surv * (1.0 - float(d_ev) / float(n))
+        out[t] = (d_ev, n, math.floor(surv * 1000000 + 0.5) / 1000000)
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(_km_case)
+def test_km_matches_python_reference(spark, tmp_path_factory, case):
+    from swallow_spark.registry import all_queries
+
+    tmpdir = str(tmp_path_factory.mktemp("km"))
+    rows = []
+    eid = 0
+    max_day = 0
+    for uid, (sd, pday) in enumerate(case):
+        rows.append(
+            {
+                "event_id": eid,
+                "ts": _BASE + dt.timedelta(days=sd, hours=1),
+                "user_id": uid,
+                "event_type": "signup",
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+        eid += 1
+        max_day = max(max_day, sd)
+        if pday is not None:
+            rows.append(
+                {
+                    "event_id": eid,
+                    # later-in-day so a same-day purchase counts (ts >= signup ts)
+                    "ts": _BASE + dt.timedelta(days=pday, hours=2),
+                    "user_id": uid,
+                    "event_type": "purchase",
+                    "value": 5.0,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+            max_day = max(max_day, pday)
+    _write(pd.DataFrame(rows), f"{tmpdir}/events.parquet")
+    got = {
+        r["t"]: (r["d_events"], r["n_at_risk"], r["survival"])
+        for r in all_queries()["stats_survival_km"].fn(spark, tmpdir).collect()
+    }
+    # reference: purchases before signup are NOT conversion events (the key
+    # requires ts >= signup ts; hour-2 purchase on day >= signup day always
+    # qualifies, earlier days never do)
+    want = _ref_km(
+        [(sd, pd_ if (pd_ is not None and pd_ >= sd) else None) for sd, pd_ in case],
+        max_day,
+    )
+    assert got == want
