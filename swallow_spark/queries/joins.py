@@ -660,3 +660,56 @@ def join_asof_tolerance(spark, sf_dir):
             F.col("m.pval"),
         ).alias("tolerated_purchase_value"),
     )
+
+
+@register(
+    "join_lateral_api",
+    oracle="""
+WITH ranked AS (
+  SELECT c.c_nationkey, c.c_custkey,
+         CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+         ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                            ORDER BY CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) DESC,
+                                     c.c_custkey) AS rk
+  FROM customer c
+)
+SELECT n.n_name, r.c_custkey, r.bal_cents, CAST(r.rk AS BIGINT) AS rk
+FROM nation n JOIN ranked r ON r.c_nationkey = n.n_nationkey
+WHERE r.rk <= 2
+""",
+    tier="T2",
+)
+def join_lateral_api(spark, sf_dir):
+    """DataFrame.lateralJoin() (new API surface in Spark 4): the
+    correlated-subquery join expressed directly on DataFrames — for each
+    nation, the top-2 customers by account balance, with the correlation
+    written as `col("n_nationkey").outer()` inside the right side's
+    filter (the API twin of join_lateral_topn's SQL LATERAL). Catalyst
+    decorrelates the per-row limit to a window top-k + equi join, which
+    the oracle spells explicitly — the hash match proves the
+    decorrelation.
+
+    Determinism: ranking orders by (exact cents DESC, custkey) — total.
+    Scale note: after decorrelation there is NO per-left-row re-execution:
+    one c_nationkey window shuffle with a WindowGroupLimit top-k, then a
+    broadcast join of the 25-nation dim.
+    """
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal_cents"),
+    )
+    from pyspark.sql.window import Window
+
+    right = (
+        c.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("bal_cents").desc(), "c_custkey")
+        .limit(2)
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("bal_cents").desc(), "c_custkey")
+    return (
+        n.lateralJoin(right)
+        .withColumn("rk", F.row_number().over(w))
+        .select("n_name", "c_custkey", "bal_cents", F.col("rk").cast("long").alias("rk"))
+    )

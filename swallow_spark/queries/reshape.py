@@ -835,3 +835,75 @@ def sql_transform_script(spark, sf_dir):
         )
         """
     )
+
+
+@register(
+    "reshape_transpose",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS max_cents
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT 'n' AS key,
+       MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN n END) AS "1-URGENT",
+       MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN n END) AS "2-HIGH",
+       MAX(CASE WHEN o_orderpriority = '3-MEDIUM' THEN n END) AS "3-MEDIUM",
+       MAX(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN n END)
+         AS "4-NOT SPECIFIED",
+       MAX(CASE WHEN o_orderpriority = '5-LOW' THEN n END) AS "5-LOW"
+FROM base
+UNION ALL
+SELECT 'cents',
+       MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN cents END),
+       MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN cents END),
+       MAX(CASE WHEN o_orderpriority = '3-MEDIUM' THEN cents END),
+       MAX(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN cents END),
+       MAX(CASE WHEN o_orderpriority = '5-LOW' THEN cents END)
+FROM base
+UNION ALL
+SELECT 'max_cents',
+       MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN max_cents END),
+       MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN max_cents END),
+       MAX(CASE WHEN o_orderpriority = '3-MEDIUM' THEN max_cents END),
+       MAX(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN max_cents END),
+       MAX(CASE WHEN o_orderpriority = '5-LOW' THEN max_cents END)
+FROM base
+""",
+    tier="T2",
+)
+def reshape_transpose(spark, sf_dir):
+    """DataFrame.transpose() (new API surface in Spark 4): flip a
+    per-priority metrics table so metrics become rows and priorities
+    become columns — the report/export orientation (one row per KPI). The
+    first column supplies the new column names; the oracle hand-spells
+    the transposed table with FILTER-style CASE aggregates, so the hash
+    match proves transpose's row→column mapping exactly.
+
+    Determinism: all transposed cells are exact BIGINT aggregates sharing
+    one type (transpose requires a common cell type); the metric-name
+    `key` column makes row identity explicit, and column names are pinned
+    by the priority domain. Scale note: transpose COLLECTS the index
+    column to name the output schema, so it is strictly a
+    small-aggregate-table verb (5×4 here) — never point it at a fact
+    table; the feeding aggregate is the ordinary partial+final pass.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.max(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("max_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    return base.transpose()
