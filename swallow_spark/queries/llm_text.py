@@ -1008,3 +1008,75 @@ def text_line_dedup(spark, sf_dir):
         ).alias("retention"),
         F.length(clean_text).cast("long").alias("clean_chars"),
     )
+
+
+@register(
+    "text_readability_fk",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       FLOOR(((CAST(39 AS DOUBLE) / 100)
+                * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+              + (CAST(118 AS DOUBLE) / 10)
+                * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+              - CAST(1559 AS DOUBLE) / 100) * 10000 + 0.5) / 10000
+         AS fk_grade
+FROM m
+""",
+    tier="T2",
+)
+def text_readability_fk(spark, sf_dir):
+    """Flesch-Kincaid grade-level readability per document — the classic
+    text-complexity quality signal (pretraining mixes are often curated by
+    readability band; a corpus whose FK distribution drifts has a
+    composition problem). Syllables use the standard vowel-group heuristic
+    (runs of [aeiouy] in the lowercased text), sentences count terminal
+    punctuation runs (floor 1 so fragment-only docs stay defined).
+
+    Determinism: all three counts are exact integers from identical
+    regexes in both engines; the grade is one fixed IEEE expression over
+    them (the constants 0.39 / 11.8 / 15.59 are spelled as exact integer
+    divisions so both engines round identically), half-up 4dp. Empty text
+    counts 1 whitespace "word" and 0 syllables in both engines (split('',
+    ' ') yields ['']); NULL text propagates NULL rows in both.
+
+    Scale note: map-only (regexp_count is codegen) — no shuffle at all;
+    the cost is linear regex scans of each document, the same budget as
+    text_token_count.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(tokens(F.col("text"))).cast("long")
+    n_sent = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+    ).cast("long")
+    n_syl = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast("long")
+    grade = (
+        (F.lit(39).cast("double") / 100)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        + (F.lit(118).cast("double") / 10)
+        * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+        - F.lit(1559).cast("double") / 100
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sent.alias("n_sentences"),
+            n_syl.alias("n_syllables"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            (F.floor(grade * 10000 + F.lit(0.5)) / 10000).alias("fk_grade"),
+        )
+    )
