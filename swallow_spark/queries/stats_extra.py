@@ -1410,3 +1410,80 @@ def stats_permutation_test(spark, sf_dir):
         "diff_microcents",
         (F.abs(F.col("diff_microcents")) >= F.col("obs_abs")).alias("is_extreme"),
     )
+
+
+# ------------------------------------------------------------ QQ deciles
+_QQ_SQL = """
+WITH obs AS (
+  SELECT user_id % 2 AS grp, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+ranked AS (
+  SELECT grp, v,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, event_id) AS rk
+  FROM obs
+),
+cnt AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM obs GROUP BY grp),
+dec AS (
+  SELECT cnt.grp, cnt.n, d.d, (d.d * cnt.n + 9) // 10 AS k
+  FROM cnt CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d) d
+)
+SELECT dec.grp, CAST(dec.d AS BIGINT) AS decile, dec.n,
+       CAST(dec.k AS BIGINT) AS k, ranked.v AS value_cents
+FROM dec JOIN ranked ON ranked.grp = dec.grp AND ranked.rk = dec.k
+"""
+
+
+@register("stats_qq_deciles", oracle=_QQ_SQL, tier="T2")
+def stats_qq_deciles(spark, sf_dir):
+    """Quantile-quantile decile table for two cohorts (user parity) of
+    purchase values — the distribution-drift diagnostic behind QQ plots:
+    if the cohorts' per-decile order statistics diverge, the change moved
+    the SHAPE, not just the mean (which ab_test_ztest/permutation tests
+    would miss). Exact lower order statistics, not interpolated quantiles:
+    decile d = the value at rank ceil(d·n/10) under the total order
+    (value, event_id) — integer arithmetic ((d·n + 9) DIV 10), so both
+    engines pick the identical row even through ties.
+
+    Scale note: one shuffle partitions each cohort for the rank window;
+    the 9-row decile table per cohort joins back on (grp, rank) — a
+    broadcast of 18 rows against the ranked stream. At extreme n swap the
+    full rank window for the two-pass histogram rank (the KS-test
+    distinct-value recipe) so no single partition sorts a whole cohort.
+    """
+    e = load(spark, sf_dir, "events")
+    obs = e.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("grp"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("grp").orderBy("v", "event_id")
+    ranked = obs.withColumn("rk", F.row_number().over(w))
+    cnt = obs.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dec = cnt.select(
+        "grp",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d"),
+    ).select(
+        "grp",
+        "n",
+        "d",
+        ((F.col("d") * F.col("n") + 9) / 10).cast("long").alias("k"),
+    )
+    dec = dec.select(
+        F.col("grp").alias("dgrp"), "n", "d", "k"
+    )
+    return (
+        ranked.join(
+            F.broadcast(dec),
+            (F.col("grp") == F.col("dgrp")) & (F.col("rk") == F.col("k")),
+        )
+        .select(
+            "grp",
+            F.col("d").cast("long").alias("decile"),
+            "n",
+            "k",
+            F.col("v").alias("value_cents"),
+        )
+    )
