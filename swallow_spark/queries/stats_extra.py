@@ -1417,7 +1417,7 @@ _QQ_SQL = """
 WITH obs AS (
   SELECT user_id % 2 AS grp, event_id,
          CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
 ),
 ranked AS (
   SELECT grp, v,
@@ -1444,7 +1444,10 @@ def stats_qq_deciles(spark, sf_dir):
     would miss). Exact lower order statistics, not interpolated quantiles:
     decile d = the value at rank ceil(d·n/10) under the total order
     (value, event_id) — integer arithmetic ((d·n + 9) DIV 10), so both
-    engines pick the identical row even through ties.
+    engines pick the identical row even through ties. NULL-valued
+    purchases are excluded EXPLICITLY on both sides — the engines disagree
+    on default NULL sort placement (Spark NULLS FIRST asc, DuckDB NULLS
+    LAST), so NULL measures must never reach a rank order.
 
     Scale note: one shuffle partitions each cohort for the rank window;
     the 9-row decile table per cohort joins back on (grp, rank) — a
@@ -1453,10 +1456,13 @@ def stats_qq_deciles(spark, sf_dir):
     distinct-value recipe) so no single partition sorts a whole cohort.
     """
     e = load(spark, sf_dir, "events")
-    obs = e.filter(F.col("event_type") == "purchase").select(
-        (F.col("user_id") % 2).alias("grp"),
-        "event_id",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    obs = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("grp"),
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        )
     )
     w = Window.partitionBy("grp").orderBy("v", "event_id")
     ranked = obs.withColumn("rk", F.row_number().over(w))
