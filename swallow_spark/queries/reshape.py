@@ -907,3 +907,50 @@ def reshape_transpose(spark, sf_dir):
         .orderBy("o_orderpriority")
     )
     return base.transpose()
+
+
+@register(
+    "sql_grouping_id",
+    oracle="""
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority), ())
+""",
+    tier="T2",
+)
+def sql_grouping_id(spark, sf_dir):
+    """GROUPING() / GROUPING_ID() over GROUPING SETS: the disambiguation
+    functions that tell a real NULL apart from a rollup-total NULL — the
+    thing every BI export on top of agg_rollup/agg_grouping_sets needs
+    (COALESCE to '<all>' only works because GROUPING says which rows are
+    totals). GROUPING_ID packs the per-column grouping bits into one
+    integer (status bit 2, priority bit 1), pinning Spark's and DuckDB's
+    bit order against each other.
+
+    Determinism: all outputs are exact integers/pinned labels. Scale
+    note: grouping sets expand rows map-side (one per matching set) then
+    partial-aggregate — same plan family as agg_grouping_sets; the
+    grouping-bit columns are free metadata, no extra pass.
+    """
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gid")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '<all>') AS status,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS n
+        FROM orders_gid
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        """
+    )

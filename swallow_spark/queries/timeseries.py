@@ -1896,3 +1896,77 @@ def ts_rsi(spark, sf_dir):
             ).alias("rsi"),
         )
     )
+
+
+_MK_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+ser AS (
+  SELECT user_id, list(c ORDER BY day) AS xs
+  FROM daily GROUP BY user_id
+)
+SELECT user_id, CAST(len(xs) AS BIGINT) AS n_days,
+       CAST(list_sum(flatten(list_transform(
+              generate_series(1, len(xs) - 1),
+              i -> list_transform(generate_series(i + 1, len(xs)),
+                     j -> CASE WHEN xs[j] > xs[i] THEN 1
+                               WHEN xs[j] < xs[i] THEN -1 ELSE 0 END))))
+            AS BIGINT) AS s_stat,
+       CAST(len(xs) * (len(xs) - 1) // 2 AS BIGINT) AS n_pairs
+FROM ser WHERE len(xs) >= 2
+"""
+
+
+@register("ts_mann_kendall", oracle=_MK_SQL, tier="T2")
+def ts_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend statistic S per user: Σ_{i<j} sign(x_j − x_i)
+    over the daily purchase-revenue series — the nonparametric
+    is-this-metric-trending test (robust to outliers and any monotone
+    transform; S near ±n_pairs means a strong monotone trend, near 0
+    none). The classic monitoring complement to the parametric
+    agg_regression slope.
+
+    Determinism: pure integers end to end — daily totals are exact cents,
+    every pair verdict is an integer sign, S is an exact integer sum. The
+    O(n²) pair expansion happens IN-ROW on the per-user day array
+    (calendar-bounded: 30 days → 435 array elements), never as a join;
+    NULL-valued purchases are excluded on both sides before aggregation.
+
+    Scale note: one user_id shuffle for the daily aggregate + ordered
+    collect; the quadratic stays bounded by days-per-user, so cost is
+    linear in users. For year-scale series (~365d → 66k pairs/user) the
+    in-row form still beats a pair join; beyond that use the O(n log n)
+    inversion-count formulation.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(cents(F.col("value"))).cast("long").alias("c"))
+    )
+    return (
+        daily.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "c"))).alias("s"))
+        .withColumn("xs", F.expr("transform(s, v -> v.c)"))
+        .filter(F.size("xs") >= 2)
+        .select(
+            "user_id",
+            F.size("xs").cast("long").alias("n_days"),
+            F.expr(
+                "aggregate(flatten(transform(sequence(1, size(xs) - 1),"
+                " i -> transform(sequence(i + 1, size(xs)),"
+                " j -> CASE WHEN element_at(xs, j) > element_at(xs, i) THEN 1"
+                "           WHEN element_at(xs, j) < element_at(xs, i) THEN -1"
+                "           ELSE 0 END))), 0L, (a, x) -> a + x)"
+            )
+            .cast("long")
+            .alias("s_stat"),
+            (F.size("xs").cast("long") * (F.size("xs") - 1) / 2)
+            .cast("long")
+            .alias("n_pairs"),
+        )
+    )
