@@ -954,3 +954,63 @@ def sql_grouping_id(spark, sf_dir):
                                 (o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@register(
+    "sub_not_in_nulls",
+    oracle="""
+WITH probe AS (
+  SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT k FROM probe)) AS BIGINT)
+    AS not_in_with_nulls,
+  CAST((SELECT COUNT(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+       AS BIGINT) AS not_in_null_free,
+  CAST((SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = o.o_custkey))
+       AS BIGINT) AS not_exists,
+  CAST((SELECT COUNT(*) FROM probe WHERE k IS NULL) AS BIGINT) AS n_nulls
+""",
+    tier="T2",
+)
+def sub_not_in_nulls(spark, sf_dir):
+    """NOT IN vs NOT EXISTS under NULLs — the classic three-valued-logic
+    trap, pinned cross-engine: when the NOT IN list contains even one
+    NULL, every comparison is UNKNOWN and the predicate filters EVERY row
+    (not_in_with_nulls = 0 whenever n_nulls > 0), while NOT EXISTS and
+    the null-free NOT IN agree on the real anti-join count. Shipping this
+    as a declared key freezes the semantics an engine swap silently
+    breaks (several warehouses "fix" NOT IN and diverge from the
+    standard).
+
+    Determinism: four exact counts. Scale note: Catalyst plans NOT IN as
+    a null-aware anti join (broadcast when the probe side is small) and
+    NOT EXISTS as a plain left-anti hash join — same single fact-scan
+    budget per count; the four scalar counts broadcast-join into one row
+    (audited scalar pattern).
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("nin_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("nin_customer")
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+          FROM nin_customer WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT
+          (SELECT COUNT(*) FROM nin_orders
+           WHERE o_custkey NOT IN (SELECT k FROM probe))
+            AS not_in_with_nulls,
+          (SELECT COUNT(*) FROM nin_orders
+           WHERE o_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+            AS not_in_null_free,
+          (SELECT COUNT(*) FROM nin_orders o
+           WHERE NOT EXISTS (SELECT 1 FROM probe p
+                             WHERE p.k = o.o_custkey)) AS not_exists,
+          (SELECT COUNT(*) FROM probe WHERE k IS NULL) AS n_nulls
+        """
+    )
