@@ -410,3 +410,36 @@ def test_argmax_rows_partial_aggregates_before_exchange(spark):
     assert exchange != -1
     assert p.find("partial_max_by") > exchange  # below the exchange in tree order
     assert "Window" not in p
+
+
+def test_skyline_single_exchange_two_windows(spark):
+    """win_skyline_dominance: both dominance windows (strictly-cheaper RANGE
+    max and equal-price max) must share ONE p_brand exchange — the finer
+    (brand, price) partition requirement is satisfied by hashpartitioning
+    on brand alone, so a second shuffle would be a regression."""
+    p = plan_of(spark, "win_skyline_dominance")
+    tree = p.split("\n\n(")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 2
+    assert "CartesianProduct" not in p  # never the O(n^2) dominance join
+
+
+def test_lateral_api_decorrelates_to_window_topk(spark):
+    """join_lateral_api: the correlated per-nation limit must decorrelate
+    to a WindowGroupLimit top-k + broadcast dim join — NO per-left-row
+    re-execution (nested loop) of the right side."""
+    p = plan_of(spark, "join_lateral_api")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_epoch_shuffle_windowgrouplimit(spark):
+    """training_epoch_shuffle: the top-20 pin must push down as a
+    WindowGroupLimit (map-side partial + final), never a full per-epoch
+    sort materialization."""
+    p = plan_of(spark, "training_epoch_shuffle")
+    tree = p.split("\n\n(")[0]
+    assert "WindowGroupLimit" in tree
+    assert tree.count("Exchange") == 1
