@@ -220,3 +220,149 @@ def ts_mom_growth(spark, sf_dir):
         (F.col("cents").cast("double") / 100).alias("revenue"),
         ((F.col("cents") - prev).cast("double") / prev).alias("mom_growth"),
     )
+
+
+_CUPED_SQL = """
+WITH bounds AS (
+  SELECT CAST(MIN(ts) AS DATE) AS lo FROM events
+),
+per_user AS (
+  SELECT e.user_id, e.user_id % 2 AS grp,
+         CAST(SUM(CASE WHEN CAST(e.ts AS DATE) < lo + 15
+                       THEN CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN CAST(e.ts AS DATE) >= lo + 15
+                       THEN CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events e CROSS JOIN bounds
+  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+  GROUP BY e.user_id
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM per_user
+),
+theta AS (
+  SELECT n, sx, sy,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS th,
+         (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * n) AS var_y,
+         CAST(sx AS DOUBLE) / n AS mean_x
+  FROM mom
+),
+adj AS (
+  SELECT p.grp, p.y, t.th, t.var_y,
+         CAST(FLOOR((CAST(p.y AS DOUBLE)
+                     - t.th * (CAST(p.x AS DOUBLE) - t.mean_x)) * 10000 + 0.5)
+              AS BIGINT) AS y_adj_u
+  FROM per_user p CROSS JOIN theta t
+)
+SELECT grp,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       FLOOR(AVG(CAST(y AS DOUBLE)) * 100 + 0.5) / 100 AS mean_y_cents,
+       FLOOR(CAST(SUM(y_adj_u) AS DOUBLE) / 10000 / COUNT(*) * 100 + 0.5) / 100
+         AS mean_y_cuped_cents,
+       FLOOR(MAX(th) * 1000000 + 0.5) / 1000000 AS theta
+FROM adj GROUP BY grp
+"""
+
+
+@register("stats_cuped", oracle=_CUPED_SQL, tier="T2")
+def stats_cuped(spark, sf_dir):
+    """CUPED variance reduction for experiment metrics (Deng et al. 2013):
+    adjust each user's experiment-period revenue Y by their PRE-period
+    revenue X — Y' = Y − θ·(X − mean(X)), θ = cov(X,Y)/var(X) — so cohort
+    means keep their expectation but lose the variance X explains; the
+    standard trick that cuts A/B test duration severalfold. Pre-period =
+    first 15 days of the fixture window, experiment period = the rest;
+    cohorts by user parity.
+
+    Determinism: X/Y are exact per-user cent sums; θ comes from exact
+    int64 cross-moments with ONE fixed IEEE expression; each user's
+    adjusted value is floored to int64 1e-4-cent units BEFORE the
+    cross-user SUM (the stats_anova cross-dimension rule — a raw double
+    sum would be partition-order dependent), so the cohort aggregate is
+    exact integer arithmetic with one final division. AVG(y) is safe
+    as-is: y is integer-valued, and integer-double sums are exact to 2^53.
+    Headroom: |y_adj_u| ≤ ~1e9 per user at sf1 → int64 sums safe past
+    SF 1000.
+
+    Scale notes: one user_id aggregate builds (x, y); moments are one
+    partial+final pass; θ and mean_x broadcast as a 1-row scalar (audited
+    crossJoin); the adjusted aggregate is another single pass — three
+    shuffles total, all narrow.
+    """
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(F.min(F.col("ts").cast("date")).alias("lo"))
+    per_user = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts").cast("date") < F.date_add(F.col("lo"), 15),
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.col("ts").cast("date") >= F.date_add(F.col("lo"), 15),
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select((F.col("user_id") % 2).alias("grp"), "user_id", "x", "y")
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    theta = mom.select(
+        (
+            (F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        ).alias("th"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_x"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        "grp",
+        "y",
+        "th",
+        F.floor(
+            (
+                F.col("y").cast("double")
+                - F.col("th") * (F.col("x").cast("double") - F.col("mean_x"))
+            )
+            * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("y_adj_u"),
+    )
+    return adj.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (F.floor(F.avg(F.col("y").cast("double")) * 100 + F.lit(0.5)) / 100).alias(
+            "mean_y_cents"
+        ),
+        (
+            F.floor(
+                F.sum("y_adj_u").cast("double") / 10000 / F.count(F.lit(1)) * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("mean_y_cuped_cents"),
+        (F.floor(F.max("th") * 1000000 + F.lit(0.5)) / 1000000).alias("theta"),
+    )
