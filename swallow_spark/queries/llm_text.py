@@ -1080,3 +1080,58 @@ def text_readability_fk(spark, sf_dir):
             (F.floor(grade * 10000 + F.lit(0.5)) / 10000).alias("fk_grade"),
         )
     )
+
+
+@register(
+    "text_template_groups",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '[0-9]+', '#', 'g') AS tpl
+  FROM documents WHERE text IS NOT NULL
+),
+grp AS (
+  SELECT tpl, CAST(COUNT(*) AS BIGINT) AS support,
+         CAST(MIN(doc_id) AS BIGINT) AS exemplar_doc,
+         CAST(length(tpl) AS BIGINT) AS tpl_len
+  FROM norm GROUP BY tpl
+)
+SELECT support, exemplar_doc, tpl_len
+FROM grp WHERE support >= 2
+""",
+    tier="T2",
+)
+def text_template_groups(spark, sf_dir):
+    """Template-level duplicate detection: documents that are identical
+    after masking every digit run to '#' collapse into one template group
+    (support ≥ 2 reported with an exemplar) — the log-line /
+    boilerplate-with-IDs dedup pass that exact hashing misses (\"order
+    12345 shipped\" ≡ \"order 99871 shipped\") and shingle Jaccard
+    over-pays for. The canonical pre-dedup normalizer for machine-
+    generated text in a pretraining corpus.
+
+    Determinism: the digit-mask regex is identical in both engines
+    (DuckDB needs the 'g' flag; Spark's regexp_replace is global by
+    default); groups aggregate exact counts and a MIN exemplar. The
+    template string itself stays OUT of the output (scalar-only contract);
+    its length + exemplar pin identity.
+
+    Scale note: map-side normalize, one partial+final aggregate on the
+    template hash — identical shape (and cost) to dedup_exact; at 100 TB
+    group on xxhash64(tpl) instead of the raw string to keep shuffle rows
+    narrow.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = d.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#").alias("tpl"),
+    )
+    return (
+        norm.groupBy("tpl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("support"),
+            F.min("doc_id").cast("long").alias("exemplar_doc"),
+        )
+        .filter(F.col("support") >= 2)
+        .select("support", "exemplar_doc", F.length("tpl").cast("long").alias("tpl_len"))
+    )
