@@ -841,3 +841,71 @@ def etl_referential_audit(spark, sf_dir):
         )
         out = edge if out is None else out.unionByName(edge)
     return out
+
+
+@register(
+    "etl_freshness_audit",
+    oracle="""
+WITH mx AS (SELECT MAX(ts) AS global_max FROM events)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MAX(e.ts) AS latest_ts,
+       CAST(datediff('second', MAX(e.ts), mx.global_max) AS BIGINT)
+         AS lag_seconds,
+       CAST(SUM(CASE WHEN e.ts >= mx.global_max - INTERVAL 1 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS rows_last_day,
+       CAST(SUM(CASE WHEN e.ts >= mx.global_max - INTERVAL 7 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS rows_last_7d
+FROM events e CROSS JOIN mx
+GROUP BY e.event_type, mx.global_max
+""",
+    tier="T2",
+)
+def etl_freshness_audit(spark, sf_dir):
+    """Per-stream freshness / SLA audit — the first dashboard every
+    ingestion pipeline grows: for each event stream, its latest watermark,
+    how far it lags the freshest stream (a stalled producer shows up as a
+    big lag with flat recent counts), and 1-day/7-day arrival volumes.
+    Windows anchor on the GLOBAL max timestamp, not wall clock, so the
+    audit is reproducible on any snapshot.
+
+    Determinism: exact counts, exact µs timestamp max, integer second
+    lag. Scale note: one pass computes the global max (1-row broadcast,
+    audited crossJoin pattern), one partial+final aggregate per stream —
+    the CASE counters combine map-side, so the fact stream shuffles only
+    5 aggregate rows.
+    """
+    e = load(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("global_max"))
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("event_type", "global_max")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.max("ts").alias("latest_ts"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.col("global_max") - F.expr("INTERVAL 1 DAY"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_last_day"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.col("global_max") - F.expr("INTERVAL 7 DAY"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_last_7d"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "latest_ts",
+            (F.unix_timestamp("global_max") - F.unix_timestamp("latest_ts"))
+            .cast("long")
+            .alias("lag_seconds"),
+            "rows_last_day",
+            "rows_last_7d",
+        )
+    )
