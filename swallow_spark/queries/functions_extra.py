@@ -419,3 +419,60 @@ def fn_aes_roundtrip(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select("o_orderpriority", "n", "ct_bytes")
     )
+
+
+@register(
+    "fn_stable_id",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, md5(concat('swallow:doc:', CAST(doc_id AS VARCHAR), ':',
+                            text)) AS hx
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       concat(substr(hx, 1, 8), '-', substr(hx, 9, 4), '-',
+              substr(hx, 13, 4), '-', substr(hx, 17, 4), '-',
+              substr(hx, 21, 12)) AS stable_uuid
+FROM h
+""",
+    tier="T2",
+)
+def fn_stable_id(spark, sf_dir):
+    """Deterministic content-derived stable IDs (UUIDv5-style minting):
+    md5 over a namespaced serialization of (doc_id, text), formatted in
+    the canonical 8-4-4-4-12 UUID layout — the idempotent-ingest primitive
+    (re-running the pipeline mints the SAME id, so downstream upserts
+    dedupe for free; uuid() would mint a new row every run). The
+    namespace prefix ('swallow:doc:') keeps IDs from colliding across
+    entity types sharing a key space.
+
+    Determinism: md5 is bit-identical in both engines over identical
+    UTF-8 serializations; formatting is pure substring arithmetic. NULL
+    text is excluded on both sides (concat(NULL) nulls the namespace in
+    Spark but not DuckDB's concat, which skips NULLs — the one concat
+    semantic the engines disagree on, worth pinning away explicitly).
+
+    Scale note: map-only codegen — no shuffle; at 100 TB this runs at
+    scan speed and the minted id becomes the shuffle/bucket key for
+    everything downstream.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hx = F.md5(
+        F.concat(
+            F.lit("swallow:doc:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("text"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "-",
+            F.substring(hx, 1, 8),
+            F.substring(hx, 9, 4),
+            F.substring(hx, 13, 4),
+            F.substring(hx, 17, 4),
+            F.substring(hx, 21, 12),
+        ).alias("stable_uuid"),
+    )
