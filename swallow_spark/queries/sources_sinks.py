@@ -418,3 +418,72 @@ def source_binaryfile(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.expr(_binf_phs("decode(content, 'UTF-8')")).cast("long").alias("content_hash"),
     )
+
+
+@register(
+    "sink_partition_overwrite_dynamic",
+    oracle="""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, event_id
+  FROM events WHERE CAST(ts AS DATE) <= (SELECT MIN(CAST(ts AS DATE)) + 6
+                                         FROM events)
+),
+target_day AS (SELECT MIN(day) AS d FROM base)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT day, event_id FROM base
+  WHERE day <> (SELECT d FROM target_day)
+  UNION ALL
+  SELECT day, event_id FROM base
+  WHERE day = (SELECT d FROM target_day) AND event_type = 'purchase'
+)
+GROUP BY day
+""",
+    tier="T2",
+)
+def sink_partition_overwrite_dynamic(spark, sf_dir):
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic) — the
+    idempotent-backfill primitive: a second write that touches ONE day
+    replaces exactly that day's partition and leaves every other partition
+    byte-untouched (static mode would truncate the whole table — the
+    classic backfill disaster). Sequence: write 7 days of events
+    partitioned by day, then overwrite the first day with a corrected
+    (purchases-only) load; the read-back per-day counts must show only
+    day 1 changed, which the oracle computes in closed form.
+
+    Determinism: exact counts over a fixed 7-day slice anchored on the
+    data's own min date. Scale note: the backfill write shuffles only the
+    corrected day's rows; read-back partition pruning works unchanged.
+    This is the path-based analog of catalog MERGE/REPLACE WHERE — the
+    100 TB daily-reprocessing workflow.
+    """
+    path = _io_dir(sf_dir, "events_dyn_overwrite")
+    e = load(spark, sf_dir, "events")
+    lo = e.agg(F.min(F.col("ts").cast("date")).alias("lo"))
+    base = (
+        e.crossJoin(F.broadcast(lo))
+        .filter(F.col("ts").cast("date") <= F.date_add(F.col("lo"), 6))
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+            "event_id",
+            F.col("lo"),
+        )
+    )
+    base.drop("lo").write.mode("overwrite").partitionBy("day").parquet(path)
+    corrected = base.filter(
+        (F.col("day") == F.col("lo")) & (F.col("event_type") == "purchase")
+    ).drop("lo")
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("day").cast("date").alias("day"), "n")
+    )
