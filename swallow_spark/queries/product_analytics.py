@@ -347,3 +347,121 @@ def seq_markov_transitions(spark, sf_dir):
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wn).cast("double")).alias("prob"),
     )
+
+
+_GROWTH_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                       CAST(ts AS DATE)) // 7 AS BIGINT) AS wk
+  FROM events
+),
+firsts AS (SELECT user_id, MIN(wk) AS first_wk FROM uw GROUP BY user_id),
+lagged AS (
+  SELECT uw.user_id, uw.wk, f.first_wk,
+         EXISTS (SELECT 1 FROM uw p
+                 WHERE p.user_id = uw.user_id AND p.wk = uw.wk - 1)
+           AS active_prev
+  FROM uw JOIN firsts f ON f.user_id = uw.user_id
+),
+status AS (
+  SELECT wk,
+         CAST(SUM(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users,
+         CAST(SUM(CASE WHEN wk > first_wk AND active_prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS retained,
+         CAST(SUM(CASE WHEN wk > first_wk AND NOT active_prev THEN 1 ELSE 0
+                  END) AS BIGINT) AS resurrected
+  FROM lagged GROUP BY wk
+),
+churn AS (
+  SELECT uw.wk + 1 AS wk, CAST(COUNT(*) AS BIGINT) AS churned
+  FROM uw
+  WHERE NOT EXISTS (SELECT 1 FROM uw n
+                    WHERE n.user_id = uw.user_id AND n.wk = uw.wk + 1)
+  GROUP BY uw.wk + 1
+)
+SELECT s.wk, s.new_users, s.retained, s.resurrected,
+       COALESCE(c.churned, 0) AS churned_from_prev
+FROM status s LEFT JOIN churn c ON c.wk = s.wk
+"""
+
+
+@register("seq_growth_accounting", oracle=_GROWTH_SQL, tier="T2")
+def seq_growth_accounting(spark, sf_dir):
+    """Weekly growth accounting — the canonical DAU/MAU decomposition
+    (Social Capital framing): each week's active users split into NEW
+    (first-ever week), RETAINED (active last week too) and RESURRECTED
+    (returning after a gap), plus CHURNED-from-previous-week (active in
+    w−1, absent in w) — the identity active_w = new + retained +
+    resurrected and active_{w-1} = retained + churned that every growth
+    dashboard reconciles against.
+
+    Determinism: weeks are integer 7-day buckets from the corpus min date
+    (engine-independent day arithmetic, not ISO weeks — Spark and DuckDB
+    disagree on week-of-year numbering); all outputs exact counts. The
+    prev-week flag is a self-join on (user, wk−1) over the DISTINCT
+    user-week table, which Catalyst plans as a left-semi hash join — not
+    a window, since weeks with gaps break frame adjacency.
+
+    Scale note: everything keys on user_id (distinct user-weeks, firsts,
+    the wk−1 semi join) — one shuffle family; per-week sums are tiny.
+    """
+    e = load(spark, sf_dir, "events")
+    lo = e.agg(F.min(F.col("ts").cast("date")).alias("lo"))
+    uw = (
+        e.crossJoin(F.broadcast(lo))
+        .select(
+            "user_id",
+            (F.datediff(F.col("ts").cast("date"), F.col("lo")) / 7)
+            .cast("long")
+            .alias("wk"),
+        )
+        .distinct()
+    )
+    firsts = uw.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    prev = uw.select("user_id", (F.col("wk") + 1).alias("wk"), F.lit(1).alias("was_prev"))
+    lagged = (
+        uw.join(firsts, "user_id")
+        .join(prev, ["user_id", "wk"], "left")
+        .select(
+            "user_id",
+            "wk",
+            "first_wk",
+            F.col("was_prev").isNotNull().alias("active_prev"),
+        )
+    )
+    status = lagged.groupBy("wk").agg(
+        F.sum(F.when(F.col("wk") == F.col("first_wk"), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(
+            F.when((F.col("wk") > F.col("first_wk")) & F.col("active_prev"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("retained"),
+        F.sum(
+            F.when(
+                (F.col("wk") > F.col("first_wk")) & ~F.col("active_prev"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("resurrected"),
+    )
+    nxt = uw.select("user_id", (F.col("wk") - 1).alias("wk"), F.lit(1).alias("has_next"))
+    churn = (
+        uw.join(nxt, ["user_id", "wk"], "left")
+        .filter(F.col("has_next").isNull())
+        .groupBy((F.col("wk") + 1).alias("wk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("churned"))
+    )
+    return (
+        status.join(churn, "wk", "left")
+        .select(
+            "wk",
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce("churned", F.lit(0)).cast("long").alias("churned_from_prev"),
+        )
+    )
