@@ -1493,3 +1493,76 @@ def stats_qq_deciles(spark, sf_dir):
             F.col("v").alias("value_cents"),
         )
     )
+
+
+# -------------------------------------------------- chi-square GOF (dow)
+# dow from (epoch_days + 4) % 7 — 1970-01-01 was a Thursday, so +4 makes
+# 0=Sunday in BOTH engines (their native dayofweek numberings disagree).
+_GOF_SQL = """
+WITH dows AS (
+  SELECT (CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) + 4) % 7 AS dow
+  FROM events WHERE event_type = 'purchase'
+),
+o AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS obs FROM dows GROUP BY dow
+),
+n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
+SELECT o.dow, o.obs, n.n,
+       CAST((7 * o.obs - n.n) * (7 * o.obs - n.n) AS BIGINT) AS dev_num,
+       FLOOR(CAST((7 * o.obs - n.n) * (7 * o.obs - n.n) AS DOUBLE)
+             / (CAST(7 AS DOUBLE) * n.n) * 10000 + 0.5) / 10000
+         AS chi2_term
+FROM o CROSS JOIN n
+"""
+
+
+@register("stats_chisq_gof", oracle=_GOF_SQL, tier="T2")
+def stats_chisq_gof(spark, sf_dir):
+    """Chi-square goodness-of-fit of purchases against a uniform
+    day-of-week null — the seasonality smell test (a flat χ² says volume
+    is day-independent; a big Monday term says weekly structure) and the
+    GOF complement of stats_chisq_independence. Per-dow terms are emitted
+    so the diagnosis (WHICH day deviates) ships with the statistic;
+    Σ chi2_term is the χ² (6 df).
+
+    Determinism: (O − E)²/E is carried as the exact integer identity
+    (7·O − n)²/(7n) — no float E=n/7 ever materializes; each term is ONE
+    IEEE division of exact int64s, half-up 4dp. dow uses the portable
+    (epoch_days + 4) % 7 form because the engines' native dayofweek
+    numberings differ (Spark 1=Sunday, DuckDB 0=Sunday). Headroom:
+    (7O−n)² ≤ 49n² — int64-safe to n ≈ 4e8 purchases (~SF 200).
+
+    Scale note: one partial+final aggregate to 7 rows; n broadcasts back
+    as the audited 1-row scalar.
+    """
+    e = load(spark, sf_dir, "events")
+    dows = e.filter(F.col("event_type") == "purchase").select(
+        (
+            (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) + 4)
+            % 7
+        )
+        .cast("long")
+        .alias("dow")
+    )
+    o = dows.groupBy("dow").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    n = o.agg(F.sum("obs").cast("long").alias("n"))
+    dev = 7 * F.col("obs") - F.col("n")
+    return (
+        o.crossJoin(F.broadcast(n))
+        .select(
+            "dow",
+            "obs",
+            "n",
+            (dev * dev).cast("long").alias("dev_num"),
+            (
+                F.floor(
+                    (dev * dev).cast("double")
+                    / (F.lit(7).cast("double") * F.col("n"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("chi2_term"),
+        )
+    )
