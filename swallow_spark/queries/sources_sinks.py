@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import schemas
-from ..io import load
+from ..io import load, table_path
 from ..registry import register
 
 _IO_ROOT = "/tmp/swallow_spark_io"
@@ -486,4 +486,41 @@ def sink_partition_overwrite_dynamic(spark, sf_dir):
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .select(F.col("day").cast("date").alias("day"), "n")
+    )
+
+
+@register(
+    "source_file_metadata",
+    oracle="""
+SELECT 'orders.parquet' AS file_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+FROM orders
+""",
+    tier="T2",
+)
+def source_file_metadata(spark, sf_dir):
+    """Hidden file-metadata columns (`_metadata.file_name` — Spark's
+    row-provenance surface): every parquet row exposes which physical file
+    it came from, the primitive behind corrupt-file quarantine, per-file
+    audits and incremental reprocessing ("which files contributed these
+    bad rows?"). The key groups the orders scan by its source file name
+    and must attribute every row to orders.parquet.
+
+    Determinism: the fixture table is a single file whose basename is
+    pinned by the layout contract (TESTDATA.md); counts are exact. At
+    100 TB the same query yields per-file row counts — join it against
+    the ingest manifest to find short-loaded files.
+
+    Scale note: _metadata is populated at scan time from the split being
+    read — zero extra IO, no shuffle beyond the tiny aggregate; filtering
+    ON _metadata.file_name prunes at the file listing, like a partition
+    column.
+    """
+    o = spark.read.parquet(table_path(sf_dir, "orders")).select(
+        F.col("_metadata.file_name").alias("file_name"), "o_orderkey"
+    )
+    return o.groupBy("file_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
     )
