@@ -523,3 +523,78 @@ def vec_embedding_profile(spark, sf_dir):
             / 10000
         ).alias("avg_norm"),
     )
+
+
+_DIMVAR_SQL = """
+WITH el AS (
+  SELECT g.i AS dim,
+         CAST(FLOOR(CAST(e.embedding[g.i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+           AS u
+  FROM embeddings e,
+       LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
+  WHERE e.embedding IS NOT NULL AND e.embedding[g.i] IS NOT NULL
+),
+mom AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(u * u) AS BIGINT) AS suu
+  FROM el GROUP BY dim
+),
+v AS (
+  SELECT CAST(dim AS BIGINT) AS dim, n, su,
+         CAST(n * suu - su * su AS BIGINT) AS var_num
+  FROM mom
+)
+SELECT dim, n, su, var_num
+FROM v ORDER BY var_num DESC, dim LIMIT 8
+"""
+
+
+@register("vec_dim_variance_topk", oracle=_DIMVAR_SQL, tier="T2")
+def vec_dim_variance_topk(spark, sf_dir):
+    """Per-dimension variance screen over the embedding table: the top-8
+    highest-variance dimensions — the feature-selection / dead-dimension
+    diagnostic (a near-zero-variance dim carries no signal and wastes
+    index bits; PCA's cheap cousin that needs no eigensolve). Emitted as
+    exact integer variance NUMERATORS n·Σu² − (Σu)² over 1e-4-quantized
+    elements, so the ranking is a pure int64 total order (var_num DESC,
+    dim) — no float variance ever crosses the engine boundary.
+
+    Determinism: elements quantize to int64 units BEFORE any sum (the
+    cross-row rule); NULL elements and NULL vectors are excluded
+    identically in both engines. Headroom: n·Σu² ≤ n²·1e8 — int64-safe to
+    n ≈ 9e6 vectors (~SF 200 for this fixture's density); beyond that
+    demean on a first pass or carry DECIMAL(38,0).
+
+    Scale note: posexplode fans each vector into 64 (dim, unit) rows
+    map-side, partial-aggregates before the 64-key shuffle, and the top-8
+    is a TakeOrderedAndProject — scan-bound at any scale.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    el = (
+        e.filter(F.col("embedding").isNotNull())
+        .select(F.posexplode("embedding").alias("i", "x"))
+        .filter(F.col("x").isNotNull())
+        .select(
+            (F.col("i") + 1).cast("long").alias("dim"),
+            F.floor(F.col("x").cast("double") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    mom = el.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("suu"),
+    )
+    return (
+        mom.select(
+            "dim",
+            "n",
+            "su",
+            (F.col("n") * F.col("suu") - F.col("su") * F.col("su"))
+            .cast("long")
+            .alias("var_num"),
+        )
+        .orderBy(F.col("var_num").desc(), "dim")
+        .limit(8)
+    )
