@@ -465,3 +465,126 @@ def seq_growth_accounting(spark, sf_dir):
             F.coalesce("churned", F.lit(0)).cast("long").alias("churned_from_prev"),
         )
     )
+
+
+_LTV_SQL = """
+WITH lo AS (SELECT MIN(CAST(ts AS DATE)) AS lo FROM events),
+firsts AS (
+  SELECT user_id,
+         CAST(datediff('day', lo.lo, MIN(CAST(ts AS DATE))) // 7 AS BIGINT)
+           AS cohort_wk
+  FROM events CROSS JOIN lo
+  WHERE event_type = 'signup' GROUP BY user_id, lo.lo
+),
+rev AS (
+  SELECT e.user_id,
+         CAST(datediff('day', lo.lo, CAST(e.ts AS DATE)) // 7 AS BIGINT) AS wk,
+         CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+  FROM events e CROSS JOIN lo
+  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+  GROUP BY e.user_id, 2
+),
+cohort_rev AS (
+  SELECT f.cohort_wk, r.wk - f.cohort_wk AS age_wk,
+         CAST(SUM(r.c) AS BIGINT) AS wk_cents
+  FROM firsts f JOIN rev r ON r.user_id = f.user_id
+  WHERE r.wk >= f.cohort_wk
+  GROUP BY f.cohort_wk, r.wk - f.cohort_wk
+),
+sizes AS (
+  SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM firsts GROUP BY cohort_wk
+)
+SELECT cr.cohort_wk, cr.age_wk, s.cohort_users,
+       CAST(SUM(cr.wk_cents) OVER (PARTITION BY cr.cohort_wk
+                                   ORDER BY cr.age_wk
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS BIGINT)
+         AS cum_cents,
+       FLOOR(CAST(SUM(cr.wk_cents) OVER (PARTITION BY cr.cohort_wk
+                                         ORDER BY cr.age_wk
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND CURRENT ROW) AS DOUBLE)
+             / s.cohort_users + 0.5) / 100 AS ltv_per_user
+FROM cohort_rev cr JOIN sizes s ON s.cohort_wk = cr.cohort_wk
+"""
+
+
+@register("seq_cohort_ltv", oracle=_LTV_SQL, tier="T2")
+def seq_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves: cumulative purchase revenue per signup-week
+    cohort by weeks-since-signup, normalized per cohort user — the
+    payback-period table (which week does a cohort's LTV cross
+    acquisition cost?) that pairs with cohort_retention's activity view.
+    Post-signup revenue only (r.wk ≥ cohort week), so pre-signup
+    purchases never pollute the curve.
+
+    Determinism: integer 7-day buckets from the corpus min date (the
+    growth-accounting convention); weekly cents are exact; the cumulative
+    sum runs over a total (cohort, age) order; LTV-per-user is ONE
+    division of exact ints, half-up to cents.
+
+    Scale note: firsts and weekly revenue both reduce on user_id (one
+    shuffle family), the cohort join is user-keyed, and the running sum
+    partitions by cohort — no global window; cohort×age output is
+    calendar-bounded.
+    """
+    e = load(spark, sf_dir, "events")
+    lo = e.agg(F.min(F.col("ts").cast("date")).alias("lo"))
+    firsts = (
+        e.filter(F.col("event_type") == "signup")
+        .crossJoin(F.broadcast(lo))
+        .groupBy("user_id")
+        .agg(
+            (F.datediff(F.min(F.col("ts").cast("date")), F.first("lo")) / 7)
+            .cast("long")
+            .alias("cohort_wk")
+        )
+    )
+    rev = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .crossJoin(F.broadcast(lo))
+        .groupBy(
+            "user_id",
+            (F.datediff(F.col("ts").cast("date"), F.col("lo")) / 7)
+            .cast("long")
+            .alias("wk"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).cast("long").alias("c"))
+    )
+    cohort_rev = (
+        firsts.join(rev, "user_id")
+        .filter(F.col("wk") >= F.col("cohort_wk"))
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_wk"))
+        .agg(F.sum("c").cast("long").alias("wk_cents"))
+    )
+    sizes = firsts.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cohort_rev.join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            "cohort_wk",
+            "age_wk",
+            "cohort_users",
+            F.sum("wk_cents").over(w).cast("long").alias("cum_cents"),
+        )
+        .select(
+            "cohort_wk",
+            "age_wk",
+            "cohort_users",
+            "cum_cents",
+            (
+                F.floor(
+                    F.col("cum_cents").cast("double") / F.col("cohort_users")
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("ltv_per_user"),
+        )
+    )
