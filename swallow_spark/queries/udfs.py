@@ -496,3 +496,106 @@ def udf_apply_in_arrow(spark, sf_dir):
     return c.groupBy("event_type").applyInArrow(
         _demean, schema="event_id long, event_type string, dev_cents long"
     )
+
+
+@register(
+    "udtf_table_argument",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+lagged AS (
+  SELECT event_type, day, n,
+         LAG(day) OVER w AS pday,
+         LAG(n) OVER w AS pn
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+runs AS (
+  SELECT event_type, day, n,
+         SUM(CASE WHEN pn IS NULL OR n <= pn THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM lagged
+),
+streak AS (
+  SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS longest_rise
+  FROM (SELECT event_type, isl, COUNT(*) AS cnt
+        FROM runs GROUP BY event_type, isl)
+  GROUP BY event_type
+),
+gaps AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(COALESCE(MAX(datediff('day', pday, day)), 0) AS BIGINT)
+           AS max_gap_days
+  FROM lagged GROUP BY event_type
+)
+SELECT g.event_type, g.n_days, g.max_gap_days, s.longest_rise
+FROM gaps g JOIN streak s ON s.event_type = g.event_type
+""",
+    tier="T2",
+)
+def udtf_table_argument(spark, sf_dir):
+    """Python UDTF with a TABLE argument (Spark 4 §2.J surface):
+    `FROM series_stats(TABLE(daily) PARTITION BY event_type ORDER BY day)`
+    streams each stream's day-ordered rows through ONE stateful UDTF
+    instance per partition — the per-entity sequential-model shape
+    (sessionizers, fold-based detectors) that scalar UDFs cannot express
+    because they see rows independently. The UDTF walks the ordered
+    series imperatively: day count, max calendar gap, longest strictly-
+    rising run of daily counts; the oracle re-derives all three with
+    window/gaps-and-islands SQL, proving both the partitioning AND the
+    ordering contract of the TABLE argument.
+
+    Determinism: pure integer outputs from an explicitly ordered walk.
+    Scale note: PARTITION BY shuffles once on event_type and feeds each
+    partition through Arrow to one Python instance — state is O(1) per
+    partition (the fold discipline), and the input is the pre-aggregated
+    DAILY table, never raw events.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type string, n_days bigint, max_gap_days bigint,"
+          " longest_rise bigint")
+    class SeriesStats:
+        def __init__(self):
+            self.et = None
+            self.n_days = 0
+            self.prev_day = None
+            self.prev_n = None
+            self.max_gap = 0
+            self.run = 0
+            self.best_run = 0
+
+        def eval(self, row):
+            self.et = row["event_type"]
+            self.n_days += 1
+            if self.prev_day is not None:
+                gap = (row["day"] - self.prev_day).days
+                if gap > self.max_gap:
+                    self.max_gap = gap
+            if self.prev_n is not None and row["n"] > self.prev_n:
+                self.run += 1
+            else:
+                self.run = 1
+            if self.run > self.best_run:
+                self.best_run = self.run
+            self.prev_day = row["day"]
+            self.prev_n = row["n"]
+
+        def terminate(self):
+            if self.et is not None:
+                yield self.et, self.n_days, self.max_gap, self.best_run
+
+    spark.udtf.register("swallow_series_stats", SeriesStats)
+    e = load(spark, sf_dir, "events")
+    (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .createOrReplaceTempView("udtf_daily")
+    )
+    return spark.sql(
+        "SELECT * FROM swallow_series_stats(TABLE(udtf_daily)"
+        " PARTITION BY event_type ORDER BY day)"
+    )

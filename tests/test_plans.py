@@ -326,7 +326,12 @@ BNLJ_ALLOWED = {
     "stats_jackknife_se",  # broadcast 1-row total/20-row fold cross joins
     "stats_ks_test",
     "stats_mann_whitney",
+    "etl_freshness_audit",  # broadcast 1-row global-max-ts crossjoin
     "graph_modularity",  # broadcast 1-row m / Q-numerator scalar cross joins
+    "seq_cohort_ltv",  # broadcast 1-row min-date crossjoin
+    "seq_growth_accounting",  # broadcast 1-row min-date crossjoin
+    "stats_chisq_gof",  # broadcast 1-row n crossjoin
+    "stats_cuped",  # broadcast 1-row bounds/theta crossjoins
     "stats_kendall_tau",  # deliberately bounded 25-nation pair set + 1-row n crossjoin
     "stats_survival_km",  # bounded O(days^2) prefix-product triangle + 1-row maxdate
     "stats_permutation_test",  # broadcast 1-row observed-diff crossjoin
