@@ -12,6 +12,7 @@ long tail.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..conform import POLY_P, poly_hash, sql_poly_hash_duck
 from ..io import load
@@ -294,4 +295,74 @@ def sketch_bloom_filter(spark, sf_dir):
             )
             / 1000000
         ).alias("fp_rate"),
+    )
+
+
+_LOG2H_SQL = """
+WITH b AS (
+  SELECT length(bin(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))) - 1
+           AS bucket
+  FROM orders
+),
+h AS (
+  SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM b GROUP BY bucket
+),
+c AS (
+  SELECT bucket, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM h
+)
+SELECT bucket, cnt, cum,
+       CASE WHEN cum - cnt < (n + 1) // 2 AND cum >= (n + 1) // 2
+            THEN TRUE ELSE FALSE END AS holds_median
+FROM c
+"""
+
+
+@register("sketch_log2_histogram", oracle=_LOG2H_SQL, tier="T2")
+def sketch_log2_histogram(spark, sf_dir):
+    """Mergeable log₂ price histogram — the DDSketch/HdrHistogram shape
+    with γ = 2: bucket = floor(log₂ cents), guaranteed ≤ 2× relative
+    error on any quantile read, fully mergeable across shards (bucket
+    counts just add — the property approx_percentile's digest shares but
+    exact percentiles lack). holds_median marks the bucket containing the
+    exact median rank (n+1)//2, read straight off the cumulative counts.
+
+    Determinism: the bucket is the INTEGER form length(bin(cents)) − 1 —
+    never floor(ln/ln2), whose libm last-ulp differences flip exact
+    powers of two between engines (the §conform hazard); counts/cumsums
+    are exact. Scale note: map-side bucketing to ≤ 64 buckets, one tiny
+    aggregate + windowed cumsum over ≤ 64 rows — the cheapest quantile
+    sketch that exists, and the merge story is a bucket-wise SUM.
+    """
+    o = load(spark, sf_dir, "orders")
+    b = o.select(
+        (
+            F.length(F.bin(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")))
+            - 1
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    h = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c = h.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+    med = ((F.col("n") + 1) / 2).cast("long")
+    return c.select(
+        "bucket",
+        "cnt",
+        "cum",
+        ((F.col("cum") - F.col("cnt") < med) & (F.col("cum") >= med)).alias(
+            "holds_median"
+        ),
     )
