@@ -909,3 +909,60 @@ def etl_freshness_audit(spark, sf_dir):
             "rows_last_7d",
         )
     )
+
+
+@register(
+    "etl_subject_access_report",
+    oracle="""
+WITH subject AS (
+  SELECT user_id FROM events
+  GROUP BY user_id ORDER BY COUNT(*) DESC, user_id LIMIT 1
+)
+SELECT 'events' AS entity,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(ts) AS first_seen, MAX(ts) AS last_seen
+FROM events e JOIN subject s ON e.user_id = s.user_id
+UNION ALL
+SELECT 'purchases',
+       CAST(COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS BIGINT),
+       MIN(ts) FILTER (WHERE e.event_type = 'purchase'),
+       MAX(ts) FILTER (WHERE e.event_type = 'purchase')
+FROM events e JOIN subject s ON e.user_id = s.user_id
+""",
+    tier="T2",
+)
+def etl_subject_access_report(spark, sf_dir):
+    """Data-subject access report (GDPR Art. 15 — the read half of
+    etl_forget_users' erasure): every record held about one subject,
+    summarized per entity with first/last-seen timestamps. The subject is
+    chosen deterministically (most-active user, id tiebreak) so the
+    report is reproducible on any snapshot.
+
+    Determinism: exact counts and µs timestamps; the subject selection is
+    a total-order top-1. Scale note: the subject key broadcasts into a
+    semi-join against each entity scan (at 100 TB this is ONE pruned
+    probe per table, the same shape as the erasure pass); per-entity
+    summaries union into one lazy plan like etl_referential_audit.
+    """
+    e = load(spark, sf_dir, "events")
+    subject = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(1)
+        .select("user_id")
+    )
+    mine = e.join(F.broadcast(subject), "user_id")
+    ev = mine.agg(
+        F.lit("events").alias("entity"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+    pur = mine.filter(F.col("event_type") == "purchase").agg(
+        F.lit("purchases").alias("entity"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+    return ev.unionAll(pur)

@@ -1014,3 +1014,76 @@ def sub_not_in_nulls(spark, sf_dir):
           (SELECT COUNT(*) FROM probe WHERE k IS NULL) AS n_nulls
         """
     )
+
+
+@register(
+    "sql_join_hints",
+    oracle="""
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""",
+    tier="T2",
+)
+def sql_join_hints(spark, sf_dir):
+    """SQL join-strategy hints (/*+ BROADCAST(dim), REPARTITION(n) */) —
+    the escape hatch when statistics mislead the optimizer at 100 TB
+    (a "small" dim that stats undercount, or a skewed shuffle that needs
+    explicit width). Hints change ONLY the physical strategy, never the
+    result: the oracle runs the unhinted join and the hash must match.
+    The plan test pins that the BROADCAST hint actually took effect.
+
+    Scale note: BROADCAST ships the 25-row dim to every task (no shuffle
+    of the customer side for the join); the REPARTITION(8) hint fixes the
+    pre-aggregate width — both are the knobs you reach for before
+    touching spark.sql.autoBroadcastJoinThreshold globally.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("hints_customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("hints_nation")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n), REPARTITION(8) */
+               n.n_name,
+               COUNT(*) AS n_customers,
+               SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS bal_cents
+        FROM hints_customer c JOIN hints_nation n
+          ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+@register(
+    "sql_lateral_view",
+    oracle="""
+SELECT t.doc_id, g.tok AS token, CAST(length(g.tok) AS BIGINT) AS tok_len
+FROM (SELECT doc_id, string_split(text, ' ') AS arr
+      FROM documents WHERE doc_id < 50) t,
+     LATERAL (SELECT unnest(t.arr) AS tok) g
+""",
+    tier="T2",
+)
+def sql_lateral_view(spark, sf_dir):
+    """LATERAL VIEW explode(...) — the Hive-compatible generator syntax
+    (the spelling a decade of migrated warehouse SQL uses, distinct from
+    both the DataFrame explode and UDTF lateral joins). Tokens of the
+    first 50 docs with lengths; DuckDB's oracle is its unnest LATERAL.
+
+    Determinism: pure string/integer outputs; generator order is
+    per-row positional in both engines (and the hash compare is
+    order-free anyway). Scale note: LATERAL VIEW compiles to the same
+    Generate node as explode() — map-side fan-out, no shuffle; the
+    doc_id < 50 pushdown reaches the parquet scan below the Generate.
+    """
+    load(spark, sf_dir, "documents").createOrReplaceTempView("lv_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, token, CAST(length(token) AS BIGINT) AS tok_len
+        FROM lv_docs
+        LATERAL VIEW explode(split(text, ' ')) toks AS token
+        WHERE doc_id < 50
+        """
+    )

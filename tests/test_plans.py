@@ -448,3 +448,11 @@ def test_epoch_shuffle_windowgrouplimit(spark):
     tree = p.split("\n\n(")[0]
     assert "WindowGroupLimit" in tree
     assert tree.count("Exchange") == 1
+
+
+def test_join_hints_take_effect(spark):
+    """sql_join_hints: the BROADCAST hint must actually produce a
+    BroadcastHashJoin (hints that silently no-op are worse than none)."""
+    p = plan_of(spark, "sql_join_hints")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
