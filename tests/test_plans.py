@@ -456,3 +456,36 @@ def test_join_hints_take_effect(spark):
     p = plan_of(spark, "sql_join_hints")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_dynamic_partition_pruning_injects(spark):
+    """Dynamic partition pruning: joining a day-partitioned fact against a
+    filtered dim must inject `dynamicpruningexpression(day IN ...)` into
+    the fact scan's PartitionFilters — at 100 TB this is the difference
+    between scanning 3 partitions and 3000. Gotcha pinned here: the dim
+    filter must be a COMPARISON (idx < 4); a bare boolean attribute is not
+    'likely selective' to the PartitionPruning rule and DPP silently
+    skips."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from swallow_spark.io import load
+
+    root = "/tmp/swallow_spark_io/dpp_plan_test"
+    e = load(spark, SF, "events")
+    e.withColumn("day", F.col("ts").cast("date")).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(f"{root}/fact")
+    (
+        e.select(F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .withColumn("idx", F.dayofmonth("day").cast("long"))
+        .write.mode("overwrite")
+        .parquet(f"{root}/dim")
+    )
+    fact = spark.read.parquet(f"{root}/fact").select("day", "event_id")
+    dim = spark.read.parquet(f"{root}/dim").filter(F.col("idx") < 4)
+    j = fact.join(F.broadcast(dim), "day").agg(F.count("event_id"))
+    p = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in p.lower()
