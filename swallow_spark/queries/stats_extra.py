@@ -1566,3 +1566,134 @@ def stats_chisq_gof(spark, sf_dir):
             ).alias("chi2_term"),
         )
     )
+
+
+# ------------------------------------------------------------ Ljung-Box
+_LB_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY CAST(ts AS DATE)
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+        FROM daily),
+dev AS (
+  SELECT day, CAST(tot.n * x - tot.sx AS BIGINT) AS d
+  FROM daily CROSS JOIN tot
+),
+c0 AS (SELECT CAST(SUM(d * d) AS BIGINT) AS c0 FROM dev),
+ck AS (
+  SELECT k.k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(a.d * b.d) AS BIGINT) AS ckn
+  FROM (SELECT unnest(generate_series(1, 7)) AS k) k
+  JOIN dev a ON TRUE
+  JOIN dev b ON b.day = a.day + CAST(k.k AS INT)
+  GROUP BY k.k
+),
+r AS (
+  SELECT CAST(ck.k AS BIGINT) AS lag, ck.n_pairs,
+         FLOOR(CAST(ck.ckn AS DOUBLE) / c0.c0 * 1000000 + 0.5) / 1000000
+           AS r_k,
+         CAST(FLOOR(CAST(ck.ckn AS DOUBLE) * ck.ckn / (CAST(c0.c0 AS DOUBLE) * c0.c0)
+                    / (tot.n - ck.k) * 1000000000 + 0.5) AS BIGINT) AS term_u
+  FROM ck CROSS JOIN c0 CROSS JOIN tot
+),
+q AS (
+  SELECT CAST(SUM(term_u) AS BIGINT) AS sum_u FROM r
+)
+SELECT r.lag, r.n_pairs, r.r_k,
+       FLOOR(CAST(tot.n AS DOUBLE) * (tot.n + 2) * q.sum_u / 1000000000 * 10000
+             + 0.5) / 10000 AS ljung_box_q
+FROM r CROSS JOIN q CROSS JOIN tot
+"""
+
+
+@register("stats_ljung_box", oracle=_LB_SQL, tier="T2")
+def stats_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau test on the daily purchase-revenue series:
+    Q = n(n+2)·Σ_{k≤7} r_k²/(n−k) — the is-this-white-noise test run on
+    forecast residuals and on metrics before trusting an i.i.d. assumption
+    (big Q ⇒ autocorrelation structure remains). Emits each lag's ACF r_k
+    alongside the pooled Q (χ²₇ under the null).
+
+    Determinism: deviations use the exact-integer identity n·x − Σx (no
+    float mean); c_k and c₀ are exact int64 sums of deviation products;
+    each r_k and each Q term is a fixed IEEE expression over exact ints,
+    with terms quantized to 1e-9 units BEFORE the cross-lag sum (the
+    cross-dimension rule). Headroom: Σ(n·x − Σx)² ≤ n³·max_cents² —
+    int64-safe to ~SF 1 for this fixture's daily grain; beyond that carry
+    deviations in whole-dollar units.
+
+    Scale note: the series is the daily aggregate (calendar-bounded); lag
+    pairs come from a 7× fan-out self-join on day arithmetic — O(7·days),
+    never touching the event stream; n/Σx/c₀ broadcast as audited 1-row
+    scalars.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).cast("long").alias("x"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day", (F.col("n") * F.col("x") - F.col("sx")).cast("long").alias("d")
+    )
+    c0 = dev.agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("c0"))
+    a = dev.select("day", "d", F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"))
+    b = dev.select(F.col("day").alias("bday"), F.col("d").alias("bd"))
+    ck = (
+        a.join(b, F.date_add(F.col("day"), F.col("k").cast("int")) == F.col("bday"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("d") * F.col("bd")).cast("long").alias("ckn"),
+        )
+    )
+    r = (
+        ck.crossJoin(F.broadcast(c0))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("long").alias("lag"),
+            "n_pairs",
+            (
+                F.floor(F.col("ckn").cast("double") / F.col("c0") * 1000000 + F.lit(0.5))
+                / 1000000
+            ).alias("r_k"),
+            F.floor(
+                F.col("ckn").cast("double")
+                * F.col("ckn")
+                / (F.col("c0").cast("double") * F.col("c0"))
+                / (F.col("n") - F.col("k"))
+                * 1000000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("term_u"),
+        )
+    )
+    q = r.agg(F.sum("term_u").cast("long").alias("sum_u"))
+    return (
+        r.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lag",
+            "n_pairs",
+            "r_k",
+            (
+                F.floor(
+                    F.col("n").cast("double")
+                    * (F.col("n") + 2)
+                    * F.col("sum_u")
+                    / 1000000000
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("ljung_box_q"),
+        )
+    )
