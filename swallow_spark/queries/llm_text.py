@@ -1135,3 +1135,116 @@ def text_template_groups(spark, sf_dir):
         .filter(F.col("support") >= 2)
         .select("support", "exemplar_doc", F.length("tpl").cast("long").alias("tpl_len"))
     )
+
+
+_JS_SQL = """
+WITH tok AS (
+  SELECT COALESCE(TRY_CAST(regexp_extract(source, '[0-9]+$') AS BIGINT),
+                  CAST(length(source) AS BIGINT)) % 2 AS grp,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+cnt AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM tok GROUP BY token
+),
+tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cb) AS BIGINT) AS tb
+        FROM cnt),
+term AS (
+  SELECT token, ca, cb,
+         CAST(FLOOR((
+           CASE WHEN ca > 0 THEN
+             (CAST(5 AS DOUBLE) / 10) * (CAST(ca AS DOUBLE) / ta)
+             * ln((CAST(ca AS DOUBLE) / ta)
+                  / (((CAST(ca AS DOUBLE) / ta) + (CAST(cb AS DOUBLE) / tb))
+                     / 2)) ELSE CAST(0 AS DOUBLE) END
+           +
+           CASE WHEN cb > 0 THEN
+             (CAST(5 AS DOUBLE) / 10) * (CAST(cb AS DOUBLE) / tb)
+             * ln((CAST(cb AS DOUBLE) / tb)
+                  / (((CAST(ca AS DOUBLE) / ta) + (CAST(cb AS DOUBLE) / tb))
+                     / 2)) ELSE CAST(0 AS DOUBLE) END
+         ) * 1000000000) AS BIGINT) AS term_u
+  FROM cnt CROSS JOIN tot
+),
+js AS (SELECT CAST(SUM(term_u) AS BIGINT) AS js_u FROM term)
+SELECT t.token, t.ca, t.cb, t.term_u,
+       FLOOR(CAST(js.js_u AS DOUBLE) / 1000000000 * 1000000 + 0.5) / 1000000
+         AS js_total
+FROM term t CROSS JOIN js
+ORDER BY t.term_u DESC, t.token LIMIT 20
+"""
+
+
+@register("text_js_divergence", oracle=_JS_SQL, tier="T2")
+def text_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence between the word distributions of two
+    corpus halves (even vs odd trailing source number; non-numbered
+    sources fall back to name length, so foreign snapshots still split
+    deterministically) — the bounded, symmetric
+    corpus-drift metric (0 = identical mixes, ln2 = disjoint) that data
+    curation uses to compare snapshots, detect source contamination, and
+    gate mixture changes; KL alone is infinite on any vocabulary gap,
+    which is exactly why JS is the curation standard. Emits the top-20
+    contributing tokens (the drift EXPLANATION) alongside the total.
+
+    Determinism: counts and totals are exact ints; each token's JS term
+    is ONE fixed IEEE expression (exact-ratio probabilities, the 0·ln0
+    guard spelled as CASE) floored to 1e-9 units BEFORE the cross-token
+    sum — the text_unigram_logprob ln-quantization recipe; the top-20 cut
+    is the total order (term_u DESC, token).
+
+    Scale note: one token-explode aggregate keyed by token (the tf-idf
+    shuffle), a 1-row totals broadcast, and a TakeOrderedAndProject —
+    vocabulary-bound, not corpus-bound, after the first aggregate.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(
+        (
+            F.coalesce(
+                F.expr("try_cast(regexp_extract(source, '[0-9]+$', 0) AS BIGINT)"),
+                F.length("source").cast("long"),
+            )
+            % 2
+        ).alias("grp"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    cnt = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    tot = cnt.agg(
+        F.sum("ca").cast("long").alias("ta"), F.sum("cb").cast("long").alias("tb")
+    )
+    half = F.lit(5).cast("double") / 10
+    pa = F.col("ca").cast("double") / F.col("ta")
+    pb = F.col("cb").cast("double") / F.col("tb")
+    m = (pa + pb) / 2
+    expr = (
+        F.when(F.col("ca") > 0, half * pa * F.log(pa / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("cb") > 0, half * pb * F.log(pb / m)).otherwise(F.lit(0.0))
+    )
+    term = cnt.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "ca",
+        "cb",
+        F.floor(expr * 1000000000).cast("long").alias("term_u"),
+    )
+    js = term.agg(F.sum("term_u").cast("long").alias("js_u"))
+    return (
+        term.crossJoin(F.broadcast(js))
+        .select(
+            "token",
+            "ca",
+            "cb",
+            "term_u",
+            (
+                F.floor(F.col("js_u").cast("double") / 1000000000 * 1000000 + F.lit(0.5))
+                / 1000000
+            ).alias("js_total"),
+        )
+        .orderBy(F.col("term_u").desc(), "token")
+        .limit(20)
+    )
