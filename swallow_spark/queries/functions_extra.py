@@ -476,3 +476,71 @@ def fn_stable_id(spark, sf_dir):
             F.substring(hx, 21, 12),
         ).alias("stable_uuid"),
     )
+
+
+@register(
+    "fn_generators",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS prio,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_orderpriority
+),
+stacked AS (
+  SELECT prio, 'n' AS k, n AS v FROM base
+  UNION ALL SELECT prio, 'cents', cents FROM base
+),
+-- inline_outer over a CASE-null struct array: hot rows explode their
+-- struct fields, cold rows survive as one NULL-field row
+flagged AS (
+  SELECT prio, k, v,
+         CASE WHEN v > 1000 THEN 1 ELSE NULL END AS hot
+  FROM stacked
+)
+SELECT prio, k, v,
+       CASE WHEN hot IS NOT NULL THEN v * 2 END AS doubled,
+       CASE WHEN hot IS NOT NULL THEN 'hot' END AS tag
+FROM flagged
+""",
+    tier="T2",
+)
+def fn_generators(spark, sf_dir):
+    """Generator-expression pack (SQL surfaces Spark groups under
+    Generate): stack(n, ...) folds wide columns into rows WITHOUT the
+    UNPIVOT clause (the expression-level spelling usable inside any
+    SELECT), and inline_outer() explodes an array-of-structs while
+    KEEPING rows whose array is NULL as a null-field row — the
+    outer-generator semantics every nested-schema flattener depends on
+    (plain inline would silently drop the cold rows). The oracle spells
+    stack as UNION ALL and the outer-struct explode as CASE projections.
+
+    Determinism: integer aggregates only; the generated struct carries
+    (v*2, 'hot') so generated-vs-null fields are visible in the hash.
+    Scale note: both generators are map-side Generate nodes over the
+    5-row aggregate — fan-out costs rows, never a shuffle.
+    """
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_generators")
+    return spark.sql(
+        """
+        WITH base AS (
+          SELECT o_orderpriority AS prio,
+                 COUNT(*) AS n,
+                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+          FROM orders_generators GROUP BY o_orderpriority
+        ),
+        stacked AS (
+          SELECT prio, s.k, s.v
+          FROM base
+          LATERAL VIEW stack(2, 'n', n, 'cents', cents) s AS k, v
+        )
+        SELECT prio, k, v, gen.doubled, gen.tag
+        FROM stacked
+        LATERAL VIEW OUTER inline(
+          CASE WHEN v > 1000
+               THEN array(named_struct('doubled', v * 2, 'tag', 'hot'))
+          END) gen AS doubled, tag
+        """
+    )

@@ -1087,3 +1087,47 @@ def sql_lateral_view(spark, sf_dir):
         WHERE doc_id < 50
         """
     )
+
+
+@register(
+    "sql_exists_projection",
+    oracle="""
+SELECT c_custkey,
+       EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_totalprice > 200000) AS has_big_order,
+       EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderstatus = 'F') AS has_finished
+FROM customer c WHERE c_custkey < 200
+""",
+    tier="T2",
+)
+def sql_exists_projection(spark, sf_dir):
+    """EXISTS as a SELECT-list expression (scalar boolean projection, not a
+    WHERE filter): flag columns computed from correlated subqueries — the
+    feature-engineering spelling (has_big_order / has_finished become
+    model features), distinct from the filtering EXISTS of q21. Catalyst
+    decorrelates each flag into an ExistenceJoin (a left join producing
+    the boolean), so two flags cost two hash joins, never per-row
+    re-execution.
+
+    Determinism: pure booleans over exact predicates. Scale note: each
+    existence join is custkey-keyed (broadcastable probe here); the
+    pushed c_custkey < 200 bound reaches both the customer scan and —
+    via the join key — the orders side under DPP-style filter pushdown.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("exists_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("exists_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               EXISTS (SELECT 1 FROM exists_orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 200000) AS has_big_order,
+               EXISTS (SELECT 1 FROM exists_orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderstatus = 'F') AS has_finished
+        FROM exists_customer c WHERE c_custkey < 200
+        """
+    )
