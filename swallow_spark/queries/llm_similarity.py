@@ -895,3 +895,86 @@ def vec_triplet_mining(spark, sf_dir):
         rnd(F.col("neg_cos"), 4).alias("neg_cos"),
         rnd(F.col("pos_cos") - F.col("neg_cos"), 4).alias("margin"),
     )
+
+
+_MAXSIM_NQ = 8
+
+
+@register(
+    "vec_maxsim_late_interaction",
+    oracle=f"""
+WITH {_NORMS_SQL},
+qmax AS (
+  SELECT a.vec_id AS q, b.label,
+         CAST(FLOOR(MAX({_COS_SQL}) * 1000000 + 0.5) AS BIGINT) AS max_u
+  FROM norms a JOIN norms b
+    ON b.vec_id >= {_MAXSIM_NQ}
+  WHERE a.vec_id < {_MAXSIM_NQ}
+  GROUP BY a.vec_id, b.label
+),
+score AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_q,
+         CAST(SUM(max_u) AS BIGINT) AS maxsim_u
+  FROM qmax GROUP BY label
+)
+SELECT CAST(label AS BIGINT) AS label, n_q, maxsim_u,
+       FLOOR(CAST(maxsim_u AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000
+         AS maxsim
+FROM score
+""",
+    tier="T2",
+)
+def vec_maxsim_late_interaction(spark, sf_dir):
+    """Late-interaction MaxSim scoring (the ColBERT retrieval operator):
+    treat the first 8 vectors as a QUERY's token embeddings and each
+    label group (minus the query rows) as a DOCUMENT's token embeddings;
+    a document's score is Σ over query tokens of the MAX cosine against
+    any of its tokens — the token-level relevance model that beats single-
+    vector cosine on long documents, re-expressed as groupBy(MAX) + SUM
+    instead of a per-pair kernel.
+
+    Determinism: cosines come from the shared integer-unit dot machinery
+    (exact int64 dots, one fixed IEEE chain); each (query-token, doc) MAX
+    is over well-defined doubles, quantized to 1e-6 units BEFORE the
+    cross-token SUM (the cross-dimension rule); final score is one
+    division, half-up 4dp.
+
+    Scale note: the 8 query tokens broadcast against the corpus (the
+    sim_cosine_topk scan shape); the MAX partial-aggregates map-side on
+    (q, label) so the shuffle carries one row per (query-token, document)
+    — at 100 TB plug the ANN candidate generation (vec_sign_topk /
+    ann_lsh_bucketed) in front to bound the scan per query token.
+    """
+    n = _norms(spark, sf_dir)
+    probes = n.filter(F.col("vec_id") < _MAXSIM_NQ).alias("a")
+    corpus = n.filter(F.col("vec_id") >= _MAXSIM_NQ).alias("b")
+    cos = _pair_cos()
+    qmax = (
+        F.broadcast(probes)
+        .join(corpus, F.lit(True))
+        .select(
+            F.col("a.vec_id").alias("q"),
+            F.col("b.label").alias("label"),
+            cos.alias("cos"),
+        )
+        .groupBy("q", "label")
+        .agg(
+            F.floor(F.max("cos") * 1000000 + F.lit(0.5)).cast("long").alias("max_u")
+        )
+    )
+    return (
+        qmax.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_q"),
+            F.sum("max_u").cast("long").alias("maxsim_u"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_q",
+            "maxsim_u",
+            (
+                F.floor(F.col("maxsim_u").cast("double") / 1000000 * 10000 + F.lit(0.5))
+                / 10000
+            ).alias("maxsim"),
+        )
+    )
