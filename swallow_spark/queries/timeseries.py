@@ -1970,3 +1970,140 @@ def ts_mann_kendall(spark, sf_dir):
             .alias("n_pairs"),
         )
     )
+
+
+_THETA_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+ser AS (
+  SELECT user_id, list(c ORDER BY day) AS xs FROM daily GROUP BY user_id
+),
+mom AS (
+  SELECT user_id, xs, CAST(len(xs) AS BIGINT) AS n,
+         CAST(list_sum(xs) AS BIGINT) AS sx,
+         CAST(list_sum(list_transform(generate_series(1, len(xs)),
+                                      i -> i * xs[i])) AS BIGINT) AS stx
+  FROM ser WHERE len(xs) >= 3
+),
+ols AS (
+  SELECT user_id, xs, n, sx,
+         CAST(n * stx - (n * (n + 1) // 2) * sx AS DOUBLE)
+           / (n * (n * (n + 1) * (2 * n + 1) // 6)
+              - (n * (n + 1) // 2) * (n * (n + 1) // 2)) AS b
+  FROM mom
+),
+th AS (
+  SELECT user_id, n, b,
+         (CAST(sx AS DOUBLE) - b * (n * (n + 1) // 2)) / n AS a,
+         list_transform(generate_series(1, len(xs)),
+           i -> CAST(2 AS DOUBLE) * xs[i]
+                - ((CAST(sx AS DOUBLE) - b * (n * (n + 1) // 2)) / n + b * i))
+           AS t2
+  FROM ols
+),
+fold AS (
+  SELECT user_id, n, a, b,
+         list_reduce(t2,
+           (acc, x) -> acc * CAST(0.7 AS DOUBLE) + x * CAST(0.3 AS DOUBLE))
+           AS ses
+  FROM th
+)
+SELECT user_id, n AS n_days,
+       FLOOR(b * 10000 + 0.5) / 10000 AS slope_cents,
+       FLOOR(ses * 10000 + 0.5) / 10000 AS ses_theta2,
+       FLOOR((CAST(5 AS DOUBLE) / 10 * (a + b * (n + 1))
+              + CAST(5 AS DOUBLE) / 10 * ses) * 10000 + 0.5) / 10000
+         AS forecast_cents
+FROM fold
+"""
+
+
+@register("ts_theta_forecast", oracle=_THETA_SQL, tier="T2")
+def ts_theta_forecast(spark, sf_dir):
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos, the M3
+    benchmark winner): per user, the one-step-ahead forecast is the
+    average of (a) the OLS trendline extrapolated to t = n+1 and (b) an
+    SES (α = 0.3) of the theta-2 line 2x_t − trend_t — the
+    double-the-curvature trick that makes SES trend-aware without Holt's
+    second smoothing constant.
+
+    Determinism: OLS moments are exact int64 (Σt, Σt² by closed form,
+    Σx, Σtx from the day-ordered list); slope/intercept are ONE fixed
+    IEEE expression; the theta-2 series and its SES fold are identical
+    double chains in both engines (DuckDB list_reduce seeds with the
+    first element, matching the EWMA discipline). Outputs half-up 4dp.
+    Headroom: n·Σtx ≤ n²·days·cents ≈ 1e13 at sf1 — int64-safe past
+    SF 100.
+
+    Scale note: identical shape to every ts_* fold — one user_id shuffle,
+    series bounded by calendar days.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(cents(F.col("value"))).cast("long").alias("c"))
+    )
+    ser = (
+        daily.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "c"))).alias("s"))
+        .withColumn("xs", F.expr("transform(s, v -> v.c)"))
+        .filter(F.size("xs") >= 3)
+    )
+    mom = ser.select(
+        "user_id",
+        "xs",
+        F.size("xs").cast("long").alias("n"),
+        F.expr("aggregate(xs, 0L, (a, x) -> a + x)").alias("sx"),
+        F.expr(
+            "aggregate(transform(sequence(1, size(xs)), i -> CAST(i AS BIGINT)"
+            " * element_at(xs, i)), 0L, (a, x) -> a + x)"
+        ).alias("stx"),
+    )
+    st = F.col("n") * (F.col("n") + 1) / 2  # integer (n(n+1) even)
+    st2 = F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1) / 6
+    b = (F.col("n") * F.col("stx") - st * F.col("sx")).cast("double") / (
+        F.col("n") * st2 - st * st
+    )
+    ols = mom.select("user_id", "xs", "n", "sx", b.alias("b"))
+    a_expr = (F.col("sx").cast("double") - F.col("b") * (F.col("n") * (F.col("n") + 1) / 2)) / F.col("n")
+    th = ols.select(
+        "user_id",
+        "n",
+        "b",
+        a_expr.alias("a"),
+        F.expr(
+            "transform(sequence(1, size(xs)), i -> CAST(2 AS DOUBLE)"
+            " * element_at(xs, i) - (((CAST(sx AS DOUBLE) - b *"
+            " (CAST(n AS DOUBLE) * (n + 1) / 2)) / n) + b * i))"
+        ).alias("t2"),
+    )
+    fold = th.select(
+        "user_id",
+        "n",
+        "a",
+        "b",
+        F.expr(
+            "aggregate(slice(t2, 2, greatest(size(t2) - 1, 0)), element_at(t2, 1),"
+            " (acc, x) -> acc * CAST(0.7 AS DOUBLE) + x * CAST(0.3 AS DOUBLE))"
+        ).alias("ses"),
+    )
+    half = F.lit(5).cast("double") / 10
+    return fold.select(
+        "user_id",
+        F.col("n").alias("n_days"),
+        (F.floor(F.col("b") * 10000 + F.lit(0.5)) / 10000).alias("slope_cents"),
+        (F.floor(F.col("ses") * 10000 + F.lit(0.5)) / 10000).alias("ses_theta2"),
+        (
+            F.floor(
+                (half * (F.col("a") + F.col("b") * (F.col("n") + 1)) + half * F.col("ses"))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("forecast_cents"),
+    )
