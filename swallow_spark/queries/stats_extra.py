@@ -1697,3 +1697,84 @@ def stats_ljung_box(spark, sf_dir):
             ).alias("ljung_box_q"),
         )
     )
+
+
+# ------------------------------------------------ capture-recapture (LP)
+_CR_SQL = """
+WITH marks AS (
+  SELECT o_custkey,
+         (o_custkey * 2654435761) % 1000000007 % 10 < 3 AS in_a,
+         (o_custkey * 40503 + 7) % 1000000007 % 10 < 3 AS in_b
+  FROM orders
+),
+dis AS (
+  SELECT o_custkey, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM marks GROUP BY o_custkey
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS m
+  FROM dis
+)
+SELECT n_true, n1, n2, m,
+       CAST(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS BIGINT) AS chapman_estimate
+FROM c
+"""
+
+
+@register("stats_capture_recapture", oracle=_CR_SQL, tier="T2")
+def stats_capture_recapture(spark, sf_dir):
+    """Capture-recapture population estimate (Chapman's bias-corrected
+    Lincoln-Petersen): two independent deterministic-hash 'samples' of the
+    customer key space are drawn, and the overlap estimates the TRUE
+    distinct-customer count without ever counting it — the trick for
+    estimating unique-entity counts (distinct users, near-dup clusters)
+    when full deduplication across shards is too expensive, and for
+    auditing whether an incremental dedup pipeline is missing mass
+    (estimate ≫ observed distinct ⇒ under-merging). n_true ships
+    alongside so the estimate's accuracy is visible in the same row.
+
+    Determinism: membership is pure int64 hash arithmetic (two
+    independent Knuth-style mixers); Chapman's N̂ = (n1+1)(n2+1)/(m+1) − 1
+    is exact integer floor division. Scale note: one distinct-key
+    aggregate (the only shuffle) then a 1-row reduction — the estimate
+    itself needs only the two sample counts and the overlap, which at
+    100 TB you'd compute from two cheap Bloom/sketch passes instead of
+    the exact distinct used here as ground truth.
+    """
+    o = load(spark, sf_dir, "orders")
+    marks = o.select(
+        "o_custkey",
+        ((F.col("o_custkey") * F.lit(2654435761)) % F.lit(1000000007) % 10 < 3).alias(
+            "in_a"
+        ),
+        ((F.col("o_custkey") * 40503 + 7) % F.lit(1000000007) % 10 < 3).alias("in_b"),
+    )
+    dis = marks.groupBy("o_custkey").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    c = dis.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("in_b"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("m"),
+    )
+    return c.select(
+        "n_true",
+        "n1",
+        "n2",
+        "m",
+        (
+            F.floor(
+                ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+                / (F.col("m") + 1)
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("chapman_estimate"),
+    )
