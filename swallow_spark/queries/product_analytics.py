@@ -588,3 +588,86 @@ def seq_cohort_ltv(spark, sf_dir):
             ).alias("ltv_per_user"),
         )
     )
+
+
+_RFM_SQL = """
+WITH mx AS (SELECT MAX(ts) AS now FROM events),
+per_user AS (
+  SELECT e.user_id,
+         CAST(datediff('day', MAX(e.ts), mx.now) AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events e CROSS JOIN mx
+  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+  GROUP BY e.user_id, mx.now
+),
+scored AS (
+  SELECT user_id,
+         NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r,
+         NTILE(5) OVER (ORDER BY frequency, user_id) AS f,
+         NTILE(5) OVER (ORDER BY monetary_cents, user_id) AS m
+  FROM per_user
+)
+SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(user_id) AS BIGINT) AS example_user
+FROM scored GROUP BY r, f, m
+"""
+
+
+@register("seq_rfm_scores", oracle=_RFM_SQL, tier="T2")
+def seq_rfm_scores(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary quintiles) — the
+    classic CRM scoring grid: each purchasing user gets 1-5 quintile
+    scores on days-since-last-purchase (5 = most recent), purchase count
+    and lifetime cents, and the key reports the populated (r, f, m) cells
+    with sizes — champions are (5,5,5), at-risk big spenders (1,·,5),
+    etc. Anchored on the corpus max timestamp so the scores are
+    snapshot-reproducible.
+
+    Determinism: NTILE is deterministic because every ORDER BY carries
+    user_id as a total-order tiebreak (bare metric ordering would be
+    partition-dependent under ties); metrics are exact ints. Scale note:
+    one user_id aggregate, then three global ntile windows over the
+    per-user table — at extreme user counts swap ntile for the
+    histogram-cum-count rank recipe (stats_qq_deciles note); cell
+    aggregation is tiny (≤125 rows).
+    """
+    e = load(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("now"))
+    per_user = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.first("now").cast("date"), F.max(F.col("ts")).cast("date")
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), "user_id"))
+        .cast("long")
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "user_id"))
+        .cast("long")
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_cents", "user_id"))
+        .cast("long")
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.min("user_id").cast("long").alias("example_user"),
+    )

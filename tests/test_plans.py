@@ -330,6 +330,7 @@ BNLJ_ALLOWED = {
     "graph_modularity",  # broadcast 1-row m / Q-numerator scalar cross joins
     "seq_cohort_ltv",  # broadcast 1-row min-date crossjoin
     "seq_growth_accounting",  # broadcast 1-row min-date crossjoin
+    "seq_rfm_scores",  # broadcast 1-row max-ts crossjoin
     "stats_chisq_gof",  # broadcast 1-row n crossjoin
     "stats_ljung_box",  # broadcast 1-row n/c0/Q-sum scalar crossjoins
     "text_js_divergence",  # broadcast 1-row totals/JS-sum scalar crossjoins
