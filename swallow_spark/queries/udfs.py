@@ -599,3 +599,56 @@ def udtf_table_argument(spark, sf_dir):
         "SELECT * FROM swallow_series_stats(TABLE(udtf_daily)"
         " PARTITION BY event_type ORDER BY day)"
     )
+
+
+@register(
+    "udf_pandas_struct",
+    oracle="""
+SELECT o_orderkey,
+       CAST(length(CAST(o_orderkey AS VARCHAR)) AS BIGINT) AS n_digits,
+       CAST(list_sum(list_transform(
+              string_split_regex(CAST(o_orderkey AS VARCHAR), ''),
+              c -> TRY_CAST(c AS BIGINT))) AS BIGINT) AS digit_sum,
+       CAST(o_orderkey % 9 AS BIGINT) AS mod9
+FROM orders WHERE o_orderkey < 3000
+""",
+    tier="T2",
+)
+def udf_pandas_struct(spark, sf_dir):
+    """Vectorized pandas UDF returning a STRUCT — the multi-output
+    feature-extractor shape: one Arrow round trip computes three derived
+    columns (digit count, digit sum, mod-9 residue) instead of three
+    separate UDF passes over the same input, then the struct flattens
+    into scalar columns for the output contract. The digit-sum ≡ mod-9
+    relation (casting out nines) doubles as an internal consistency
+    check the oracle verifies independently.
+
+    Determinism: pure integer arithmetic on exact keys. Scale note: ONE
+    JVM↔Python Arrow transfer per batch regardless of output arity — the
+    reason multi-output extractors should return structs; the key bound
+    (< 3000) is pushed to the parquet scan before any Python runs.
+    """
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_digits bigint, digit_sum bigint, mod9 bigint")
+    def digit_features(k: pd.Series) -> pd.DataFrame:
+        s = k.astype("string")
+        return pd.DataFrame(
+            {
+                "n_digits": s.str.len().astype("int64"),
+                "digit_sum": s.map(lambda x: sum(int(c) for c in x)).astype("int64"),
+                "mod9": (k % 9).astype("int64"),
+            }
+        )
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return o.select(
+        "o_orderkey", digit_features(F.col("o_orderkey")).alias("fx")
+    ).select(
+        "o_orderkey",
+        F.col("fx.n_digits").alias("n_digits"),
+        F.col("fx.digit_sum").alias("digit_sum"),
+        F.col("fx.mod9").alias("mod9"),
+    )
