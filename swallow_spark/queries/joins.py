@@ -713,3 +713,62 @@ def join_lateral_api(spark, sf_dir):
         .withColumn("rk", F.row_number().over(w))
         .select("n_name", "c_custkey", "bal_cents", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@register(
+    "join_fuzzy_blocked",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_name,
+         substr(p_name, 1, 4) AS blk,
+         length(p_name) // 4 AS lb
+  FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM p a JOIN p b
+  ON a.blk = b.blk AND a.lb = b.lb AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+""",
+    tier="T2",
+)
+def join_fuzzy_blocked(spark, sf_dir):
+    """Blocked fuzzy join (record linkage / entity resolution): candidate
+    part-name pairs share a BLOCK — (4-char prefix, length÷4 bucket) —
+    and survive if Levenshtein ≤ 4; the blocking key turns the O(n²)
+    all-pairs edit-distance scan into an equi-join whose quadratic cost
+    is confined within blocks, the standard ER architecture (block →
+    verify) that every dedupe-by-name pipeline uses.
+
+    Determinism: exact integer edit distances, unordered pairs emitted
+    once (a < b). Scale note: the self-join shuffles once on the block
+    key; block sizes bound the per-reducer pair count — monitor the
+    largest block (etl_partition_skew's recipe) and salt or refine the
+    blocking key (longer prefix) if a block goes hot; the verify
+    predicate runs only inside blocks, never across them.
+    """
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.substring("p_name", 1, 4).alias("blk"),
+        (F.length("p_name") / 4).cast("long").alias("lb"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "blk",
+        "lb",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        "blk",
+        "lb",
+    )
+    return (
+        a.join(b, ["blk", "lb"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("key_a", "key_b", "edit_dist")
+    )
