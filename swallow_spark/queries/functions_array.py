@@ -168,3 +168,59 @@ def fn_array_gen(spark, sf_dir):
         ).alias("flat_uniq"),
         F.array_position(seq, 2).alias("pos2"),
     )
+
+
+@register(
+    "fn_zip_with",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))
+           AS a
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       CAST(len(a) AS BIGINT) AS n,
+       CAST(list_sum(list_transform(generate_series(1, len(a)),
+              i -> a[i] * a[len(a) - i + 1])) AS BIGINT) AS rev_dot,
+       CAST(list_sum(list_transform(generate_series(1, len(a)),
+              i -> greatest(a[i], a[len(a) - i + 1]))) AS BIGINT) AS max_sum
+FROM t
+""",
+    tier="T2",
+)
+def fn_zip_with(spark, sf_dir):
+    """zip_with (element-wise lambda over two arrays — the higher-order
+    function the array family was missing): each doc's token-length array
+    is zipped against its own reverse, computing the reversed dot product
+    and the element-wise max sum — the array-pair arithmetic shape used
+    for weighted dots, feature crossing, and vector blending without
+    exploding. The oracle spells zip_with as an index transform over
+    generate_series (DuckDB's list_zip produces structs; the index form
+    is the portable spelling).
+
+    Determinism: exact integer token lengths end to end. Scale note:
+    zip_with is a single codegen expression per row — no Generate, no
+    shuffle; the doc_id bound is pushed to the scan.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    t = d.select(
+        "doc_id",
+        F.expr("transform(split(text, ' '), w -> CAST(length(w) AS BIGINT))").alias("a"),
+    )
+    return t.select(
+        "doc_id",
+        F.size("a").cast("long").alias("n"),
+        F.expr(
+            "aggregate(zip_with(a, reverse(a), (x, y) -> x * y), 0L,"
+            " (acc, v) -> acc + v)"
+        )
+        .cast("long")
+        .alias("rev_dot"),
+        F.expr(
+            "aggregate(zip_with(a, reverse(a), (x, y) -> greatest(x, y)), 0L,"
+            " (acc, v) -> acc + v)"
+        )
+        .cast("long")
+        .alias("max_sum"),
+    )

@@ -95,3 +95,30 @@ def set_intersect_all(spark, sf_dir):
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     big = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
     return urgent.intersectAll(big)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+""",
+    tier="T2",
+)
+def set_except_all(spark, sf_dir):
+    """EXCEPT ALL (bag-semantics difference): each right-side occurrence
+    cancels ONE left-side occurrence of the same key, so a customer with
+    3 urgent orders and 1 big order survives twice — the multiset
+    subtraction (ledger reconciliation, per-occurrence dedup accounting)
+    that the set-semantics EXCEPT collapses to zero-or-one. Completes the
+    §2.G bag-semantics row alongside set_intersect_all.
+
+    Scale note: Spark plans exceptAll as an aggregate of signed
+    multiplicities (+1 left, −1 right) followed by a generator replaying
+    max(count, 0) copies — one shuffle on the key, no join.
+    """
+    o = load(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return urgent.exceptAll(big)
