@@ -1778,3 +1778,103 @@ def stats_capture_recapture(spark, sf_dir):
         .cast("long")
         .alias("chapman_estimate"),
     )
+
+
+# ------------------------------------------------------------- Theil-Sen
+_TS_SLOPE_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+ser AS (
+  SELECT user_id,
+         list(CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT)
+              ORDER BY day) AS ds,
+         list(c ORDER BY day) AS cs
+  FROM daily GROUP BY user_id
+),
+sl AS (
+  SELECT user_id, CAST(len(ds) AS BIGINT) AS n_days,
+         list_sort(flatten(list_transform(
+           generate_series(1, len(ds) - 1),
+           i -> list_transform(generate_series(i + 1, len(ds)),
+                  j -> CAST(cs[j] - cs[i] AS DOUBLE) / (ds[j] - ds[i])))))
+           AS slopes
+  FROM ser WHERE len(ds) >= 2
+)
+SELECT user_id, n_days,
+       CAST(len(slopes) AS BIGINT) AS n_pairs,
+       FLOOR(slopes[CAST((len(slopes) + 1) // 2 AS INT)] * 1000000 + 0.5)
+         / 1000000 AS theil_slope
+FROM sl
+"""
+
+
+@register("stats_theil_sen", oracle=_TS_SLOPE_SQL, tier="T2")
+def stats_theil_sen(spark, sf_dir):
+    """Theil-Sen robust slope per user: the MEDIAN of all pairwise
+    day-to-day slopes of the daily purchase series — the
+    breakdown-point-29% trend estimator that one outlier day cannot move
+    (the robust twin of ts_theta_forecast's OLS slope, the robust
+    complement of ts_mann_kendall's trend TEST). Calendar-aware: slopes
+    divide by actual day gaps, not row offsets.
+
+    Determinism: each slope is ONE exact-int division (correctly rounded,
+    bit-identical both engines); the in-row sort of the slope array is a
+    total order on doubles; the lower median picks index (m+1) DIV 2.
+    The O(days²) pair expansion stays IN-ROW on the calendar-bounded
+    per-user array (30 days → 435 slopes), the ts_mann_kendall shape.
+
+    Scale note: one user_id shuffle; cost linear in users.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).cast("long").alias("c"))
+    )
+    ser = (
+        daily.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+                        .cast("long")
+                        .alias("d"),
+                        F.col("c"),
+                    )
+                )
+            ).alias("s")
+        )
+        .withColumn("ds", F.expr("transform(s, v -> v.d)"))
+        .withColumn("cs", F.expr("transform(s, v -> v.c)"))
+        .filter(F.size("ds") >= 2)
+    )
+    sl = ser.select(
+        "user_id",
+        F.size("ds").cast("long").alias("n_days"),
+        F.expr(
+            "array_sort(flatten(transform(sequence(1, size(ds) - 1),"
+            " i -> transform(sequence(i + 1, size(ds)),"
+            " j -> CAST(element_at(cs, j) - element_at(cs, i) AS DOUBLE)"
+            " / (element_at(ds, j) - element_at(ds, i))))))"
+        ).alias("slopes"),
+    )
+    return sl.select(
+        "user_id",
+        "n_days",
+        F.size("slopes").cast("long").alias("n_pairs"),
+        (
+            F.floor(
+                F.expr(
+                    "element_at(slopes, CAST((size(slopes) + 1) DIV 2 AS INT))"
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("theil_slope"),
+    )
