@@ -671,3 +671,93 @@ def seq_rfm_scores(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.min("user_id").cast("long").alias("example_user"),
     )
+
+
+_PATHS_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(CASE WHEN pts IS NULL
+                  OR datediff('second', pts, ts) > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM ordered
+),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) FILTER (
+           WHERE rn <= 5) AS path
+  FROM (
+    SELECT user_id, sid, ts, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                              ORDER BY ts, event_id) AS rn
+    FROM sess
+  )
+  GROUP BY user_id, sid
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 10
+"""
+
+
+@register("seq_top_paths", oracle=_PATHS_SQL, tier="T2")
+def seq_top_paths(spark, sf_dir):
+    """Top user-journey paths: sessionize (30-min inactivity gap), take
+    each session's first 5 event types in order as its PATH signature,
+    and rank the ten most common journeys — the navigation-flow /
+    funnel-discovery query (the tabular core of a Sankey diagram).
+
+    Determinism: session ids come from the gaps-and-islands cumulative
+    sum over the total (ts, event_id) order; the path string aggregates
+    in that same order (Spark spells the ordered string_agg as
+    array_join(collect-sorted)); the top-10 cut is the total
+    (count DESC, path) order. Scale note: one user_id shuffle serves the
+    lag, the island sum and the rank; path aggregation shuffles
+    (user, session); the final top-10 is a TakeOrderedAndProject.
+    """
+    e = load(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("pts", F.lag("ts").over(w_u))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("pts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("pts") > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w_u.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    w_s = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    paths = (
+        sess.withColumn("rn", F.row_number().over(w_s))
+        .filter(F.col("rn") <= 5)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(ts, event_id,"
+                    " event_type))), v -> v.event_type)"
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )

@@ -1878,3 +1878,70 @@ def stats_theil_sen(spark, sf_dir):
             / 1000000
         ).alias("theil_slope"),
     )
+
+
+# ---------------------------------------------------------- trimmed mean
+_TRIM_SQL = """
+WITH v AS (
+  SELECT c_mktsegment AS seg, c_custkey,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+rk AS (
+  SELECT seg, cents,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, c_custkey) AS r,
+         COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM v
+),
+kept AS (
+  SELECT seg, cents, n FROM rk
+  WHERE r > n // 20 AND r <= n - n // 20
+)
+SELECT seg, CAST(MAX(n) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       FLOOR(CAST(SUM(cents) AS DOUBLE) / COUNT(*) + 0.5) / 100
+         AS trimmed_mean
+FROM kept GROUP BY seg
+"""
+
+
+@register("stats_trimmed_mean", oracle=_TRIM_SQL, tier="T2")
+def stats_trimmed_mean(spark, sf_dir):
+    """5%-trimmed mean of account balance per segment: drop the bottom and
+    top n/20 observations BY EXACT RANK, average the rest — the robust
+    location estimate that outliers can't drag (the drop-don't-clamp
+    counterpart of etl_winsorize). Trim counts use integer floor division
+    so both engines cut identical rank ranges even at awkward n.
+
+    Determinism: ranks order by (cents, custkey) — total; the kept-set
+    sum is exact int64 with ONE trailing division, half-up to cents.
+    Scale note: one segment-partitioned rank window (swap for the
+    histogram-cumulative rank recipe at extreme group sizes), then a
+    partial+final aggregate.
+    """
+    c = load(spark, sf_dir, "customer")
+    v = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("seg").orderBy("cents", "c_custkey")
+    wn = Window.partitionBy("seg")
+    rk = v.select(
+        "seg",
+        "cents",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = rk.filter(
+        (F.col("r") > (F.col("n") / 20).cast("long"))
+        & (F.col("r") <= F.col("n") - (F.col("n") / 20).cast("long"))
+    )
+    return kept.groupBy("seg").agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        (
+            F.floor(F.sum("cents").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+            / 100
+        ).alias("trimmed_mean"),
+    )
