@@ -1945,3 +1945,59 @@ def stats_trimmed_mean(spark, sf_dir):
             / 100
         ).alias("trimmed_mean"),
     )
+
+
+# --------------------------------------------------------- geometric mean
+_GEO_SQL = """
+WITH v AS (
+  SELECT o_orderpriority AS prio,
+         CAST(FLOOR(ln(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    * 1000000) AS BIGINT) AS ln_u
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(ln_u) AS BIGINT) AS ln_sum_u,
+       FLOOR(exp(CAST(SUM(ln_u) AS DOUBLE) / 1000000 / COUNT(*)) + 0.5) / 100
+         AS geomean
+FROM v GROUP BY prio
+"""
+
+
+@register("stats_geomean", oracle=_GEO_SQL, tier="T2")
+def stats_geomean(spark, sf_dir):
+    """Geometric mean of order value per priority — the right average for
+    multiplicative/skewed quantities (growth factors, latencies, prices):
+    exp(mean(ln x)), immune to the arithmetic mean's domination by large
+    orders. Exact int64 ln-sum ships alongside so consumers can re-derive
+    at full precision or merge across shards (ln-sums just add — the
+    geometric mean is partial-aggregable in log space).
+
+    Determinism: each row's ln(cents) is quantized to 1e-6 units BEFORE
+    the sum (the text_unigram_logprob ln recipe — cross-row double sums
+    of raw lns would be partition-order dependent); the mean is one exact
+    division and one exp, half-up to cents. Headroom: ln(cents) ≤ ~21 →
+    2.1e7 units/row — int64-safe past 4e11 rows.
+
+    Scale note: map-side ln + one partial+final aggregate; nothing else.
+    """
+    o = load(spark, sf_dir, "orders")
+    v = o.filter(F.col("o_totalprice") > 0).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(
+            F.log(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("ln_u"),
+    )
+    return v.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ln_u").cast("long").alias("ln_sum_u"),
+        (
+            F.floor(
+                F.exp(F.sum("ln_u").cast("double") / 1000000 / F.count(F.lit(1)))
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("geomean"),
+    )
