@@ -335,3 +335,47 @@ def sample_reservoir_per_group(spark, sf_dir):
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+@register(
+    "sample_systematic",
+    oracle="""
+WITH rk AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (ORDER BY c_custkey) AS r
+  FROM customer
+)
+SELECT c_custkey, c_mktsegment, cents
+FROM rk WHERE (r - 1) % 25 = 0
+""",
+    tier="T2",
+)
+def sample_systematic(spark, sf_dir):
+    """Systematic (every k-th) sampling: rank the population in a total
+    key order and keep ranks 1, k+1, 2k+1, ... — the audit-sampling
+    design (uniform coverage across the ordered key space, no clumps)
+    that complements the hash samples (sample_deterministic) when the
+    auditor wants evenly spaced exemplars rather than random ones. k=25
+    here (a 4% sample).
+
+    Determinism: rank over the total c_custkey order; pure integer
+    modulus. Caveat documented: systematic samples are biased if the
+    order correlates with a periodic pattern of the same wavelength —
+    use the hash sample when in doubt. Scale note: a global rank window
+    is the honest spelling at audit scale; for huge populations switch
+    to (c_custkey % k = offset) arithmetic when keys are dense, which
+    needs no window at all.
+    """
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter((F.col("r") - 1) % 25 == 0)
+        .select("c_custkey", "c_mktsegment", "cents")
+    )
