@@ -978,3 +978,96 @@ def vec_maxsim_late_interaction(spark, sf_dir):
             ).alias("maxsim"),
         )
     )
+
+
+_SIL_NP = 20
+
+
+@register(
+    "vec_silhouette_sample",
+    oracle=f"""
+WITH {_NORMS_SQL},
+pd AS (
+  SELECT a.vec_id AS pid, a.label AS plabel, b.label AS olabel,
+         CAST(FLOOR((CAST(1 AS DOUBLE) - {_COS_SQL}) * 1000000 + 0.5)
+              AS BIGINT) AS dist_u
+  FROM norms a JOIN norms b ON b.vec_id != a.vec_id
+  WHERE a.vec_id < {_SIL_NP}
+),
+cellmean AS (
+  SELECT pid, plabel, olabel,
+         CAST(SUM(dist_u) // COUNT(*) AS BIGINT) AS mean_u
+  FROM pd GROUP BY pid, plabel, olabel
+),
+ab AS (
+  SELECT pid, plabel,
+         MAX(CASE WHEN olabel = plabel THEN mean_u END) AS a_u,
+         MIN(CASE WHEN olabel != plabel THEN mean_u END) AS b_u
+  FROM cellmean GROUP BY pid, plabel
+)
+SELECT CAST(pid AS BIGINT) AS probe_id, CAST(plabel AS BIGINT) AS label,
+       a_u, b_u,
+       FLOOR(CAST(b_u - a_u AS DOUBLE) / greatest(a_u, b_u) * 10000 + 0.5)
+         / 10000 AS silhouette
+FROM ab WHERE a_u IS NOT NULL AND b_u IS NOT NULL
+""",
+    tier="T2",
+)
+def vec_silhouette_sample(spark, sf_dir):
+    """Silhouette coefficient on a 20-probe sample: for each probe, a =
+    mean cosine distance to its OWN label's other members, b = the
+    nearest other label's mean distance, s = (b−a)/max(a,b) — the
+    label-quality / cluster-separation audit (s near 1: well-separated;
+    s < 0: the probe sits closer to another cluster — a mislabel
+    candidate, the per-point view that vec_label_noise_knn's vote
+    aggregates). Sampling probes is the standard way to audit silhouette
+    at scale — the full statistic is O(n²).
+
+    Determinism: pair distances quantize to 1e-6 int units BEFORE any
+    mean (cross-row rule); per-(probe, label) means use exact integer
+    floor division; a/b/s are fixed expressions over exact ints, half-up
+    4dp. Scale note: the probe-broadcast scan is the sim_cosine_topk
+    shape; per-probe cell means partial-aggregate map-side on
+    (probe, label) — shuffle rows = probes × labels, not pairs.
+    """
+    n = _norms(spark, sf_dir)
+    probes = n.filter(F.col("vec_id") < _SIL_NP).alias("a")
+    corpus = n.alias("b")
+    dist_u = F.floor(
+        (F.lit(1).cast("double") - _pair_cos()) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    pd_ = (
+        F.broadcast(probes)
+        .join(corpus, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("pid"),
+            F.col("a.label").alias("plabel"),
+            F.col("b.label").alias("olabel"),
+            dist_u.alias("dist_u"),
+        )
+    )
+    cellmean = pd_.groupBy("pid", "plabel", "olabel").agg(
+        F.floor(F.sum("dist_u") / F.count(F.lit(1))).cast("long").alias("mean_u")
+    )
+    ab = cellmean.groupBy("pid", "plabel").agg(
+        F.max(F.when(F.col("olabel") == F.col("plabel"), F.col("mean_u"))).alias("a_u"),
+        F.min(F.when(F.col("olabel") != F.col("plabel"), F.col("mean_u"))).alias("b_u"),
+    )
+    return (
+        ab.filter(F.col("a_u").isNotNull() & F.col("b_u").isNotNull())
+        .select(
+            F.col("pid").cast("long").alias("probe_id"),
+            F.col("plabel").cast("long").alias("label"),
+            "a_u",
+            "b_u",
+            (
+                F.floor(
+                    (F.col("b_u") - F.col("a_u")).cast("double")
+                    / F.greatest("a_u", "b_u")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("silhouette"),
+        )
+    )
