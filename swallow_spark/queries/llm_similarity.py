@@ -991,7 +991,8 @@ pd AS (
   SELECT a.vec_id AS pid, a.label AS plabel, b.label AS olabel,
          CAST(FLOOR((CAST(1 AS DOUBLE) - {_COS_SQL}) * 1000000 + 0.5)
               AS BIGINT) AS dist_u
-  FROM norms a JOIN norms b ON b.vec_id != a.vec_id
+  FROM norms a JOIN norms b
+    ON b.vec_id != a.vec_id AND len(b.iv) = len(a.iv)
   WHERE a.vec_id < {_SIL_NP}
 ),
 cellmean AS (
@@ -1021,7 +1022,10 @@ def vec_silhouette_sample(spark, sf_dir):
     s < 0: the probe sits closer to another cluster — a mislabel
     candidate, the per-point view that vec_label_noise_knn's vote
     aggregates). Sampling probes is the standard way to audit silhouette
-    at scale — the full statistic is O(n²).
+    at scale — the full statistic is O(n²). Ragged-dimension vectors are
+    excluded PAIRWISE (len equality in the join) — mixed-dim dots are
+    undefined and the engines disagree on zip-padding semantics
+    (vec_embedding_profile is the ragged-row detector).
 
     Determinism: pair distances quantize to 1e-6 int units BEFORE any
     mean (cross-row rule); per-(probe, label) means use exact integer
@@ -1038,7 +1042,11 @@ def vec_silhouette_sample(spark, sf_dir):
     ).cast("long")
     pd_ = (
         F.broadcast(probes)
-        .join(corpus, F.col("b.vec_id") != F.col("a.vec_id"))
+        .join(
+            corpus,
+            (F.col("b.vec_id") != F.col("a.vec_id"))
+            & (F.size(F.col("b.iv")) == F.size(F.col("a.iv"))),
+        )
         .select(
             F.col("a.vec_id").alias("pid"),
             F.col("a.label").alias("plabel"),
