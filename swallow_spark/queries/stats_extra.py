@@ -2001,3 +2001,102 @@ def stats_geomean(spark, sf_dir):
             / 100
         ).alias("geomean"),
     )
+
+
+# -------------------------------------------------------------- runs test
+_RUNS_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY CAST(ts AS DATE)
+),
+ser AS (SELECT list(c ORDER BY day) AS xs FROM daily),
+sg AS (
+  SELECT list_filter(list_transform(generate_series(1, len(xs) - 1),
+           i -> CASE WHEN xs[i + 1] > xs[i] THEN 1
+                     WHEN xs[i + 1] < xs[i] THEN -1 ELSE 0 END),
+           s -> s != 0) AS signs
+  FROM ser
+),
+cnt AS (
+  SELECT CAST(len(signs) AS BIGINT) AS n,
+         CAST(len(list_filter(signs, s -> s = 1)) AS BIGINT) AS n_plus,
+         CAST(1 + list_sum(list_transform(generate_series(1, len(signs) - 1),
+                i -> CASE WHEN signs[i + 1] != signs[i] THEN 1 ELSE 0 END))
+              AS BIGINT) AS runs
+  FROM sg WHERE len(signs) >= 2
+)
+SELECT n, n_plus, n - n_plus AS n_minus, runs,
+       FLOOR((CAST(2 AS DOUBLE) * n_plus * (n - n_plus) / n + 1) * 10000
+             + 0.5) / 10000 AS expected_runs
+FROM cnt
+"""
+
+
+@register("stats_runs_test", oracle=_RUNS_SQL, tier="T2")
+def stats_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test inputs over the daily-revenue up/down
+    sequence: the number of RUNS (maximal same-sign streaks) vs the
+    expected 2·n₊·n₋/n + 1 under randomness — too few runs ⇒ momentum /
+    positive autocorrelation, too many ⇒ mean-reverting zig-zag. The
+    randomness complement of ts_mann_kendall (trend) and stats_ljung_box
+    (autocorrelation), computed on signs so it is distribution-free.
+
+    Determinism: signs, run counts and n₊/n₋ are exact integers from the
+    day-ordered series (zero deltas dropped, the standard treatment);
+    expected runs is ONE IEEE expression, half-up 4dp. Scale note: the
+    global daily series is calendar-bounded; everything happens in-row
+    after one daily aggregate (same shape as every global ts_* key).
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).cast("long").alias("c"))
+    )
+    ser = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "c"))).alias("s")
+    ).withColumn("xs", F.expr("transform(s, v -> v.c)"))
+    sg = ser.select(
+        F.expr(
+            "filter(transform(sequence(1, size(xs) - 1),"
+            " i -> CASE WHEN element_at(xs, i + 1) > element_at(xs, i) THEN 1"
+            "           WHEN element_at(xs, i + 1) < element_at(xs, i) THEN -1"
+            "           ELSE 0 END), s -> s != 0)"
+        ).alias("signs")
+    )
+    cnt = sg.filter(F.size("signs") >= 2).select(
+        F.size("signs").cast("long").alias("n"),
+        F.expr("size(filter(signs, s -> s = 1))").cast("long").alias("n_plus"),
+        (
+            1
+            + F.expr(
+                "aggregate(transform(sequence(1, size(signs) - 1),"
+                " i -> CASE WHEN element_at(signs, i + 1) != element_at(signs, i)"
+                " THEN 1 ELSE 0 END), 0L, (a, x) -> a + x)"
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    return cnt.select(
+        "n",
+        "n_plus",
+        (F.col("n") - F.col("n_plus")).alias("n_minus"),
+        "runs",
+        (
+            F.floor(
+                (
+                    F.lit(2).cast("double")
+                    * F.col("n_plus")
+                    * (F.col("n") - F.col("n_plus"))
+                    / F.col("n")
+                    + 1
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("expected_runs"),
+    )
