@@ -366,3 +366,110 @@ def stats_cuped(spark, sf_dir):
         ).alias("mean_y_cuped_cents"),
         (F.floor(F.max("th") * 1000000 + F.lit(0.5)) / 1000000).alias("theta"),
     )
+
+
+_ECE_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted,
+         (user_id * 2654435761) % 1000000007 % 1000 AS score_milli
+  FROM events GROUP BY user_id
+),
+binned AS (
+  SELECT score_milli // 100 AS bin, converted, score_milli
+  FROM per_user
+),
+b AS (
+  SELECT CAST(bin AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv,
+         CAST(SUM(score_milli) AS BIGINT) AS score_sum_milli
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM b),
+terms AS (
+  SELECT b.bin, b.n, b.conv,
+         FLOOR(CAST(b.score_sum_milli AS DOUBLE) / b.n / 1000 * 10000 + 0.5)
+           / 10000 AS mean_score,
+         FLOOR(CAST(b.conv AS DOUBLE) / b.n * 10000 + 0.5) / 10000 AS rate,
+         CAST(FLOOR(ABS(CAST(b.score_sum_milli AS DOUBLE) / b.n / 1000
+                        - CAST(b.conv AS DOUBLE) / b.n)
+                    * b.n * 1000000 + 0.5) AS BIGINT) AS w_gap_u
+  FROM b
+),
+ece AS (SELECT CAST(SUM(w_gap_u) AS BIGINT) AS gap_u FROM terms)
+SELECT t.bin, t.n, t.conv, t.mean_score, t.rate,
+       FLOOR(CAST(ece.gap_u AS DOUBLE) / 1000000 / tot.nt * 1000000 + 0.5)
+         / 1000000 AS ece
+FROM terms t CROSS JOIN ece CROSS JOIN tot
+"""
+
+
+@register("stats_calibration_ece", oracle=_ECE_SQL, tier="T2")
+def stats_calibration_ece(spark, sf_dir):
+    """Expected Calibration Error over 10 score deciles: per bin, the gap
+    between mean predicted score and observed conversion rate, weighted
+    by bin size — THE model-calibration audit ("a 0.7 score should
+    convert 70% of the time"); a big ECE means probabilities can't be
+    thresholded or averaged. Scores here are deterministic hash
+    pseudo-probabilities (the fixtures carry no model output — the
+    PLUMBING is the product: swap the score expression for a real model
+    column and nothing else changes).
+
+    Determinism: scores are pure int64 hash milli-units; per-bin
+    aggregates exact; each bin's |gap|·n term is ONE IEEE chain floored
+    to 1e-6 units BEFORE the cross-bin sum (the cross-dimension rule);
+    ECE is one final division, half-up 6dp. Scale note: one user
+    aggregate + one 10-key bin aggregate + scalar broadcasts (audited).
+    """
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("converted")
+    ).select(
+        "converted",
+        ((F.col("user_id") * F.lit(2654435761)) % F.lit(1000000007) % 1000).alias(
+            "score_milli"
+        ),
+    )
+    b = per_user.groupBy((F.col("score_milli") / 100).cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+        F.sum("score_milli").cast("long").alias("score_sum_milli"),
+    )
+    tot = b.agg(F.sum("n").cast("long").alias("nt"))
+    mean_score_raw = F.col("score_sum_milli").cast("double") / F.col("n") / 1000
+    rate_raw = F.col("conv").cast("double") / F.col("n")
+    terms = b.select(
+        "bin",
+        "n",
+        "conv",
+        (F.floor(mean_score_raw * 10000 + F.lit(0.5)) / 10000).alias("mean_score"),
+        (F.floor(rate_raw * 10000 + F.lit(0.5)) / 10000).alias("rate"),
+        F.floor(
+            F.abs(mean_score_raw - rate_raw) * F.col("n") * 1000000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w_gap_u"),
+    )
+    ece = terms.agg(F.sum("w_gap_u").cast("long").alias("gap_u"))
+    return (
+        terms.crossJoin(F.broadcast(ece))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "conv",
+            "mean_score",
+            "rate",
+            (
+                F.floor(
+                    F.col("gap_u").cast("double") / 1000000 / F.col("nt") * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("ece"),
+        )
+    )

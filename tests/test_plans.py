@@ -334,6 +334,7 @@ BNLJ_ALLOWED = {
     "stats_chisq_gof",  # broadcast 1-row n crossjoin
     "stats_ljung_box",  # broadcast 1-row n/c0/Q-sum scalar crossjoins
     "text_js_divergence",  # broadcast 1-row totals/JS-sum scalar crossjoins
+    "stats_calibration_ece",  # broadcast 1-row ECE/total scalar crossjoins
     "stats_cuped",  # broadcast 1-row bounds/theta crossjoins
     "stats_kendall_tau",  # deliberately bounded 25-nation pair set + 1-row n crossjoin
     "stats_survival_km",  # bounded O(days^2) prefix-product triangle + 1-row maxdate
