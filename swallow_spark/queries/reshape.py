@@ -1131,3 +1131,57 @@ def sql_exists_projection(spark, sf_dir):
         FROM exists_customer c WHERE c_custkey < 200
         """
     )
+
+
+@register(
+    "sql_ctas_dml",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE o_totalprice > 150000
+GROUP BY o_orderpriority
+UNION ALL
+SELECT '_manual', 2, 99900 + 100
+""",
+    tier="T2",
+)
+def sql_ctas_dml(spark, sf_dir):
+    """Catalog DML surface: CREATE TABLE AS SELECT materializes an
+    aggregate into the session catalog (managed parquet), INSERT INTO
+    VALUES appends manual rows, and the read-back must equal the
+    recomputed aggregate plus the inserts — the
+    publish-then-append-corrections workflow every curated mart uses.
+    CREATE OR REPLACE makes the key rerun-idempotent.
+
+    Determinism: exact aggregates; the manual rows are literals. Scale
+    note: CTAS is just the SELECT's plan plus a parquet sink (same
+    partial+final aggregate); INSERT INTO VALUES is a single-task append
+    of a LocalRelation — no shuffle; the read-back scans the managed
+    table like any parquet source.
+    """
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_ctas_src")
+    spark.sql("DROP TABLE IF EXISTS swallow_ctas_priority_agg")
+    spark.sql(
+        """
+        CREATE TABLE swallow_ctas_priority_agg USING parquet AS
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM orders_ctas_src
+        WHERE o_totalprice > 150000
+        GROUP BY o_orderpriority
+        """
+    )
+    spark.sql(
+        """
+        INSERT INTO swallow_ctas_priority_agg
+        VALUES ('_manual', CAST(2 AS BIGINT), CAST(100000 AS BIGINT))
+        """
+    )
+    return spark.sql(
+        "SELECT o_orderpriority, n, cents FROM swallow_ctas_priority_agg"
+    )
