@@ -1162,12 +1162,22 @@ def sql_ctas_dml(spark, sf_dir):
     of a LocalRelation — no shuffle; the read-back scans the managed
     table like any parquet source.
     """
+    import os
+    import shutil
+
     o = load(spark, sf_dir, "orders")
     o.createOrReplaceTempView("orders_ctas_src")
-    spark.sql("DROP TABLE IF EXISTS swallow_ctas_priority_agg")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tbl = f"swallow_ctas_priority_agg_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # a table dropped by a PREVIOUS session leaves its managed location
+    # behind (this session's catalog never knew it) — clear the dir so
+    # CREATE TABLE can't hit LOCATION_ALREADY_EXISTS
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(os.path.join(wh.removeprefix("file:"), tbl), ignore_errors=True)
     spark.sql(
-        """
-        CREATE TABLE swallow_ctas_priority_agg USING parquet AS
+        f"""
+        CREATE TABLE {tbl} USING parquet AS
         SELECT o_orderpriority,
                COUNT(*) AS n,
                SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
@@ -1177,11 +1187,9 @@ def sql_ctas_dml(spark, sf_dir):
         """
     )
     spark.sql(
-        """
-        INSERT INTO swallow_ctas_priority_agg
+        f"""
+        INSERT INTO {tbl}
         VALUES ('_manual', CAST(2 AS BIGINT), CAST(100000 AS BIGINT))
         """
     )
-    return spark.sql(
-        "SELECT o_orderpriority, n, cents FROM swallow_ctas_priority_agg"
-    )
+    return spark.sql(f"SELECT o_orderpriority, n, cents FROM {tbl}")
