@@ -605,3 +605,70 @@ def win_skyline_dominance(spark, sf_dir):
         )
         .select("p_brand", "p_partkey", "price_cents", "size")
     )
+
+
+@register(
+    "win_anchored_vwap",
+    oracle="""
+WITH daily AS (
+  SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS pv_cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem WHERE l_partkey < 200
+  GROUP BY l_partkey, CAST(l_shipdate AS DATE)
+)
+SELECT l_partkey, day,
+       CAST(SUM(pv_cents) OVER w AS BIGINT) AS cum_pv_cents,
+       CAST(SUM(qty) OVER w AS BIGINT) AS cum_qty,
+       FLOOR(CAST(SUM(pv_cents) OVER w AS DOUBLE)
+             / CAST(SUM(qty) OVER w AS DOUBLE) + 0.5) / 100 AS vwap
+FROM daily
+WINDOW w AS (PARTITION BY l_partkey ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tier="T2",
+)
+def win_anchored_vwap(spark, sf_dir):
+    """Anchored VWAP per part: the running volume-weighted average price
+    Σ(price)/Σ(qty) from the first shipment onward — the
+    execution-quality benchmark (did later shipments price above or below
+    the running average?) and the canonical RUNNING-RATIO window: both
+    cumulative sums share one frame, and the ratio divides exact
+    integers, so the ratio-of-sums never drifts the way a
+    running-average-of-ratios would.
+
+    Determinism: both numerator and denominator are exact int64 running
+    sums over the total (part, day) order; vwap is ONE division per row,
+    half-up to cents. Scale note: one l_partkey shuffle serves the daily
+    aggregate and the shared window frame (single Window node); the
+    partkey bound is pushed to the scan.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    daily = li.groupBy(
+        "l_partkey", F.col("l_shipdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("pv_cents"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "l_partkey",
+        "day",
+        F.sum("pv_cents").over(w).cast("long").alias("cum_pv_cents"),
+        F.sum("qty").over(w).cast("long").alias("cum_qty"),
+        (
+            F.floor(
+                F.sum("pv_cents").over(w).cast("double")
+                / F.sum("qty").over(w).cast("double")
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("vwap"),
+    )
