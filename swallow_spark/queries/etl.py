@@ -966,3 +966,86 @@ def etl_subject_access_report(spark, sf_dir):
         F.max("ts").alias("last_seen"),
     )
     return ev.unionAll(pur)
+
+
+_CHAIN_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM((o_orderkey * 31 + CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                          AS BIGINT)) % 1000000007)
+              AS BIGINT) % 1000000007 AS day_sum
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+ser AS (
+  SELECT list(day ORDER BY day) AS days,
+         list(day_sum ORDER BY day) AS sums
+  FROM daily
+),
+chain AS (
+  SELECT days, sums,
+         list_transform(generate_series(1, len(sums)),
+           i -> CAST(list_reduce(
+                  list_prepend(CAST(7 AS BIGINT), sums[1:i]),
+                  (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT)) AS h
+  FROM ser
+)
+SELECT unnest(days) AS day, unnest(sums) AS day_checksum,
+       unnest(h) AS chain_hash
+FROM chain
+"""
+
+
+@register("etl_audit_chain", oracle=_CHAIN_SQL, tier="T2")
+def etl_audit_chain(spark, sf_dir):
+    """Tamper-evident audit chain over daily partitions: each day gets an
+    order-independent checksum (sum of per-row hashes mod p — the
+    etl_table_checksum recipe at day grain), then a HASH CHAIN folds the
+    day-ordered checksums (h_i = 31·h_{i−1} + c_i mod p) so editing ANY
+    historical day changes every subsequent chain value — the
+    append-only-ledger property compliance auditors want from immutable
+    raw zones, with O(1) state per day.
+
+    Determinism: all arithmetic is exact int64 mod 1e9+7 (acc·31 + c <
+    2^35); the chain folds the day-ordered list identically in both
+    engines; per-day checksums are order-independent sums so partitioning
+    never matters. Scale note: one day-grain aggregate (map-side
+    combinable), then an in-row fold over the calendar-bounded day list;
+    verifying an incremental load = recompute ONE day + extend the chain.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (
+            F.sum(
+                (
+                    F.col("o_orderkey") * 31
+                    + F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+                )
+                % F.lit(1000000007)
+            )
+            % F.lit(1000000007)
+        )
+        .cast("long")
+        .alias("day_sum")
+    )
+    ser = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "day_sum"))).alias("s")
+    ).select(
+        F.expr("transform(s, v -> v.day)").alias("days"),
+        F.expr("transform(s, v -> v.day_sum)").alias("sums"),
+    )
+    chain = ser.select(
+        "days",
+        "sums",
+        F.expr(
+            "transform(sequence(1, size(sums)),"
+            " i -> aggregate(slice(sums, 1, i), CAST(7 AS BIGINT),"
+            " (acc, x) -> (acc * 31 + x) % 1000000007))"
+        ).alias("h"),
+    )
+    return chain.select(
+        F.expr("explode(arrays_zip(days, sums, h))").alias("z")
+    ).select(
+        F.col("z.days").alias("day"),
+        F.col("z.sums").alias("day_checksum"),
+        F.col("z.h").alias("chain_hash"),
+    )
