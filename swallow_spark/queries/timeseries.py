@@ -2107,3 +2107,98 @@ def ts_theta_forecast(spark, sf_dir):
             / 10000
         ).alias("forecast_cents"),
     )
+
+
+_SMAX_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY CAST(ts AS DATE)
+),
+w AS (
+  SELECT day, c,
+         CAST(SUM(c) OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS s5,
+         CAST(COUNT(*) OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS n5,
+         CAST(SUM(c) OVER (ORDER BY day ROWS BETWEEN 19 PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS s20,
+         CAST(COUNT(*) OVER (ORDER BY day ROWS BETWEEN 19 PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS n20,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn
+  FROM daily
+),
+sig AS (
+  SELECT day, c, s5, s20,
+         CASE WHEN s5 * n20 > s20 * n5 THEN 1 ELSE 0 END AS fast_above,
+         LAG(CASE WHEN s5 * n20 > s20 * n5 THEN 1 ELSE 0 END)
+           OVER (ORDER BY day) AS prev_above
+  FROM w WHERE rn >= 20
+)
+SELECT day, c AS day_cents, s5 AS sum5_cents, s20 AS sum20_cents,
+       CASE WHEN fast_above = 1 AND prev_above = 0 THEN 'golden_cross'
+            WHEN fast_above = 0 AND prev_above = 1 THEN 'death_cross'
+       END AS signal
+FROM sig WHERE prev_above IS NOT NULL AND fast_above != prev_above
+"""
+
+
+@register("ts_sma_crossover", oracle=_SMAX_SQL, tier="T2")
+def ts_sma_crossover(spark, sf_dir):
+    """SMA crossover signals on daily revenue: days where the 5-day moving
+    average crosses the 20-day one (golden cross up / death cross down) —
+    the classic regime-change detector, also the shape of every
+    short-vs-long-baseline drift alert. Warmup rows (rank < 20) are
+    excluded so both averages are full-window.
+
+    Determinism: the mean comparison is the EXACT integer cross product
+    s5·n20 > s20·n5 — no division, so no float ever decides a crossing;
+    signal days come from an integer lag flip over the total day order.
+    Scale note: both frames share one global-ordered window pass over the
+    calendar-bounded daily table (the sorts.py global-window note
+    applies); cross-multiplication bound s·n ≤ 20·Σcents — int64-safe
+    past SF 1000.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).cast("long").alias("c"))
+    )
+    w5 = Window.orderBy("day").rowsBetween(-4, 0)
+    w20 = Window.orderBy("day").rowsBetween(-19, 0)
+    wo = Window.orderBy("day")
+    w = daily.select(
+        "day",
+        "c",
+        F.sum("c").over(w5).cast("long").alias("s5"),
+        F.count(F.lit(1)).over(w5).cast("long").alias("n5"),
+        F.sum("c").over(w20).cast("long").alias("s20"),
+        F.count(F.lit(1)).over(w20).cast("long").alias("n20"),
+        F.row_number().over(wo).alias("rn"),
+    ).filter(F.col("rn") >= 20)
+    above = F.when(
+        F.col("s5") * F.col("n20") > F.col("s20") * F.col("n5"), 1
+    ).otherwise(0)
+    sig = w.select(
+        "day",
+        "c",
+        "s5",
+        "s20",
+        above.alias("fast_above"),
+        F.lag(above).over(Window.orderBy("day")).alias("prev_above"),
+    )
+    return sig.filter(
+        F.col("prev_above").isNotNull() & (F.col("fast_above") != F.col("prev_above"))
+    ).select(
+        "day",
+        F.col("c").alias("day_cents"),
+        F.col("s5").alias("sum5_cents"),
+        F.col("s20").alias("sum20_cents"),
+        F.when(
+            (F.col("fast_above") == 1) & (F.col("prev_above") == 0), "golden_cross"
+        )
+        .when((F.col("fast_above") == 0) & (F.col("prev_above") == 1), "death_cross")
+        .alias("signal"),
+    )
