@@ -1248,3 +1248,71 @@ def text_js_divergence(spark, sf_dir):
         .orderBy(F.col("term_u").desc(), "token")
         .limit(20)
     )
+
+
+_HEAPS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+firsts AS (
+  SELECT token, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM tok
+  GROUP BY token
+),
+newv AS (
+  SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM firsts GROUP BY first_doc
+),
+toks AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY doc_id
+),
+curve AS (
+  SELECT t.doc_id,
+         CAST(SUM(t.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+         CAST(SUM(COALESCE(n.new_types, 0)) OVER w AS BIGINT) AS cum_vocab
+  FROM toks t LEFT JOIN newv n ON n.doc_id = t.doc_id
+  WINDOW w AS (ORDER BY t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, cum_tokens, cum_vocab
+FROM curve WHERE doc_id % 50 = 0
+"""
+
+
+@register("text_vocab_growth", oracle=_HEAPS_SQL, tier="T2")
+def text_vocab_growth(spark, sf_dir):
+    """Vocabulary-growth (Heaps' law) curve: cumulative distinct word
+    types vs cumulative tokens in doc_id order, sampled every 50 docs —
+    the corpus-health curve (vocab should grow ~K·nᵝ, β≈0.5; a kink
+    means a new source/language joined the mix; a plateau means heavy
+    duplication — the macroscopic twin of the dedup suite). Computed
+    WITHOUT any running-distinct state: each type contributes at its
+    FIRST document, so cumulative vocab = running sum of first-occurrence
+    counts — one aggregate + one window, no O(vocab) state.
+
+    Determinism: exact integer counts; the curve is a cumulative sum over
+    the total doc_id order. Scale note: the token→min(doc) aggregate is
+    the tf-idf shuffle; the curve window runs over the doc-grain table
+    (global order over |docs| rows — swap for bucketed prefix sums at
+    extreme doc counts).
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    firsts = tok.groupBy("token").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    newv = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    toks = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = (
+        toks.join(newv, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce("new_types", F.lit(0))).over(w).cast("long").alias("cum_vocab"),
+        )
+    )
+    return curve.filter(F.col("doc_id") % 50 == 0)
