@@ -1079,3 +1079,123 @@ def vec_silhouette_sample(spark, sf_dir):
             ).alias("silhouette"),
         )
     )
+
+
+# 1/log2(i+1) discount weights for ranks 1..5, pre-quantized to 1e-6 units
+# as LITERALS (floor(1e6/log2(i+1))) so neither engine evaluates a log —
+# the same no-libm discipline as sketch_log2_histogram.
+_NDCG_W = [1000000, 630929, 500000, 430676, 386852]
+_NDCG_W_SQL = "[" + ", ".join(str(w) for w in _NDCG_W) + "]"
+
+
+@register(
+    "vec_ndcg_eval",
+    oracle=f"""
+WITH {_NORMS_SQL},
+ranked AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS probe_id, a.label AS plabel, b.label AS nlabel,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_COS_SQL} DESC, b.vec_id) AS rk
+    FROM norms a JOIN norms b
+      ON b.vec_id != a.vec_id AND len(b.iv) = len(a.iv)
+    WHERE a.vec_id < {_N_PROBES}
+  ) WHERE rk <= 5
+),
+scored AS (
+  SELECT probe_id,
+         CAST(SUM(CASE WHEN nlabel = plabel THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel,
+         CAST(SUM(CASE WHEN nlabel = plabel
+                       THEN {_NDCG_W_SQL}[CAST(rk AS INT)] ELSE 0 END)
+              AS BIGINT) AS dcg_u
+  FROM ranked GROUP BY probe_id
+),
+ideal AS (
+  SELECT probe_id, n_rel, dcg_u,
+         CAST(CASE WHEN n_rel > 0
+              THEN list_sum(({_NDCG_W_SQL})[1:CAST(n_rel AS INT)]) ELSE 0 END
+              AS BIGINT) AS idcg_u
+  FROM scored
+)
+SELECT probe_id, n_rel, dcg_u, idcg_u,
+       CASE WHEN idcg_u > 0
+            THEN FLOOR(CAST(dcg_u AS DOUBLE) / idcg_u * 10000 + 0.5) / 10000
+       END AS ndcg
+FROM ideal
+""",
+    tier="T2",
+)
+def vec_ndcg_eval(spark, sf_dir):
+    """NDCG@5 retrieval evaluation for the 10 probe vectors: the exact
+    cosine top-5 ranking is scored against label-match relevance (rel=1
+    when the neighbor shares the probe's label) with the standard
+    1/log₂(i+1) position discount — the ranking-quality metric every
+    retrieval/reranker change is gated on; per-probe rows keep the
+    diagnosis (WHICH probes rank badly) attached to the score.
+
+    Determinism: discount weights are PRE-QUANTIZED integer literals
+    (floor(1e6/log₂(i+1)) — no libm log in either engine); DCG/IDCG are
+    exact int64 sums; NDCG is one division, half-up 4dp; rankings use
+    the (cos DESC, vec_id) total order and exclude ragged-dim pairs.
+    Scale note: the probe-broadcast scan + WindowGroupLimit top-5 is the
+    sim_cosine_topk shape; scoring is per-probe arithmetic on ≤5 rows.
+    """
+    n = _norms(spark, sf_dir)
+    probes = n.filter(F.col("vec_id") < _N_PROBES).alias("a")
+    corpus = n.alias("b")
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    ranked = (
+        F.broadcast(probes)
+        .join(
+            corpus,
+            (F.col("b.vec_id") != F.col("a.vec_id"))
+            & (F.size(F.col("b.iv")) == F.size(F.col("a.iv"))),
+        )
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("a.label").alias("plabel"),
+            F.col("b.label").alias("nlabel"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            _pair_cos().alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+    warr = F.array(*[F.lit(x) for x in _NDCG_W])
+    scored = ranked.groupBy("probe_id").agg(
+        F.sum(F.when(F.col("nlabel") == F.col("plabel"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel"),
+        F.sum(
+            F.when(
+                F.col("nlabel") == F.col("plabel"),
+                F.element_at(warr, F.col("rk").cast("int")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_u"),
+    )
+    ideal = scored.withColumn(
+        "idcg_u",
+        F.when(
+            F.col("n_rel") > 0,
+            F.expr(
+                f"aggregate(slice(array({', '.join(str(x) for x in _NDCG_W)}),"
+                " 1, CAST(n_rel AS INT)), 0L, (a, x) -> a + x)"
+            ),
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    return ideal.select(
+        "probe_id",
+        "n_rel",
+        "dcg_u",
+        "idcg_u",
+        F.when(
+            F.col("idcg_u") > 0,
+            F.floor(F.col("dcg_u").cast("double") / F.col("idcg_u") * 10000 + F.lit(0.5))
+            / 10000,
+        ).alias("ndcg"),
+    )

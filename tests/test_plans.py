@@ -350,6 +350,7 @@ BNLJ_ALLOWED = {
     "vec_triplet_mining",  # anchor-broadcast cosine scan (same as sim_cosine_topk)
     "vec_matryoshka_recall",  # probe-broadcast cosine arms (same as sim_cosine_topk)
     "vec_maxsim_late_interaction",  # probe-broadcast MaxSim scan (same as sim_cosine_topk)
+    "vec_ndcg_eval",  # probe-broadcast ranking scan (same as sim_cosine_topk)
     "vec_silhouette_sample",  # probe-broadcast distance scan (same as sim_cosine_topk)
     "ts_resample_interp",
 }
