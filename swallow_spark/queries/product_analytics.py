@@ -761,3 +761,94 @@ def seq_top_paths(spark, sf_dir):
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+_FIRST_TOUCH_SQL = """
+WITH base AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS es,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 END AS code,
+         value
+  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+),
+w AS (
+  SELECT user_id, es, is_p, value,
+         MIN(CASE WHEN is_p = 0 THEN es * 4 + code END)
+           OVER (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS packed
+  FROM base
+)
+SELECT COALESCE(CASE packed % 4 WHEN 1 THEN 'click' WHEN 2 THEN 'view' END,
+                'none') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM w WHERE is_p = 1
+GROUP BY 1
+"""
+
+
+@register("funnel_attribution_first_touch", oracle=_FIRST_TOUCH_SQL, tier="T2")
+def funnel_attribution_first_touch(spark, sf_dir):
+    """First-touch attribution with a 7-day lookback: every purchase is
+    credited to the user's EARLIEST click/view in the preceding week —
+    the discovery-credit counterpart of funnel_attribution_last_touch
+    (the two bracket the multi-touch debate; comparing their channel
+    totals is the classic MMM sanity check). The lookback bound is what
+    makes first-touch meaningful at scale: an unbounded first touch is
+    just 'the oldest event ever'.
+
+    Determinism: implemented as a VALUE-BASED range frame (epoch seconds,
+    7-day RANGE preceding) over the tagged event union — range frames
+    include ALL equal-timestamp peers in both engines, so purchase/touch
+    ties need no row-order pin; the earliest touch is the MIN of a packed
+    (epoch·4 + channel-code) int64, which also pins equal-second channel
+    ties (click < view). Revenue is exact cents.
+
+    Scale note: one user_id shuffle for the range window over the event
+    stream, one channel-key aggregate — the same single-pass shape as
+    last-touch, no join.
+    """
+    e = load(spark, sf_dir, "events")
+    base = e.filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    ).select(
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("es"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .alias("code"),
+        "value",
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-604800, 0)
+    )
+    w = base.withColumn(
+        "packed",
+        F.min(
+            F.when(F.col("is_p") == 0, F.col("es") * 4 + F.col("code"))
+        ).over(wr),
+    )
+    return (
+        w.filter(F.col("is_p") == 1)
+        .select(
+            F.coalesce(
+                F.when(F.col("packed") % 4 == 1, "click").when(
+                    F.col("packed") % 4 == 2, "view"
+                ),
+                F.lit("none"),
+            ).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
