@@ -772,3 +772,80 @@ def join_fuzzy_blocked(spark, sf_dir):
         .filter(F.col("edit_dist") <= 4)
         .select("key_a", "key_b", "edit_dist")
     )
+
+
+_ASOF_STRICT_SQL = """
+WITH t AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase'
+),
+ev AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+),
+a AS (
+  SELECT ev.user_id, ev.event_id,
+         t.value AS prev_purchase_value
+  FROM ev ASOF LEFT JOIN t
+    ON ev.user_id = t.user_id AND ev.ts > t.ts
+)
+SELECT user_id, event_id,
+       CAST(FLOOR(prev_purchase_value * 100 + 0.5) AS BIGINT)
+         AS prev_purchase_cents
+FROM a
+"""
+
+
+@register("join_asof_strict", oracle=_ASOF_STRICT_SQL, tier="T2")
+def join_asof_strict(spark, sf_dir):
+    """STRICTLY-before as-of join (pandas allow_exact_matches=False): each
+    view event picks the latest purchase strictly EARLIER than it — the
+    no-lookahead variant required when both streams can log the same
+    timestamp and the right side must not leak same-instant information
+    (feature generation for models scores exactly this way). Completes
+    the asof matrix: backward-inclusive (join_asof), forward, nearest,
+    tolerance, and now strict.
+
+    Implementation: the union-tag running-last trick with the EXCLUSION
+    moved into the sort key — rows order by (ts, is_view DESC... i.e.
+    views BEFORE purchases at equal ts), so the running last() over
+    UNBOUNDED PRECEDING..CURRENT ROW can never see a same-ts purchase
+    from a view row. The DuckDB oracle uses native `ASOF LEFT JOIN ON
+    ev.ts > t.ts` — the hash match proves the frame trick implements
+    strict semantics exactly, including equal-ts collisions.
+
+    Determinism: ties within a ts resolve by the (ts, tag, event_id)
+    total order identically in both engines; output is exact cents.
+    Scale note: one user_id shuffle for the tagged union + window — the
+    same single-pass shape as every asof key, no join fan-out.
+    """
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value", F.lit(1).alias("is_p")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("double").alias("value"), F.lit(0).alias("is_p"),
+    )
+    tagged = purchases.unionByName(views)
+    # views sort BEFORE purchases at equal ts (is_p asc), so a view's
+    # preceding frame cannot contain a same-ts purchase
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "pv", F.last(F.when(F.col("is_p") == 1, F.col("value")), True).over(w)
+        )
+        .filter(F.col("is_p") == 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("pv") * 100 + F.lit(0.5)).cast("long").alias(
+                "prev_purchase_cents"
+            ),
+        )
+    )
