@@ -777,7 +777,7 @@ def join_fuzzy_blocked(spark, sf_dir):
 _ASOF_STRICT_SQL = """
 WITH t AS (
   SELECT user_id, ts, event_id, value FROM events
-  WHERE event_type = 'purchase'
+  WHERE event_type = 'purchase' AND value IS NOT NULL
 ),
 ev AS (
   SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
@@ -815,14 +815,19 @@ def join_asof_strict(spark, sf_dir):
 
     Determinism: ties within a ts resolve by the (ts, tag, event_id)
     total order identically in both engines; output is exact cents.
+    NULL-valued purchases are excluded on BOTH sides (the
+    join_point_in_time rule: last(ignoreNulls) would skip past a matched
+    NULL row to an older purchase, where a native asof stops and yields
+    NULL).
     Scale note: one user_id shuffle for the tagged union + window — the
     same single-pass shape as every asof key, no join fan-out.
     """
     from pyspark.sql.window import Window
 
     e = load(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", "value", F.lit(1).alias("is_p")
+    purchases = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value", F.lit(1).alias("is_p"))
     )
     views = e.filter(F.col("event_type") == "view").select(
         "user_id", "ts", "event_id",
