@@ -544,3 +544,35 @@ def fn_generators(spark, sf_dir):
           END) gen AS doubled, tag
         """
     )
+
+
+@register(
+    "fn_mask_pii",
+    oracle="""
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(
+         c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS masked_name,
+       CAST(length(c_name) AS BIGINT) AS n_chars
+FROM customer WHERE c_custkey < 500
+""",
+    tier="T2",
+)
+def fn_mask_pii(spark, sf_dir):
+    """Data-masking function surface (mask(), Spark 3.4+): customer names
+    redacted to shape-preserving placeholders (uppercase→X, lowercase→x,
+    digits→n, punctuation kept) — the display-layer PII control that
+    keeps formats testable (length and structure survive, content
+    doesn't; contrast etl_pseudonymize, which keeps JOINABILITY instead).
+    The oracle spells the same masking as three character-class
+    regexp_replace passes, pinning mask()'s default character table.
+
+    Determinism: pure character mapping. Scale note: map-only codegen
+    expression; the key bound is pushed to the scan.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("masked_name"),
+        F.length("c_name").cast("long").alias("n_chars"),
+    )
