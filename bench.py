@@ -87,10 +87,52 @@ def env_markers(sf_dir: str) -> dict:
     return m
 
 
+# Quiet-box gating constants (VERDICT r5 item 1). SPIN_REF_SEC is the spin
+# marker recorded on the quiet reference box (r4/r5 quiet readings: 0.10-0.16s);
+# a run whose spin deviates >25% from this, or whose 1-min loadavg starts above
+# LOADAVG_GATE, is either retried (after a short settle sleep) or — if the box
+# never settles within the retry budget — annotated loudly in the JSON so a
+# reader can discount the timings without a rerun.
+LOADAVG_GATE = 1.5
+SPIN_REF_SEC = 0.12
+SPIN_TOL = 0.25
+SETTLE_RETRIES = 6
+SETTLE_SLEEP_SEC = 15
+
+
+def wait_for_quiet_box(sf_dir: str) -> tuple[dict, list[str]]:
+    """Re-measure env markers until the box looks quiet, or budget runs out.
+
+    Returns (markers, warnings). Empty warnings == clean recording conditions;
+    non-empty means the timings below were taken on a contended box and should
+    be read against the env block, not at face value.
+    """
+    m = env_markers(sf_dir)
+    for _ in range(SETTLE_RETRIES):
+        load_ok = m.get("loadavg", [0])[0] <= LOADAVG_GATE
+        spin_ok = m.get("spin_sec", 0) <= SPIN_REF_SEC * (1 + SPIN_TOL)
+        if load_ok and spin_ok:
+            return m, []
+        time.sleep(SETTLE_SLEEP_SEC)
+        m = env_markers(sf_dir)
+    warnings = []
+    if m.get("loadavg", [0])[0] > LOADAVG_GATE:
+        warnings.append(
+            f"loadavg {m['loadavg'][0]} > {LOADAVG_GATE} after "
+            f"{SETTLE_RETRIES * SETTLE_SLEEP_SEC}s settle budget — box contended"
+        )
+    if m.get("spin_sec", 0) > SPIN_REF_SEC * (1 + SPIN_TOL):
+        warnings.append(
+            f"spin_sec {m['spin_sec']} deviates >{int(SPIN_TOL * 100)}% from "
+            f"reference {SPIN_REF_SEC} — CPU contention, discount timings"
+        )
+    return m, warnings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    env_before = env_markers(sf_dir)
+    env_before, env_warnings = wait_for_quiet_box(sf_dir)
     spark = get_spark("swallow_spark_bench", cpus=cpus)
     qs = declared_queries()
     names = [n for n in HEADLINE if n in qs]
@@ -136,6 +178,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "env": {"before": env_before, "after": env_markers(sf_dir)},
     }
+    if env_warnings:
+        out["env_warnings"] = env_warnings
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
