@@ -32,19 +32,18 @@ def test_gram_matches_dense_numpy(spark, emb_matrix):
         assert r["g"] == want[r["i"], r["j"]], (r["i"], r["j"])
 
 
-def test_pca_matches_dense_numpy(spark, emb_matrix):
+def test_pca_matches_frozen_model_reference(spark, emb_matrix):
+    """vec_pca_project == the frozen-basis projection computed densely in
+    numpy with the same exact-integer arithmetic, bit-identical (the key is
+    a persisted-model projection since VERDICT r5 item 4; the model-vs-live
+    eigh agreement is pinned separately in test_pca_frozen.py)."""
+    from swallow_spark.queries.pca_frozen import PCA_C1, PCA_C2, PCA_OFF1, PCA_OFF2
+
     t, q = emb_matrix
-    qf = q.astype(np.float64)
-    mean = qf.mean(axis=0)
-    c = qf - mean
-    cov = c.T @ c / len(qf)
-    evals, evecs = np.linalg.eigh(cov)
-    comps = evecs[:, ::-1][:, :2].copy()
-    for j in range(2):
-        k = int(np.argmax(np.abs(comps[:, j])))
-        if comps[k, j] < 0:
-            comps[:, j] = -comps[:, j]
-    want = c @ comps / _VEC_UNITS  # original coordinate scale
+    C = np.stack([np.asarray(PCA_C1, dtype=np.int64), np.asarray(PCA_C2, dtype=np.int64)], axis=1)
+    dots = q @ C  # exact int64
+    want1 = np.floor((dots[:, 0] - PCA_OFF1).astype(np.float64) / 1e9 + 0.5) / 1e6
+    want2 = np.floor((dots[:, 1] - PCA_OFF2).astype(np.float64) / 1e9 + 0.5) / 1e6
 
     got = (
         all_queries()["vec_pca_project"]
@@ -53,10 +52,10 @@ def test_pca_matches_dense_numpy(spark, emb_matrix):
         .set_index("vec_id")
         .loc[t["vec_id"].to_numpy()]
     )
-    np.testing.assert_allclose(got["pc1"].to_numpy(), want[:, 0], atol=2e-5)
-    np.testing.assert_allclose(got["pc2"].to_numpy(), want[:, 1], atol=2e-5)
-    # PC1 captures at least as much variance as PC2, both positive
-    assert evals[-1] >= evals[-2] > 0
-    # projections are centered: column means ~ 0
-    assert abs(got["pc1"].mean()) < 1e-3
-    assert abs(got["pc2"].mean()) < 1e-3
+    np.testing.assert_array_equal(got["pc1"].to_numpy(), want1)
+    np.testing.assert_array_equal(got["pc2"].to_numpy(), want2)
+    # Basis columns are ~unit-norm in 1e-9 units and near-orthogonal, so the
+    # projection preserves scale: coordinate spread stays within the raw range.
+    norms = np.sqrt((C.astype(np.float64) ** 2).sum(axis=0)) / 1e9
+    np.testing.assert_allclose(norms, 1.0, atol=1e-6)
+    assert abs(float(C[:, 0] @ C[:, 1]) / 1e18) < 1e-6
