@@ -94,3 +94,14 @@ def test_interval_join_and_binned_rewrite_match_reference(
         (r.e1, r.e2) for r in qs["join_interval_binned"].fn(spark, tmpdir).collect()
     }
     assert binned == want
+
+    # third engine leg (VERDICT r5 item 6): the registered DuckDB oracle on
+    # the same parquet must agree too — pins BETWEEN inclusivity and the
+    # event_id self-pair exclusion cross-engine, not just cross-spelling
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmpdir}/events.parquet')"
+    )
+    duck = {(r[0], r[1]) for r in con.sql(qs["join_interval"].oracle).fetchall()}
+    con.close()
+    assert duck == want

@@ -1,0 +1,130 @@
+"""Property test for join_theta_range (VERDICT r5 item 6): random
+(orderdate, shipdate) interleavings must produce the SAME (orderkey,
+linenumber, ship_days) set in Spark, in the registered DuckDB oracle, and
+in a pure-Python reference — pinning the BETWEEN boundary semantics the
+fixtures can't stress: shipdate exactly at the order date, exactly at the
++7-day upper bound, one microsecond-ish (minute) past it, and before the
+order date (excluded).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_BASE = dt.datetime(2024, 1, 1)
+_WINDOW_MIN = 7 * 24 * 60  # the +7 DAY bound, in minutes
+
+# per-order lineitem ship offsets in MINUTES relative to the order date —
+# clustered on the exact boundaries (0 and +7 days) and just past them,
+# with negatives (ship before order) that must never match
+_ship_offset = st.one_of(
+    st.just(0),
+    st.just(_WINDOW_MIN),
+    st.just(_WINDOW_MIN + 1),
+    st.just(-1),
+    st.integers(min_value=-2 * 24 * 60, max_value=9 * 24 * 60),
+)
+_order = st.tuples(
+    st.integers(min_value=0, max_value=20),  # orderdate offset, days
+    st.lists(_ship_offset, min_size=1, max_size=6),
+)
+_scenario = st.lists(_order, min_size=4, max_size=8)
+
+
+def _materialize(case, tmpdir):
+    orders, items = [], []
+    for okey, (od_days, offs) in enumerate(case, start=1):
+        od = _BASE + dt.timedelta(days=od_days)
+        orders.append(
+            {
+                "o_orderkey": okey,
+                "o_custkey": 1,
+                "o_orderstatus": "O",
+                "o_totalprice": 1.0,
+                "o_orderdate": od,
+                "o_orderpriority": "1-URGENT",
+            }
+        )
+        for ln, off in enumerate(offs, start=1):
+            items.append(
+                {
+                    "l_orderkey": okey,
+                    "l_partkey": 1,
+                    "l_suppkey": 1,
+                    "l_linenumber": ln,
+                    "l_quantity": 1.0,
+                    "l_extendedprice": 1.0,
+                    "l_discount": 0.0,
+                    "l_tax": 0.0,
+                    "l_returnflag": "N",
+                    "l_linestatus": "O",
+                    "l_shipdate": od + dt.timedelta(minutes=off),
+                }
+            )
+    odf = pd.DataFrame(orders)
+    ldf = pd.DataFrame(items)
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM odf) TO '{tmpdir}/orders.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        "COPY (SELECT * REPLACE (CAST(l_linenumber AS INTEGER) AS l_linenumber) "
+        f"FROM ldf) TO '{tmpdir}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    return orders, items
+
+
+def _ref_matches(orders, items):
+    """join_theta_range semantics: equi orderkey + shipdate ∈
+    [orderdate, orderdate + 7 days], BOTH bounds inclusive; ship_days is
+    the whole-day difference of the DATE parts."""
+    od = {o["o_orderkey"]: o["o_orderdate"] for o in orders}
+    out = set()
+    for li in items:
+        o = od[li["l_orderkey"]]
+        s = li["l_shipdate"]
+        if o <= s <= o + dt.timedelta(days=7):
+            out.add(
+                (li["l_orderkey"], li["l_linenumber"], (s.date() - o.date()).days)
+            )
+    return out
+
+
+@pytest.fixture(scope="module")
+def qs():
+    from swallow_spark.registry import all_queries
+
+    return all_queries()
+
+
+@settings(max_examples=30, deadline=None)
+@given(_scenario)
+def test_theta_range_spark_duckdb_reference_agree(spark, qs, tmp_path_factory, case):
+    tmpdir = str(tmp_path_factory.mktemp("theta"))
+    orders, items = _materialize(case, tmpdir)
+    want = _ref_matches(orders, items)
+
+    q = qs["join_theta_range"]
+    got_spark = {
+        (r.l_orderkey, r.l_linenumber, r.ship_days)
+        for r in q.fn(spark, tmpdir).collect()
+    }
+    assert got_spark == want
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmpdir}/{t}.parquet')"
+        )
+    got_duck = {
+        (r[0], r[1], r[2]) for r in con.sql(q.oracle).fetchall()
+    }
+    con.close()
+    assert got_duck == want
