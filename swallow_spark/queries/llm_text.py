@@ -1316,3 +1316,123 @@ def text_vocab_growth(spark, sf_dir):
         )
     )
     return curve.filter(F.col("doc_id") % 50 == 0)
+
+
+_WINNOW_W = 4  # winnowing window over the k-gram hash sequence
+
+
+@register(
+    "text_winnowing",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, g.i AS pos,
+         CAST(list_sum(list_transform(generate_series(0, 7),
+                j -> CAST(ascii(substr(text, CAST(g.i + j AS INT), 1)) AS BIGINT)
+                     * ({_POW_SQL}[j + 1]))) AS BIGINT) % {_MOD} AS h
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i) g
+  WHERE text IS NOT NULL
+),
+w AS (
+  SELECT doc_id, pos AS wstart,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS wmin,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS wlen,
+         MAX(pos) OVER (PARTITION BY doc_id) AS npos
+  FROM h
+),
+wf AS (
+  SELECT * FROM w WHERE wlen = {_WINNOW_W} OR (wstart = 1 AND npos < {_WINNOW_W})
+),
+sel AS (
+  SELECT f.doc_id, f.wstart, MAX(h2.pos) AS spos
+  FROM wf f JOIN h h2 ON h2.doc_id = f.doc_id
+        AND h2.pos BETWEEN f.wstart AND f.wstart + {_WINNOW_W - 1}
+        AND h2.h = f.wmin
+  GROUP BY f.doc_id, f.wstart
+),
+selh AS (
+  SELECT DISTINCT s.doc_id, s.spos, h.h
+  FROM sel s JOIN h ON h.doc_id = s.doc_id AND h.pos = s.spos
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_selected,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+       CAST(SUM(DISTINCT h) AS BIGINT) AS fp_sum,
+       CAST(MIN(h) AS BIGINT) AS fp_min,
+       CAST(MAX(h) AS BIGINT) AS fp_max
+FROM selh GROUP BY doc_id
+""",
+    tier="T2",
+)
+def text_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): Karp-Rabin hashes of all 8-char windows (same base-131
+    family as text_fingerprint), then from every window of 4 consecutive
+    hashes select the RIGHTMOST minimum — the guarantee is that any shared
+    substring of length ≥ 11 (k + w − 1) yields a shared fingerprint, which
+    is what makes it the standard partial-overlap dedup signature.
+    Emitted per doc as a scalar summary of the selected set (count,
+    distinct count, Σ distinct, min, max) so the check is exact.
+
+    Cross-engine determinism: hashes are exact int64 polynomial sums mod
+    1e9+7; selection is pure integer comparison with an explicit tie rule
+    (rightmost = MAX(pos) of the window minimum — numpy spells it as
+    argmin over the reversed window). NULL text excluded on both sides;
+    docs shorter than k zero-pad one window, and the single sub-w window
+    of a short hash sequence is kept (wstart = 1, npos < w).
+
+    Scale note: map-only Arrow-batched numpy per doc (vectorized
+    sliding-window matmul + reversed argmin) — no shuffle, linear in
+    corpus size; the oracle's window-frame + join-back spelling is the
+    portable SQL equivalent. At 100 TB the selected-fingerprint rows
+    (~2/w per token) would feed the same posting-list pair generation the
+    jaccard/minhash keys use.
+    """
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("text").isNotNull()
+    )
+    w = _WINNOW_W
+
+    def winnow(it):
+        pw = np.array(_POW, dtype=np.int64)
+        for pdf in it:
+            out = {
+                "doc_id": [], "n_selected": [], "n_distinct": [],
+                "fp_sum": [], "fp_min": [], "fp_max": [],
+            }
+            for doc_id, s in zip(pdf["doc_id"], pdf["text"]):
+                c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.int64
+                )
+                if len(c) < 8:
+                    c = np.pad(c, (0, 8 - len(c)))  # zero-pad: ascii('') = 0
+                h = (sliding_window_view(c, 8) @ pw) % _MOD
+                if len(h) <= w:
+                    # single (possibly short) window: rightmost min
+                    spos = np.array([len(h) - 1 - int(np.argmin(h[::-1]))])
+                else:
+                    wins = sliding_window_view(h, w)
+                    # argmin over reversed windows → rightmost minimum
+                    ridx = w - 1 - np.argmin(wins[:, ::-1], axis=1)
+                    spos = np.unique(np.arange(len(wins)) + ridx)
+                fps = np.unique(h[spos])
+                out["doc_id"].append(doc_id)
+                out["n_selected"].append(len(spos))
+                out["n_distinct"].append(len(fps))
+                out["fp_sum"].append(int(fps.sum()))
+                out["fp_min"].append(int(fps[0]))
+                out["fp_max"].append(int(fps[-1]))
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        winnow,
+        "doc_id long, n_selected long, n_distinct long, fp_sum long, "
+        "fp_min long, fp_max long",
+    )
