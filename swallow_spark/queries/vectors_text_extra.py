@@ -608,3 +608,111 @@ def vec_dim_variance_topk(spark, sf_dir):
         .orderBy(F.col("var_num").desc(), "dim")
         .limit(8)
     )
+
+
+_PQ_N_SUB = 8
+_PQ_SUB_DIM = 8
+_PQ_MULT = [16**s for s in range(_PQ_N_SUB)]
+
+
+def _pq_oracle() -> str:
+    from .pq_frozen import PQ_BOOKS
+
+    rows = ",\n    ".join(
+        f"({s}, {cid}, {j}, {PQ_BOOKS[s][cid][j]})"
+        for s in range(_PQ_N_SUB)
+        for cid in range(16)
+        for j in range(_PQ_SUB_DIM)
+    )
+    mult = "[" + ", ".join(str(m) for m in _PQ_MULT) + "]"
+    return f"""
+WITH cb AS (
+  SELECT * FROM (VALUES
+    {rows}) AS t(s, cid, j, c)
+),
+q AS (
+  SELECT vec_id, label,
+         CAST((g.i - 1) // {_PQ_SUB_DIM} AS INT) AS s,
+         CAST((g.i - 1) % {_PQ_SUB_DIM} AS INT) AS j,
+         CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qv
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+  WHERE embedding IS NOT NULL AND len(embedding) = {_VEC_DIM}
+),
+dist AS (
+  SELECT q.vec_id, q.label, q.s, cb.cid,
+         CAST(SUM((q.qv - cb.c) * (q.qv - cb.c)) AS BIGINT) AS d2
+  FROM q JOIN cb ON cb.s = q.s AND cb.j = q.j
+  GROUP BY q.vec_id, q.label, q.s, cb.cid
+),
+best AS (
+  SELECT vec_id, label, s, cid, d2,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
+  FROM dist
+)
+SELECT vec_id, label,
+       CAST(SUM(CAST(cid AS BIGINT) * ({mult})[s + 1]) AS BIGINT) AS code_packed,
+       CAST(SUM(d2) AS BIGINT) AS recon_err
+FROM best WHERE rk = 1
+GROUP BY vec_id, label
+"""
+
+
+@register("vec_pq_encode", oracle=_pq_oracle(), tier="T2")
+def vec_pq_encode(spark, sf_dir):
+    """Product-quantization encoding — the storage/serving compression path
+    of an IVF-PQ ANN index (8 subspaces × 8 dims, 16 centroids each → one
+    4-bit code per subspace, 4 bytes per vector instead of 256). Codebooks
+    are a PERSISTED model: trained by tools/pq_freeze.py's deterministic
+    integer-unit Lloyd over the sf0.1 reference corpus and frozen as
+    literals in BOTH engines (pq_frozen.py), the same fit-once /
+    apply-everywhere shape as vec_pca_project — which is also what makes a
+    quantizer oracle-checkable (no k-means in DuckDB).
+
+    Exactness: data and codebook share the 1e-4 integer unit system
+    (ops.vectors.ESCALE), distances are exact int64 Σ(q−c)², assignment
+    tie-breaks on lowest centroid id (numpy argmin first-occurrence ≡ the
+    oracle's ORDER BY d2, cid), and the outputs (packed base-16 code +
+    total reconstruction error in units²) are exact integers — zero float
+    anywhere.
+
+    Scale note: map-only Arrow-batched numpy (one (n,8,16,8) broadcasted
+    subtract per batch); the 1 KiB codebook ships inside the plan. At
+    100 TB this is the embarrassingly-parallel encode pass; the asymmetric
+    distance table for querying would reuse the same frozen books.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .pq_frozen import PQ_BOOKS
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    books = [[list(c) for c in book] for book in PQ_BOOKS]
+    mult = list(_PQ_MULT)
+
+    def encode(it):
+        C = np.asarray(books, dtype=np.int64)  # (8, 16, 8)
+        M = np.asarray(mult, dtype=np.int64)
+        for pdf in it:
+            keep = pdf["embedding"].map(lambda v: v is not None and len(v) == _VEC_DIM)
+            pdf = pdf[keep]
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            q = np.floor(x * 10_000 + 0.5).astype(np.int64).reshape(len(pdf), 8, 8)
+            diff = q[:, :, None, :] - C[None, :, :, :]  # (n, 8, 16, 8)
+            d2 = (diff * diff).sum(axis=3)  # (n, 8, 16) exact int64
+            codes = d2.argmin(axis=2)  # first occurrence = lowest cid
+            recon = np.take_along_axis(d2, codes[:, :, None], axis=2)[:, :, 0].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "code_packed": (codes * M).sum(axis=1),
+                    "recon_err": recon,
+                }
+            )
+
+    return e.mapInPandas(
+        encode, "vec_id long, label int, code_packed long, recon_err long"
+    )
