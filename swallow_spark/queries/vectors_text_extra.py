@@ -10,6 +10,7 @@
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..conform import rnd, sql_rnd
 from ..io import load
@@ -610,25 +611,33 @@ def vec_dim_variance_topk(spark, sf_dir):
     )
 
 
-_PQ_N_SUB = 8
-_PQ_SUB_DIM = 8
-_PQ_MULT = [16**s for s in range(_PQ_N_SUB)]
+_PQ_N_SUB = 16
+_PQ_SUB_DIM = 4
+_PQ_N_CENT = 64
+# codes pack 6 bits each into two BIGINTs: subspaces 0-9 -> code_lo (60 bits),
+# 10-15 -> code_hi (36 bits)
+_PQ_LO = 10
+_PQ_MULT_LO = [64**s for s in range(_PQ_LO)]
+_PQ_MULT_HI = [64**s for s in range(_PQ_N_SUB - _PQ_LO)]
 
 
-def _pq_oracle() -> str:
+def _pq_cb_values() -> str:
     from .pq_frozen import PQ_BOOKS
 
-    rows = ",\n    ".join(
+    return ",\n    ".join(
         f"({s}, {cid}, {j}, {PQ_BOOKS[s][cid][j]})"
         for s in range(_PQ_N_SUB)
-        for cid in range(16)
+        for cid in range(_PQ_N_CENT)
         for j in range(_PQ_SUB_DIM)
     )
-    mult = "[" + ", ".join(str(m) for m in _PQ_MULT) + "]"
-    return f"""
-WITH cb AS (
+
+
+def _pq_qdist_sql() -> str:
+    """Shared oracle CTEs: quantized subvector elements + per-(vec, s, cid)
+    exact distances to the frozen codebook."""
+    return f"""cb AS (
   SELECT * FROM (VALUES
-    {rows}) AS t(s, cid, j, c)
+    {_pq_cb_values()}) AS t(s, cid, j, c)
 ),
 q AS (
   SELECT vec_id, label,
@@ -644,75 +653,224 @@ dist AS (
          CAST(SUM((q.qv - cb.c) * (q.qv - cb.c)) AS BIGINT) AS d2
   FROM q JOIN cb ON cb.s = q.s AND cb.j = q.j
   GROUP BY q.vec_id, q.label, q.s, cb.cid
-),
+)"""
+
+
+def _pq_oracle() -> str:
+    mult_lo = "[" + ", ".join(f"CAST({m} AS BIGINT)" for m in _PQ_MULT_LO) + "]"
+    mult_hi = "[" + ", ".join(f"CAST({m} AS BIGINT)" for m in _PQ_MULT_HI) + "]"
+    return f"""
+WITH {_pq_qdist_sql()},
 best AS (
   SELECT vec_id, label, s, cid, d2,
          row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
   FROM dist
 )
 SELECT vec_id, label,
-       CAST(SUM(CAST(cid AS BIGINT) * ({mult})[s + 1]) AS BIGINT) AS code_packed,
+       CAST(SUM(CASE WHEN s < {_PQ_LO}
+                     THEN CAST(cid AS BIGINT) * ({mult_lo})[s + 1]
+                     ELSE 0 END) AS BIGINT) AS code_lo,
+       CAST(SUM(CASE WHEN s >= {_PQ_LO}
+                     THEN CAST(cid AS BIGINT) * ({mult_hi})[s - {_PQ_LO} + 1]
+                     ELSE 0 END) AS BIGINT) AS code_hi,
        CAST(SUM(d2) AS BIGINT) AS recon_err
 FROM best WHERE rk = 1
 GROUP BY vec_id, label
 """
 
 
+def _pq_codes_batches():
+    """mapInPandas body shared by encode + ADC: exact int64 PQ assignment."""
+    import numpy as np
+
+    from .pq_frozen import PQ_BOOKS
+
+    books = [[list(c) for c in book] for book in PQ_BOOKS]
+
+    def assign(pdf):
+        C = np.asarray(books, dtype=np.int64)  # (16, 64, 4)
+        keep = pdf["embedding"].map(lambda v: v is not None and len(v) == _VEC_DIM)
+        pdf = pdf[keep]
+        if not len(pdf):
+            return None
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        q = (
+            np.floor(x * 10_000 + 0.5)
+            .astype(np.int64)
+            .reshape(len(pdf), _PQ_N_SUB, _PQ_SUB_DIM)
+        )
+        diff = q[:, :, None, :] - C[None, :, :, :]  # (n, 16, 64, 4)
+        d2 = (diff * diff).sum(axis=3)  # exact int64
+        codes = d2.argmin(axis=2)  # first occurrence = lowest cid
+        recon = np.take_along_axis(d2, codes[:, :, None], axis=2)[:, :, 0].sum(axis=1)
+        return pdf, q, codes, recon
+
+    return assign
+
+
 @register("vec_pq_encode", oracle=_pq_oracle(), tier="T2")
 def vec_pq_encode(spark, sf_dir):
     """Product-quantization encoding — the storage/serving compression path
-    of an IVF-PQ ANN index (8 subspaces × 8 dims, 16 centroids each → one
-    4-bit code per subspace, 4 bytes per vector instead of 256). Codebooks
-    are a PERSISTED model: trained by tools/pq_freeze.py's deterministic
-    integer-unit Lloyd over the sf0.1 reference corpus and frozen as
-    literals in BOTH engines (pq_frozen.py), the same fit-once /
-    apply-everywhere shape as vec_pca_project — which is also what makes a
-    quantizer oracle-checkable (no k-means in DuckDB).
+    of an IVF-PQ ANN index (16 subspaces × 4 dims, 64 centroids each → one
+    6-bit code per subspace: 12 bytes per vector instead of 256, packed
+    into two BIGINTs). Codebooks are a PERSISTED model: trained by
+    tools/pq_freeze.py's deterministic integer-unit Lloyd over the sf0.1
+    reference corpus and frozen as literals in BOTH engines
+    (pq_frozen.py), the same fit-once / apply-everywhere shape as
+    vec_pca_project — which is also what makes a quantizer
+    oracle-checkable (no k-means in DuckDB).
 
     Exactness: data and codebook share the 1e-4 integer unit system
     (ops.vectors.ESCALE), distances are exact int64 Σ(q−c)², assignment
     tie-breaks on lowest centroid id (numpy argmin first-occurrence ≡ the
-    oracle's ORDER BY d2, cid), and the outputs (packed base-16 code +
-    total reconstruction error in units²) are exact integers — zero float
-    anywhere.
+    oracle's ORDER BY d2, cid), and the outputs (two packed base-64 code
+    words + total reconstruction error in units²) are exact integers —
+    zero float anywhere.
 
-    Scale note: map-only Arrow-batched numpy (one (n,8,16,8) broadcasted
-    subtract per batch); the 1 KiB codebook ships inside the plan. At
-    100 TB this is the embarrassingly-parallel encode pass; the asymmetric
-    distance table for querying would reuse the same frozen books.
+    Scale note: map-only Arrow-batched numpy (one (n,16,64,4) broadcasted
+    subtract per batch); the 4 KiB codebook ships inside the plan. At
+    100 TB this is the embarrassingly-parallel encode pass;
+    vec_pq_adc_topk queries the resulting codes.
     """
     import numpy as np
     import pandas as pd
 
-    from .pq_frozen import PQ_BOOKS
-
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    books = [[list(c) for c in book] for book in PQ_BOOKS]
-    mult = list(_PQ_MULT)
+    assign = _pq_codes_batches()
+    mlo = np.asarray(_PQ_MULT_LO, dtype=np.int64)
+    mhi = np.asarray(_PQ_MULT_HI, dtype=np.int64)
 
     def encode(it):
-        C = np.asarray(books, dtype=np.int64)  # (8, 16, 8)
-        M = np.asarray(mult, dtype=np.int64)
+        for pdf in it:
+            r = assign(pdf)
+            if r is None:
+                continue
+            pdf, _, codes, recon = r
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "code_lo": (codes[:, :_PQ_LO] * mlo).sum(axis=1),
+                    "code_hi": (codes[:, _PQ_LO:] * mhi).sum(axis=1),
+                    "recon_err": recon,
+                }
+            )
+
+    return e.mapInPandas(
+        encode, "vec_id long, label int, code_lo long, code_hi long, recon_err long"
+    )
+
+
+_PQ_N_PROBES = 10
+_PQ_TOPK = 5
+
+
+def _pq_adc_oracle() -> str:
+    return f"""
+WITH {_pq_qdist_sql()},
+best AS (
+  SELECT vec_id, s, cid,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
+  FROM dist
+),
+lut AS (
+  SELECT vec_id AS probe_id, s, cid, d2 FROM dist WHERE vec_id < {_PQ_N_PROBES}
+),
+adc AS (
+  SELECT l.probe_id, b.vec_id AS neighbor_id,
+         CAST(SUM(l.d2) AS BIGINT) AS adc_dist
+  FROM best b JOIN lut l ON l.s = b.s AND l.cid = b.cid
+  WHERE b.rk = 1 AND b.vec_id != l.probe_id
+  GROUP BY l.probe_id, b.vec_id
+)
+SELECT probe_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc_dist, neighbor_id) AS rk
+  FROM adc
+)
+WHERE rk <= {_PQ_TOPK}
+"""
+
+
+@register("vec_pq_adc_topk", oracle=_pq_adc_oracle(), tier="T2")
+def vec_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance (ADC) top-5 search over the PQ index — the query
+    half of vec_pq_encode: each probe keeps full precision and precomputes
+    one 16×64 lookup table of exact int64 subspace distances to every
+    frozen centroid (pq_frozen.py); a corpus vector's distance is then
+    just Σ_s LUT[s][code_s] — 16 array lookups against its 6-bit codes,
+    no access to the original 64-dim vector. Ties break on neighbor_id.
+
+    Exactness: probe LUTs and corpus codes live in the same 1e-4 integer
+    unit system, so the ADC sums are exact int64 in both engines — an
+    approximate-INDEX key whose computation is nonetheless bit-checkable
+    (the approximation is quantization error vs true distance, not
+    run-to-run noise). Recall vs the exact L2 top-5 is asserted in
+    tests/test_conform_properties.py (0.4-0.6 on the near-random fixture
+    vectors, where distance concentration makes PQ hardest; the coarser
+    8×8×16 configuration measured 0.2 and was rejected for it).
+
+    Scale note: the probe side (10 rows × 1024-long LUTs) broadcasts —
+    the audited bounded BNLJ shape shared with sim_cosine_topk — and the
+    corpus side is scanned as 12-byte codes, which is the entire point of
+    PQ at 100 TB: the index is ~20× smaller than the vectors, and code
+    unpacking (integer DIV/mod, exact past 2^53 where float division is
+    not) + 16 element_at lookups stay in whole-stage codegen.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    codes = vec_pq_encode(spark, sf_dir).select("vec_id", "code_lo", "code_hi")
+    assign = _pq_codes_batches()
+
+    def probe_luts(it):
+        from .pq_frozen import PQ_BOOKS
+
+        C = np.asarray(PQ_BOOKS, dtype=np.int64)  # (16, 64, 4)
         for pdf in it:
             keep = pdf["embedding"].map(lambda v: v is not None and len(v) == _VEC_DIM)
             pdf = pdf[keep]
             if not len(pdf):
                 continue
             x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            q = np.floor(x * 10_000 + 0.5).astype(np.int64).reshape(len(pdf), 8, 8)
-            diff = q[:, :, None, :] - C[None, :, :, :]  # (n, 8, 16, 8)
-            d2 = (diff * diff).sum(axis=3)  # (n, 8, 16) exact int64
-            codes = d2.argmin(axis=2)  # first occurrence = lowest cid
-            recon = np.take_along_axis(d2, codes[:, :, None], axis=2)[:, :, 0].sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "label": pdf["label"].to_numpy(),
-                    "code_packed": (codes * M).sum(axis=1),
-                    "recon_err": recon,
-                }
+            q = (
+                np.floor(x * 10_000 + 0.5)
+                .astype(np.int64)
+                .reshape(len(pdf), _PQ_N_SUB, _PQ_SUB_DIM)
             )
+            diff = q[:, :, None, :] - C[None, :, :, :]
+            lut = (diff * diff).sum(axis=3).reshape(len(pdf), _PQ_N_SUB * _PQ_N_CENT)
+            out = np.empty(len(pdf), dtype=object)
+            for i in range(len(pdf)):
+                out[i] = lut[i].tolist()
+            yield pd.DataFrame({"probe_id": pdf["vec_id"].to_numpy(), "lut": out})
 
-    return e.mapInPandas(
-        encode, "vec_id long, label int, code_packed long, recon_err long"
+    probes = (
+        e.filter(F.col("vec_id") < _PQ_N_PROBES)
+        .select("vec_id", "embedding")
+        .mapInPandas(probe_luts, "probe_id long, lut array<long>")
+    )
+
+    def code_at(s):
+        if s < _PQ_LO:
+            return F.expr(f"(code_lo DIV {64**s}) % 64")
+        return F.expr(f"(code_hi DIV {64**(s - _PQ_LO)}) % 64")
+
+    adc = sum(
+        F.element_at(F.col("lut"), (F.lit(s * _PQ_N_CENT + 1) + code_at(s)).cast("int"))
+        for s in range(_PQ_N_SUB)
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        F.broadcast(probes)
+        .join(codes, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.cast("long").alias("adc_dist"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _PQ_TOPK)
     )

@@ -264,3 +264,34 @@ def test_ann_lsh_recall_second_corpus(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"ann_lsh_bucketed sf0.01 recall {recall:.2f} too low"
+
+
+def test_pq_adc_recall_vs_exact_l2(spark):
+    """vec_pq_adc_topk must recover a reasonable fraction of the exact
+    integer-unit L2 top-5 (ADC ranks by Euclidean distance — the cosine
+    twin is the wrong reference). Measured 0.4-0.6 with the frozen sf0.1
+    books on these near-random fixtures; floor leaves drift room."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from swallow_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    t = t[t["embedding"].map(lambda v: v is not None and len(v) == 64)].sort_values("vec_id")
+    ids = t["vec_id"].to_numpy()
+    q = np.floor(np.stack([np.asarray(v) for v in t["embedding"]]) * 1e4 + 0.5).astype(np.int64)
+    exact = set()
+    for p in range(10):
+        w = np.where(ids == p)[0]
+        if not len(w):
+            continue
+        d = ((q - q[w[0]]) ** 2).sum(axis=1)
+        d[w[0]] = 2**62
+        exact |= {(p, int(ids[o])) for o in np.lexsort((ids, d))[:5]}
+    adc = {
+        (r.probe_id, r.neighbor_id)
+        for r in all_queries()["vec_pq_adc_topk"].fn(spark, sf).collect()
+    }
+    recall = len(exact & adc) / len(exact)
+    assert recall >= 0.25, f"vec_pq_adc_topk recall {recall:.2f} too low"

@@ -347,6 +347,7 @@ BNLJ_ALLOWED = {
     "ts_locf",
     "vec_label_noise_knn",  # probe-broadcast cosine arm (same as sim_cosine_topk)
     "vec_sign_topk",  # probe-broadcast Hamming scan (same shape as sim_cosine_topk)
+    "vec_pq_adc_topk",  # probe-broadcast ADC LUT scan (same shape as sim_cosine_topk)
     "vec_triplet_mining",  # anchor-broadcast cosine scan (same as sim_cosine_topk)
     "vec_matryoshka_recall",  # probe-broadcast cosine arms (same as sim_cosine_topk)
     "vec_maxsim_late_interaction",  # probe-broadcast MaxSim scan (same as sim_cosine_topk)

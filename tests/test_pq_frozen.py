@@ -31,13 +31,13 @@ def test_frozen_codebooks_match_live_lloyd():
             "rerun tools/pq_freeze.py; vec_pq_encode stays hash-consistent."
         )
 
-    for s in range(8):
-        sub = q[:, s * 8 : (s + 1) * 8]
-        cent = sub[:16].astype(np.float64).copy()
+    for s in range(16):
+        sub = q[:, s * 4 : (s + 1) * 4]
+        cent = sub[:64].astype(np.float64).copy()
         for _ in range(10):
             d = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(d, axis=1)
-            for c in range(16):
+            for c in range(64):
                 m = assign == c
                 if m.any():
                     cent[c] = np.floor(sub[m].mean(axis=0) + 0.5)
