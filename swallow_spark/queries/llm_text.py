@@ -1436,3 +1436,88 @@ def text_winnowing(spark, sf_dir):
         "doc_id long, n_selected long, n_distinct long, fp_sum long, "
         "fp_min long, fp_max long",
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, g.i AS pos, toks[g.i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE text IS NOT NULL),
+       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+),
+vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tok),
+big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY w1),
+c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY w1, w2),
+lp AS (
+  SELECT c12.w1, c12.w2,
+         CAST(FLOOR(ln(CAST(c12.n12 + 1 AS DOUBLE) / (c1.n1 + (SELECT v FROM vocab)))
+              * 1000000) AS BIGINT) AS lp_units
+  FROM c12 JOIN c1 USING (w1)
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       (FLOOR(CAST(SUM(l.lp_units) AS DOUBLE) / 1000000 / COUNT(*) * 10000 + 0.5)
+        / 10000) AS avg_logprob
+FROM big b JOIN lp l ON l.w1 = b.w1 AND l.w2 = b.w2
+GROUP BY b.doc_id
+""",
+    tier="T2",
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Per-doc average bigram log-probability under the corpus's own add-1
+    smoothed bigram LM — the next step up from text_unigram_logprob as a
+    perplexity-proxy quality filter: p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V).
+    Log-probs quantize to integer 1e-6 units BEFORE the per-doc sum (the
+    conform trick: exact, order-independent summation).
+
+    Scale note: bigrams come from a lead() window per doc (one shuffle on
+    doc_id — at 100 TB tokens of one doc co-locate by construction); the
+    bigram LM table is vocabulary²-bounded in principle but Zipf-sparse in
+    practice and broadcast here; V is the audited 1-row broadcast.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    vocab = tok.agg(F.count_distinct("w").alias("v"))
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id", F.col("w").alias("w1"), F.lead("w").over(wnd).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    lp = (
+        c12.join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log((F.col("n12") + 1).cast("double") / (F.col("n1") + F.col("v")))
+                * 1000000
+            ).cast("long").alias("lp_units"),
+        )
+    )
+    return (
+        big.join(F.broadcast(lp), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.floor(
+                    F.sum("lp_units").cast("double")
+                    / 1000000
+                    / F.count(F.lit(1))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("avg_logprob"),
+        )
+    )

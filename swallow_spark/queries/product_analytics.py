@@ -852,3 +852,62 @@ def funnel_attribution_first_touch(spark, sf_dir):
             .alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "seq_time_to_convert",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT user_id,
+         (epoch_us(first_purchase) - epoch_us(first_signup)) // 60000000 AS delay_min
+  FROM firsts
+  WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_signup
+)
+SELECT CAST(delay_min // 60 AS BIGINT) AS delay_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(delay_min) AS BIGINT) AS min_delay_min,
+       CAST(MAX(delay_min) AS BIGINT) AS max_delay_min
+FROM conv GROUP BY delay_min // 60
+""",
+    tier="T2",
+)
+def seq_time_to_convert(spark, sf_dir):
+    """Signup→purchase conversion-latency histogram: per user the delay
+    from first signup to first purchase at-or-after it, whole minutes by
+    integer epoch-microsecond floor division (never float), bucketed into
+    hours. The funnel-analytics staple for "how long does activation
+    take" — and the integer-exact spelling of it.
+
+    Scale note: one groupBy(user_id) with conditional MIN aggregates (the
+    two firsts come from the same partial-aggregated pass — no self-join,
+    no window), then a tiny hour-bucket aggregate. At 100 TB this is two
+    map-side-combinable shuffles, the second over at most a few thousand
+    buckets.
+    """
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("fs"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    conv = firsts.filter(
+        F.col("fs").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") >= F.col("fs"))
+    ).select(
+        F.expr("(unix_micros(fp) - unix_micros(fs)) DIV 60000000")
+        .cast("long")
+        .alias("delay_min")
+    )
+    return (
+        conv.groupBy(F.expr("delay_min DIV 60").cast("long").alias("delay_hours"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("delay_min").cast("long").alias("min_delay_min"),
+            F.max("delay_min").cast("long").alias("max_delay_min"),
+        )
+    )
