@@ -353,3 +353,107 @@ def multimodal_phash_dedup(spark, sf_dir):
         "phash",
         (F.count(F.lit(1)).over(w) > 1).cast("int").alias("is_dup"),
     )
+
+
+_SCENE_FRAME = 16  # bytes per synthetic frame
+_SCENE_TH = 128  # |Δ luma-sum| above this = scene cut
+
+
+@register(
+    "multimodal_scene_cuts",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, hex(encode(text)) AS ph,
+         octet_length(encode(text)) // {_SCENE_FRAME} AS n_frames
+  FROM documents WHERE text IS NOT NULL
+),
+fr AS (
+  SELECT doc_id, g.k AS frame_idx,
+         CAST(list_sum(list_transform(generate_series(1, {_SCENE_FRAME}),
+           j -> (strpos('0123456789ABCDEF',
+                   substr(ph, CAST(({_SCENE_FRAME * 2}) * (g.k - 1) + 2 * j - 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789ABCDEF',
+                   substr(ph, CAST(({_SCENE_FRAME * 2}) * (g.k - 1) + 2 * j AS INT), 1)) - 1)
+         )) AS BIGINT) AS luma
+  FROM f, LATERAL (SELECT unnest(generate_series(1, n_frames)) AS k) g
+  WHERE n_frames >= 1
+),
+d AS (
+  SELECT doc_id, frame_idx, luma,
+         abs(luma - lag(luma) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS jump
+  FROM fr
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(COUNT(CASE WHEN jump > {_SCENE_TH} THEN 1 END) AS BIGINT) AS n_cuts,
+       CAST(MIN(CASE WHEN jump > {_SCENE_TH} THEN frame_idx END) AS BIGINT) AS first_cut_idx,
+       CAST(COALESCE(MAX(jump), 0) AS BIGINT) AS max_jump
+FROM d GROUP BY doc_id
+""",
+    tier="T2",
+)
+def multimodal_scene_cuts(spark, sf_dir):
+    """Scene-cut detection over a synthetic video: the payload's 16-byte
+    frames reduce to an integer "luma" feature (byte sum — stand-in for a
+    decoded frame's luminance histogram), and a cut is any frame whose
+    |Δluma| vs the previous frame exceeds the threshold. Emits per video:
+    frame count, cut count, first cut index, max jump — the shot-boundary
+    pass a video-training pipeline runs before frame sampling, with the
+    decode step exactly as stubbed/pluggable as multimodal_frame_sample's.
+
+    ORACLE-CHECKED via the hex trick (DuckDB cannot slice BLOBs: byte k of
+    the payload = hex chars [2k−1, 2k], folded to an integer with a
+    strpos('0123456789ABCDEF') table — the same base-16 character fold as
+    sketch_hll_portable). All arithmetic is exact integers.
+
+    Scale note: map-only per video (Arrow-batched numpy reshape + diff; no
+    shuffle) — at 100 TB each video row reduces independently, and a real
+    decoder slots into the same per-batch loop without changing the plan.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("text").isNotNull()
+    )
+
+    def cuts(it):
+        for pdf in it:
+            out = {"doc_id": [], "n_frames": [], "n_cuts": [],
+                   "first_cut_idx": [], "max_jump": []}
+            for doc_id, s in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+                n = len(b) // _SCENE_FRAME
+                if n < 1:
+                    continue
+                luma = (
+                    b[: n * _SCENE_FRAME]
+                    .reshape(n, _SCENE_FRAME)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                jump = np.abs(np.diff(luma))
+                cut_idx = np.nonzero(jump > _SCENE_TH)[0]
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n)
+                out["n_cuts"].append(len(cut_idx))
+                # frame_idx is 1-based in the oracle; jump i belongs to frame i+2
+                out["first_cut_idx"].append(
+                    int(cut_idx[0]) + 2 if len(cut_idx) else None
+                )
+                out["max_jump"].append(int(jump.max()) if len(jump) else 0)
+            if out["doc_id"]:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out["doc_id"],
+                        "n_frames": out["n_frames"],
+                        "n_cuts": out["n_cuts"],
+                        "first_cut_idx": pd.array(out["first_cut_idx"], dtype="Int64"),
+                        "max_jump": out["max_jump"],
+                    }
+                )
+
+    return d.mapInPandas(
+        cuts,
+        "doc_id long, n_frames long, n_cuts long, first_cut_idx long, max_jump long",
+    )
