@@ -125,3 +125,80 @@ def stream_dedup_batch(spark, sf_dir):
     deduplication (deterministic because the key set is projected first)."""
     e = load(spark, sf_dir, "events")
     return e.select("user_id", "event_id").dropDuplicates(["user_id", "event_id"])
+
+
+_THROTTLE_US = 300_000_000  # 5-minute per-user throttle window
+
+
+@register(
+    "win_throttle_events",
+    oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk AS (
+  SELECT user_id, event_id, tus, rn,
+         TRUE AS kept, tus AS last_kept, 1 AS kept_seq
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.tus, b.rn,
+         b.tus - w.last_kept >= {_THROTTLE_US} AS kept,
+         CASE WHEN b.tus - w.last_kept >= {_THROTTLE_US} THEN b.tus
+              ELSE w.last_kept END AS last_kept,
+         CASE WHEN b.tus - w.last_kept >= {_THROTTLE_US} THEN w.kept_seq + 1
+              ELSE w.kept_seq END AS kept_seq
+  FROM base b JOIN walk w ON b.user_id = w.user_id AND b.rn = w.rn + 1
+)
+SELECT user_id, event_id, CAST(kept_seq AS BIGINT) AS kept_seq
+FROM walk WHERE kept
+""",
+    tier="T2",
+)
+def win_throttle_events(spark, sf_dir):
+    """Greedy per-user event throttling (rate limiting / burst dedup): walk
+    each user's timeline in (ts, event_id) order and KEEP an event only if
+    ≥ 5 minutes passed since the last KEPT one — the reset-on-keep state
+    makes this inexpressible as a plain window (the frame would need to
+    reference its own output), so it is the canonical custom-stateful-
+    operator shape: applyInPandas with one sequential fold per user,
+    against a DuckDB WITH RECURSIVE oracle that advances every user one
+    row per recursion step (depth = max events/user, ≈100 on these
+    fixtures). Timestamps compare as integer epoch microseconds; the
+    boundary is inclusive (gap == 300 s keeps).
+
+    Scale note: one shuffle on user_id, then Arrow-grouped per-user folds
+    — each group is a bounded timeline, the classic keyed-state layout
+    (the streaming twin would be applyInPandasWithState). Output is the
+    kept events with their per-user keep rank, so the hash check pins
+    every keep/drop decision, not a summary.
+    """
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+
+    def throttle(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tus", "event_id"])
+        kept_ids, seqs = [], []
+        last = None
+        seq = 0
+        for eid, t in zip(pdf["event_id"], pdf["tus"]):
+            if last is None or t - last >= _THROTTLE_US:
+                seq += 1
+                last = t
+                kept_ids.append(eid)
+                seqs.append(seq)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "event_id": kept_ids,
+                "kept_seq": seqs,
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        throttle, "user_id long, event_id long, kept_seq long"
+    )

@@ -1,0 +1,101 @@
+"""Property test for win_throttle_events: random per-user timelines with
+inter-event gaps clustered on the exact 300 s throttle boundary must
+produce the SAME kept set and per-user keep ranks in Spark (applyInPandas
+greedy fold), in the registered DuckDB WITH RECURSIVE oracle, and in a
+pure-Python reference — pinning the reset-on-keep state semantics a plain
+window can't express: gap == 300 s keeps (inclusive), gap measured from
+the last KEPT event (not the previous event), ties at identical ts
+tie-broken by event_id.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_BASE = dt.datetime(2024, 1, 1)
+_WINDOW_S = 300  # the 5-minute throttle, in seconds
+
+# per-user inter-event gaps in SECONDS — clustered on the boundary (300),
+# just under/over it, zero (exact ts ties → event_id tie-break), and
+# free-range values on both sides
+_gap = st.one_of(
+    st.just(0),
+    st.just(_WINDOW_S),
+    st.just(_WINDOW_S - 1),
+    st.just(_WINDOW_S + 1),
+    st.integers(min_value=0, max_value=2 * _WINDOW_S),
+)
+_user_timeline = st.lists(_gap, min_size=1, max_size=10)
+_scenario = st.lists(_user_timeline, min_size=2, max_size=5)
+
+
+def _materialize(case, tmpdir):
+    rows = []
+    eid = 0
+    for uid, gaps in enumerate(case, start=1):
+        t = _BASE
+        for g in gaps:
+            t = t + dt.timedelta(seconds=g)
+            eid += 1
+            rows.append({"event_id": eid, "user_id": uid, "ts": t})
+    pdf = pd.DataFrame(rows)
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM pdf) TO '{tmpdir}/events.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    return rows
+
+
+def _ref_throttle(rows):
+    """Greedy per-user fold: walk (ts, event_id)-sorted events, keep iff
+    ≥300 s since the last kept; first event always kept."""
+    out = set()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        last = None
+        seq = 0
+        for r in evs:
+            if last is None or (r["ts"] - last).total_seconds() >= _WINDOW_S:
+                seq += 1
+                last = r["ts"]
+                out.add((uid, r["event_id"], seq))
+    return out
+
+
+@pytest.fixture(scope="module")
+def qs():
+    from swallow_spark.registry import all_queries
+
+    return all_queries()
+
+
+@settings(max_examples=30, deadline=None)
+@given(_scenario)
+def test_throttle_spark_duckdb_reference_agree(spark, qs, tmp_path_factory, case):
+    tmpdir = str(tmp_path_factory.mktemp("throttle"))
+    rows = _materialize(case, tmpdir)
+    want = _ref_throttle(rows)
+
+    q = qs["win_throttle_events"]
+    got_spark = {
+        (r.user_id, r.event_id, r.kept_seq) for r in q.fn(spark, tmpdir).collect()
+    }
+    assert got_spark == want
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmpdir}/events.parquet')"
+    )
+    got_duck = {(r[0], r[1], r[2]) for r in con.sql(q.oracle).fetchall()}
+    con.close()
+    assert got_duck == want
