@@ -12,6 +12,7 @@ shuffle once on user_id then merge sorted runs. Identical plans at 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..conform import money_sum, sql_money_sum
 from ..io import load
@@ -201,4 +202,80 @@ def win_throttle_events(spark, sf_dir):
 
     return e.groupBy("user_id").applyInPandas(
         throttle, "user_id long, event_id long, kept_seq long"
+    )
+
+
+_SESSION_US = 300_000_000  # each event opens a 5-minute activity interval
+
+
+@register(
+    "win_concurrency_sweep",
+    oracle=f"""
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS s, epoch_us(ts) + {_SESSION_US} AS e
+  FROM events
+),
+pts AS (
+  SELECT event_type, s AS tus, CAST(1 AS BIGINT) AS delta FROM iv
+  UNION ALL
+  SELECT event_type, e AS tus, CAST(-1 AS BIGINT) AS delta FROM iv
+),
+run AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type
+                          ORDER BY tus, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS conc
+  FROM pts
+)
+SELECT event_type,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+FROM run GROUP BY event_type
+""",
+    tier="T2",
+)
+def win_concurrency_sweep(spark, sf_dir):
+    """Maximum interval concurrency per event type via the classic
+    sweep-line: every event opens a half-open [ts, ts+300 s) activity
+    interval; endpoints become ±1 deltas; the peak of the running sum over
+    (time, delta)-ordered points is the max number of simultaneously open
+    intervals — the capacity-planning primitive (peak concurrent sessions,
+    max in-flight requests) that a plain groupBy cannot express.
+
+    Boundary semantics pinned by the ORDER BY (tus, delta): at an instant
+    where one interval ends exactly as another starts, the −1 sorts first
+    (delta −1 < +1), so half-open intervals never double-count. Tie groups
+    share a single delta sign, so the running-sum PEAK is order-independent
+    within ties (prefix values of k equal deltas form the same set under
+    any permutation) — deterministic without a full tiebreak.
+
+    Scale note: one shuffle on event_type, then a sorted within-partition
+    running sum. For a single GLOBAL timeline at 100 TB, range-partition
+    the time axis and two-phase the prefix sum (per-partition partials +
+    broadcast cumulative offsets) — the standard distributed scan shape;
+    the per-type spelling here is already that layout with event_type as
+    the range key.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("s")
+    )
+    pts = e.select(
+        "event_type", F.col("s").alias("tus"), F.lit(1).cast("long").alias("delta")
+    ).unionAll(
+        e.select(
+            "event_type",
+            (F.col("s") + F.lit(_SESSION_US)).alias("tus"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("tus", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("event_type", F.sum("delta").over(w).alias("conc"))
+    return run.groupBy("event_type").agg(
+        F.max("conc").cast("long").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
     )

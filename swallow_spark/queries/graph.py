@@ -917,3 +917,87 @@ def graph_assortativity(spark, sf_dir):
         "sxy",
         (F.floor(num / den * 1000000 + F.lit(0.5)) / 1000000).alias("assortativity"),
     )
+
+
+_LPA_ITERS = 3
+
+_LPA_SQL = f"""
+WITH e AS ({_EDGES_SQL}),
+und AS (SELECT src AS node, dst AS nbr FROM e
+        UNION ALL SELECT dst, src FROM e),
+l0 AS (SELECT DISTINCT node, node AS lbl FROM und),
+c1 AS (SELECT u.node, l.lbl, COUNT(*) AS c
+       FROM und u JOIN l0 l ON l.node = u.nbr GROUP BY u.node, l.lbl),
+l1 AS (SELECT node, MIN(lbl) AS lbl FROM
+         (SELECT node, lbl, c, MAX(c) OVER (PARTITION BY node) AS mx FROM c1)
+       WHERE c = mx GROUP BY node),
+c2 AS (SELECT u.node, l.lbl, COUNT(*) AS c
+       FROM und u JOIN l1 l ON l.node = u.nbr GROUP BY u.node, l.lbl),
+l2 AS (SELECT node, MIN(lbl) AS lbl FROM
+         (SELECT node, lbl, c, MAX(c) OVER (PARTITION BY node) AS mx FROM c2)
+       WHERE c = mx GROUP BY node),
+c3 AS (SELECT u.node, l.lbl, COUNT(*) AS c
+       FROM und u JOIN l2 l ON l.node = u.nbr GROUP BY u.node, l.lbl),
+l3 AS (SELECT node, MIN(lbl) AS lbl FROM
+         (SELECT node, lbl, c, MAX(c) OVER (PARTITION BY node) AS mx FROM c3)
+       WHERE c = mx GROUP BY node)
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM l3 GROUP BY lbl
+ORDER BY n_nodes DESC, community LIMIT 50
+"""
+
+
+@register("graph_label_propagation", oracle=_LPA_SQL, tier="T2")
+def graph_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation over the
+    co-purchase graph, 3 iterations: every node starts labeled with its
+    own id; each round it adopts the MODE of its neighbors' labels with
+    ties broken by MIN label — the determinism pin that makes an
+    otherwise order-sensitive algorithm (classic async LPA depends on
+    visit order) oracle-checkable: count → windowed max → filter → min is
+    spelled identically in both engines, all integer. Distinct from
+    dedup_connected_components (min-label to fixpoint = components);
+    mode-propagation finds DENSE regions inside a component. Output: the
+    top-50 communities by size after round 3.
+
+    Scale note: each round is exactly one hash join (labels ⋈ undirected
+    edges on the neighbor key) + one (node, lbl) count + one per-node
+    argmax — three shuffles/round, all keyed on node ids, so
+    pre-partitioning edges on nbr makes label tables arrive co-located
+    every round. The edge table is persisted once and reused by all
+    rounds (4 consumers); labels stay O(nodes). Fixed iteration count =
+    bounded lineage; at 100 TB checkpoint every few rounds as pagerank
+    does.
+    """
+    e = _edges(spark, sf_dir)
+    und = (
+        e.selectExpr("src AS node", "dst AS nbr")
+        .unionAll(e.selectExpr("dst AS node", "src AS nbr"))
+        .persist()
+    )
+    labels = und.select("node").distinct().withColumn("lbl", F.col("node"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("node")
+    for _ in range(_LPA_ITERS):
+        cnt = (
+            und.join(
+                labels.withColumnRenamed("node", "nbr"), "nbr"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("mx", F.max("c").over(w))
+            .filter(F.col("c") == F.col("mx"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    out = (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), "community")
+        .limit(50)
+    ).localCheckpoint(eager=True)
+    und.unpersist()
+    return out

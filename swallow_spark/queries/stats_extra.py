@@ -2100,3 +2100,237 @@ def stats_runs_test(spark, sf_dir):
             / 10000
         ).alias("expected_runs"),
     )
+
+
+@register(
+    "stats_psi_drift",
+    oracle="""
+WITH ev AS (
+  SELECT epoch_us(ts) AS tus,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (
+  SELECT MIN(tus) AS tlo, MAX(tus) AS thi, MIN(c) AS clo, MAX(c) AS chi
+  FROM ev
+),
+binned AS (
+  SELECT LEAST(9, ((e.c - b.clo) * 10) // (b.chi - b.clo + 1)) AS bin,
+         CASE WHEN e.tus <= b.tlo + (b.thi - b.tlo) // 2 THEN 1 ELSE 0 END
+           AS in_ref
+  FROM ev e, bounds b
+),
+bc AS (
+  SELECT bin,
+         SUM(in_ref) AS n_ref,
+         SUM(1 - in_ref) AS n_cur
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT bin, n_ref, n_cur,
+         SUM(n_ref) OVER () AS nr, SUM(n_cur) OVER () AS nc,
+         COUNT(*) OVER () AS nb
+  FROM bc
+),
+terms AS (
+  SELECT bin, n_ref, n_cur,
+         CAST(FLOOR(
+           (CAST(n_cur + 1 AS DOUBLE) / (nc + nb)
+            - CAST(n_ref + 1 AS DOUBLE) / (nr + nb))
+           * ln((CAST(n_cur + 1 AS DOUBLE) / (nc + nb))
+                / (CAST(n_ref + 1 AS DOUBLE) / (nr + nb)))
+           * 1000000000) AS BIGINT) AS term_units
+  FROM tot
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       term_units,
+       (FLOOR(CAST(SUM(term_units) OVER () AS DOUBLE) / 1000000000
+              * 1000000 + 0.5) / 1000000) AS psi_total
+FROM terms
+""",
+    tier="T2",
+)
+def stats_psi_drift(spark, sf_dir):
+    """Population Stability Index between the first and second half of the
+    event stream — THE production drift monitor for training-data
+    pipelines (is this week's corpus distributed like the reference
+    window?). The timeline splits at the integer midpoint watermark (the
+    etl_incremental_high_watermark convention), `value` bins into 10
+    fixed-width integer-cent buckets over the GLOBAL range, and
+    PSI = Σ (qᵢ−pᵢ)·ln(qᵢ/pᵢ) with add-1 smoothing so empty bins stay
+    finite (bins empty in BOTH halves never materialize — consistent in
+    both engines since the bin exists iff a row landed there).
+
+    Determinism: bin ids are pure integer arithmetic (floor-div on
+    non-negative offsets); p and q are single IEEE divides of exact int64
+    counts; each PSI term quantizes to integer 1e-9 units BEFORE the
+    cross-bin sum (the conform trick — cross-group double sums are
+    partition-order dependent, the vec_centroid_drift hazard), and the
+    total does ONE further rounded divide. NULL values are excluded
+    explicitly on both sides (NULLS FIRST/LAST rank hazard class).
+
+    Scale note: one map-side-combinable groupBy(bin) over the whole
+    stream after a broadcast 1-row bounds crossjoin (audited scalar
+    pattern); the window totals run over ≤ 10 bin rows. At 100 TB the
+    reference histogram would be a persisted 10-row table instead of a
+    same-scan split — same join shape.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.unix_micros("ts").alias("tus"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+    )
+    bounds = ev.agg(
+        F.min("tus").alias("tlo"),
+        F.max("tus").alias("thi"),
+        F.min("c").alias("clo"),
+        F.max("c").alias("chi"),
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(9),
+            F.expr("((c - clo) * 10) DIV (chi - clo + 1)"),
+        ).alias("bin"),
+        F.when(F.expr("tus <= tlo + (thi - tlo) DIV 2"), 1).otherwise(0).alias(
+            "in_ref"
+        ),
+    )
+    bc = binned.groupBy("bin").agg(
+        F.sum("in_ref").alias("n_ref"),
+        F.sum(1 - F.col("in_ref")).alias("n_cur"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = bc.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(w_all).alias("nr"),
+        F.sum("n_cur").over(w_all).alias("nc"),
+        F.count(F.lit(1)).over(w_all).alias("nb"),
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("nr") + F.col("nb"))
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("nc") + F.col("nb"))
+    terms = tot.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.floor((q - p) * F.log(q / p) * 1000000000).cast("long").alias("term_units"),
+    )
+    return terms.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        "term_units",
+        (
+            F.floor(
+                F.sum("term_units").over(w_all).cast("double")
+                / 1000000000
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("psi_total"),
+    )
+
+
+@register(
+    "stats_variance_merge",
+    oracle="""
+WITH ev AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sum_cents,
+         CAST(SUM(c * c) AS BIGINT) AS sumsq_cents
+  FROM ev GROUP BY event_type
+)
+SELECT event_type, n, sum_cents, sumsq_cents,
+       (FLOOR((CAST(sum_cents AS DOUBLE) / n / 100) * 10000 + 0.5) / 10000)
+         AS mean_value,
+       (FLOOR((CAST(sumsq_cents AS DOUBLE) / n / 10000
+               - (CAST(sum_cents AS DOUBLE) / n / 100)
+                 * (CAST(sum_cents AS DOUBLE) / n / 100)) * 10000 + 0.5)
+        / 10000) AS var_value
+FROM m
+""",
+    tier="T2",
+)
+def stats_variance_merge(spark, sf_dir):
+    """Second-moment mergeability, proven in-key: per event type the
+    stream splits at the integer midpoint watermark into two independent
+    "shards", each shard aggregates the algebraic moment triple
+    (n, Σc, Σc²) in EXACT int64 cents, the triples merge by component-wise
+    addition (the Chan/Welford parallel-variance identity reduces to plain
+    sums when the moments are raw, not centered), and the merge is
+    ASSERTED ≡ the one-shot aggregate (exceptAll both ways empty) before
+    returning. This is why incremental pipelines can maintain variance at
+    100 TB without re-scanning history — and why they must carry raw
+    integer moments, not per-shard means (centered M2 merges need the
+    float correction term; raw sums need nothing).
+
+    Determinism: the only floats are the final mean/variance reads —
+    divides and one subtraction of identically-spelled IEEE operations on
+    exact int64s, half-up rounded to 4dp. Overflow headroom: c ≤ 10⁵
+    cents, c² ≤ 10¹⁰, ×10⁶ rows/type ≪ 2⁶³; the n·Σc² spelling is
+    deliberately avoided (that product DOES overflow), dividing by n
+    first instead. NULL values excluded on both sides.
+
+    Scale note: each shard is one map-side-combinable groupBy; the merge
+    is a 5-row union+sum. The in-key exceptAll assertion is test-scale
+    scaffolding only.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.unix_micros("ts").alias("tus"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+    )
+    bounds = ev.agg(F.min("tus").alias("tlo"), F.max("tus").alias("thi"))
+    wm = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "in_run1", F.expr("tus <= tlo + (thi - tlo) DIV 2")
+    )
+
+    def moments(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("sum_cents"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sumsq_cents"),
+        )
+
+    merged = (
+        moments(wm.filter(F.col("in_run1")))
+        .unionByName(moments(wm.filter(~F.col("in_run1"))))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+            F.sum("sumsq_cents").cast("long").alias("sumsq_cents"),
+        )
+    )
+    direct = moments(ev)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    mean = F.col("sum_cents").cast("double") / F.col("n") / 100
+    return merged.select(
+        "event_type",
+        "n",
+        "sum_cents",
+        "sumsq_cents",
+        rnd(mean, 4).alias("mean_value"),
+        rnd(
+            F.col("sumsq_cents").cast("double") / F.col("n") / 10000 - mean * mean,
+            4,
+        ).alias("var_value"),
+    )
