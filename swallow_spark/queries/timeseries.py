@@ -2202,3 +2202,102 @@ def ts_sma_crossover(spark, sf_dir):
         .when((F.col("fast_above") == 0) & (F.col("prev_above") == 1), "death_cross")
         .alias("signal"),
     )
+
+
+# 1D Kalman filter (random-walk state, noisy observation) constants:
+# process noise Q and observation noise R in dollars^2. State is a
+# 2-element DOUBLE array [x, P] (array, not struct — see ts_holt_linear).
+_KAL_Q = "1.0"
+_KAL_R = "25.0"
+
+
+def _kalman_step(acc1: str, acc2: str, x1: str) -> tuple[str, str]:
+    """One predict+update: P_pred = P + Q; K = P_pred/(P_pred + R);
+    x' = x + K*(z - x); P' = (1 - K) * P_pred. The gain K is re-spelled
+    wherever needed (no let-bindings in either lambda dialect)."""
+    ppred = f"({acc2} + {_KAL_Q})"
+    gain = f"({ppred} / ({ppred} + {_KAL_R}))"
+    nx = f"({acc1} + {gain} * ({x1} - {acc1}))"
+    np_ = f"((1.0 - {gain}) * {ppred})"
+    return nx, np_
+
+
+_KF_NX, _KF_NP = _kalman_step("acc[1]", "acc[2]", "x[1]")
+
+_KALMAN_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS dval
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+srt AS (
+  SELECT user_id,
+         list_transform(list(dval ORDER BY day),
+                        v -> [v, CAST(1.0 AS DOUBLE)]) AS lst
+  FROM daily GROUP BY user_id
+),
+fold AS (
+  SELECT user_id, len(lst) AS n_days,
+         list_reduce(lst, (acc, x) -> [{_KF_NX}, {_KF_NP}]) AS st
+  FROM srt
+)
+SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+       (FLOOR(st[1] * 10000 + 0.5) / 10000) AS filt_level,
+       (FLOOR(st[2] * 1000000 + 0.5) / 1000000) AS err_var
+FROM fold
+"""
+
+
+@register("ts_kalman_filter", oracle=_KALMAN_SQL, tier="T2")
+def ts_kalman_filter(spark, sf_dir):
+    """1D Kalman filter over each user's daily value series — random-walk
+    state with process noise Q=1, observation noise R=25: the optimal
+    (under the model) online smoother whose gain ADAPTS per step, unlike
+    the fixed-alpha ts_ewma; P converges to the steady-state Riccati value
+    (observable in err_var), at which point Kalman IS an EWMA with the
+    optimal alpha — the two keys bracket that theory. Initialized at the
+    first observation with P₀=1.
+
+    Determinism: the ts_holt_linear fold discipline — day-ordered left
+    fold, 2-element double ARRAY state [x, P] (struct accumulators are
+    field-sequential in DuckDB's list_reduce), the gain expression
+    duplicated into both state updates so both engines execute the
+    identical IEEE sequence (two adds, one divide, multiply/subtract per
+    step), outputs half-up rounded.
+
+    Scale note: per-user fold over the DAILY aggregate — one user_id
+    shuffle for collect_list + groupBy, state O(1) per user; the
+    streaming twin is applyInPandasWithState carrying [x, P].
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        money_sum(F.col("value")).alias("dval")
+    )
+    nx, np_ = _kalman_step(
+        "element_at(acc, 1)", "element_at(acc, 2)", "element_at(x, 1)"
+    )
+    return (
+        daily.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "dval"))).alias("s"))
+        .withColumn(
+            "lst", F.expr("transform(s, v -> array(v.dval, CAST(1.0 AS DOUBLE)))")
+        )
+        .withColumn(
+            "st",
+            F.expr(
+                f"aggregate(slice(lst, 2, greatest(size(lst) - 1, 0)),"
+                f" element_at(lst, 1), (acc, x) -> array({nx}, {np_}))"
+            ),
+        )
+        .select(
+            "user_id",
+            F.size("lst").cast("long").alias("n_days"),
+            (F.floor(F.expr("element_at(st, 1)") * 10000 + F.lit(0.5)) / 10000).alias(
+                "filt_level"
+            ),
+            (
+                F.floor(F.expr("element_at(st, 2)") * 1000000 + F.lit(0.5)) / 1000000
+            ).alias("err_var"),
+        )
+    )

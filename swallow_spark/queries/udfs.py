@@ -652,3 +652,91 @@ def udf_pandas_struct(spark, sf_dir):
         F.col("fx.digit_sum").alias("digit_sum"),
         F.col("fx.mod9").alias("mod9"),
     )
+
+
+@register(
+    "udf_cogrouped_merge",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey AS k,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+              AS BIGINT) AS spend_cents
+  FROM orders GROUP BY 1
+),
+e AS (
+  SELECT user_id AS k,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COALESCE(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)), 0)
+              AS BIGINT) AS value_cents
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(o.k, e.k) AS k,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(o.spend_cents, 0) AS BIGINT) AS spend_cents,
+       CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(e.value_cents, 0) AS BIGINT) AS value_cents
+FROM o FULL JOIN e ON o.k = e.k
+""",
+    tier="T2",
+)
+def udf_cogrouped_merge(spark, sf_dir):
+    """The COGROUPED pandas surface — groupBy().cogroup().applyInPandas —
+    the one grouped-UDF shape the rest of §2.J doesn't touch: both tables
+    shuffle on the SAME key and each Python call receives the key's two
+    aligned pandas frames (either possibly empty — keys living in only one
+    table still fire, which is how the full-outer semantics emerge without
+    a join node). Here: per-customer order panel ⋈ event panel merged into
+    one activity summary; the oracle proves it against a plain FULL OUTER
+    JOIN of the two aggregates.
+
+    Determinism inside Python: the conform recipe — np.floor(x*100+0.5)
+    per element (identical IEEE to the engines' FLOOR), NaN-skipping sums
+    (pandas NULLs arrive as NaN; np.nansum ≡ SQL SUM ignoring NULLs, with
+    the all-NULL group coalesced to 0 on both sides), exact int64 outputs.
+
+    Scale note: cogroup is ONE co-partitioned shuffle of each input on k —
+    the same cost as the equivalent join — and the per-key frames are
+    bounded by that customer's rows; this is the escape hatch for merge
+    logic SQL can't express (per-key model scoring over two aligned
+    panels, custom as-of semantics), at join-shaped cost.
+    """
+    import numpy as np
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "value"
+    )
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        spend = (
+            int(np.nansum(np.floor(left["o_totalprice"].to_numpy() * 100 + 0.5)))
+            if len(left)
+            else 0
+        )
+        vcents = (
+            int(np.nansum(np.floor(right["value"].to_numpy() * 100 + 0.5)))
+            if len(right)
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "k": [key[0]],
+                "n_orders": [len(left)],
+                "spend_cents": [spend],
+                "n_events": [len(right)],
+                "value_cents": [vcents],
+            }
+        )
+
+    return (
+        o.groupBy("k")
+        .cogroup(e.groupBy("k"))
+        .applyInPandas(
+            merge,
+            "k long, n_orders long, spend_cents long, n_events long, "
+            "value_cents long",
+        )
+    )
