@@ -1222,3 +1222,97 @@ def vec_ndcg_eval(spark, sf_dir):
             / 10000,
         ).alias("ndcg"),
     )
+
+
+_MKNN_K = 3
+
+
+@register(
+    "vec_mutual_knn_graph",
+    oracle=f"""
+WITH {_NORMS_SQL},
+knn AS (
+  SELECT src, dst, label, cosu FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
+           CAST(FLOOR({_COS_SQL} * 10000 + 0.5) AS BIGINT) AS cosu,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_COS_SQL} DESC, b.vec_id) AS rk
+    FROM norms a JOIN norms b
+      ON b.label = a.label AND b.vec_id != a.vec_id
+     AND len(b.iv) = len(a.iv)
+  ) WHERE rk <= {_MKNN_K}
+)
+SELECT f.src AS v1, f.dst AS v2, f.label,
+       (CAST(f.cosu AS DOUBLE) / 10000) AS cosine
+FROM knn f JOIN knn r ON r.src = f.dst AND r.dst = f.src
+WHERE f.src < f.dst
+""",
+    tier="T2",
+)
+def vec_mutual_knn_graph(spark, sf_dir):
+    """Mutual-kNN graph construction (k=3, label-blocked): an edge exists
+    iff each endpoint ranks the other in ITS top-3 by cosine — the
+    symmetric pruning that turns a noisy kNN digraph into the sparse
+    graph NN-Descent, graph-based clustering, and semantic-dedup
+    pipelines actually consume (mutuality kills hub nodes that appear in
+    everyone's top-k without reciprocating). Built as a composition: the
+    label-blocked pair join (the sim_pairs_threshold shape), a per-source
+    row_number top-k, then a self-join of the k-row-per-node edge list on
+    reversed keys; v1 < v2 canonicalizes each undirected edge once.
+
+    Determinism: exact integer-unit dot products (bit-identical cosine),
+    ties broken by neighbor id; the cosine is quantized to integer 1e-4
+    units BEFORE the mutual join's equality-free re-read so both engines
+    emit the identical double. Pairs are restricted to SAME-dimension
+    vectors on both sides (len(b.iv) = len(a.iv)) — mixed-dim cosine is
+    ill-defined and the engines' ragged fallbacks diverge (Spark zip_with
+    NULL-pads to the longer vector; DuckDB's series-indexed sum is a
+    prefix dot), so a drifted odd-dimension row must be excluded
+    explicitly, not by accident of either fallback.
+
+    Scale note: blocking bounds each quadratic to its label block (the
+    100 TB recipe: sub-band hot labels, per the sim_pairs_threshold
+    docstring); the mutual join is an equi hash join on an edge list of
+    ≤ k·N rows — linear in corpus size. Swap the in-block exact top-k for
+    ann_lsh_bucketed candidates to go fully sub-quadratic.
+    """
+    n = _norms(spark, sf_dir)
+    cos = _pair_cos()
+    wk = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    knn = (
+        n.alias("a")
+        .join(
+            n.alias("b"),
+            (F.col("b.label") == F.col("a.label"))
+            & (F.col("b.vec_id") != F.col("a.vec_id"))
+            & (F.size(F.col("b.iv")) == F.size(F.col("a.iv"))),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            F.col("a.label").alias("label"),
+            cos.alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _MKNN_K)
+        .select(
+            "src",
+            "dst",
+            "label",
+            F.floor(F.col("cos") * 10000 + F.lit(0.5)).cast("long").alias("cosu"),
+        )
+    )
+    f, r = knn.alias("f"), knn.alias("r")
+    return (
+        f.join(
+            r,
+            (F.col("r.src") == F.col("f.dst")) & (F.col("r.dst") == F.col("f.src")),
+        )
+        .filter(F.col("f.src") < F.col("f.dst"))
+        .select(
+            F.col("f.src").alias("v1"),
+            F.col("f.dst").alias("v2"),
+            F.col("f.label").alias("label"),
+            (F.col("f.cosu").cast("double") / 10000).alias("cosine"),
+        )
+    )

@@ -457,3 +457,103 @@ def multimodal_scene_cuts(spark, sf_dir):
         cuts,
         "doc_id long, n_frames long, n_cuts long, first_cut_idx long, max_jump long",
     )
+
+
+_TLV_CAP = 64  # bounded-prefix parse: max records walked per container
+
+
+def _tlv_byte_sql(off_expr: str) -> str:
+    """Oracle byte read at 0-based offset via the hex trick (chars are
+    1-based, so byte o lives at hex positions 2o+1, 2o+2). Out-of-range
+    reads fold to a negative sentinel whose %16 makes every guard fail."""
+    hi = f"(strpos('0123456789ABCDEF', substr(f.ph, CAST(2 * ({off_expr}) + 1 AS INT), 1)) - 1)"
+    lo = f"(strpos('0123456789ABCDEF', substr(f.ph, CAST(2 * ({off_expr}) + 2 AS INT), 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+@register(
+    "multimodal_container_parse",
+    oracle=f"""
+WITH RECURSIVE f AS (
+  SELECT doc_id, hex(encode(text)) AS ph,
+         octet_length(encode(text)) AS nb
+  FROM documents WHERE text IS NOT NULL
+),
+walk(doc_id, off, nrec, hsum) AS (
+  SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM f
+  UNION ALL
+  SELECT w.doc_id,
+         w.off + 2 + {_tlv_byte_sql('w.off')} % 16,
+         w.nrec + 1,
+         w.hsum + {_tlv_byte_sql('w.off + 1')}
+  FROM walk w JOIN f ON f.doc_id = w.doc_id
+  WHERE w.nrec < {_TLV_CAP}
+    AND w.off + 2 + {_tlv_byte_sql('w.off')} % 16 <= f.nb
+)
+SELECT doc_id,
+       CAST(MAX(nrec) AS BIGINT) AS n_records,
+       CAST(MAX(off) AS BIGINT) AS bytes_consumed,
+       CAST(MAX(hsum) AS BIGINT) AS payload_head_sum
+FROM walk GROUP BY doc_id
+""",
+    tier="T2",
+)
+def multimodal_container_parse(spark, sf_dir):
+    """Parse a TLV container (the MP4-box / Matroska-element / protobuf
+    wire-format shape): the payload is a stream of records, each a 1-byte
+    header whose low nibble encodes the payload length (L = b[off]%16 + 1)
+    followed by L payload bytes — so every record boundary depends on the
+    bytes BEFORE it, the data-dependent walk that separates container
+    demuxing from fixed-stride slicing (multimodal_frame_sample). Emits
+    per container: records parsed, bytes consumed, and the sum of each
+    record's first payload byte (the "codec id" probe a real demuxer
+    reads); a trailing truncated record is left unconsumed, and the walk
+    caps at 64 records (bounded-prefix parse — the scale story is that
+    header scans never inflate with payload size).
+
+    ORACLE-CHECKED: the payload is encode(text) on both sides; DuckDB
+    replays the exact walk as a recursive CTE over the hex string (byte k
+    = base-16 char fold, the scene_cuts trick), advancing every container
+    one record per recursion step; out-of-range reads produce a negative
+    sentinel that can never satisfy the advance guard, so termination is
+    structural in both engines.
+
+    Scale note: map-only per container (Arrow batches in, one sequential
+    walk per row in numpy bytes — a real demuxer is exactly this loop over
+    a BinaryType column); no shuffle, columns prune to (doc_id, text).
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("text").isNotNull()
+    )
+
+    def parse(it):
+        for pdf in it:
+            out = {"doc_id": [], "n_records": [], "bytes_consumed": [],
+                   "payload_head_sum": []}
+            for doc_id, s in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+                nb = len(b)
+                off = nrec = hsum = 0
+                while nrec < _TLV_CAP and off < nb:
+                    ln = int(b[off]) % 16 + 1
+                    if off + 1 + ln > nb:  # trailing truncated record
+                        break
+                    hsum += int(b[off + 1])
+                    off += 1 + ln
+                    nrec += 1
+                out["doc_id"].append(doc_id)
+                out["n_records"].append(nrec)
+                out["bytes_consumed"].append(off)
+                out["payload_head_sum"].append(hsum)
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        parse,
+        "doc_id long, n_records long, bytes_consumed long, "
+        "payload_head_sum long",
+    )
