@@ -1521,3 +1521,242 @@ def text_bigram_logprob(spark, sf_dir):
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         length(replace(text, ' ', '')) AS nchars,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ellipsis,
+         len(list_filter(string_split(text, ' '),
+                         t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+         len(list_distinct(list_filter(string_split(text, ' '),
+                                       t -> t IN {_STOP_IN}))) AS n_stop
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       (FLOOR(CAST(nchars AS DOUBLE) / n_words * 10000 + 0.5) / 10000)
+         AS mean_word_len,
+       (n_words >= 3 AND n_words <= 100000) AS ok_word_count,
+       (nchars >= 2 * n_words AND nchars <= 12 * n_words) AS ok_mean_len,
+       (10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words) AS ok_symbols,
+       (5 * n_alpha >= 4 * n_words) AS ok_alpha_words,
+       (n_stop >= 2) AS ok_stopwords,
+       (n_words >= 3 AND n_words <= 100000
+        AND nchars >= 2 * n_words AND nchars <= 12 * n_words
+        AND 10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words
+        AND 5 * n_alpha >= 4 * n_words
+        AND n_stop >= 2) AS gopher_pass
+FROM g
+""",
+    tier="T2",
+)
+def text_gopher_rules(spark, sf_dir):
+    """The Gopher/Falcon-style document quality ruleset — the standard
+    pre-training corpus filter battery, each rule a named boolean: word
+    count in [3, 100000]; mean word length in [2, 12] chars; symbol
+    pollution (hash marks, ellipses) ≤ 10% of words; ≥ 80% of words
+    contain an alphabetic character; ≥ 2 distinct stopwords present (the
+    "is this prose at all" check). Emits the per-rule verdicts AND the
+    conjunction, so downstream filtering can report WHY documents died —
+    the operational requirement real corpus pipelines have that a bare
+    quality score (text_quality_score) doesn't meet.
+
+    Determinism: every threshold is an exact integer CROSS-MULTIPLICATION
+    (nchars ≥ 2·n_words, not nchars/n_words ≥ 2.0) — no float ever
+    reaches a boolean, so rule flips cannot happen at representation
+    boundaries; the one reported ratio (mean word length) is half-up 4dp
+    display only. n_words ≥ 1 always (split of '' is ['']), so no
+    division guards needed.
+
+    Scale note: map-only — per-document expressions in one codegen stage,
+    no shuffle, no UDF; the stopword set is a literal IN-list. At 100 TB
+    this is the cheapest possible shape: a scan that prunes to
+    (doc_id, text) and emits booleans.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    arr = tokens(F.col("text"))
+    n_words = F.size(arr)
+    nchars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_hash = F.length(F.col("text")) - F.length(
+        F.replace(F.col("text"), F.lit("#"), F.lit(""))
+    )
+    n_ellipsis = F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+    n_alpha = F.size(F.filter(arr, lambda t: t.rlike("[a-zA-Z]")))
+    n_stop = F.size(F.array_distinct(F.filter(arr, lambda t: t.isin(*STOPWORDS))))
+    ok_wc = (n_words >= 3) & (n_words <= 100000)
+    ok_ml = (nchars >= 2 * n_words) & (nchars <= 12 * n_words)
+    ok_sym = (10 * n_hash <= n_words) & (10 * n_ellipsis <= n_words)
+    ok_alpha = 5 * n_alpha >= 4 * n_words
+    ok_stop = n_stop >= 2
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        rnd(nchars.cast("double") / n_words, 4).alias("mean_word_len"),
+        ok_wc.alias("ok_word_count"),
+        ok_ml.alias("ok_mean_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_ml & ok_sym & ok_alpha & ok_stop).alias("gopher_pass"),
+    )
+
+
+_FERT_BPE = "SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))"
+_FERT_WORDS = "SUM(len(string_split(text, ' ')))"
+_FERT_BYTES = "SUM(octet_length(encode(text)))"
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST({_FERT_WORDS} AS BIGINT) AS n_words,
+       CAST({_FERT_BPE} AS BIGINT) AS n_bpe_tokens,
+       CAST({_FERT_BYTES} AS BIGINT) AS n_bytes,
+       {sql_rnd(f'CAST({_FERT_BPE} AS DOUBLE) / {_FERT_WORDS}', 4)}
+         AS fertility,
+       {sql_rnd(f'CAST({_FERT_BYTES} AS DOUBLE) / {_FERT_BPE}', 4)}
+         AS bytes_per_token
+FROM documents WHERE text IS NOT NULL
+GROUP BY lang
+""",
+    tier="T2",
+)
+def text_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language — tokens-per-word and
+    bytes-per-token, THE metrics tokenizer evaluations report (high
+    fertility = the tokenizer fragments that language, inflating training
+    cost and shrinking effective context): BPE-ish regex pieces over
+    whitespace words, utf-8 bytes over pieces, aggregated per lang. A
+    multilingual curation pipeline uses exactly this table to rebalance
+    its corpus mix or grow the tokenizer vocab.
+
+    Determinism: all three sums are exact int64 counts; each ratio is ONE
+    IEEE divide of exact ints, half-up 4dp. Byte counts are utf-8
+    (octet_length(encode()) ≡ Spark octet_length on string) so multibyte
+    scripts measure honestly.
+
+    Scale note: map-side counting (regexp_count / split sizes per row)
+    into one partial+final aggregate keyed by lang — a ~languages-row
+    result regardless of corpus size.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_words = F.size(tokens(F.col("text")))
+    n_bpe = F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+    n_bytes = F.octet_length(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_words).cast("long").alias("n_words"),
+        F.sum(n_bpe).cast("long").alias("n_bpe_tokens"),
+        F.sum(n_bytes).cast("long").alias("n_bytes"),
+        rnd(F.sum(n_bpe).cast("double") / F.sum(n_words), 4).alias("fertility"),
+        rnd(F.sum(n_bytes).cast("double") / F.sum(n_bpe), 4).alias(
+            "bytes_per_token"
+        ),
+    )
+
+
+@register(
+    "text_perplexity_buckets",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+freq AS (
+  SELECT token,
+         CAST(FLOOR(ln(CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM n)) * 1000000)
+              AS BIGINT) AS lp_units
+  FROM tok GROUP BY token
+),
+doc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(f.lp_units) AS BIGINT) AS sum_u
+  FROM tok t JOIN freq f USING (token)
+  GROUP BY t.doc_id
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+         -((-sum_u) * 1000 // n_tokens) AS score_u,
+         {sql_rnd('CAST(sum_u AS DOUBLE) / 1000000 / n_tokens', 4)} AS avg_logprob
+  FROM doc
+)
+SELECT doc_id, n_tokens, avg_logprob,
+       CASE ntile(3) OVER (ORDER BY score_u DESC, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM scored
+""",
+    tier="T2",
+)
+def text_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail corpus split: score every document by
+    its average unigram log-probability under the corpus's own LM (the
+    text_unigram_logprob score), rank the corpus best-first, and cut it
+    into perplexity TERCILES — 'head' = most in-distribution prose,
+    'tail' = likely boilerplate/noise. This is the curation move CCNet
+    popularized (train on head+middle, inspect or drop the tail) and the
+    reason perplexity scores exist in a pipeline at all: the BUCKET, not
+    the number, is what downstream mixing consumes.
+
+    Determinism: per-doc sums of 1e-6-quantized log-probs are exact
+    int64; the RANKING key is the integer milli-average
+    −((−Σu)·1000 DIV n) — negation first so the floor-division runs on
+    positives, where Spark's truncating DIV and DuckDB's flooring //
+    agree (they diverge on negatives, the seq_time_to_convert hazard
+    class) — tie-broken by doc_id, so every ntile boundary is pinned.
+    The displayed avg is the usual half-up 4dp double.
+
+    Scale note: LM build and per-doc scoring as in text_unigram_logprob
+    (broadcast vocab table); the tercile split is one global sort —
+    range-partitioned sort + distributed rank at 100 TB, the same shape
+    as any global ORDER BY, or swap ntile for fixed score thresholds
+    learned on a sample to make it map-only.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    n = tok.agg(F.count(F.lit(1)).alias("total"))
+    freq = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            F.floor(
+                F.log(F.col("cnt").cast("double") / F.col("total")) * 1000000
+            ).alias("lp_units"),
+        )
+    )
+    doc = (
+        tok.join(F.broadcast(freq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lp_units").cast("long").alias("sum_u"),
+        )
+    )
+    scored = doc.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("-((-sum_u) * 1000 DIV n_tokens)").alias("score_u"),
+        rnd(F.col("sum_u").cast("double") / 1000000 / F.col("n_tokens"), 4).alias(
+            "avg_logprob"
+        ),
+    )
+    w = Window.orderBy(F.col("score_u").desc(), "doc_id")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob",
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

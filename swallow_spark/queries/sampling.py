@@ -379,3 +379,53 @@ def sample_systematic(spark, sf_dir):
         .filter((F.col("r") - 1) % 25 == 0)
         .select("c_custkey", "c_mktsegment", "cents")
     )
+
+
+@register(
+    "sample_label_balance",
+    oracle=f"""
+WITH c AS (
+  SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label
+),
+m AS (SELECT label, MIN(cnt) OVER () AS mincnt FROM c),
+r AS (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY {_slot_sql('vec_id')}, vec_id) AS rk
+  FROM embeddings
+)
+SELECT r.label, r.vec_id, CAST(r.rk AS BIGINT) AS rk
+FROM r JOIN m USING (label)
+WHERE r.rk <= m.mincnt
+""",
+    tier="T2",
+)
+def sample_label_balance(spark, sf_dir):
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-count rows — the standard fix for label imbalance before
+    training a classifier (the alternative, loss re-weighting, is
+    class_weights; together they are the two halves of the imbalance
+    toolkit). Which rows survive is decided by the module's deterministic
+    multiplicative slot hash ordered (slot, vec_id) — a reproducible
+    pseudo-random draw: same rows kept on every run, engine, and cluster
+    size, unlike rand()-based sampling.
+
+    Output carries the within-label keep rank so the hash check pins the
+    ENTIRE kept set and its selection order, not just the counts.
+
+    Scale note: one count aggregate (tiny), one per-label window for the
+    ranked draw (single shuffle on label; sub-band a hot label at 100 TB
+    by salting the window partition and re-ranking the ≤ cap·salt
+    survivors), and a broadcast-sized join to attach the cap.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    c = e.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    m = c.select("label", F.min("cnt").over(w_all).alias("mincnt"))
+    wr = Window.partitionBy("label").orderBy(_slot(F.col("vec_id")), "vec_id")
+    r = e.select("vec_id", "label", F.row_number().over(wr).alias("rk"))
+    return (
+        r.join(F.broadcast(m), "label")
+        .filter(F.col("rk") <= F.col("mincnt"))
+        .select("label", "vec_id", F.col("rk").cast("long").alias("rk"))
+    )
