@@ -4,6 +4,8 @@ forward as-of, and gap-filling resample.
 
 from __future__ import annotations
 
+import pandas as pd  # module scope: pandas_udf resolves stringified hints here
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -2299,5 +2301,118 @@ def ts_kalman_filter(spark, sf_dir):
             (
                 F.floor(F.expr("element_at(st, 2)") * 1000000 + F.lit(0.5)) / 1000000
             ).alias("err_var"),
+        )
+    )
+
+
+@register(
+    "ts_dtw_profile",
+    oracle="""
+WITH RECURSIVE
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+refs AS (
+  SELECT day, SUM(c) // COUNT(*) AS rc FROM daily GROUP BY day
+),
+r AS (SELECT list(rc ORDER BY day) AS rl FROM refs),
+s AS (
+  SELECT user_id, list(c ORDER BY day) AS al FROM daily GROUP BY user_id
+),
+walk(user_id, i, row) AS (
+  SELECT s.user_id, 1,
+         list_reduce(
+           [CAST([] AS BIGINT[])]
+             || list_transform(generate_series(1, len(r.rl)), j -> [j]),
+           (acc, x) -> acc || [abs(s.al[1] - r.rl[x[1]])
+             + CASE WHEN len(acc) = 0 THEN 0 ELSE acc[len(acc)] END]
+         )
+  FROM s, r
+  UNION ALL
+  SELECT w.user_id, w.i + 1,
+         list_reduce(
+           [CAST([] AS BIGINT[])]
+             || list_transform(generate_series(1, len(r.rl)), j -> [j]),
+           (acc, x) -> acc || [abs(s.al[w.i + 1] - r.rl[x[1]])
+             + least(w.row[x[1]],
+                     CASE WHEN x[1] = 1 THEN w.row[1]
+                          ELSE least(w.row[x[1] - 1], acc[len(acc)]) END)]
+         )
+  FROM walk w JOIN s ON s.user_id = w.user_id, r
+  WHERE w.i < len(s.al)
+)
+SELECT w.user_id,
+       CAST(len(s.al) AS BIGINT) AS n_days,
+       CAST(w.row[len(w.row)] AS BIGINT) AS dtw_units
+FROM walk w JOIN s ON s.user_id = w.user_id
+WHERE w.i = len(s.al)
+""",
+    tier="T2",
+)
+def ts_dtw_profile(spark, sf_dir):
+    """Dynamic Time Warping distance from each user's daily-spend series to
+    the corpus-average daily profile — the alignment-tolerant anomaly
+    score (a user whose pattern matches the corpus but shifted two days
+    scores near zero, where Euclidean distance would explode): the
+    classic DP over the (user-series × reference-series) grid,
+    D[i][j] = |aᵢ−rⱼ| + min(D[i−1][j], D[i][j−1], D[i−1][j−1]). The cost
+    model is EXACT INT64 cents end-to-end — no float enters the
+    recurrence — which is what makes a nontrivial DP oracle-checkable:
+    the DuckDB twin replays the identical DP as a recursive CTE over DP
+    rows, each row built by a left list-fold (the [[]] || [[j]…] empty-
+    accumulator trick) that resolves the in-row D[i][j−1] dependency.
+
+    Scale note: the reference profile is a ≤ |days| array broadcast to
+    every executor (audited 1-row crossjoin); per-user work is one
+    groupBy(user) collect + an O(days²) Arrow-batched numpy DP — bounded
+    by the calendar, not the event count, so 100 TB of events still
+    yields 30×30 grids. The genuinely-pairwise DTW variant would block
+    pairs first (the dedup recipe) — this profile-anchored form is the
+    linear-scan version pipelines prefer at scale.
+    """
+    import numpy as np
+
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("c"))
+    ref = (
+        daily.groupBy("day")
+        .agg(F.expr("sum(c) DIV count(*)").alias("rc"))
+        .agg(F.sort_array(F.collect_list(F.struct("day", "rc"))).alias("rs"))
+        .select(F.expr("transform(rs, v -> v.rc)").alias("rl"))
+    )
+    ser = daily.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("day", "c"))).alias("s")
+    ).select("user_id", F.expr("transform(s, v -> v.c)").alias("al"))
+
+    @F.pandas_udf("long")
+    def dtw(al: pd.Series, rl: pd.Series) -> pd.Series:
+        out = []
+        for a, r in zip(al, rl):
+            a = np.asarray(a, dtype=np.int64)
+            r = np.asarray(r, dtype=np.int64)
+            n, m = len(a), len(r)
+            cost = np.abs(a[:, None] - r[None, :])
+            D = np.empty((n, m), dtype=np.int64)
+            D[0, :] = np.cumsum(cost[0, :])
+            for i in range(1, n):
+                D[i, 0] = cost[i, 0] + D[i - 1, 0]
+                for j in range(1, m):
+                    D[i, j] = cost[i, j] + min(
+                        D[i - 1, j], D[i - 1, j - 1], D[i, j - 1]
+                    )
+            out.append(int(D[n - 1, m - 1]))
+        return pd.Series(out)
+
+    return (
+        ser.crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.size("al").cast("long").alias("n_days"),
+            dtw("al", "rl").alias("dtw_units"),
         )
     )

@@ -348,6 +348,7 @@ BNLJ_ALLOWED = {
     "text_cooccurrence_pmi",
     "text_tfidf_topk",
     "text_unigram_logprob",
+    "ts_dtw_profile",  # broadcast 1-row reference-profile array crossjoin
     "ts_gap_fill",
     "ts_locf",
     "vec_label_noise_knn",  # probe-broadcast cosine arm (same as sim_cosine_topk)
