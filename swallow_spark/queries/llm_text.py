@@ -1760,3 +1760,110 @@ def text_perplexity_buckets(spark, sf_dir):
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# ------------------------------------------------------------ BPE tokenizer
+
+
+def _bpe_oracle() -> str:
+    from .bpe_frozen import BPE_MERGES
+
+    spaced = (
+        "list_transform(string_split(coalesce(text, ''), ' '), "
+        "w -> rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')))"
+    )
+    sym = f"' ' || array_to_string({spaced}, ' | ') || ' '"
+    for left, right in BPE_MERGES:
+        sym = f"replace({sym}, ' {left} {right} ', ' {left}{right} ')"
+    toks = (
+        f"len(list_filter(string_split(trim({sym}), ' '), "
+        "s -> s <> '|' AND s <> ''))"
+    )
+    words = (
+        "len(list_filter(string_split(coalesce(text, ''), ' '), w -> w <> ''))"
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST({words} AS BIGINT) AS n_words,
+         CAST({toks} AS BIGINT) AS n_tokens
+  FROM documents
+),
+g AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_words) AS BIGINT) AS n_words,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, n_words, n_tokens,
+       CASE WHEN n_words = 0 THEN NULL
+            ELSE (n_tokens * 1000000) // n_words END AS fertility_micro
+FROM g
+ORDER BY lang
+"""
+
+
+@register("text_bpe_apply", oracle=_bpe_oracle(), tier="T2")
+def text_bpe_apply(spark, sf_dir):
+    """Apply the frozen 24-merge BPE table (tools/bpe_freeze.py, trained on
+    the sf0.1 word-frequency dict) to every document and report per-language
+    token fertility — the real-tokenizer cost model a training pipeline uses
+    for budget planning, next to text_tokenizer_fertility's heuristic.
+
+    Semantics: each word becomes a space-separated character sequence; the
+    doc joins words with ' | ' guards and leading/trailing spaces, then the
+    merges are applied SEQUENTIALLY as literal global replaces of
+    ' l r ' -> ' lr ' — left-to-right non-overlapping, continuing after the
+    replacement, which all three engines (Java String.replace, DuckDB
+    replace, Python str.replace) implement identically. The space-wrapped
+    patterns make matches full-symbol-exact (no mid-symbol corruption) and
+    the '|' guard blocks cross-word merges. This is the fast
+    "apply-merges-in-training-order" BPE variant; the greedy
+    rescan-after-each-merge variant can differ on adjacent repeated pairs
+    (documented, deterministic in both engines either way).
+
+    Determinism: pure string machinery — no floats until the final
+    fertility, an integer cross-product with one truncating DIV of a
+    non-negative numerator. NULL/empty text contributes 0 words, 0 tokens.
+    Scale: per-doc map-only codegen (24 chained literal replaces), then one
+    partial+final aggregate keyed by lang — no shuffle of document text.
+    """
+    from .bpe_frozen import BPE_MERGES
+
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    spaced = F.transform(
+        words, lambda w: F.rtrim(F.regexp_replace(w, "(.)", "$1 "))
+    )
+    sym = F.concat(F.lit(" "), F.array_join(spaced, " | "), F.lit(" "))
+    for left, right in BPE_MERGES:
+        sym = F.replace(
+            sym, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+        )
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(sym), " "),
+            lambda s: (s != F.lit("|")) & (s != F.lit("")),
+        )
+    )
+    n_words = F.size(F.filter(words, lambda w: w != F.lit("")))
+    per_doc = d.select(
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        toks.cast("long").alias("n_tokens"),
+    )
+    g = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        F.when(F.col("n_words") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(n_tokens * 1000000) DIV n_words"))
+        .alias("fertility_micro"),
+    ).orderBy("lang")

@@ -339,6 +339,7 @@ BNLJ_ALLOWED = {
     "stats_kendall_tau",  # deliberately bounded 25-nation pair set + 1-row n crossjoin
     "stats_survival_km",  # bounded O(days^2) prefix-product triangle + 1-row maxdate
     "stats_permutation_test",  # broadcast 1-row observed-diff crossjoin
+    "stats_bh_fdr",  # broadcast 1-row global-mean crossjoin (sign-flip residuals)
     "stats_psi_drift",  # broadcast 1-row ts/value-bounds crossjoin
     "stats_variance_merge",  # broadcast 1-row ts-bounds crossjoin
     "etl_incremental_high_watermark",  # broadcast 1-row min/max-ts bounds crossjoin
