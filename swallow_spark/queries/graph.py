@@ -1001,3 +1001,108 @@ def graph_label_propagation(spark, sf_dir):
     ).localCheckpoint(eager=True)
     und.unpersist()
     return out
+
+
+# ----------------------------------------------------------------- HITS
+
+_HITS_UNITS = 10**12
+_HITS_ROUNDS = 2
+_HITS_EDGES_SQL = """
+SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def _hits_oracle() -> str:
+    u = _HITS_UNITS
+    base = f"""
+WITH e AS ({_HITS_EDGES_SQL}),
+h0 AS (SELECT DISTINCT c, CAST({u} AS BIGINT) AS h FROM e)"""
+    steps = []
+    prev_h = "h0"
+    for i in range(1, _HITS_ROUNDS + 1):
+        steps.append(
+            f""",
+ar{i} AS (SELECT e.p, CAST(SUM({prev_h}.h) AS BIGINT) AS raw
+          FROM e JOIN {prev_h} USING (c) GROUP BY e.p),
+ad{i} AS (SELECT GREATEST(CAST(SUM(raw) AS BIGINT) // {u}, 1) AS dn FROM ar{i}),
+a{i} AS (SELECT p, raw // (SELECT dn FROM ad{i}) AS a FROM ar{i}),
+hr{i} AS (SELECT e.c, CAST(SUM(a{i}.a) AS BIGINT) AS raw
+          FROM e JOIN a{i} USING (p) GROUP BY e.c),
+hd{i} AS (SELECT GREATEST(CAST(SUM(raw) AS BIGINT) // {u}, 1) AS dn FROM hr{i}),
+h{i} AS (SELECT c, raw // (SELECT dn FROM hd{i}) AS h FROM hr{i})"""
+        )
+        prev_h = f"h{i}"
+    return (
+        base
+        + "".join(steps)
+        + f"""
+SELECT p AS partkey, a AS auth_units
+FROM a{_HITS_ROUNDS}
+ORDER BY auth_units DESC, partkey
+LIMIT 20
+"""
+    )
+
+
+@register("graph_hits", oracle=_hits_oracle(), tier="T2")
+def graph_hits(spark, sf_dir):
+    """HITS hubs-and-authorities on the directed customer→part purchase
+    graph (edge = customer ever ordered the part): 2 full (authority, hub)
+    rounds, top-20 parts by authority — 'which parts do the broadest
+    well-connected buyers converge on', the bipartite companion to
+    graph_pagerank's symmetric ranking. ORACLE-CHECKED: scores are exact
+    int64 fixed-point (1e-12 L1 mass), each step renormalizes by the
+    truncated integer denominator GREATEST(Σraw DIV 1e12, 1), so every
+    score is bit-identical regardless of partitioning; the DuckDB twin
+    unrolls the rounds as chained CTE stages.
+
+    Determinism: sums of int64 over in/out-edges, floor division of
+    non-negative numerators only (Spark DIV ≡ DuckDB //). Int64 headroom:
+    Σraw ≤ |edges|·1e12 — safe to ~9M distinct (customer, part) edges;
+    beyond, drop UNITS to 1e9 or carry Σ as DECIMAL(38,0).
+    Scale: the distinct edge list is built in one shuffle and persisted
+    hash-partitioned; each half-step is one partial+final aggregate over
+    the edges joined with the |nodes|-row score vector, plus an audited
+    broadcast 1-row normalizer crossjoin — no per-edge state is ever
+    materialized beyond the persisted edge list itself.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    u = _HITS_UNITS
+    h = e.select("c").distinct().withColumn("h", F.lit(u).cast("long"))
+
+    def _norm(raw_df, key, raw_col, out_col):
+        dn = raw_df.agg(
+            F.greatest(F.expr(f"CAST(SUM({raw_col}) AS BIGINT) DIV {u}"), F.lit(1))
+            .cast("long")
+            .alias("dn")
+        )
+        return raw_df.crossJoin(F.broadcast(dn)).select(
+            key, F.expr(f"{raw_col} DIV dn").alias(out_col)
+        )
+
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        a_raw = (
+            e.join(h, "c").groupBy("p").agg(F.sum("h").cast("long").alias("raw"))
+        )
+        a = _norm(a_raw, "p", "raw", "a")
+        h_raw = (
+            e.join(a, "p").groupBy("c").agg(F.sum("a").cast("long").alias("raw"))
+        )
+        h = _norm(h_raw, "c", "raw", "h")
+    out = (
+        a.select(F.col("p").alias("partkey"), F.col("a").alias("auth_units"))
+        .orderBy(F.col("auth_units").desc(), "partkey")
+        .limit(20)
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

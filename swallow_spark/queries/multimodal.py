@@ -557,3 +557,161 @@ def multimodal_container_parse(spark, sf_dir):
         "doc_id long, n_records long, bytes_consumed long, "
         "payload_head_sum long",
     )
+
+
+# --------------------------------------------------------------------- VAD
+
+_VAD_FRAME = 8
+_VAD_THRESH = 800
+_VAD_MIN_RUN = 2
+
+
+def vad_extractor(
+    decode=decode_bytes_waveform,
+    frame: int = _VAD_FRAME,
+    thresh: int = _VAD_THRESH,
+    min_run: int = _VAD_MIN_RUN,
+):
+    """Build the mapInPandas batch fn for energy-threshold VAD.
+
+    Fully vectorized across the Arrow batch: all rows' frames concatenate
+    into one (n_frames, frame) reshape whose row sums are the energies;
+    voiced runs are found with one cumsum over run-start flags (doc
+    boundaries force a break) and per-doc segment stats come from
+    np.bincount — no per-row Python loops beyond the injectable decode.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            n = len(pdf)
+            null_row = np.array([p is None for p in pdf["payload"]])
+            waves = [
+                np.array([], dtype=np.int64)
+                if p is None
+                else np.asarray(decode(bytes(p)), dtype=np.int64)
+                for p in pdf["payload"]
+            ]
+            nf = np.array([w.size // frame for w in waves], dtype=np.int64)
+            voiced_kept = np.zeros(n, dtype=np.int64)
+            nseg = np.zeros(n, dtype=np.int64)
+            if nf.sum():
+                cat = np.concatenate(
+                    [w[: m * frame] for w, m in zip(waves, nf) if m]
+                )
+                sums = cat.reshape(-1, frame).sum(axis=1)
+                voiced = sums >= thresh
+                doc_idx = np.repeat(np.arange(n), nf)
+                prev_v = np.concatenate(([False], voiced[:-1]))
+                prev_d = np.concatenate(([-1], doc_idx[:-1]))
+                starts = voiced & (~prev_v | (prev_d != doc_idx))
+                if starts.any():
+                    run_id = np.cumsum(starts) - 1
+                    run_len = np.bincount(run_id[voiced])
+                    run_doc = doc_idx[starts]
+                    keep = run_len >= min_run
+                    nseg = np.bincount(run_doc[keep], minlength=n)
+                    voiced_kept = np.bincount(
+                        run_doc[keep], weights=run_len[keep], minlength=n
+                    ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_frames": pd.array(
+                        [None if b else int(x) for b, x in zip(null_row, nf)],
+                        dtype="Int64",
+                    ),
+                    "voiced_frames": pd.array(
+                        [
+                            None if b else int(x)
+                            for b, x in zip(null_row, voiced_kept)
+                        ],
+                        dtype="Int64",
+                    ),
+                    "n_segments": pd.array(
+                        [None if b else int(x) for b, x in zip(null_row, nseg)],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return extract
+
+
+_VAD_BYTE = (
+    "16 * (strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1)"
+    " + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1)"
+)
+
+_VAD_SQL = f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, n // {_VAD_FRAME} AS n_frames,
+         list_transform(generate_series(CAST(1 AS BIGINT), n // {_VAD_FRAME}),
+           f -> struct_pack(fi := f,
+                  fsum := CAST(list_sum(list_transform(
+                    generate_series({_VAD_FRAME} * (f - 1) + 1, {_VAD_FRAME} * f),
+                    i -> {_VAD_BYTE})) AS BIGINT))) AS fs
+  FROM h
+),
+t AS (SELECT doc_id, unnest(fs) AS s FROM fr),
+seg AS (
+  SELECT doc_id, s.fi AS fi, (s.fsum >= {_VAD_THRESH}) AS voiced FROM t
+),
+g AS (
+  SELECT doc_id, fi, voiced,
+         fi - ROW_NUMBER() OVER (PARTITION BY doc_id, voiced ORDER BY fi) AS grp
+  FROM seg
+),
+runs AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM g WHERE voiced GROUP BY doc_id, grp
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) FILTER (WHERE run_len >= {_VAD_MIN_RUN}) AS BIGINT)
+           AS n_segments,
+         CAST(COALESCE(SUM(run_len) FILTER (WHERE run_len >= {_VAD_MIN_RUN}), 0)
+           AS BIGINT) AS voiced_frames
+  FROM runs GROUP BY doc_id
+)
+SELECT h.doc_id,
+       CASE WHEN h.n IS NULL THEN NULL ELSE h.n // {_VAD_FRAME} END AS n_frames,
+       CASE WHEN h.n IS NULL THEN NULL
+            ELSE COALESCE(agg.voiced_frames, 0) END AS voiced_frames,
+       CASE WHEN h.n IS NULL THEN NULL
+            ELSE COALESCE(agg.n_segments, 0) END AS n_segments
+FROM h LEFT JOIN agg ON agg.doc_id = h.doc_id
+"""
+
+
+@register("multimodal_audio_vad", oracle=_VAD_SQL, tier="T2")
+def multimodal_audio_vad(spark, sf_dir):
+    """Voice-activity detection over the opaque byte "waveform": 8-byte
+    frames, energy = exact integer frame sum, voiced iff energy ≥ 800,
+    smoothed by dropping voiced runs shorter than 2 frames — per doc the
+    frame count, kept voiced-frame count, and speech-segment count. The
+    speech/music/silence segmentation pass an audio curation pipeline runs
+    before transcription, with the decode stub injectable exactly like
+    multimodal_audio_features.
+
+    Determinism: pure integer energy sums and run lengths; the run
+    smoothing is the gaps-and-islands construction (run key = frame_idx −
+    row_number within (doc, voiced)) in the oracle and a vectorized
+    cumsum-over-run-starts in numpy — same segments by construction.
+    NULL payload → NULL row (the established multimodal convention).
+    Scale: map-only mapInPandas (the frame expansion lives inside the
+    Arrow batch, never shuffled); the oracle's window runs per-doc.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(
+        vad_extractor(),
+        "doc_id long, n_frames long, voiced_frames long, n_segments long",
+    )
