@@ -388,3 +388,95 @@ def stats_bh_fdr(spark, sf_dir):
         .otherwise(F.lit(0))
         .alias("rejected"),
     ).orderBy("k")
+
+
+# --------------------------------------------------------- PR-AUC (AP)
+
+_AP_SQL = """
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS s,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+g AS (
+  SELECT segment, s,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(pos) AS BIGINT) AS pc
+  FROM base GROUP BY segment, s
+),
+cum AS (
+  SELECT segment, s, pc,
+         CAST(SUM(cnt) OVER (PARTITION BY segment ORDER BY s DESC) AS BIGINT) AS cn,
+         CAST(SUM(pc) OVER (PARTITION BY segment ORDER BY s DESC) AS BIGINT) AS cp,
+         CAST(SUM(pc) OVER (PARTITION BY segment) AS BIGINT) AS npos
+  FROM g
+),
+terms AS (
+  SELECT segment, npos,
+         CASE WHEN pc = 0 OR npos = 0 THEN 0
+              ELSE (pc * cp * 1000000000) // (cn * npos) END AS t_nano
+  FROM cum
+)
+SELECT segment,
+       MAX(npos) AS n_pos,
+       CASE WHEN MAX(npos) = 0 THEN NULL
+            ELSE CAST(SUM(t_nano) AS BIGINT) // 1000 END AS ap_micro
+FROM terms GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register("stats_auc_pr", oracle=_AP_SQL, tier="T2")
+def stats_auc_pr(spark, sf_dir):
+    """Per-segment average precision (PR-AUC, step interpolation): sweep
+    the score threshold down through the distinct values; at each block the
+    term is ΔTP · precision, AP = Σ terms / n_pos — the ranking metric that
+    (unlike ROC-AUC) stays informative under heavy class imbalance.
+
+    Determinism: each block term is floored to int64 nano-units BEFORE the
+    cross-block sum — (pc·cp·1e9) DIV (cn·npos), all non-negative, so Spark
+    DIV ≡ DuckDB // and the sum is partition-order independent (the
+    vec_centroid_drift rule: never sum raw DOUBLE terms across groups).
+    ap_micro = Σnano DIV 1000. Int64: pc·cp·1e9 at 30k rows/segment ≈
+    ~1e17 — safe to ~100k rows per segment with cp ≈ n/2; beyond, drop to
+    1e6-unit terms (precision loss documented) or DECIMAL(38,0).
+    Scale: identical shape to stats_auc_roc — windows over the per-segment
+    distinct-score table, customer dim broadcast, one partial+final
+    aggregate per stage.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        cents(F.col("o_totalprice")).cast("long").alias("s"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0)).alias("pos"),
+    )
+    g = base.groupBy("segment", "s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("pc")
+    )
+    wdesc = Window.partitionBy("segment").orderBy(F.col("s").desc())
+    cum = g.select(
+        "segment",
+        "pc",
+        F.sum("cnt").over(wdesc).cast("long").alias("cn"),
+        F.sum("pc").over(wdesc).cast("long").alias("cp"),
+        F.sum("pc").over(Window.partitionBy("segment")).cast("long").alias("npos"),
+    )
+    terms = cum.select(
+        "segment",
+        "npos",
+        F.when((F.col("pc") == 0) | (F.col("npos") == 0), F.lit(0).cast("long"))
+        .otherwise(F.expr("(pc * cp * 1000000000) DIV (cn * npos)"))
+        .alias("t_nano"),
+    )
+    return (
+        terms.groupBy("segment")
+        .agg(
+            F.max("npos").alias("n_pos"),
+            F.when(F.max("npos") == 0, F.lit(None).cast("long"))
+            .otherwise(F.expr("CAST(SUM(t_nano) AS BIGINT) DIV 1000"))
+            .alias("ap_micro"),
+        )
+        .orderBy("segment")
+    )

@@ -2416,3 +2416,79 @@ def ts_dtw_profile(spark, sf_dir):
             dtw("al", "rl").alias("dtw_units"),
         )
     )
+
+
+# ----------------------------------------------------------------- SAX
+
+_SAX_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY CAST(ts AS DATE)
+),
+wk AS (
+  SELECT date_diff('day', DATE '1970-01-01', day) // 7 AS week_id,
+         CAST(SUM(cents) AS BIGINT) AS week_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+),
+sym AS (
+  SELECT week_id, week_cents, n_days,
+         ntile(4) OVER (ORDER BY week_cents, week_id) AS q
+  FROM wk
+)
+SELECT week_id, week_cents, n_days,
+       CASE q WHEN 1 THEN 'a' WHEN 2 THEN 'b' WHEN 3 THEN 'c' ELSE 'd' END
+         AS symbol
+FROM sym
+ORDER BY week_id
+"""
+
+
+@register("ts_sax_symbols", oracle=_SAX_SQL, tier="T2")
+def ts_sax_symbols(spark, sf_dir):
+    """SAX-style symbolization of the corpus event-value series: PAA over
+    fixed 7-epoch-day blocks (weekly exact cent totals), then each block
+    discretized to one of 4 symbols by its empirical quartile — the
+    symbolic-sequence reduction used for motif discovery and cheap
+    whole-series indexing (Lin et al.'s SAX, with rank quartiles instead of
+    Gaussian breakpoints so the alphabet needs no float thresholds).
+
+    Determinism: block totals are exact int64 cents; the quartile cut is
+    ntile(4) over the TOTAL order (week_cents, week_id), so symbol
+    assignment is unique and identical in both engines (remainders fill the
+    leading quartiles in both). Weeks are epoch_days DIV 7 blocks, not ISO
+    weeks — immune to the engines' week-numbering differences (the
+    dayofweek hazard class).
+    Scale: two partial+final aggregates (day, then week); the ntile runs
+    over the |weeks| block table, which is ~5 000 rows per decade of data —
+    driver-scale regardless of event volume.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    wk = daily.groupBy(
+        F.expr("datediff(day, DATE '1970-01-01') DIV 7").alias("week_id")
+    ).agg(
+        F.sum("cents").cast("long").alias("week_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    sym = wk.withColumn(
+        "q", F.ntile(4).over(Window.orderBy("week_cents", "week_id"))
+    )
+    return sym.select(
+        "week_id",
+        "week_cents",
+        "n_days",
+        F.when(F.col("q") == 1, "a")
+        .when(F.col("q") == 2, "b")
+        .when(F.col("q") == 3, "c")
+        .otherwise("d")
+        .alias("symbol"),
+    ).orderBy("week_id")

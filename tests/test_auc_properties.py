@@ -1,0 +1,185 @@
+"""Property tests for the model-eval ranking metrics: random scored/labelled
+sets with scores drawn from a tiny range (so tie blocks are dense, including
+all-tied and single-class degenerate cases) must produce the SAME AUC-ROC,
+average precision, and decile lift table in Spark, in the registered DuckDB
+oracle, and in a pure-Python pairwise reference — pinning the tie-averaged
+rank semantics (AUC numerator = 2·#concordant + #tied pairs) and the
+ntile remainder rule (leading bins take the extras) that a fixture can't
+stress.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# (score_dollars, is_positive): scores 0..4 → heavy ties; labels free
+_row = st.tuples(st.integers(min_value=0, max_value=4), st.booleans())
+_segment = st.lists(_row, min_size=1, max_size=25)
+_scenario = st.lists(_segment, min_size=1, max_size=3)
+
+
+def _materialize(case, tmpdir):
+    custs, orders = [], []
+    ok = 0
+    for ci, rows in enumerate(case, start=1):
+        custs.append(
+            {"c_custkey": ci, "c_mktsegment": f"S{ci}", "c_nationkey": ci}
+        )
+        for s, pos in rows:
+            ok += 1
+            orders.append(
+                {
+                    "o_orderkey": ok,
+                    "o_custkey": ci,
+                    "o_totalprice": float(s),
+                    "o_orderstatus": "F" if pos else "O",
+                }
+            )
+    cpdf = pd.DataFrame(custs)
+    opdf = pd.DataFrame(orders)
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM cpdf) TO '{tmpdir}/customer.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM opdf) TO '{tmpdir}/orders.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    return custs, orders
+
+
+def _ref_auc(case):
+    out = {}
+    for ci, rows in enumerate(case, start=1):
+        pos = [100 * s for s, p in rows if p]
+        neg = [100 * s for s, p in rows if not p]
+        n1, n0 = len(pos), len(neg)
+        if n1 == 0 or n0 == 0:
+            out[f"S{ci}"] = (n1, n0, None)
+            continue
+        gt = sum(1 for a in pos for b in neg if a > b)
+        eq = sum(1 for a in pos for b in neg if a == b)
+        out[f"S{ci}"] = (n1, n0, (2 * gt + eq) * 1_000_000 // (2 * n1 * n0))
+    return out
+
+
+def _ref_ap(case):
+    out = {}
+    for ci, rows in enumerate(case, start=1):
+        scores = sorted({100 * s for s, _ in rows}, reverse=True)
+        npos = sum(1 for _, p in rows if p)
+        cn = cp = 0
+        total = 0
+        for s in scores:
+            cnt = sum(1 for v, _ in rows if 100 * v == s)
+            pc = sum(1 for v, p in rows if 100 * v == s and p)
+            cn += cnt
+            cp += pc
+            if pc and npos:
+                total += (pc * cp * 10**9) // (cn * npos)
+        out[f"S{ci}"] = (npos, total // 1000 if npos else None)
+    return out
+
+
+def _ref_lift(case):
+    out = {}
+    for ci, rows in enumerate(case, start=1):
+        seq = sorted(
+            [(100 * s, k, 1 if p else 0) for k, (s, p) in enumerate(rows, start=1)],
+            key=lambda t: (-t[0], t[1]),
+        )
+        n = len(seq)
+        base, extra = divmod(n, 10)
+        sizes = [base + 1 if i < extra else base for i in range(10)]
+        tot_pos = sum(p for _, _, p in seq)
+        i = 0
+        cum_n = cum_pos = 0
+        for d, sz in enumerate(sizes, start=1):
+            if sz == 0:
+                continue
+            chunk = seq[i : i + sz]
+            i += sz
+            np_ = sum(p for _, _, p in chunk)
+            cum_n += sz
+            cum_pos += np_
+            lift = (
+                (cum_pos * n * 1_000_000) // (cum_n * tot_pos) if tot_pos else None
+            )
+            out[(f"S{ci}", d)] = (sz, np_, np_ * 1_000_000 // sz, lift)
+    return out
+
+
+@pytest.fixture(scope="module")
+def qs():
+    from swallow_spark.registry import all_queries
+
+    return all_queries()
+
+
+def _duck(tmpdir, sql):
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmpdir}/{t}.parquet')"
+        )
+    rows = con.sql(sql).fetchall()
+    con.close()
+    return rows
+
+
+@settings(max_examples=25, deadline=None)
+@given(_scenario)
+def test_auc_roc_spark_duckdb_reference_agree(spark, qs, tmp_path_factory, case):
+    tmpdir = str(tmp_path_factory.mktemp("auc"))
+    _materialize(case, tmpdir)
+    want = _ref_auc(case)
+
+    q = qs["stats_auc_roc"]
+    got_spark = {
+        r.segment: (r.n_pos, r.n_neg, r.auc_micro)
+        for r in q.fn(spark, tmpdir).collect()
+    }
+    assert got_spark == want
+    got_duck = {r[0]: (r[1], r[2], r[3]) for r in _duck(tmpdir, q.oracle)}
+    assert got_duck == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(_scenario)
+def test_auc_pr_spark_duckdb_reference_agree(spark, qs, tmp_path_factory, case):
+    tmpdir = str(tmp_path_factory.mktemp("ap"))
+    _materialize(case, tmpdir)
+    want = _ref_ap(case)
+
+    q = qs["stats_auc_pr"]
+    got_spark = {
+        r.segment: (r.n_pos, r.ap_micro) for r in q.fn(spark, tmpdir).collect()
+    }
+    assert got_spark == want
+    got_duck = {r[0]: (r[1], r[2]) for r in _duck(tmpdir, q.oracle)}
+    assert got_duck == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(_scenario)
+def test_lift_deciles_spark_duckdb_reference_agree(
+    spark, qs, tmp_path_factory, case
+):
+    tmpdir = str(tmp_path_factory.mktemp("lift"))
+    _materialize(case, tmpdir)
+    want = _ref_lift(case)
+
+    q = qs["stats_lift_deciles"]
+    got_spark = {
+        (r.segment, r.decile): (r.n, r.n_pos, r.pos_rate_micro, r.cum_lift_micro)
+        for r in q.fn(spark, tmpdir).collect()
+    }
+    assert got_spark == want
+    got_duck = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5]) for r in _duck(tmpdir, q.oracle)
+    }
+    assert got_duck == want
