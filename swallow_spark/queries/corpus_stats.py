@@ -1,0 +1,274 @@
+"""Corpus-statistics operators over `documents`: character-entropy quality
+scoring, Zipf rank-frequency slope, and per-token burstiness (variance-to-
+mean dispersion) — the classic corpus-health battery a pretraining-data
+pipeline runs before/after filtering (low char entropy ⇒ repetitive junk;
+a Zipf slope far from −1 ⇒ unnatural token mix; high burstiness ⇒ topical
+terms vs function words).
+
+Determinism recipe (house rules): every ln() is floored to integer units
+BEFORE any cross-row sum (the vec_centroid_drift rule), all divisions of
+possibly-negative quantities are negated into non-negative space first
+(Spark DIV truncates, DuckDB // floors — the text_perplexity_buckets
+hazard class), and burstiness is PURE int64 arithmetic end-to-end (the
+variance-to-mean ratio of counts needs no float at all:
+VMR·1e6 = (D·Σc² − (Σc)²)·1e6 DIV (D·Σc)).
+
+Scale notes: the char explode carries only (doc_id, ch) — two narrow
+columns — and partial aggregation collapses it to ≤|alphabet| rows per doc
+per partition before the shuffle; zipf's regression runs over a top-R rank
+table (R=50 rows on the driver-scale side of a TakeOrdered); burstiness is
+one partial+final aggregate over (token) plus a broadcast 1-row doc-count
+(audited scalar-subquery crossjoin, see tests/test_plans.py BNLJ_ALLOWED).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load
+from ..registry import register
+
+# ---------------------------------------------------- char entropy
+
+_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT d.doc_id, substr(d.text, g.i, 1) AS ch
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, length(d.text))) AS i) g
+  WHERE d.text IS NOT NULL AND length(d.text) > 0
+),
+cnts AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM chars GROUP BY doc_id, ch
+),
+docs AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+              AS BIGINT) AS sum_u
+  FROM cnts GROUP BY doc_id
+)
+SELECT doc_id, n,
+       CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) - sum_u // n
+         AS ent_micronats
+FROM docs
+ORDER BY ent_micronats, doc_id
+LIMIT 20
+"""
+
+
+@register("text_char_entropy", oracle=_ENTROPY_SQL, tier="T2")
+def text_char_entropy(spark, sf_dir):
+    """Per-document character-level Shannon entropy (micro-nats), lowest-20
+    first — the cheap junk detector: near-zero entropy means the document is
+    one repeated symbol; natural prose sits near the alphabet's log.
+
+    H = ln(n) − (Σ c·ln c)/n over per-char counts c. Each ln is floored to
+    int64 micro-nat units BEFORE the per-doc sum, so the result is exact
+    integer arithmetic after the two quantized log calls and identical in
+    both engines regardless of aggregation order. ent ≥ 0 structurally
+    (floor is monotone and c ≤ n), so the single DIV is on non-negative
+    operands. Total order (ent_micronats, doc_id).
+
+    Scale: explode(split(text,'')) emits (doc_id, ch) only; map-side partial
+    agg collapses each partition's chars to ≤|alphabet| rows per doc before
+    the hash shuffle on doc_id — the shuffle is O(docs·alphabet), not
+    O(corpus bytes). The top-20 is a TakeOrderedAndProject, no global sort.
+    """
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    )
+    cnts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    docs = cnts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(
+            F.col("c")
+            * F.floor(F.log(F.col("c").cast("double")) * 1000000).cast("long")
+        )
+        .cast("long")
+        .alias("sum_u"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "n",
+            (
+                F.floor(F.log(F.col("n").cast("double")) * 1000000).cast("long")
+                - F.expr("sum_u DIV n")
+            ).alias("ent_micronats"),
+        )
+        .orderBy("ent_micronats", "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------- Zipf slope
+
+_ZIPF_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+  FROM tok WHERE token <> '' GROUP BY token
+),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, token) AS r
+  FROM freq
+),
+pts AS (
+  SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000) AS BIGINT) AS x,
+         CAST(FLOOR(ln(CAST(f AS DOUBLE)) * 1000) AS BIGINT) AS y
+  FROM ranked WHERE r <= 50
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n AS n_ranks,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            WHEN n * sxy - sx * sy >= 0
+              THEN ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+            ELSE -(((sx * sy - n * sxy) * 1000000) // (n * sxx - sx * sx))
+       END AS slope_micro
+FROM s
+"""
+
+
+@register("text_zipf_slope", oracle=_ZIPF_SQL, tier="T2")
+def text_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit: least-squares slope of ln(frequency) vs ln(rank) over
+    the top-50 token ranks — natural corpora sit near −1; a word-salad or
+    template-heavy corpus drifts toward 0. One row: (n_ranks, slope_micro).
+
+    Determinism: logs floored to int64 MILLI-units (micro would overflow —
+    Σx·Σy·1e6 crosses 2^63 at corpus scale; milli keeps the worst product
+    ≈1e17), the regression sums are then exact integers, and the final
+    divide is negated into non-negative space before DIV because the slope
+    is negative (Spark DIV truncates toward zero, DuckDB // floors — they
+    diverge exactly on negative operands; the text_perplexity_buckets rule).
+
+    Scale: the frequency table is one partial+final aggregate over (token);
+    the rank window runs on a TakeOrdered top-50-by-frequency side — at
+    100 TB replace the row_number window with `ORDER BY f DESC LIMIT 50`
+    (same TakeOrderedAndProject) so nothing global materializes.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    freq = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), "token"))
+        .alias("r"),
+    ).filter(F.col("r") <= 50)
+    pts = ranked.select(
+        F.floor(F.log(F.col("r").cast("double")) * 1000).cast("long").alias("x"),
+        F.floor(F.log(F.col("f").cast("double")) * 1000).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.expr(
+            """CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    WHEN n * sxy - sx * sy >= 0
+                      THEN ((n * sxy - sx * sy) * 1000000) DIV (n * sxx - sx * sx)
+                    ELSE -(((sx * sy - n * sxy) * 1000000) DIV (n * sxx - sx * sx))
+               END"""
+        ).alias("slope_micro"),
+    )
+
+
+# ---------------------------------------------------- burstiness (VMR)
+
+_BURST_SQL = """
+WITH d AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents WHERE text IS NOT NULL
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+per_doc AS (
+  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok WHERE token <> '' GROUP BY token, doc_id
+),
+per_tok AS (
+  SELECT token,
+         CAST(SUM(c) AS BIGINT) AS total,
+         CAST(SUM(c * c) AS BIGINT) AS ssq
+  FROM per_doc GROUP BY token
+)
+SELECT token, total,
+       (d.n_docs * ssq - total * total) * 1000000 // (d.n_docs * total)
+         AS vmr_micro
+FROM per_tok, d
+ORDER BY total DESC, token
+LIMIT 20
+"""
+
+
+@register("text_burstiness", oracle=_BURST_SQL, tier="T2")
+def text_burstiness(spark, sf_dir):
+    """Token burstiness for the top-20 tokens by corpus frequency: the
+    variance-to-mean ratio (Fisher dispersion) of per-document counts,
+    zero-counting documents that lack the token. VMR ≈ 1 is Poisson
+    (function words); VMR ≫ 1 marks bursty/topical terms — the Church-Gale
+    dispersion statistic used to pick keyword candidates.
+
+    PURE int64 end-to-end: with D docs, per-token total T = Σc and Σc²
+    over docs containing it, the zero-inflated variance-to-mean is exactly
+    VMR·1e6 = (D·Σc² − T²)·1e6 DIV (D·T) — numerator ≥ 0 by Cauchy-Schwarz,
+    so truncating DIV ≡ flooring //; no float exists anywhere in the key.
+
+    Scale: (token, doc_id) partial counts collapse map-side; the per-token
+    aggregate is the only shuffle; the doc count D is a broadcast 1-row
+    scalar-subquery crossjoin (audited in BNLJ_ALLOWED). Top-20 is
+    TakeOrderedAndProject.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_tok = per_doc.groupBy("token").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+    )
+    return (
+        per_tok.crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "total",
+            F.expr(
+                "(n_docs * ssq - total * total) * 1000000 DIV (n_docs * total)"
+            ).alias("vmr_micro"),
+        )
+        .orderBy(F.col("total").desc(), "token")
+        .limit(20)
+    )

@@ -344,6 +344,7 @@ BNLJ_ALLOWED = {
     "stats_variance_merge",  # broadcast 1-row ts-bounds crossjoin
     "etl_incremental_high_watermark",  # broadcast 1-row min/max-ts bounds crossjoin
     "text_bigram_logprob",  # broadcast 1-row vocab-size V crossjoin
+    "text_burstiness",  # broadcast 1-row doc-count D crossjoin (zero-inflated VMR)
     "text_bm25_search",
     "text_perplexity_buckets",  # broadcast 1-row corpus-total crossjoin (unigram LM)
     "text_cooccurrence_pmi",
