@@ -480,3 +480,100 @@ def stats_auc_pr(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------- effect sizes
+
+_EFFECT_SQL = """
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(FLOOR(o.o_totalprice + 0.5) AS BIGINT) AS x,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS grp
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+s AS (
+  SELECT segment,
+         CAST(SUM(grp) AS BIGINT) AS n1,
+         CAST(SUM(grp * x) AS BIGINT) AS s1,
+         CAST(SUM(grp * x * x) AS BIGINT) AS q1,
+         CAST(SUM(1 - grp) AS BIGINT) AS n2,
+         CAST(SUM((1 - grp) * x) AS BIGINT) AS s2,
+         CAST(SUM((1 - grp) * x * x) AS BIGINT) AS q2
+  FROM base GROUP BY segment
+)
+SELECT segment, n1, n2,
+       CASE WHEN n1 < 2 OR n2 < 2 THEN NULL ELSE
+         CAST(FLOOR(
+           (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+           / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                 + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
+                  / (n1 + n2 - 2))
+           * 1000000) AS BIGINT) END AS d_micro,
+       CASE WHEN n1 < 2 OR n2 < 2 THEN NULL ELSE
+         CAST(FLOOR(
+           (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+           / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                 + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
+                  / (n1 + n2 - 2))
+           * (1.0 - 3.0 / (4.0 * (n1 + n2 - 2) - 1.0))
+           * 1000000) AS BIGINT) END AS g_micro
+FROM s
+ORDER BY segment
+"""
+
+
+@register("stats_effect_sizes", oracle=_EFFECT_SQL, tier="T2")
+def stats_effect_sizes(spark, sf_dir):
+    """Standardized effect sizes per segment: Cohen's d (pooled-SD mean
+    difference between finished and open orders' prices) and Hedges' g
+    (d with the small-sample bias correction 1 − 3/(4·df−1)) — the numbers
+    that make A/B deltas comparable across metrics and segments.
+
+    Determinism (the stats_ttest_welch discipline): n/Σx/Σx² are exact
+    int64 in integer DOLLARS — cents would push Σx² past 2^53 at sf0.1
+    (30k rows · (5e7)² ≈ 7.5e19); dollars keep it ≤ ~7.5e15 < 2^53, so the
+    one int→double conversion is exact — then every double op (two
+    divides, one sqrt — IEEE-exact-rounded — two multiplies) is spelled
+    identically in both engines, and the results floor to micro-units.
+    Pooled SS is computed as q − s²/n in doubles, NOT as (n·q − s²)/n
+    (the integer form overflows int64 and Spark wraps silently while
+    DuckDB promotes to HUGEINT — the stats_variance_merge hazard).
+
+    Scale: single map-side-combinable aggregate over the broadcast-joined
+    scan; one row per segment crosses the shuffle.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)").alias("x"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0)).alias("grp"),
+    )
+    s = base.groupBy("segment").agg(
+        F.sum("grp").cast("long").alias("n1"),
+        F.sum(F.col("grp") * F.col("x")).cast("long").alias("s1"),
+        F.sum(F.col("grp") * F.col("x") * F.col("x")).cast("long").alias("q1"),
+        F.sum(F.lit(1) - F.col("grp")).cast("long").alias("n2"),
+        F.sum((F.lit(1) - F.col("grp")) * F.col("x")).cast("long").alias("s2"),
+        F.sum((F.lit(1) - F.col("grp")) * F.col("x") * F.col("x")).cast("long").alias("q2"),
+    )
+    d_expr = """
+        (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+        / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+              + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
+               / (n1 + n2 - 2))
+    """
+    return s.select(
+        "segment",
+        "n1",
+        "n2",
+        F.expr(
+            f"CASE WHEN n1 < 2 OR n2 < 2 THEN NULL ELSE "
+            f"CAST(FLOOR(({d_expr}) * 1000000) AS BIGINT) END"
+        ).alias("d_micro"),
+        F.expr(
+            f"CASE WHEN n1 < 2 OR n2 < 2 THEN NULL ELSE "
+            f"CAST(FLOOR(({d_expr}) * (1.0 - 3.0 / (4.0 * (n1 + n2 - 2) - 1.0))"
+            f" * 1000000) AS BIGINT) END"
+        ).alias("g_micro"),
+    ).orderBy("segment")

@@ -2492,3 +2492,194 @@ def ts_sax_symbols(spark, sf_dir):
         .otherwise("d")
         .alias("symbol"),
     ).orderBy("week_id")
+
+
+# --------------------------------------------------------------- Hurst R/S
+
+_HURST_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY day) AS i, v FROM daily
+),
+sized AS (
+  SELECT m.m, (i - 1) // m.m AS b, (i - 1) % m.m + 1 AS j, v
+  FROM idx, (SELECT unnest([8, 16, 32, 64]) AS m) m
+),
+dev AS (
+  SELECT m, b, j, v,
+         m * CAST(SUM(v) OVER (PARTITION BY m, b ORDER BY j) AS BIGINT)
+           - j * CAST(SUM(v) OVER (PARTITION BY m, b) AS BIGINT) AS c,
+         CAST(SUM(v) OVER (PARTITION BY m, b) AS BIGINT) AS s,
+         CAST(COUNT(*) OVER (PARTITION BY m, b) AS BIGINT) AS nb
+  FROM sized
+),
+blocks AS (
+  SELECT m, b,
+         MAX(c) - MIN(c) AS r_scaled,
+         m * CAST(SUM(v * v) AS BIGINT) - MAX(s) * MAX(s) AS ss
+  FROM dev WHERE nb = m
+  GROUP BY m, b
+),
+rs AS (
+  SELECT m,
+         CAST(FLOOR(CAST(r_scaled AS DOUBLE) / sqrt(CAST(ss AS DOUBLE))
+                    * 1000000) AS BIGINT) AS rs_micro
+  FROM blocks WHERE ss > 0 AND r_scaled > 0
+),
+per_size AS (
+  SELECT m AS size,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(rs_micro) AS BIGINT) // COUNT(*) AS mean_rs_micro
+  FROM rs GROUP BY m
+),
+pts AS (
+  SELECT size, n_blocks, mean_rs_micro,
+         CAST(FLOOR(ln(CAST(size AS DOUBLE)) * 1000) AS BIGINT) AS x,
+         CAST(FLOOR(ln(CAST(mean_rs_micro AS DOUBLE)) * 1000) AS BIGINT) AS y
+  FROM per_size
+),
+reg AS (
+  SELECT size, n_blocks, mean_rs_micro,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(x) OVER () AS BIGINT) AS sx,
+         CAST(SUM(y) OVER () AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER () AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER () AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT size, n_blocks, mean_rs_micro,
+       CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+            WHEN n * sxy - sx * sy >= 0
+              THEN ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+            ELSE -(((sx * sy - n * sxy) * 1000000) // (n * sxx - sx * sx))
+       END AS hurst_micro
+FROM reg
+ORDER BY size
+"""
+
+
+@register("ts_hurst_exponent", oracle=_HURST_SQL, tier="T2")
+def ts_hurst_exponent(spark, sf_dir):
+    """Hurst exponent of the daily event-value series via rescaled-range
+    (R/S) analysis: split the day-indexed series into blocks of 8/16/32/64,
+    per block take R = range of cumulative mean-deviations and S = the
+    population std, average R/S per size, and the Hurst estimate is the
+    log-log slope of mean(R/S) vs block size — H≈0.5 random walk, >0.5
+    trending, <0.5 mean-reverting.
+
+    Determinism: deviations are carried in m-scaled int64 units
+    (C_j = m·Σ_{k≤j}v − j·S, exact, no division) so R_scaled and
+    SS = m·Σv² − S² are exact integers; R/S = R_scaled/√SS needs ONE sqrt
+    (IEEE exact-rounded) and is floored to micro-units PER BLOCK before the
+    cross-block mean (the vec_centroid_drift rule). The final slope reuses
+    the text_zipf_slope negation-guarded integer regression. Degenerate
+    blocks (flat ⇒ SS=0 or R=0) drop on both sides. Int64 headroom:
+    m·Q ≤ 64·(daily cents)²·64 — safe while daily totals stay under ~4e7
+    cents; beyond, move v to dollar units (documented cliff).
+
+    Scale: the day table is one partial+final aggregate off the event scan
+    (days = driver-scale forever after); the ×4 size explode and block
+    windows run over |days|·4 rows. The unpartitioned regression window
+    touches exactly 4 rows.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("v")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"), "v"
+    )
+    sized = idx.select(
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32), F.lit(64))).alias("m"),
+        "i",
+        "v",
+    ).select(
+        "m",
+        F.expr("(i - 1) DIV m").alias("b"),
+        F.expr("(i - 1) % m + 1").alias("j"),
+        "v",
+    )
+    wrun = Window.partitionBy("m", "b").orderBy("j")
+    wall = Window.partitionBy("m", "b")
+    dev = sized.select(
+        "m",
+        "b",
+        "j",
+        "v",
+        (
+            F.col("m") * F.sum("v").over(wrun).cast("long")
+            - F.col("j") * F.sum("v").over(wall).cast("long")
+        ).alias("c"),
+        F.sum("v").over(wall).cast("long").alias("s"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("nb"),
+    )
+    blocks = (
+        dev.filter(F.col("nb") == F.col("m"))
+        .groupBy("m", "b")
+        .agg(
+            (F.max("c") - F.min("c")).alias("r_scaled"),
+            (
+                F.first("m") * F.sum(F.col("v") * F.col("v")).cast("long")
+                - F.max("s") * F.max("s")
+            ).alias("ss"),
+        )
+    )
+    rs = blocks.filter((F.col("ss") > 0) & (F.col("r_scaled") > 0)).select(
+        "m",
+        F.floor(
+            F.col("r_scaled").cast("double")
+            / F.sqrt(F.col("ss").cast("double"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("rs_micro"),
+    )
+    per_size = rs.groupBy(F.col("m").alias("size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.expr("CAST(SUM(rs_micro) AS BIGINT) DIV COUNT(*)").alias(
+            "mean_rs_micro"
+        ),
+    )
+    pts = per_size.select(
+        "size",
+        "n_blocks",
+        "mean_rs_micro",
+        F.floor(F.log(F.col("size").cast("double")) * 1000)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("mean_rs_micro").cast("double")) * 1000)
+        .cast("long")
+        .alias("y"),
+    )
+    wglob = Window.partitionBy()
+    reg = pts.select(
+        "size",
+        "n_blocks",
+        "mean_rs_micro",
+        F.count(F.lit(1)).over(wglob).cast("long").alias("n"),
+        F.sum("x").over(wglob).cast("long").alias("sx"),
+        F.sum("y").over(wglob).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(wglob).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wglob).cast("long").alias("sxx"),
+    )
+    return reg.select(
+        "size",
+        "n_blocks",
+        "mean_rs_micro",
+        F.expr(
+            """CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+                    WHEN n * sxy - sx * sy >= 0
+                      THEN ((n * sxy - sx * sy) * 1000000) DIV (n * sxx - sx * sx)
+                    ELSE -(((sx * sy - n * sxy) * 1000000) DIV (n * sxx - sx * sx))
+               END"""
+        ).alias("hurst_micro"),
+    ).orderBy("size")
