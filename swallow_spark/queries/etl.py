@@ -1109,3 +1109,87 @@ def etl_incremental_high_watermark(spark, sf_dir):
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
     return merged
+
+
+# ---------------------------------------------------------- DQ quarantine
+
+_DQ_SQL = """
+WITH flagged AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         (CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END)
+       + (CASE WHEN o_orderdate >= TIMESTAMP '2001-01-01' THEN 2 ELSE 0 END)
+       + (CASE WHEN o_orderstatus = 'P' THEN 4 ELSE 0 END)
+       + (CASE WHEN o_orderpriority NOT IN
+               ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+               OR o_orderpriority IS NULL THEN 8 ELSE 0 END) AS mask
+  FROM orders
+)
+SELECT mask,
+       CASE WHEN mask = 0 THEN 0 ELSE 1 END AS quarantined,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM flagged
+GROUP BY mask
+ORDER BY mask
+"""
+
+
+@register("etl_dq_quarantine", oracle=_DQ_SQL, tier="T2")
+def etl_dq_quarantine(spark, sf_dir):
+    """Row-level data-quality quarantine: every order gets a rule BITMASK
+    (bit 1 price outlier >400k, bit 2 past the retention cutoff, bit 4
+    stuck-pending status, bit 8 priority outside the canonical domain /
+    NULL), and the output is the per-mask routing summary — mask 0 flows to
+    the clean sink, everything else to quarantine WITH the reason bits
+    preserved, which is what lets an operator fix-and-replay by rule.
+    Complements etl_data_expectations (aggregate violation counts): this is
+    the row-router, that is the gate.
+
+    Determinism: the mask is pure integer CASE arithmetic; sums are exact
+    int64 cents. NULL-safe by construction: a NULL priority lands in bit 8
+    explicitly rather than silently passing the NOT IN (three-valued-logic
+    hazard — NULL NOT IN (...) is NULL, filtered out, in BOTH engines, so
+    the OR IS NULL arm is required on both sides).
+
+    Scale: one scan, one partial+final aggregate on a ≤16-value key. The
+    real pipeline writes two sinks from the same flagged frame
+    (partitionBy("quarantined")) — the summary here is the audit artifact.
+    """
+    o = load(spark, sf_dir, "orders")
+    flagged = o.select(
+        "o_orderkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+        (
+            F.when(F.col("o_totalprice") > 400000, 1).otherwise(0)
+            + F.when(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"), 2).otherwise(0)
+            + F.when(F.col("o_orderstatus") == "P", 4).otherwise(0)
+            + F.when(
+                ~F.col("o_orderpriority").isin(
+                    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+                )
+                | F.col("o_orderpriority").isNull(),
+                8,
+            ).otherwise(0)
+        ).alias("mask"),
+    )
+    return (
+        flagged.groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .select(
+            "mask",
+            F.when(F.col("mask") == 0, 0).otherwise(1).alias("quarantined"),
+            "n_rows",
+            "sum_cents",
+            "min_key",
+            "max_key",
+        )
+        .orderBy("mask")
+    )
