@@ -151,3 +151,132 @@ def training_epoch_shuffle(spark, sf_dir):
         .filter(F.col("pos") <= 20)
         .select("epoch", F.col("pos").cast("long").alias("pos"), "doc_id", F.col("h").cast("long").alias("h"))
     )
+
+
+# ------------------------------------------------- pretrain corpus E2E
+
+_PRETRAIN_SQL = """
+WITH toks AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+gated AS (
+  SELECT doc_id, text, n_tok FROM toks
+  WHERE n_tok BETWEEN 20 AND 100
+    AND (n_chars - (n_tok - 1)) >= 3 * n_tok
+    AND (n_chars - (n_tok - 1)) <= 10 * n_tok
+    AND 100 * n_uniq >= 30 * n_tok
+),
+deduped AS (
+  SELECT doc_id, n_tok FROM (
+    SELECT doc_id, n_tok,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+chunks AS (
+  SELECT doc_id, k.k AS chunk_id,
+         LEAST(64, n_tok - k.k * 56) AS c
+  FROM deduped,
+       LATERAL (SELECT unnest(generate_series(0, (n_tok - 1) // 56)) AS k) k
+),
+packed AS (
+  SELECT doc_id, chunk_id, c,
+         (CAST(SUM(c) OVER (ORDER BY doc_id, chunk_id) AS BIGINT) + 511) // 512
+           AS shard
+  FROM chunks
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM packed
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@register("pipeline_pretrain_corpus", oracle=_PRETRAIN_SQL, tier="T2")
+def pipeline_pretrain_corpus(spark, sf_dir):
+    """End-to-end pretraining-corpus build, emitted as the SHARD MANIFEST a
+    downstream trainer consumes: Gopher-style quality gate (token count in
+    [20,100], mean word length in [3,10], ≥30% unique tokens — every
+    threshold an integer cross-multiplication, the text_gopher_rules rule)
+    → exact dedup (md5 keep-min-doc_id) → sliding-window chunking (64-token
+    windows, stride 56 ⇒ 8-token overlap) → next-fit packing of chunks into
+    512-token shards (running cumsum DIV budget, the doc_pack_bins packer,
+    but cross-document and corpus-ordered) → per-shard manifest row
+    (chunk/token/doc counts, doc-id span). Each stage exists as its own
+    audited key; THIS key pins that the composition — filters before
+    dedup, dedup before chunking, deterministic (doc_id, chunk_id) pack
+    order — is itself reproducible bit-for-bit.
+
+    Determinism: zero floats anywhere. Chunk counts are
+    1 + (n_tok−1) DIV 56 with chunk k carrying LEAST(64, n_tok − 56k)
+    tokens; all operands non-negative so DIV ≡ //.
+
+    Scale: the gate and chunk explode are map-only; dedup shuffles on
+    md5(text) (hash-partitioned, the dedup_exact shape); the single
+    unpartitioned running-sum window is the one deliberate scale cliff —
+    at 100 TB replace it with the two-pass per-partition-offset packer
+    (per-partition token subtotals broadcast back as offsets, identical
+    output) rather than a global sort; the manifest aggregate is
+    partial+final on shard id.
+    """
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    arr = F.split(F.col("text"), " ")
+    toks = d.select(
+        "doc_id",
+        "text",
+        F.size(arr).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(arr)).cast("long").alias("n_uniq"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    gated = toks.filter(
+        F.col("n_tok").between(20, 100)
+        & ((F.col("n_chars") - (F.col("n_tok") - 1)) >= 3 * F.col("n_tok"))
+        & ((F.col("n_chars") - (F.col("n_tok") - 1)) <= 10 * F.col("n_tok"))
+        & (100 * F.col("n_uniq") >= 30 * F.col("n_tok"))
+    )
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tok")
+    )
+    chunks = deduped.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.expr("(n_tok - 1) DIV 56"))
+        ).alias("chunk_id"),
+        "n_tok",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.least(F.lit(64), F.col("n_tok") - F.col("chunk_id") * 56).alias("c"),
+    )
+    wpack = (
+        Window.orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = chunks.withColumn("cum", F.sum("c").over(wpack)).withColumn(
+        "shard", F.expr("(cum + 511) DIV 512")
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
