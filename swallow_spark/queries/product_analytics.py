@@ -911,3 +911,78 @@ def seq_time_to_convert(spark, sf_dir):
             F.max("delay_min").cast("long").alias("max_delay_min"),
         )
     )
+
+
+# ------------------------------------------------------- DAU/MAU stickiness
+
+_STICKY_SQL = """
+WITH dau AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+),
+mau AS (
+  SELECT date_trunc('month', CAST(ts AS DATE)) AS month,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+),
+monthly AS (
+  SELECT date_trunc('month', day) AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(dau) AS BIGINT) AS sum_dau
+  FROM dau GROUP BY 1
+)
+SELECT CAST(m.month AS DATE) AS month, m.n_days, u.mau,
+       sum_dau // m.n_days AS avg_dau,
+       (sum_dau * 1000000) // (m.n_days * u.mau) AS stickiness_micro
+FROM monthly m JOIN mau u USING (month)
+ORDER BY month
+"""
+
+
+@register("seq_user_stickiness", oracle=_STICKY_SQL, tier="T2")
+def seq_user_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per calendar month: mean daily-active over
+    monthly-active users — the engagement ratio product teams track (1.0 =
+    every monthly user shows up every day). Reported with the observed day
+    count so partial first/last months read honestly.
+
+    Determinism: PURE int64 — stickiness_micro = Σdau·1e6 DIV (days·mau),
+    all operands non-negative (DIV ≡ //). Months come from date_trunc on
+    DATE values (identical bucketing in both engines; the dayofweek-class
+    hazard does not apply to month boundaries).
+
+    Scale: two COUNT(DISTINCT) rollups (day grain, month grain) — each one
+    shuffle on user hash then a cheap re-agg; the month join is a
+    broadcast of ≤ a few hundred rows at any horizon.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    dau = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count_distinct("user_id").cast("long").alias("dau")
+    )
+    mau = e.groupBy(
+        F.date_trunc("month", F.col("ts").cast("date")).cast("date").alias("month")
+    ).agg(F.count_distinct("user_id").cast("long").alias("mau"))
+    monthly = dau.groupBy(
+        F.date_trunc("month", F.col("day")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("dau").cast("long").alias("sum_dau"),
+    )
+    return (
+        monthly.join(F.broadcast(mau), "month")
+        .select(
+            "month",
+            "n_days",
+            "mau",
+            F.expr("sum_dau DIV n_days").alias("avg_dau"),
+            F.expr("(sum_dau * 1000000) DIV (n_days * mau)").alias(
+                "stickiness_micro"
+            ),
+        )
+        .orderBy("month")
+    )

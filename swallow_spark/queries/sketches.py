@@ -572,3 +572,91 @@ def sketch_kmv_distinct(spark, sf_dir):
         rnd(est, 4).alias("est_distinct"),
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
     )
+
+
+# --------------------------------------------------- linear counting
+_LC_M = 1024
+
+
+@register(
+    "sketch_linear_counting",
+    oracle=f"""
+WITH hx AS (
+  SELECT event_type AS grp,
+         list_reduce(list_transform(generate_series(1, 13),
+           i -> CAST(strpos('0123456789abcdef',
+                substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1
+                AS BIGINT)),
+           (acc, d) -> acc * 16 + d) % {_LC_M} AS bucket
+  FROM events WHERE user_id IS NOT NULL
+),
+used AS (
+  SELECT grp, CAST(COUNT(DISTINCT bucket) AS BIGINT) AS used
+  FROM hx GROUP BY grp
+),
+ex AS (
+  SELECT event_type AS grp,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+)
+SELECT u.grp, u.used,
+       CASE WHEN u.used >= {_LC_M} THEN NULL
+            ELSE CAST(FLOOR({_LC_M} * ln(CAST({_LC_M} AS DOUBLE)
+                                         / ({_LC_M} - u.used)) * 1000)
+                      AS BIGINT) END AS est_milli,
+       ex.exact_distinct
+FROM used u JOIN ex USING (grp)
+ORDER BY grp
+""",
+    tier="T2",
+)
+def sketch_linear_counting(spark, sf_dir):
+    """Linear (probabilistic) counting of distinct users per event type,
+    m = 1024 buckets: hash each user into a bitmap bucket with the sketch
+    family's shared md5-52-bit mixer, count occupied buckets, and read the
+    estimate off n̂ = m·ln(m/empty) — the Whang-Vander-Zanden-Taylor
+    estimator that beats HLL below ~m distinct values and is the standard
+    small-range companion sketch ([[sketch_hll_portable]] covers the large
+    range, [[sketch_kmv_distinct]] the mergeable-set-ops case).
+
+    ORACLE-CHECKED despite being approximate: the occupied-bucket count is
+    an exact integer, m/(m−used) is ONE identical IEEE divide (m a power
+    of two), ln is the single library call both engines evaluate on an
+    identical double (the quantize-then-floor recipe), and saturation
+    (used = m) degrades to NULL on both sides. The exact COUNT(DISTINCT)
+    twin rides along.
+
+    Scale note: the sketch state is a 1024-bit bitmap per group —
+    partial-aggregable with bit-OR merges; the spelling here (distinct
+    buckets) keeps the oracle expressible and shuffles at most m rows per
+    group.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        % _LC_M
+    )
+    used = (
+        e.select(F.col("event_type").alias("grp"), bucket.alias("bucket"))
+        .groupBy("grp")
+        .agg(F.count_distinct("bucket").cast("long").alias("used"))
+    )
+    ex = e.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        used.join(ex, "grp")
+        .select(
+            "grp",
+            "used",
+            F.expr(
+                f"""CASE WHEN used >= {_LC_M} THEN NULL
+                     ELSE CAST(FLOOR({_LC_M} * ln(CAST({_LC_M} AS DOUBLE)
+                                                  / ({_LC_M} - used)) * 1000)
+                               AS BIGINT) END"""
+            ).alias("est_milli"),
+            "exact_distinct",
+        )
+        .orderBy("grp")
+    )

@@ -672,3 +672,105 @@ def win_anchored_vwap(spark, sf_dir):
             / 100
         ).alias("vwap"),
     )
+
+
+# -------------------------------------------------------- rolling slope
+
+_RSLOPE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, y,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS x
+  FROM daily
+),
+fr AS (
+  SELECT event_type, day,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+  FROM idx
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       CASE WHEN n * sxy - sx * sy >= 0
+              THEN ((n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx)
+            ELSE -(((sx * sy - n * sxy) * 1000) // (n * sxx - sx * sx))
+       END AS slope_milli
+FROM fr WHERE n = 14
+ORDER BY event_type, day
+"""
+
+
+@register("win_rolling_slope", oracle=_RSLOPE_SQL, tier="T2")
+def win_rolling_slope(spark, sf_dir):
+    """Rolling 14-day least-squares trend slope (cents/day, milli-units) of
+    each event type's daily value total — the windowed regression that turns
+    a noisy daily series into a trend signal (positive = growing, the
+    magnitude is the daily run rate change). Emitted only for full windows.
+
+    Determinism: x is the per-type day index, y exact int64 daily cents;
+    all five frame sums are exact integers (rows-frame, no float), and the
+    one divide is negation-guarded (slope can be negative — Spark DIV
+    truncates, DuckDB // floors; the text_perplexity_buckets hazard).
+    MILLI units keep the worst product n·sxy·1e3 ≈ 1e15 at sf0.1 with
+    int64 headroom to ~1000× larger daily totals.
+
+    Scale: one partial+final daily aggregate off the event scan, then two
+    windows partitioned BY TYPE over the |types|·|days| table — no
+    unpartitioned window, no shuffle beyond the daily rollup. The frame
+    sums are O(1) per row (Spark's sliding-frame aggregation), not O(w).
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("y")
+    )
+    idx = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("x"),
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    fr = idx.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(wf).cast("long").alias("n"),
+        F.sum("x").over(wf).cast("long").alias("sx"),
+        F.sum("y").over(wf).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(wf).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wf).cast("long").alias("sxx"),
+    )
+    return (
+        fr.filter(F.col("n") == 14)
+        .select(
+            "event_type",
+            "day",
+            F.expr(
+                """CASE WHEN n * sxy - sx * sy >= 0
+                        THEN ((n * sxy - sx * sy) * 1000) DIV (n * sxx - sx * sx)
+                        ELSE -(((sx * sy - n * sxy) * 1000) DIV (n * sxx - sx * sx))
+                   END"""
+            ).alias("slope_milli"),
+        )
+        .orderBy("event_type", "day")
+    )
