@@ -576,3 +576,149 @@ def fn_mask_pii(spark, sf_dir):
         F.expr("mask(c_name)").alias("masked_name"),
         F.length("c_name").cast("long").alias("n_chars"),
     )
+
+
+# ------------------------------------------------------------- soundex
+
+_SDX_MAP = "01230120022455012623010202"  # A..Z; vowels+H/W/Y -> 0
+
+
+def _collapse_runs(expr: str) -> str:
+    """Collapse adjacent equal digits 1-6 WITHOUT regex backreferences
+    (DuckDB's RE2 lacks them): three replace passes per digit halve any
+    run each pass, so runs up to length 8 reduce to 1."""
+    for d in "123456":
+        for _ in range(3):
+            expr = f"replace({expr}, '{d}{d}', '{d}')"
+    return expr
+
+
+_SDX_EXPR = (
+    "substr(w, 1, 1) || substr(replace(substr("
+    + _collapse_runs(f"translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SDX_MAP}')")
+    + ", 2), '0', '') || '000', 1, 3)"
+)
+
+_SOUNDEX_SQL = f"""
+WITH words AS (
+  SELECT upper(string_split(p_name, ' ')[1]) AS w
+  FROM part WHERE p_name IS NOT NULL AND p_name <> ''
+),
+coded AS (
+  SELECT w, {_SDX_EXPR} AS sdx FROM words
+)
+SELECT sdx,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+       MIN(w) AS first_word
+FROM coded
+GROUP BY sdx
+ORDER BY n_parts DESC, sdx
+"""
+
+
+@register("fn_soundex", oracle=_SOUNDEX_SQL, tier="T2")
+def fn_soundex(spark, sf_dir):
+    """Phonetic blocking via Soundex over the leading word of part names:
+    letter→digit map, adjacent-duplicate collapse, vowel drop, pad to
+    LETTER+3 — the classic fuzzy-matching blocking key (join on soundex,
+    verify with edit distance — the join_fuzzy_blocked pattern with a
+    phonetic block instead of a prefix block).
+
+    Implemented as the SAME expression string in both engines (simplified
+    variant: H/W break runs like vowels): translate() for the code map and
+    a generated 18-deep replace() chain for run collapse — DuckDB's RE2
+    regex has no backreferences, so `(\\d)\\1+` is unavailable; three
+    halving passes per digit collapse any run ≤ 8. Spark's soundex()
+    builtin implements the stricter H/W-transparent rule and is
+    deliberately NOT used — the portable spelling is the point.
+
+    Scale: map-only expression (pure codegen string ops) + one aggregate
+    on the 4-char code.
+    """
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_name").isNotNull() & (F.col("p_name") != "")
+    )
+    words = p.select(F.upper(F.split(F.col("p_name"), " ")[0]).alias("w"))
+    coded = words.select("w", F.expr(_SDX_EXPR).alias("sdx"))
+    return (
+        coded.groupBy("sdx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.count_distinct("w").cast("long").alias("n_words"),
+            F.min("w").alias("first_word"),
+        )
+        .orderBy(F.col("n_parts").desc(), "sdx")
+    )
+
+
+# ------------------------------------------------------------- Luhn
+
+def _luhn_sum(div: str) -> str:
+    """Luhn checksum of the 12-digit number `num`: rightmost digit is
+    position 0; every odd position doubles (then digit-sums). Generated as
+    12 closed-form terms — identical string in both engines modulo the
+    integer-divide token."""
+    terms = []
+    for i in range(12):
+        d = f"((num {div} {10 ** i}) % 10)"
+        if i % 2 == 1:
+            terms.append(f"((2 * {d}) {div} 10 + (2 * {d}) % 10)")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+_LUHN_SQL = f"""
+WITH nums AS (
+  SELECT o_orderpriority,
+         (o_orderkey * 2654435761) % 1000000000000 AS num
+  FROM orders
+),
+checked AS (
+  SELECT o_orderpriority,
+         CASE WHEN ({_luhn_sum('//')}) % 10 = 0 THEN 1 ELSE 0 END AS ok
+  FROM nums
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(ok) AS BIGINT) AS n_valid
+FROM checked
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("fn_luhn_checksum", oracle=_LUHN_SQL, tier="T2")
+def fn_luhn_checksum(spark, sf_dir):
+    """Luhn (mod-10) checksum validation over fabricated 12-digit account
+    numbers — the card/IMEI/account check-digit algorithm, spelled as a
+    closed-form 12-term integer expression (digit extraction via DIV/%,
+    odd positions doubled then digit-summed) so the whole validation is
+    one codegen projection, no UDF and no string parsing.
+
+    Determinism: all operands non-negative int64 (orderkey·2654435761 ≤
+    ~4e16), so DIV/% agree across engines exactly; ~10% of fabricated
+    numbers pass, as expected for a uniform distribution.
+
+    Scale: map-only + one aggregate on a 5-value key.
+    """
+    o = load(spark, sf_dir, "orders")
+    nums = o.select(
+        "o_orderpriority",
+        F.expr("(o_orderkey * 2654435761) % 1000000000000").alias("num"),
+    )
+    checked = nums.select(
+        "o_orderpriority",
+        F.expr(
+            f"CASE WHEN ({_luhn_sum('DIV')}) % 10 = 0 THEN 1 ELSE 0 END"
+        ).alias("ok"),
+    )
+    return (
+        checked.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ok").cast("long").alias("n_valid"),
+        )
+        .orderBy("o_orderpriority")
+    )

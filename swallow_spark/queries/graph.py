@@ -1106,3 +1106,77 @@ def graph_hits(spark, sf_dir):
     out = out.localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+# ------------------------------------------------------ Katz centrality
+
+_KATZ_SQL = f"""
+WITH e AS ({_EDGES_SQL}),
+und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+x1 AS (
+  SELECT dst AS node, 1000 + CAST(COUNT(*) * 1000 AS BIGINT) // 8 AS x
+  FROM und GROUP BY dst
+),
+x2 AS (
+  SELECT u.dst AS node, 1000 + CAST(SUM(x1.x) AS BIGINT) // 8 AS x
+  FROM und u JOIN x1 ON x1.node = u.src GROUP BY u.dst
+),
+x3 AS (
+  SELECT u.dst AS node, 1000 + CAST(SUM(x2.x) AS BIGINT) // 8 AS x
+  FROM und u JOIN x2 ON x2.node = u.src GROUP BY u.dst
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(x AS BIGINT) AS katz_milli
+FROM x3
+ORDER BY katz_milli DESC, node
+LIMIT 20
+"""
+
+
+@register("graph_katz_centrality", oracle=_KATZ_SQL, tier="T2")
+def graph_katz_centrality(spark, sf_dir):
+    """Katz centrality (3 synchronous iterations, attenuation α=1/8, unit
+    base) over the co-purchase graph: x⁰=1, xᵏ⁺¹(v) = 1 + α·Σ_{u~v} xᵏ(u)
+    — the walk-counting centrality that, unlike degree, rewards being
+    adjacent to well-connected nodes, and unlike PageRank does not
+    normalize by the neighbour's out-degree. Top-20 by score.
+
+    Determinism: milli-unit integer fixed point — each iteration is an
+    exact int64 neighbour sum followed by ONE truncating DIV 8 on
+    non-negative operands (÷ ≡ // cross-engine); no float exists. The α
+    literal 1/8 keeps the 3-hop value ≤ ~1e9 on a graph with 1e3-degree
+    hubs (int64 headroom to α·deg ≈ 2^40).
+
+    Scale note: each iteration is one hash join of the undirected edge
+    list against the |V|-row score vector plus one partial+final aggregate
+    on dst — the textbook message-passing shape. At 100 TB pre-partition
+    edges and scores on the same key ONCE and persist, so every iteration
+    reuses the exchange (the graph_pagerank recipe, graph.py:~380); the
+    fixed 3-iteration unroll is what keeps the oracle expressible.
+    """
+    e = _edges(spark, sf_dir)
+    und = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    x = und.groupBy(F.col("dst").alias("node")).agg(
+        (F.lit(1000) + F.expr("CAST(COUNT(*) * 1000 AS BIGINT) DIV 8")).alias("x")
+    )
+    for _ in range(2):
+        x = (
+            und.join(x, und.src == x.node)
+            .groupBy(und.dst.alias("node2"))
+            .agg(
+                (F.lit(1000) + F.expr("CAST(SUM(x) AS BIGINT) DIV 8")).alias("x")
+            )
+            .withColumnRenamed("node2", "node")
+        )
+    out = (
+        x.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("x").cast("long").alias("katz_milli"),
+        )
+        .orderBy(F.col("katz_milli").desc(), "node")
+        .limit(20)
+    )
+    rows = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return rows

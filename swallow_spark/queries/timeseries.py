@@ -2683,3 +2683,81 @@ def ts_hurst_exponent(spark, sf_dir):
                END"""
         ).alias("hurst_micro"),
     ).orderBy("size")
+
+
+# -------------------------------------------------------- peak detection
+
+_PEAK_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+),
+ctx AS (
+  SELECT day, v,
+         lag(v) OVER (ORDER BY day) AS prev,
+         lead(v) OVER (ORDER BY day) AS nxt,
+         CAST(SUM(v) OVER w AS BIGINT) AS s7,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n7
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT day, v, prev, nxt, s7
+FROM ctx
+WHERE n7 = 7 AND prev IS NOT NULL AND nxt IS NOT NULL
+  AND v > prev AND v > nxt AND 35 * v > 6 * s7
+ORDER BY day
+"""
+
+
+@register("ts_peak_detection", oracle=_PEAK_SQL, tier="T2")
+def ts_peak_detection(spark, sf_dir):
+    """Prominent-peak detection on the daily event-value series: a day is a
+    peak iff it STRICTLY exceeds both neighbours AND clears 1.2× the
+    centered 7-day mean — the two-condition rule (local max + prominence)
+    that separates real spikes from sawtooth noise.
+
+    Determinism: daily totals are exact int64 cents; the prominence test
+    is the integer cross-multiplication 35·v > 6·Σ₇ (v > 1.2·S/7 without
+    any division); strictness makes tie plateaus drop identically in both
+    engines. Edge days (incomplete 7-frame or missing neighbour) are
+    excluded explicitly rather than left to engine NULL-comparison
+    defaults.
+
+    Scale: the day table is driver-scale after one partial+final
+    aggregate; the single ordered window over |days| rows is the
+    deliberate small-side step (at 100 TB the series is still one row per
+    day — partition by series id when there are many series, as
+    win_rolling_slope does).
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("v")
+    )
+    wo = Window.orderBy("day")
+    wf = Window.orderBy("day").rowsBetween(-3, 3)
+    ctx = daily.select(
+        "day",
+        "v",
+        F.lag("v").over(wo).alias("prev"),
+        F.lead("v").over(wo).alias("nxt"),
+        F.sum("v").over(wf).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(wf).cast("long").alias("n7"),
+    )
+    return (
+        ctx.filter(
+            (F.col("n7") == 7)
+            & F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("v") > F.col("prev"))
+            & (F.col("v") > F.col("nxt"))
+            & (35 * F.col("v") > 6 * F.col("s7"))
+        )
+        .select("day", "v", "prev", "nxt", "s7")
+        .orderBy("day")
+    )
