@@ -2334,3 +2334,311 @@ def stats_variance_merge(spark, sf_dir):
             4,
         ).alias("var_value"),
     )
+
+
+# ----------------------------------------------------------- Cramér's V
+
+_CRAMERS_SQL = """
+WITH obs AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+rt AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY seg),
+ct AS (SELECT pri, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY pri),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT seg) AS BIGINT) AS nr,
+               CAST(COUNT(DISTINCT pri) AS BIGINT) AS nc
+        FROM obs),
+terms AS (
+  SELECT CAST(FLOOR(
+           (CAST(obs.o AS DOUBLE)
+              - CAST(rt.r AS DOUBLE) * ct.c / tot.n)
+           * (CAST(obs.o AS DOUBLE)
+              - CAST(rt.r AS DOUBLE) * ct.c / tot.n)
+           / (CAST(rt.r AS DOUBLE) * ct.c / tot.n)
+           * 1000000000) AS BIGINT) AS t_nano,
+         tot.n, tot.nr, tot.nc
+  FROM obs JOIN rt USING (seg) JOIN ct USING (pri), tot
+)
+SELECT MAX(n) AS n,
+       CAST(SUM(t_nano) AS BIGINT) AS chisq_nano,
+       CAST(FLOOR(sqrt(CAST(SUM(t_nano) AS DOUBLE) / 1000000000
+                       / (MAX(n) * LEAST(MAX(nr) - 1, MAX(nc) - 1)))
+                  * 1000000) AS BIGINT) AS cramers_v_micro
+FROM terms
+"""
+
+
+@register("stats_cramers_v", oracle=_CRAMERS_SQL, tier="T2")
+def stats_cramers_v(spark, sf_dir):
+    """Cramér's V — the [0,1] effect size for a contingency table
+    (segment × order priority): V = √(χ²/(n·min(r−1, c−1))). The chi-square
+    family's missing third leg: [[stats_chisq_independence]] answers "is
+    there association?", this answers "how strong?" on a scale comparable
+    across tables.
+
+    Determinism: marginals are exact int64; each cell's (O−E)²/E term is
+    one identically-spelled IEEE expression floored to int64 NANO-units
+    BEFORE the cross-cell sum (the stats_psi_drift rule — never sum raw
+    doubles across cells), and the final sqrt is the single IEEE
+    exact-rounded call on an identical double.
+
+    Scale: the contingency table is |segments|×|priorities| cells (25)
+    regardless of input size; one aggregate over the broadcast-joined
+    scan, then driver-scale arithmetic.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    obs = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rt = obs.groupBy("seg").agg(F.sum("o").cast("long").alias("r"))
+    ct = obs.groupBy("pri").agg(F.sum("o").cast("long").alias("c"))
+    tot = obs.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("seg").cast("long").alias("nr"),
+        F.count_distinct("pri").cast("long").alias("nc"),
+    )
+    e_expr = "CAST(r AS DOUBLE) * c / n"
+    terms = (
+        obs.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "pri")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                f"""CAST(FLOOR(
+                      (CAST(o AS DOUBLE) - {e_expr})
+                      * (CAST(o AS DOUBLE) - {e_expr})
+                      / ({e_expr}) * 1000000000) AS BIGINT)"""
+            ).alias("t_nano"),
+            "n",
+            "nr",
+            "nc",
+        )
+    )
+    return terms.agg(
+        F.max("n").alias("n"),
+        F.sum("t_nano").cast("long").alias("chisq_nano"),
+        F.expr(
+            """CAST(FLOOR(sqrt(CAST(SUM(t_nano) AS DOUBLE) / 1000000000
+                               / (MAX(n) * LEAST(MAX(nr) - 1, MAX(nc) - 1)))
+                          * 1000000) AS BIGINT)"""
+        ).alias("cramers_v_micro"),
+    )
+
+
+# ------------------------------------------------- difference-in-differences
+
+_DID_SQL = """
+WITH cells AS (
+  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treat,
+         CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END
+           AS post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS s
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT
+  CAST(MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS BIGINT) AS n11,
+  CAST(MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS BIGINT) AS n10,
+  CAST(MAX(CASE WHEN treat = 0 AND post = 1 THEN n END) AS BIGINT) AS n01,
+  CAST(MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS BIGINT) AS n00,
+  CAST(FLOOR(
+    ( CAST(MAX(CASE WHEN treat = 1 AND post = 1 THEN s END) AS DOUBLE)
+        / MAX(CASE WHEN treat = 1 AND post = 1 THEN n END)
+    - CAST(MAX(CASE WHEN treat = 1 AND post = 0 THEN s END) AS DOUBLE)
+        / MAX(CASE WHEN treat = 1 AND post = 0 THEN n END)
+    - CAST(MAX(CASE WHEN treat = 0 AND post = 1 THEN s END) AS DOUBLE)
+        / MAX(CASE WHEN treat = 0 AND post = 1 THEN n END)
+    + CAST(MAX(CASE WHEN treat = 0 AND post = 0 THEN s END) AS DOUBLE)
+        / MAX(CASE WHEN treat = 0 AND post = 0 THEN n END)
+    ) * 1000) AS BIGINT) AS did_millicents
+FROM cells
+"""
+
+
+@register("stats_diff_in_diff", oracle=_DID_SQL, tier="T2")
+def stats_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences estimator on order prices: treatment =
+    BUILDING segment, post-period = orders from 1998 on; DiD =
+    (m̄₁₁−m̄₁₀) − (m̄₀₁−m̄₀₀) — the parallel-trends causal contrast that
+    removes both the group baseline and the common time shock.
+
+    Determinism: the four cell (n, Σcents) pairs are exact int64
+    (Σ ≤ ~7.5e12 < 2^53, so the int→double casts are exact); the four
+    divides and three adds are spelled in ONE identical expression order
+    in both engines, then floored to milli-cents. Pivoting via
+    MAX(CASE...) keeps it a single 4-row aggregate — no join, no window.
+
+    Scale: one partial+final aggregate over the broadcast-joined scan;
+    exactly 4 rows cross the shuffle.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("treat"),
+            F.when(
+                F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"), 1
+            )
+            .otherwise(0)
+            .alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    m = lambda t, p, col: f"MAX(CASE WHEN treat = {t} AND post = {p} THEN {col} END)"
+    return cells.agg(
+        F.expr(f"CAST({m(1,1,'n')} AS BIGINT)").alias("n11"),
+        F.expr(f"CAST({m(1,0,'n')} AS BIGINT)").alias("n10"),
+        F.expr(f"CAST({m(0,1,'n')} AS BIGINT)").alias("n01"),
+        F.expr(f"CAST({m(0,0,'n')} AS BIGINT)").alias("n00"),
+        F.expr(
+            f"""CAST(FLOOR(
+              ( CAST({m(1,1,'s')} AS DOUBLE) / {m(1,1,'n')}
+              - CAST({m(1,0,'s')} AS DOUBLE) / {m(1,0,'n')}
+              - CAST({m(0,1,'s')} AS DOUBLE) / {m(0,1,'n')}
+              + CAST({m(0,0,'s')} AS DOUBLE) / {m(0,0,'n')}
+              ) * 1000) AS BIGINT)"""
+        ).alias("did_millicents"),
+    )
+
+
+# ------------------------------------------------------- best split (ID3)
+
+_SPLIT_LNQ = "CAST(FLOOR(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+
+def _imp(n: str, p: str) -> str:
+    """n-scaled entropy impurity in micro-nat units:
+    imp = n·lnq(n) − p·lnq(p) − (n−p)·lnq(n−p), with 0·ln0 := 0."""
+    lq = _SPLIT_LNQ
+    return (
+        f"(CASE WHEN {n} <= 0 THEN 0 ELSE {n} * {lq.format(x=n)} END"
+        f" - CASE WHEN {p} <= 0 THEN 0 ELSE {p} * {lq.format(x=p)} END"
+        f" - CASE WHEN {n} - {p} <= 0 THEN 0"
+        f"   ELSE ({n} - {p}) * {lq.format(x=f'{n} - {p}')} END)"
+    )
+
+
+_BEST_SPLIT_SQL = f"""
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS s,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+g AS (
+  SELECT segment, s, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(pos) AS BIGINT) AS pc
+  FROM base GROUP BY segment, s
+),
+cum AS (
+  SELECT segment, s,
+         CAST(SUM(cnt) OVER (PARTITION BY segment ORDER BY s) AS BIGINT) AS nl,
+         CAST(SUM(pc) OVER (PARTITION BY segment ORDER BY s) AS BIGINT) AS pl,
+         CAST(SUM(cnt) OVER (PARTITION BY segment) AS BIGINT) AS n,
+         CAST(SUM(pc) OVER (PARTITION BY segment) AS BIGINT) AS p
+  FROM g
+),
+gains AS (
+  SELECT segment, s, nl, pl, n, p,
+         {_imp('n', 'p')} - {_imp('nl', 'pl')}
+           - {_imp('(n - nl)', '(p - pl)')} AS gain_u
+  FROM cum WHERE nl < n
+),
+best AS (
+  SELECT segment, s, nl, pl, n, p, gain_u,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY gain_u DESC, s) AS rk
+  FROM gains
+)
+SELECT segment, s AS threshold_cents, gain_u, nl AS n_left, pl AS pos_left,
+       n, p AS pos_total
+FROM best WHERE rk = 1
+ORDER BY segment
+"""
+
+
+@register("stats_best_split", oracle=_BEST_SPLIT_SQL, tier="T2")
+def stats_best_split(spark, sf_dir):
+    """Optimal decision-stump split per segment: the price threshold that
+    maximizes information gain for predicting order status — the inner
+    loop of every tree learner (ID3/C4.5/GBDT), run as a single SQL sweep
+    over the cumulative class counts instead of a per-threshold rescan.
+
+    Determinism: impurity is carried N-SCALED in micro-nat units —
+    imp(n,p) = n·lnq(n) − p·lnq(p) − (n−p)·lnq(n−p) with lnq = floor(1e6·ln)
+    and 0·ln0 := 0 — so gain = imp(parent) − imp(L) − imp(R) is exact
+    integer arithmetic after the quantized log calls (the text_char_entropy
+    recipe, avoiding every rational p·log p). Tie-break: lowest threshold
+    (gain DESC, s). Degenerate right side excluded (nl < n). Headroom:
+    n·lnq(n) ≤ 1.5e5·1.2e7 ≈ 2e12.
+
+    Scale: cumulative counts are windows over the per-segment DISTINCT-
+    price table (the stats_auc_roc shape — bounded by |distinct prices|,
+    not rows); the argmax is a per-segment top-1 window, pushed down as
+    WindowGroupLimit.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("s"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0)).alias("pos"),
+    )
+    g = base.groupBy("segment", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("pc"),
+    )
+    wasc = Window.partitionBy("segment").orderBy("s")
+    wall = Window.partitionBy("segment")
+    cum = g.select(
+        "segment",
+        "s",
+        F.sum("cnt").over(wasc).cast("long").alias("nl"),
+        F.sum("pc").over(wasc).cast("long").alias("pl"),
+        F.sum("cnt").over(wall).cast("long").alias("n"),
+        F.sum("pc").over(wall).cast("long").alias("p"),
+    )
+    gains = cum.filter(F.col("nl") < F.col("n")).select(
+        "segment",
+        "s",
+        "nl",
+        "pl",
+        "n",
+        "p",
+        F.expr(
+            f"{_imp('n', 'p')} - {_imp('nl', 'pl')}"
+            f" - {_imp('(n - nl)', '(p - pl)')}"
+        ).alias("gain_u"),
+    )
+    wrk = Window.partitionBy("segment").orderBy(F.col("gain_u").desc(), "s")
+    return (
+        gains.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "segment",
+            F.col("s").alias("threshold_cents"),
+            "gain_u",
+            F.col("nl").alias("n_left"),
+            F.col("pl").alias("pos_left"),
+            "n",
+            F.col("p").alias("pos_total"),
+        )
+        .orderBy("segment")
+    )

@@ -341,6 +341,7 @@ BNLJ_ALLOWED = {
     "stats_permutation_test",  # broadcast 1-row observed-diff crossjoin
     "stats_bh_fdr",  # broadcast 1-row global-mean crossjoin (sign-flip residuals)
     "stats_psi_drift",  # broadcast 1-row ts/value-bounds crossjoin
+    "stats_cramers_v",  # broadcast 1-row n/r/c totals crossjoin (chisq shape)
     "stats_variance_merge",  # broadcast 1-row ts-bounds crossjoin
     "etl_incremental_high_watermark",  # broadcast 1-row min/max-ts bounds crossjoin
     "text_bigram_logprob",  # broadcast 1-row vocab-size V crossjoin
