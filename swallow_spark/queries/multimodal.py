@@ -715,3 +715,165 @@ def multimodal_audio_vad(spark, sf_dir):
         vad_extractor(),
         "doc_id long, n_frames long, voiced_frames long, n_segments long",
     )
+
+
+# ------------------------------------------------------------ A/V sync
+_AV_WIN = 8  # bytes per synthetic audio window
+_AV_TH = 800  # window byte-sum above this = voiced
+
+
+@register(
+    "multimodal_av_sync",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, hex(encode(text)) AS ph,
+         octet_length(encode(text)) // {_SCENE_FRAME} AS n_frames,
+         octet_length(encode(text)) // {_AV_WIN} AS n_windows
+  FROM documents WHERE text IS NOT NULL
+),
+fr AS (
+  SELECT doc_id, g.k AS frame_idx,
+         CAST(list_sum(list_transform(generate_series(1, {_SCENE_FRAME}),
+           j -> (strpos('0123456789ABCDEF',
+                   substr(ph, CAST(({_SCENE_FRAME * 2}) * (g.k - 1) + 2 * j - 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789ABCDEF',
+                   substr(ph, CAST(({_SCENE_FRAME * 2}) * (g.k - 1) + 2 * j AS INT), 1)) - 1)
+         )) AS BIGINT) AS luma
+  FROM f, LATERAL (SELECT unnest(generate_series(1, n_frames)) AS k) g
+  WHERE n_frames >= 1
+),
+cuts AS (
+  SELECT doc_id, (frame_idx - 1) * {_SCENE_FRAME} AS pos
+  FROM (SELECT doc_id, frame_idx,
+               abs(luma - lag(luma) OVER (PARTITION BY doc_id
+                                          ORDER BY frame_idx)) AS jump
+        FROM fr)
+  WHERE jump > {_SCENE_TH}
+),
+au AS (
+  SELECT doc_id, g.k AS win_idx,
+         CAST(list_sum(list_transform(generate_series(1, {_AV_WIN}),
+           j -> (strpos('0123456789ABCDEF',
+                   substr(ph, CAST(({_AV_WIN * 2}) * (g.k - 1) + 2 * j - 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789ABCDEF',
+                   substr(ph, CAST(({_AV_WIN * 2}) * (g.k - 1) + 2 * j AS INT), 1)) - 1)
+         )) AS BIGINT) AS energy
+  FROM f, LATERAL (SELECT unnest(generate_series(1, n_windows)) AS k) g
+  WHERE n_frames >= 1
+),
+voiced AS (
+  SELECT doc_id, (win_idx - 1) * {_AV_WIN} AS pos
+  FROM au WHERE energy > {_AV_TH}
+),
+ev AS (
+  SELECT doc_id, pos, 1 AS is_cut FROM cuts
+  UNION ALL
+  SELECT doc_id, pos, 0 AS is_cut FROM voiced
+),
+scn AS (
+  SELECT doc_id, is_cut,
+         CAST(SUM(is_cut) OVER (PARTITION BY doc_id
+                                ORDER BY pos, is_cut DESC) AS BIGINT) AS scene
+  FROM ev
+),
+per_scene AS (
+  SELECT doc_id, scene, CAST(COUNT(*) AS BIGINT) AS nv
+  FROM scn WHERE is_cut = 0 GROUP BY doc_id, scene
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(DISTINCT scene) AS BIGINT) AS n_voiced_scenes,
+         CAST(MAX(nv) AS BIGINT) AS max_voiced_in_scene,
+         CAST(SUM(nv) AS BIGINT) AS n_voiced
+  FROM per_scene GROUP BY doc_id
+),
+nc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cuts FROM cuts GROUP BY doc_id
+)
+SELECT f.doc_id,
+       COALESCE(nc.n_cuts, 0) AS n_cuts,
+       COALESCE(agg.n_voiced, 0) AS n_voiced,
+       COALESCE(agg.n_voiced_scenes, 0) AS n_voiced_scenes,
+       COALESCE(agg.max_voiced_in_scene, 0) AS max_voiced_in_scene
+FROM f LEFT JOIN nc USING (doc_id) LEFT JOIN agg USING (doc_id)
+WHERE f.n_frames >= 1
+ORDER BY f.doc_id
+""",
+    tier="T2",
+)
+def multimodal_av_sync(spark, sf_dir):
+    """Cross-modal alignment of the two synthetic tracks carved from the
+    SAME payload: the video track (16-byte frames, scene cuts where
+    |Δluma| > 128 — multimodal_scene_cuts' definition verbatim) and an
+    audio track (8-byte windows, voiced where byte-energy > 800 —
+    multimodal_audio_vad's shape). Each voiced window is assigned to the
+    scene containing its byte offset by a SWEEP: scene = number of cuts at
+    or before the window's position (cuts sort before voices at equal
+    offsets). Emits per asset: cut/voiced counts, how many scenes contain
+    voice, and the densest scene — the audio-visual alignment table a
+    curation pipeline uses to pick training clips with speech.
+
+    ORACLE-CHECKED: both feature tracks are exact integer byte sums (hex
+    fold on the DuckDB side), the scene assignment is a cumulative count
+    over the merged (pos, is_cut DESC)-ordered event list — the
+    win_concurrency_sweep discipline — and every output is an int64 count.
+    The Spark side computes the same sweep per asset with vectorized
+    searchsorted inside ONE mapInPandas pass.
+
+    Scale note: map-only per asset (no shuffle; both tracks and the sweep
+    are in-row numpy over one payload); a real demuxer/decoder slots into
+    the same batch loop. The SQL spelling shows the distributed fallback:
+    merged event list + one windowed cumulative sum, shuffling only
+    (asset, pos, flag) triples.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("text").isNotNull()
+    )
+
+    def sync(it):
+        for pdf in it:
+            out = {"doc_id": [], "n_cuts": [], "n_voiced": [],
+                   "n_voiced_scenes": [], "max_voiced_in_scene": []}
+            for doc_id, s in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+                nf = len(b) // _SCENE_FRAME
+                if nf < 1:
+                    continue
+                luma = (
+                    b[: nf * _SCENE_FRAME]
+                    .reshape(nf, _SCENE_FRAME)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                jump = np.abs(np.diff(luma))
+                cut_pos = (np.nonzero(jump > _SCENE_TH)[0] + 1) * _SCENE_FRAME
+                nw = len(b) // _AV_WIN
+                energy = (
+                    b[: nw * _AV_WIN]
+                    .reshape(nw, _AV_WIN)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                voiced_pos = np.nonzero(energy > _AV_TH)[0] * _AV_WIN
+                scenes = np.searchsorted(cut_pos, voiced_pos, side="right")
+                out["doc_id"].append(doc_id)
+                out["n_cuts"].append(len(cut_pos))
+                out["n_voiced"].append(len(voiced_pos))
+                if len(voiced_pos):
+                    counts = np.bincount(scenes)
+                    out["n_voiced_scenes"].append(int((counts > 0).sum()))
+                    out["max_voiced_in_scene"].append(int(counts.max()))
+                else:
+                    out["n_voiced_scenes"].append(0)
+                    out["max_voiced_in_scene"].append(0)
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        sync,
+        "doc_id long, n_cuts long, n_voiced long, "
+        "n_voiced_scenes long, max_voiced_in_scene long",
+    ).orderBy("doc_id")

@@ -2642,3 +2642,224 @@ def stats_best_split(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+# ------------------------------------------------------------- SPRT
+
+# Wald SPRT for Bernoulli H0: p=0.3 vs H1: p=0.4, alpha=beta=0.05.
+# Per-trial log-likelihood-ratio increments and the decision boundary
+# ln(19), pre-quantized to integer MICRO-NATS in Python and inlined as
+# literals — the key is zero-float end to end.
+_SPRT_LPOS = 287682    # floor(ln(0.4/0.3) * 1e6)
+_SPRT_LNEG = -154151   # floor(ln(0.6/0.7) * 1e6)
+_SPRT_BOUND = 2944438  # floor(ln(19) * 1e6)
+
+_SPRT_SQL = f"""
+WITH base AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+         CASE WHEN o.o_orderstatus = 'F'
+              THEN {_SPRT_LPOS} ELSE {_SPRT_LNEG} END AS llr
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+cum AS (
+  SELECT segment, o_orderkey,
+         CAST(row_number() OVER w AS BIGINT) AS rn,
+         CAST(SUM(llr) OVER w AS BIGINT) AS cum_llr
+  FROM base
+  WINDOW w AS (PARTITION BY segment ORDER BY o_orderkey)
+),
+stop AS (
+  SELECT segment,
+         MIN(CASE WHEN cum_llr >= {_SPRT_BOUND}
+                    OR cum_llr <= -{_SPRT_BOUND} THEN rn END) AS stop_rn,
+         CAST(MAX(rn) AS BIGINT) AS n_total
+  FROM cum GROUP BY segment
+)
+SELECT s.segment,
+       CAST(COALESCE(s.stop_rn, s.n_total) AS BIGINT) AS n_observed,
+       CAST(c.cum_llr AS BIGINT) AS llr_micro,
+       CASE WHEN s.stop_rn IS NULL THEN 'continue'
+            WHEN c.cum_llr >= {_SPRT_BOUND} THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision
+FROM stop s
+JOIN cum c ON c.segment = s.segment
+          AND c.rn = COALESCE(s.stop_rn, s.n_total)
+ORDER BY s.segment
+"""
+
+
+@register("stats_sprt_stopping", oracle=_SPRT_SQL, tier="T2")
+def stats_sprt_stopping(spark, sf_dir):
+    """Wald's sequential probability ratio test replayed over each
+    segment's order stream (H0: P(finished)=0.3 vs H1: 0.4, α=β=0.05):
+    walk the orders in key order accumulating the log-likelihood ratio and
+    stop at the FIRST boundary crossing — the sequential A/B machinery
+    that answers "when could this experiment have stopped?" instead of
+    fixing n in advance.
+
+    Determinism: ZERO floats — the per-trial LLR increments and the ln(19)
+    boundary are pre-quantized to integer micro-nats in Python and inlined
+    as literals; the cumulative sum, the first-crossing argmin, and the
+    boundary compares are all exact int64. The stopped row is re-joined by
+    (segment, rn), a total-order key.
+
+    Scale: one window per segment over the order stream plus a broadcast
+    join of the 5-row stop table back onto it. At 100 TB the scan is the
+    cost — the window is partitioned and the state is one running int per
+    partition (the streaming applyInPandasWithState twin would carry it
+    incrementally).
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", F.lit(_SPRT_LPOS))
+        .otherwise(F.lit(_SPRT_LNEG))
+        .alias("llr"),
+    )
+    w = Window.partitionBy("segment").orderBy("o_orderkey")
+    cum = base.select(
+        "segment",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum("llr").over(w).cast("long").alias("cum_llr"),
+    )
+    stop = (
+        cum.groupBy("segment")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("cum_llr") >= _SPRT_BOUND)
+                    | (F.col("cum_llr") <= -_SPRT_BOUND),
+                    F.col("rn"),
+                )
+            ).alias("stop_rn"),
+            F.max("rn").cast("long").alias("n_total"),
+        )
+        .select(
+            F.col("segment").alias("seg2"),
+            "stop_rn",
+            "n_total",
+            F.coalesce("stop_rn", "n_total").alias("pick_rn"),
+        )
+    )
+    j = cum.join(
+        F.broadcast(stop),
+        (F.col("segment") == F.col("seg2")) & (F.col("rn") == F.col("pick_rn")),
+    )
+    return j.select(
+        "segment",
+        F.col("pick_rn").cast("long").alias("n_observed"),
+        F.col("cum_llr").cast("long").alias("llr_micro"),
+        F.when(F.col("stop_rn").isNull(), "continue")
+        .when(F.col("cum_llr") >= _SPRT_BOUND, "accept_h1")
+        .otherwise("accept_h0")
+        .alias("decision"),
+    ).orderBy("segment")
+
+
+# ------------------------------------------------------- lead-lag xcorr
+
+_XCORR_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+    AND event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+),
+x AS (SELECT day, v FROM daily WHERE event_type = 'click'),
+y AS (SELECT day, v FROM daily WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT l.lag, x.v AS xv, y.v AS yv
+  FROM (SELECT unnest(generate_series(-7, 7)) AS lag) l
+  JOIN x ON TRUE
+  JOIN y ON y.day = x.day + CAST(l.lag AS INT)
+),
+s AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xv) AS BIGINT) AS sx, CAST(SUM(yv) AS BIGINT) AS sy,
+         CAST(SUM(xv * yv) AS BIGINT) AS sxy,
+         CAST(SUM(xv * xv) AS BIGINT) AS sxx,
+         CAST(SUM(yv * yv) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n,
+       CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+            ELSE CAST(FLOOR(
+              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+              * 1000000) AS BIGINT) END AS r_micro
+FROM s
+ORDER BY lag
+"""
+
+
+@register("ts_xcorr_lags", oracle=_XCORR_SQL, tier="T2")
+def ts_xcorr_lags(spark, sf_dir):
+    """Lead-lag cross-correlation between the click and purchase daily
+    value series at lags −7..+7 days: Pearson r of (click_t, purchase_{t+L})
+    over the overlapping days — the lag whose |r| peaks says which series
+    LEADS, the question behind every "does engagement predict revenue next
+    week?" analysis ([[ts_autocorrelation]] is the self-paired special
+    case).
+
+    Determinism: all six correlation sums are exact int64 over exact cent
+    totals; the Pearson assembly is ONE identically-spelled double
+    expression (three exact int→double casts — the sums stay < 2^53 at
+    sf0.1 — two multiplies, one IEEE sqrt, one divide) floored to micro.
+    Degenerate overlaps (zero variance) yield NULL on both sides. Lag
+    alignment is DATE arithmetic (y.day = x.day + L), immune to row-index
+    gaps on missing days.
+
+    Scale: the daily rollup is one partial+final aggregate; the 15-lag
+    expansion joins two |days|-row tables — driver-scale forever. For
+    thousands of series pairs, block by (pair, lag) and reuse the same
+    integer-sum shape.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("v")
+    )
+    x = daily.filter(F.col("event_type") == "click").select(
+        F.col("day").alias("xday"), F.col("v").alias("xv")
+    )
+    y = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("v").alias("yv")
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    pairs = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.expr("yday = date_add(xday, lag)"))
+        .select("lag", "xv", "yv")
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xv").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).cast("long").alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
+    )
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n",
+        F.expr(
+            """CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+                    THEN NULL
+                    ELSE CAST(FLOOR(
+                      (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                             * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                      * 1000000) AS BIGINT) END"""
+        ).alias("r_micro"),
+    ).orderBy("lag")
