@@ -986,3 +986,83 @@ def seq_user_stickiness(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+# ------------------------------------------------- inter-arrival histogram
+
+_INTERARRIVAL_SQL = """
+WITH es AS (
+  SELECT user_id, event_type, event_id,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS es
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+gaps AS (
+  SELECT event_type,
+         es - lag(es) OVER (PARTITION BY user_id, event_type
+                            ORDER BY es, event_id) AS gap_s
+  FROM es
+),
+b AS (
+  SELECT event_type,
+         CASE WHEN gap_s <= 0 THEN -1
+              ELSE CAST(length(bin(gap_s)) - 1 AS BIGINT) END AS bucket,
+         gap_s
+  FROM gaps WHERE gap_s IS NOT NULL
+)
+SELECT event_type, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+FROM b
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+@register("seq_interarrival_hist", oracle=_INTERARRIVAL_SQL, tier="T2")
+def seq_interarrival_hist(spark, sf_dir):
+    """Inter-arrival-time distribution per event type: the gap in seconds
+    between a user's consecutive events of the same type, bucketed into
+    power-of-two bins — the log-scale histogram that separates burst
+    behaviour (sub-minute bins) from periodic return visits (hour/day
+    bins) and feeds session-timeout tuning.
+
+    Determinism: gaps are exact integer epoch-second differences over the
+    total order (es, event_id); the log2 bucket is the INTEGER floor-log2
+    `length(bin(gap)) − 1` (the sketch_hll_portable recipe — never
+    floor(ln/ln2), whose 1-ulp libm divergence flips exact powers of two);
+    zero gaps (same-second repeats) get their own −1 bin explicitly.
+
+    Scale: one shuffle on (user, type) for the lag window, then a
+    partial+final aggregate on ~5·64 (type, bucket) cells.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    es = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("es", "event_id")
+    gaps = es.select(
+        "event_type", (F.col("es") - F.lag("es").over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    b = gaps.select(
+        "event_type",
+        F.expr(
+            """CASE WHEN gap_s <= 0 THEN -1
+                    ELSE CAST(length(bin(gap_s)) - 1 AS BIGINT) END"""
+        ).alias("bucket"),
+        "gap_s",
+    )
+    return (
+        b.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+        .orderBy("event_type", "bucket")
+    )

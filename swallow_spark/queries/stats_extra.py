@@ -2863,3 +2863,108 @@ def ts_xcorr_lags(spark, sf_dir):
                       * 1000000) AS BIGINT) END"""
         ).alias("r_micro"),
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------- ICC
+
+_ICC_SQL = """
+WITH g AS (
+  SELECT c_nationkey AS grp,
+         CAST(COUNT(*) AS BIGINT) AS ni,
+         CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS si,
+         CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                  * CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS qi
+  FROM customer GROUP BY c_nationkey
+),
+terms AS (
+  SELECT grp, ni, si, qi,
+         CAST(FLOOR((CAST(qi AS DOUBLE)
+                     - CAST(si AS DOUBLE) * si / ni) * 1000) AS BIGINT)
+           AS ssw_milli,
+         CAST(FLOOR((CAST(si AS DOUBLE) * si / ni) * 1000) AS BIGINT)
+           AS sb_milli
+  FROM g
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(ni) AS BIGINT) AS n,
+         CAST(SUM(si) AS BIGINT) AS stot,
+         CAST(SUM(ni * ni) AS BIGINT) AS sn2,
+         CAST(SUM(ssw_milli) AS BIGINT) AS ssw_m,
+         CAST(SUM(sb_milli) AS BIGINT) AS sb_m
+  FROM terms
+)
+SELECT k, n,
+       CAST(FLOOR(
+         ((CAST(sb_m AS DOUBLE) / 1000
+            - CAST(stot AS DOUBLE) * stot / n) / (k - 1)
+          - (CAST(ssw_m AS DOUBLE) / 1000) / (n - k))
+         / ((CAST(sb_m AS DOUBLE) / 1000
+             - CAST(stot AS DOUBLE) * stot / n) / (k - 1)
+            + ((CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / n) / (k - 1) - 1)
+              * (CAST(ssw_m AS DOUBLE) / 1000) / (n - k))
+         * 1000000) AS BIGINT) AS icc_micro
+FROM s
+"""
+
+
+@register("stats_icc", oracle=_ICC_SQL, tier="T2")
+def stats_icc(spark, sf_dir):
+    """Intraclass correlation ICC(1,1) of account balances within nation
+    clusters — the variance fraction attributable to cluster membership,
+    and the number that drives the design effect (1 + (m̄−1)·ICC) when an
+    A/B test must randomize whole clusters instead of individuals.
+
+    Determinism: per-group (n, Σ, Σ²) are exact int64 cents; the two
+    per-group sum-of-squares terms are floored to MILLI-units BEFORE the
+    cross-group sum (the vec_centroid_drift rule), and the final
+    MSB/MSW/ANOVA assembly is one identically-spelled double expression
+    with the unbiased group-size correction n₀ = (N − Σnᵢ²/N)/(k−1).
+
+    Scale: one partial+final aggregate per group, then a 25-row fold —
+    nothing grows with data size.
+    """
+    c = load(spark, sf_dir, "customer")
+    cb = F.expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)")
+    g = c.groupBy(F.col("c_nationkey").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("ni"),
+        F.sum(cb).cast("long").alias("si"),
+        F.sum(cb * cb).cast("long").alias("qi"),
+    )
+    terms = g.select(
+        "ni",
+        "si",
+        "qi",
+        F.expr(
+            """CAST(FLOOR((CAST(qi AS DOUBLE)
+                           - CAST(si AS DOUBLE) * si / ni) * 1000) AS BIGINT)"""
+        ).alias("ssw_milli"),
+        F.expr(
+            "CAST(FLOOR((CAST(si AS DOUBLE) * si / ni) * 1000) AS BIGINT)"
+        ).alias("sb_milli"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("si").cast("long").alias("stot"),
+        F.sum(F.col("ni") * F.col("ni")).cast("long").alias("sn2"),
+        F.sum("ssw_milli").cast("long").alias("ssw_m"),
+        F.sum("sb_milli").cast("long").alias("sb_m"),
+    )
+    return s.select(
+        "k",
+        "n",
+        F.expr(
+            """CAST(FLOOR(
+                 ((CAST(sb_m AS DOUBLE) / 1000
+                    - CAST(stot AS DOUBLE) * stot / n) / (k - 1)
+                  - (CAST(ssw_m AS DOUBLE) / 1000) / (n - k))
+                 / ((CAST(sb_m AS DOUBLE) / 1000
+                     - CAST(stot AS DOUBLE) * stot / n) / (k - 1)
+                    + ((CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / n) / (k - 1) - 1)
+                      * (CAST(ssw_m AS DOUBLE) / 1000) / (n - k))
+                 * 1000000) AS BIGINT)"""
+        ).alias("icc_micro"),
+    )

@@ -457,3 +457,90 @@ def stream_incremental_dedup_demo(spark, sf_dir):
         )
     finally:
         _sh.rmtree(work, ignore_errors=True)
+
+
+# ------------------------------------------------- stream-static enrich
+
+_ENRICH_ORACLE = """
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+WHERE e.user_id IS NOT NULL
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@register("stream_static_enrich", oracle=_ENRICH_ORACLE, tier="T2")
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static join — the single most common production Structured
+    Streaming shape: a file-streaming read of the event feed enriched
+    against a STATIC broadcastable dimension (nation, keyed by
+    user_id % 25), aggregated per dimension attribute in complete mode,
+    drained with Trigger.AvailableNow into a memory sink. The static side
+    is re-resolved per micro-batch (Spark's stream-static contract — a
+    slowly-changing dim picks up new snapshots between batches without
+    restarting the query).
+
+    ORACLE-CHECKED: the drain is bounded and deterministic, so the final
+    complete-mode table must equal the batch join bit-for-bit — cents are
+    exact int64, the join key is pure integer arithmetic (% on
+    non-negative operands), and the 25-row result is re-materialized as a
+    local DataFrame so the memory-sink temp view never leaks across
+    session reuse.
+
+    Scale note: the static side stays broadcast in every micro-batch (same
+    plan as join_broadcast); state is the 25-row aggregate. At 100 TB of
+    feed the cost is the file listing + scan; the enrichment adds no
+    shuffle.
+    """
+    import os
+    import uuid
+
+    from ..io import load as _load
+
+    epath = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(epath).schema
+    nation = _load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    # FileStreamSource requires a DIRECTORY; stage the (read-only) fixture
+    # file into a temp dir via hard link (zero-copy, same filesystem).
+    feed_dir = tempfile.mkdtemp(prefix="swallow_enrich_feed_")
+    staged = os.path.join(feed_dir, "events.parquet")
+    try:
+        try:
+            os.link(epath, staged)
+        except OSError:
+            shutil.copy(epath, staged)
+        feed = (
+            spark.readStream.schema(schema)
+            .parquet(feed_dir)
+            .filter(F.col("user_id").isNotNull())
+        )
+        enriched = feed.join(
+            F.broadcast(nation), feed.user_id % 25 == nation.n_nationkey
+        )
+        agg = enriched.groupBy("n_name").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        qname = "enrich_" + uuid.uuid4().hex[:12]
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table(qname).collect()
+        spark.catalog.dropTempView(qname)
+        return spark.createDataFrame(
+            rows, "n_name string, n_events long, sum_cents long"
+        ).orderBy("n_name")
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
