@@ -272,3 +272,100 @@ def text_burstiness(spark, sf_dir):
         .orderBy(F.col("total").desc(), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------- MATTR diversity
+
+_MATTR_W = 25
+
+_MATTR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, g.i AS pos, string_split(text, ' ')[g.i] AS token,
+         len(string_split(text, ' ')) AS n
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' '))))
+                AS i) g
+  WHERE text IS NOT NULL AND length(text) > 0
+),
+prevs AS (
+  SELECT doc_id, pos, n,
+         COALESCE(lag(pos) OVER (PARTITION BY doc_id, token ORDER BY pos), 0)
+           AS prev_pos
+  FROM tok
+),
+contrib AS (
+  SELECT doc_id, n,
+         GREATEST(0, LEAST(pos + {_MATTR_W - 1}, n)
+                     - GREATEST(pos, prev_pos + {_MATTR_W}, {_MATTR_W}) + 1)
+           AS c
+  FROM prevs WHERE n >= {_MATTR_W}
+)
+SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tok,
+       CAST(MAX(n) - {_MATTR_W - 1} AS BIGINT) AS n_windows,
+       (CAST(SUM(c) AS BIGINT) * 1000000)
+         // ({_MATTR_W} * (MAX(n) - {_MATTR_W - 1})) AS mattr_micro
+FROM contrib
+GROUP BY doc_id
+ORDER BY mattr_micro, doc_id
+LIMIT 20
+"""
+
+
+@register("text_mattr_diversity", oracle=_MATTR_SQL, tier="T2")
+def text_mattr_diversity(spark, sf_dir):
+    """MATTR — moving-average type-token ratio with a 25-token sliding
+    window — the length-independent lexical-diversity score (plain TTR
+    decays with document length; MATTR doesn't), lowest-20 docs first: the
+    template/boilerplate detector that complements [[text_char_entropy]]
+    (characters) at the token level.
+
+    Computed WITHOUT materializing windows: position j counts as a
+    distinct type in window [i−24, i] iff its previous same-token
+    occurrence is outside it, so j's total contribution is the closed-form
+    overlap max(0, min(j+24, n) − max(j, prev_j+25, 25) + 1) — pure
+    int64 per position, summed exactly; MATTR_micro = Σ·1e6 DIV (25·W).
+    One lag window over (doc, token) gives prev_j; no float anywhere.
+
+    Scale: the token explode carries (doc_id, token, pos); the lag window
+    shuffles on (doc, token) — both linear in corpus tokens; the per-doc
+    sum is a partial+final aggregate and the top-20 a TakeOrdered.
+    """
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "token"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token", "n")
+    wprev = Window.partitionBy("doc_id", "token").orderBy("pos")
+    prevs = tok.select(
+        "doc_id",
+        "pos",
+        "n",
+        F.coalesce(F.lag("pos").over(wprev), F.lit(0)).alias("prev_pos"),
+    )
+    W = _MATTR_W
+    contrib = prevs.filter(F.col("n") >= W).select(
+        "doc_id",
+        "n",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("pos") + (W - 1), F.col("n"))
+            - F.greatest(F.col("pos"), F.col("prev_pos") + W, F.lit(W))
+            + 1,
+        ).alias("c"),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_tok"),
+            (F.max("n") - (W - 1)).cast("long").alias("n_windows"),
+            F.expr(
+                f"(CAST(SUM(c) AS BIGINT) * 1000000)"
+                f" DIV ({W} * (MAX(n) - {W - 1}))"
+            ).alias("mattr_micro"),
+        )
+        .orderBy("mattr_micro", "doc_id")
+        .limit(20)
+    )

@@ -740,3 +740,102 @@ def udf_cogrouped_merge(spark, sf_dir):
             "value_cents long",
         )
     )
+
+
+_COGROUP_ARROW_SQL = """
+WITH o AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS max_order_cents
+  FROM orders GROUP BY o_custkey
+),
+e AS (
+  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MIN(CASE WHEN value IS NOT NULL
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END)
+              AS BIGINT) AS min_event_cents
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+)
+SELECT COALESCE(o.k, e.k) AS k,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       o.max_order_cents,
+       COALESCE(e.n_events, 0) AS n_events,
+       e.min_event_cents
+FROM o FULL OUTER JOIN e ON o.k = e.k
+ORDER BY k
+"""
+
+
+@register("udf_cogrouped_arrow", oracle=_COGROUP_ARROW_SQL, tier="T2")
+def udf_cogrouped_arrow(spark, sf_dir):
+    """The COGROUPED **Arrow** surface — groupBy().cogroup().applyInArrow —
+    the zero-copy sibling of [[udf_cogrouped_merge]]: each Python call
+    receives the key's two aligned pyarrow.Tables (no pandas conversion,
+    no NaN coercion — Arrow keeps int64 nullability intact, which is why
+    the min/max here need no NaN dance). Per customer: order count + max
+    order cents reconciled against event count + min event cents; keys
+    present on one side only still fire with an empty table — the
+    full-outer semantics, proven against a FULL OUTER JOIN oracle.
+
+    Determinism inside Python: floor(x·100+0.5) per element via pyarrow
+    compute (same IEEE ops as the engines' FLOOR), min/max over exact
+    int64 — no float aggregate anywhere.
+
+    Scale note: identical cost shape to cogrouped pandas (one
+    co-partitioned shuffle per side), but Arrow batches skip the
+    pandas materialization — the right default when the per-key logic is
+    columnar.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("k"), "value")
+    )
+
+    def merge(left: pa.Table, right: pa.Table) -> pa.Table:
+        if left.num_rows:
+            k = left.column("k")[0].as_py()
+            oc = pc.cast(
+                pc.floor(
+                    pc.add(pc.multiply(left.column("o_totalprice"), 100.0), 0.5)
+                ),
+                pa.int64(),
+            )
+            max_oc = pc.max(oc).as_py()
+        else:
+            k = right.column("k")[0].as_py()
+            max_oc = None
+        if right.num_rows:
+            ec = pc.cast(
+                pc.floor(pc.add(pc.multiply(right.column("value"), 100.0), 0.5)),
+                pa.int64(),
+            )
+            min_ec = pc.min(ec).as_py()  # Arrow min skips nulls, like SQL
+        else:
+            min_ec = None
+        return pa.table(
+            {
+                "k": pa.array([k], pa.int64()),
+                "n_orders": pa.array([left.num_rows], pa.int64()),
+                "max_order_cents": pa.array([max_oc], pa.int64()),
+                "n_events": pa.array([right.num_rows], pa.int64()),
+                "min_event_cents": pa.array([min_ec], pa.int64()),
+            }
+        )
+
+    return (
+        o.groupBy("k")
+        .cogroup(e.groupBy("k"))
+        .applyInArrow(
+            merge,
+            "k long, n_orders long, max_order_cents long, n_events long, "
+            "min_event_cents long",
+        )
+        .orderBy("k")
+    )
