@@ -1,0 +1,104 @@
+"""Property test for stats_sprt_stopping: random short order streams with
+outcome sequences engineered to hover near the ±ln(19) boundaries must stop
+at the SAME first crossing, with the SAME decision and cumulative LLR, in
+Spark, in the registered DuckDB oracle, and in a pure-Python replay —
+pinning the first-crossing argmin, the stop-at-exact-boundary inclusivity
+(>= upper / <= lower), and the continue-at-end fallback that the fixture's
+long streams never exercise.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from swallow_spark.queries.stats_extra import (
+    _SPRT_BOUND,
+    _SPRT_LNEG,
+    _SPRT_LPOS,
+)
+
+# Each segment: a short outcome sequence. 11 successes ≈ crosses the upper
+# bound (11·287682 > 2944438 needs ~10.2); ~19 failures cross the lower —
+# sizes up to 40 hit both boundaries and the continue case.
+_segment = st.lists(st.booleans(), min_size=1, max_size=40)
+_scenario = st.lists(_segment, min_size=1, max_size=3)
+
+
+def _materialize(case, tmpdir):
+    custs, orders = [], []
+    ok = 0
+    for ci, rows in enumerate(case, start=1):
+        custs.append({"c_custkey": ci, "c_mktsegment": f"S{ci}"})
+        for pos in rows:
+            ok += 1
+            orders.append(
+                {
+                    "o_orderkey": ok,
+                    "o_custkey": ci,
+                    "o_orderstatus": "F" if pos else "O",
+                    "o_totalprice": 1.0,
+                }
+            )
+    cpdf = pd.DataFrame(custs)
+    opdf = pd.DataFrame(orders)
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM cpdf) TO '{tmpdir}/customer.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM opdf) TO '{tmpdir}/orders.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+
+
+def _ref(case):
+    out = {}
+    for ci, rows in enumerate(case, start=1):
+        cum = 0
+        stopped = None
+        for rn, pos in enumerate(rows, start=1):
+            cum += _SPRT_LPOS if pos else _SPRT_LNEG
+            if cum >= _SPRT_BOUND or cum <= -_SPRT_BOUND:
+                stopped = (rn, cum)
+                break
+        if stopped:
+            rn, cum = stopped
+            decision = "accept_h1" if cum >= _SPRT_BOUND else "accept_h0"
+            out[f"S{ci}"] = (rn, cum, decision)
+        else:
+            out[f"S{ci}"] = (len(rows), cum, "continue")
+    return out
+
+
+@pytest.fixture(scope="module")
+def q():
+    from swallow_spark.registry import all_queries
+
+    return all_queries()["stats_sprt_stopping"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(_scenario)
+def test_sprt_spark_duckdb_reference_agree(spark, q, tmp_path_factory, case):
+    tmpdir = str(tmp_path_factory.mktemp("sprt"))
+    _materialize(case, tmpdir)
+    want = _ref(case)
+
+    got_spark = {
+        r.segment: (r.n_observed, r.llr_micro, r.decision)
+        for r in q.fn(spark, tmpdir).collect()
+    }
+    assert got_spark == want
+
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmpdir}/{t}.parquet')"
+        )
+    got_duck = {r[0]: (r[1], r[2], r[3]) for r in con.sql(q.oracle).fetchall()}
+    con.close()
+    assert got_duck == want
