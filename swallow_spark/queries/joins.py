@@ -741,11 +741,20 @@ def join_fuzzy_blocked(spark, sf_dir):
     verify) that every dedupe-by-name pipeline uses.
 
     Determinism: exact integer edit distances, unordered pairs emitted
-    once (a < b). Scale note: the self-join shuffles once on the block
-    key; block sizes bound the per-reducer pair count — monitor the
-    largest block (etl_partition_skew's recipe) and salt or refine the
-    blocking key (longer prefix) if a block goes hot; the verify
-    predicate runs only inside blocks, never across them.
+    once (a < b). Scale notes: the self-join shuffles only the two 20k-row
+    block-keyed sides; the in-block pair stream (21M candidates at sf0.1)
+    is generated AFTER the exchange and pipelines straight into the verify
+    — nothing quadratic ever crosses the wire. The key's real cost is its
+    OUTPUT (every matching pair — 10.4M rows at sf0.1, ~20 s warm), which
+    is the ER contract. Two "optimizations" were measured and REJECTED on
+    this fixture (round 6): threshold-banded levenshtein (21.5 s — names
+    are ~9-25 chars and 50% of candidates genuinely match, so the band
+    never early-exits) and 8-way salting of the self-join (24.6 s — the
+    hot block's pairs already pipeline within one stage; salting only
+    added exchange width). They become the right tools when names are
+    long and matches are sparse; the block-size monitor
+    (etl_partition_skew's recipe) plus a longer prefix is the lever that
+    matters at 100 TB.
     """
     p = load(spark, sf_dir, "part").select(
         "p_partkey",
