@@ -722,3 +722,68 @@ def fn_luhn_checksum(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ------------------------------------------------------ calendar dim
+
+_CALENDAR_SQL = """
+WITH days AS (
+  SELECT DATE '2024-01-01' + CAST(g.i AS INT) AS day,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        DATE '2024-01-01' + CAST(g.i AS INT)) AS BIGINT)
+           AS epoch_day
+  FROM (SELECT unnest(generate_series(0, 365)) AS i) g
+)
+SELECT day, epoch_day,
+       CAST((epoch_day + 4) % 7 AS BIGINT) AS dow,
+       CASE WHEN (epoch_day + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS is_weekend,
+       CAST(EXTRACT(month FROM day) AS BIGINT) AS month,
+       CAST((EXTRACT(month FROM day) - 1) // 3 + 1 AS BIGINT) AS quarter,
+       CAST(EXTRACT(day FROM day) AS BIGINT) AS day_of_month,
+       epoch_day // 7 AS epoch_week,
+       CAST(date_diff('day', date_trunc('month', day), day) + 1 AS BIGINT)
+         AS dom_check
+FROM days
+ORDER BY day
+"""
+
+
+@register("fn_calendar_dim", oracle=_CALENDAR_SQL, tier="T2")
+def fn_calendar_dim(spark, sf_dir):
+    """Calendar-dimension generation — the date spine every warehouse
+    builds first: one row per day of 2024 (a range, not a table scan) with
+    day-of-week, weekend flag, month/quarter/day-of-month, and the
+    epoch-week block id. Generated with `spark.range`, so the spine needs
+    no source data and parallelizes trivially.
+
+    Determinism: day-of-week is (epoch_days + 4) % 7 — NEVER the engines'
+    dayofweek()/dow(), whose numbering disagrees (Spark 1=Sunday, DuckDB
+    0=Sunday; the pinned hazard class) — and weeks are epoch_days DIV 7
+    blocks, not ISO weeks. Month/quarter/day-of-month extract identically;
+    dom_check re-derives day-of-month from date_trunc as a cross-engine
+    consistency probe inside the row itself.
+
+    Scale: a generated range is embarrassingly parallel and columnar from
+    birth; at 100 TB the spine is still 36 525 rows per century —
+    broadcast it against facts, never join facts to a date function.
+    """
+    days = spark.range(0, 366).select(
+        F.expr("date_add(DATE '2024-01-01', CAST(id AS INT))").alias("day"),
+        F.expr("CAST(datediff(date_add(DATE '2024-01-01', CAST(id AS INT)),"
+               " DATE '1970-01-01') AS BIGINT)").alias("epoch_day"),
+    )
+    return days.select(
+        "day",
+        "epoch_day",
+        F.expr("CAST((epoch_day + 4) % 7 AS BIGINT)").alias("dow"),
+        F.expr(
+            "CASE WHEN (epoch_day + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END"
+        ).alias("is_weekend"),
+        F.month("day").cast("long").alias("month"),
+        F.expr("CAST((month(day) - 1) DIV 3 + 1 AS BIGINT)").alias("quarter"),
+        F.dayofmonth("day").cast("long").alias("day_of_month"),
+        F.expr("epoch_day DIV 7").alias("epoch_week"),
+        F.expr(
+            "CAST(datediff(day, date_trunc('MONTH', day)) + 1 AS BIGINT)"
+        ).alias("dom_check"),
+    ).orderBy("day")

@@ -2968,3 +2968,99 @@ def stats_icc(spark, sf_dir):
                  * 1000000) AS BIGINT)"""
         ).alias("icc_micro"),
     )
+
+
+# ------------------------------------------------------------ McNemar
+
+_MCNEMAR_SQL = """
+WITH paired AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                   AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pre_f,
+         MAX(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                   AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS post_f
+  FROM orders
+  GROUP BY o_custkey
+  HAVING MAX(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END) = 1
+     AND MAX(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END) = 1
+)
+SELECT CAST(SUM(CASE WHEN pre_f = 1 AND post_f = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n11,
+       CAST(SUM(CASE WHEN pre_f = 1 AND post_f = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n10,
+       CAST(SUM(CASE WHEN pre_f = 0 AND post_f = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n01,
+       CAST(SUM(CASE WHEN pre_f = 0 AND post_f = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n00,
+       CASE WHEN SUM(CASE WHEN pre_f + post_f = 1 THEN 1 ELSE 0 END) = 0
+            THEN NULL
+            ELSE CAST((
+              (SUM(CASE WHEN pre_f = 1 AND post_f = 0 THEN 1 ELSE 0 END)
+               - SUM(CASE WHEN pre_f = 0 AND post_f = 1 THEN 1 ELSE 0 END))
+              * (SUM(CASE WHEN pre_f = 1 AND post_f = 0 THEN 1 ELSE 0 END)
+                 - SUM(CASE WHEN pre_f = 0 AND post_f = 1 THEN 1 ELSE 0 END))
+              * 1000000
+            ) // SUM(CASE WHEN pre_f + post_f = 1 THEN 1 ELSE 0 END)
+            AS BIGINT)
+       END AS chisq_micro
+FROM paired
+"""
+
+
+@register("stats_mcnemar", oracle=_MCNEMAR_SQL, tier="T2")
+def stats_mcnemar(spark, sf_dir):
+    """McNemar's test for PAIRED binary outcomes: each customer active in
+    both halves of the timeline is their own control — did they have a
+    finished order before 1998 vs after? — and the test uses ONLY the
+    discordant pairs: χ² = (n10−n01)²/(n10+n01). The within-subject
+    before/after test that an unpaired z-test gets wrong when customers
+    differ wildly in baseline.
+
+    Determinism: PURE int64 — the 2×2 paired cells are exact counts and
+    χ²_micro = (n10−n01)²·1e6 DIV (n10+n01); the numerator is a square so
+    the DIV operands are non-negative (÷ ≡ //); zero discordant pairs →
+    NULL on both sides. Customers present in only one period are excluded
+    by the HAVING — the pairing requirement, stated explicitly rather than
+    left to NULL logic.
+
+    Scale: one partial+final aggregate per customer, then a 4-cell fold —
+    nothing grows with data size.
+    """
+    o = load(spark, sf_dir, "orders")
+    pre = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    paired = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(pre & (F.col("o_orderstatus") == "F"), 1).otherwise(0)
+            ).alias("pre_f"),
+            F.max(
+                F.when(~pre & (F.col("o_orderstatus") == "F"), 1).otherwise(0)
+            ).alias("post_f"),
+            F.max(F.when(pre, 1).otherwise(0)).alias("has_pre"),
+            F.max(F.when(~pre, 1).otherwise(0)).alias("has_post"),
+        )
+        .filter((F.col("has_pre") == 1) & (F.col("has_post") == 1))
+    )
+    cell = lambda a, b: F.sum(
+        F.when((F.col("pre_f") == a) & (F.col("post_f") == b), 1).otherwise(0)
+    ).cast("long")
+    agg = paired.agg(
+        cell(1, 1).alias("n11"),
+        cell(1, 0).alias("n10"),
+        cell(0, 1).alias("n01"),
+        cell(0, 0).alias("n00"),
+    )
+    return agg.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(
+            """CASE WHEN n10 + n01 = 0 THEN NULL
+                    ELSE ((n10 - n01) * (n10 - n01) * 1000000) DIV (n10 + n01)
+               END"""
+        ).alias("chisq_micro"),
+    )

@@ -2761,3 +2761,113 @@ def ts_peak_detection(spark, sf_dir):
         .select("day", "v", "prev", "nxt", "s7")
         .orderBy("day")
     )
+
+
+# ------------------------------------------------------------ Haar energy
+
+_HAAR_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY day) - 1 AS i, v FROM daily
+),
+lv AS (
+  SELECT l.lvl, (i.i) // (CASE l.lvl WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)
+           AS blk,
+         CASE WHEN (i.i // (CASE l.lvl WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 4 END))
+                   % 2 = 0
+              THEN i.v ELSE -i.v END AS sv,
+         i.v
+  FROM idx i, (SELECT unnest([1, 2, 3]) AS lvl) l
+),
+blocks AS (
+  SELECT lvl, blk,
+         CAST(SUM(sv) AS BIGINT) AS detail,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM lv GROUP BY lvl, blk
+),
+full_blocks AS (
+  SELECT lvl, detail FROM blocks
+  WHERE nb = CASE lvl WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END
+)
+SELECT CAST(lvl AS BIGINT) AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(detail * detail) AS BIGINT)
+         // (CASE lvl WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END) AS energy
+FROM full_blocks
+GROUP BY lvl
+ORDER BY lvl
+"""
+
+
+@register("ts_haar_energy", oracle=_HAAR_SQL, tier="T2")
+def ts_haar_energy(spark, sf_dir):
+    """Haar wavelet energy spectrum of the daily event-value series at
+    scales 2/4/8 days: each level-ℓ block's detail coefficient is
+    (sum of first half) − (sum of second half), and the per-level energy
+    Σ detail²/2^ℓ says WHERE the variance lives — day-to-day noise
+    (level 1) vs weekly structure (level 3) — the multi-resolution
+    companion to [[ts_seasonal_strength]].
+
+    Determinism: ZERO floats — the half-block sign is the parity of
+    i DIV 2^(ℓ−1) (pure integer), details are exact int64 cent sums, and
+    the energy normalization is one truncating DIV on non-negative
+    operands (details squared). Partial trailing blocks are excluded
+    explicitly (nb = 2^ℓ). Headroom: detail ≤ 8·daily-cents ≈ 6e7,
+    squared 3.6e15, summed over ~90 blocks ≈ 3e17 < 2^63.
+
+    Scale: the day table is driver-scale after one partial+final
+    aggregate; the 3-level expansion is a ×3 explode over |days| rows
+    with one aggregate on (lvl, blk) — the classic map-side-combinable
+    wavelet shape (each finer level could also fold from the coarser,
+    but the direct form keeps the oracle flat).
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("v")
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("i"), "v"
+    )
+    lv = idx.select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("lvl"),
+        "i",
+        "v",
+    ).select(
+        "lvl",
+        F.expr(
+            "i DIV (CASE lvl WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)"
+        ).alias("blk"),
+        F.expr(
+            """CASE WHEN (i DIV (CASE lvl WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 4 END))
+                     % 2 = 0
+                    THEN v ELSE -v END"""
+        ).alias("sv"),
+    )
+    blocks = lv.groupBy("lvl", "blk").agg(
+        F.sum("sv").cast("long").alias("detail"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    full = blocks.filter(
+        F.col("nb") == F.expr("CASE lvl WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END")
+    )
+    return (
+        full.groupBy("lvl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.expr(
+                """CAST(SUM(detail * detail) AS BIGINT)
+                   DIV (CASE lvl WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)"""
+            ).alias("energy"),
+        )
+        .select(F.col("lvl").cast("long").alias("lvl"), "n_blocks", "energy")
+        .orderBy("lvl")
+    )
