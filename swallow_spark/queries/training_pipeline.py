@@ -280,3 +280,224 @@ def pipeline_pretrain_corpus(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# -------------------------------------------------- preference pairs (DPO)
+
+_PREF_SQL = """
+WITH scored AS (
+  SELECT lang, doc_id,
+         (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+          * 1000000)
+           // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_micro
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+),
+ranked AS (
+  SELECT lang, doc_id, score_micro,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score_micro DESC, doc_id) AS rk_top,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score_micro, doc_id) AS rk_bot,
+         COUNT(*) OVER (PARTITION BY lang) AS n_docs
+  FROM scored
+)
+SELECT t.lang,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(t.doc_id AS BIGINT) AS chosen_id,
+       CAST(t.score_micro AS BIGINT) AS chosen_score,
+       CAST(b.doc_id AS BIGINT) AS rejected_id,
+       CAST(b.score_micro AS BIGINT) AS rejected_score,
+       CAST(t.score_micro - b.score_micro AS BIGINT) AS margin_micro
+FROM ranked t JOIN ranked b ON t.lang = b.lang
+WHERE t.rk_top = 1 AND b.rk_bot = 1 AND t.n_docs >= 2
+ORDER BY t.lang
+"""
+
+
+@register("training_preference_pairs", oracle=_PREF_SQL, tier="T2")
+def training_preference_pairs(spark, sf_dir):
+    """Preference-pair construction (the DPO/RLHF data shape): within each
+    language group, pair the highest-quality document (chosen) with the
+    lowest (rejected) and report the quality margin — the deterministic
+    skeleton of "build (chosen, rejected) pairs from a scored pool", with
+    the quality model stubbed by the integer uniqueness ratio.
+
+    Determinism: the score is PURE int64 (n_uniq·1e6 DIV n_tok — the
+    text_quality_score signal without its float spelling), and both ends
+    of the pair are picked by total-order row_number ((score DESC, doc_id)
+    / (score ASC, doc_id)), so ties break identically in both engines.
+    Groups with fewer than two docs emit nothing.
+
+    Scale: one shuffle on lang for the rank windows; at 100 TB the
+    per-group windows become WindowGroupLimit top-1 scans, and a real
+    pipeline fans out to top-k × bottom-k pairs with the same spelling.
+    """
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    arr = F.split(F.col("text"), " ")
+    scored = d.select(
+        "lang",
+        "doc_id",
+        F.expr(
+            "(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000)"
+            " DIV CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("score_micro"),
+    )
+    wtop = Window.partitionBy("lang").orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    )
+    wbot = Window.partitionBy("lang").orderBy("score_micro", "doc_id")
+    wall = Window.partitionBy("lang")
+    ranked = scored.select(
+        "lang",
+        "doc_id",
+        "score_micro",
+        F.row_number().over(wtop).alias("rk_top"),
+        F.row_number().over(wbot).alias("rk_bot"),
+        F.count(F.lit(1)).over(wall).alias("n_docs"),
+    )
+    top = ranked.filter((F.col("rk_top") == 1) & (F.col("n_docs") >= 2)).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score_micro").alias("chosen_score"),
+    )
+    bot = ranked.filter(F.col("rk_bot") == 1).select(
+        F.col("lang").alias("lang_b"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score_micro").alias("rejected_score"),
+    )
+    return (
+        top.join(bot, top.lang == bot.lang_b)
+        .select(
+            "lang",
+            "n_docs",
+            F.col("chosen_id").cast("long").alias("chosen_id"),
+            F.col("chosen_score").cast("long").alias("chosen_score"),
+            F.col("rejected_id").cast("long").alias("rejected_id"),
+            F.col("rejected_score").cast("long").alias("rejected_score"),
+            (F.col("chosen_score") - F.col("rejected_score"))
+            .cast("long")
+            .alias("margin_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------- mix allocation (Hamilton)
+
+_MIX_BUDGET = 100000  # tokens to allocate across languages
+
+_MIX_SQL = f"""
+WITH counts AS (
+  SELECT lang,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_observed
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+  GROUP BY lang
+),
+weighted AS (
+  SELECT lang, tokens_observed,
+         CAST(FLOOR(sqrt(CAST(tokens_observed AS DOUBLE))) AS BIGINT) AS w
+  FROM counts
+),
+tot AS (
+  SELECT lang, tokens_observed, w,
+         CAST(SUM(w) OVER () AS BIGINT) AS wsum
+  FROM weighted
+),
+quota AS (
+  SELECT lang, tokens_observed, w,
+         ({_MIX_BUDGET} * w) // wsum AS base,
+         ({_MIX_BUDGET} * w) % wsum AS rem,
+         CAST(SUM(({_MIX_BUDGET} * w) // wsum) OVER () AS BIGINT) AS base_sum
+  FROM tot
+),
+ranked AS (
+  SELECT lang, tokens_observed, w, base, rem,
+         {_MIX_BUDGET} - base_sum AS extras,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rk
+  FROM quota
+)
+SELECT lang, tokens_observed, CAST(w AS BIGINT) AS w,
+       CAST(base AS BIGINT) AS base,
+       CASE WHEN rk <= extras THEN 1 ELSE 0 END AS got_extra,
+       CAST(base + CASE WHEN rk <= extras THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_tokens
+FROM ranked
+ORDER BY lang
+"""
+
+
+@register("training_mix_allocation", oracle=_MIX_SQL, tier="T2")
+def training_mix_allocation(spark, sf_dir):
+    """Token-budget apportionment across languages by the largest-remainder
+    (Hamilton) method with temperature-0.5 weights (w ∝ √tokens — the
+    multilingual-sampling upweighting of low-resource languages): each
+    language gets ⌊B·w/Σw⌋ tokens, and the leftover units go to the
+    largest fractional remainders — Σ alloc_tokens == B EXACTLY, the
+    property float rounding can't give you.
+
+    Determinism: weights are FLOOR(sqrt(count)) (IEEE sqrt is
+    exact-rounded, floor pins it); quotas, remainders, and the extra-unit
+    ranking ((rem DESC, lang) — a total order) are pure int64. B·w ≈
+    1e5·3e4 stays far under 2^63 at any corpus size that fits a BIGINT
+    token count.
+
+    Scale: one partial+final aggregate per language; the apportionment
+    windows run over |languages| rows — driver-scale forever.
+    """
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    counts = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias(
+            "tokens_observed"
+        )
+    )
+    weighted = counts.select(
+        "lang",
+        "tokens_observed",
+        F.floor(F.sqrt(F.col("tokens_observed").cast("double")))
+        .cast("long")
+        .alias("w"),
+    )
+    wglob = Window.partitionBy()
+    tot = weighted.select(
+        "lang",
+        "tokens_observed",
+        "w",
+        F.sum("w").over(wglob).cast("long").alias("wsum"),
+    )
+    quota = tot.select(
+        "lang",
+        "tokens_observed",
+        "w",
+        F.expr(f"({_MIX_BUDGET} * w) DIV wsum").alias("base"),
+        F.expr(f"({_MIX_BUDGET} * w) % wsum").alias("rem"),
+    ).withColumn("base_sum", F.sum("base").over(wglob).cast("long"))
+    ranked = quota.select(
+        "lang",
+        "tokens_observed",
+        "w",
+        "base",
+        "rem",
+        (F.lit(_MIX_BUDGET) - F.col("base_sum")).alias("extras"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "lang"))
+        .alias("rk"),
+    )
+    return ranked.select(
+        "lang",
+        "tokens_observed",
+        F.col("w").cast("long").alias("w"),
+        F.col("base").cast("long").alias("base"),
+        F.when(F.col("rk") <= F.col("extras"), 1).otherwise(0).alias("got_extra"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("extras"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    ).orderBy("lang")
