@@ -3064,3 +3064,81 @@ def stats_mcnemar(spark, sf_dir):
                END"""
         ).alias("chisq_micro"),
     )
+
+
+# ------------------------------------------------------------ Brier score
+
+_BRIER_SQL = """
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS s,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+ranked AS (
+  SELECT segment, y,
+         CAST(rank() OVER (PARTITION BY segment ORDER BY s) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+  FROM base
+),
+terms AS (
+  SELECT segment, n,
+         ((r * 1000) // n - y * 1000)
+           * ((r * 1000) // n - y * 1000) AS t
+  FROM ranked
+)
+SELECT segment, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(t) AS BIGINT) // MAX(n) AS brier_micro
+FROM terms GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register("stats_brier_score", oracle=_BRIER_SQL, tier="T2")
+def stats_brier_score(spark, sf_dir):
+    """Brier score per segment for the rank-calibrated price "model":
+    predicted probability = within-segment percentile rank of the order's
+    price, outcome = finished status; Brier = mean (p − y)² — the proper
+    scoring rule that penalizes BOTH miscalibration and lack of sharpness,
+    completing the eval battery ([[stats_auc_roc]] ranks,
+    [[stats_calibration_ece]] bins, Brier scores).
+
+    Determinism: p is quantized to MILLI-probability as the integer
+    (rank·1000) DIV n BEFORE squaring (ties share a rank() value, so tied
+    prices get identical p in both engines), each squared term is exact
+    int64, and the mean is one truncating DIV on non-negative operands.
+    Headroom: terms ≤ 1e6, Σ ≤ ~3e10 per segment.
+
+    Scale: one rank window per segment over the broadcast-joined scan,
+    then a partial+final aggregate — the stats_auc_roc shape.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("s"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    wr = Window.partitionBy("segment").orderBy("s")
+    wn = Window.partitionBy("segment")
+    ranked = base.select(
+        "segment",
+        "y",
+        F.rank().over(wr).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    terms = ranked.select(
+        "segment",
+        "n",
+        F.expr(
+            "((r * 1000) DIV n - y * 1000) * ((r * 1000) DIV n - y * 1000)"
+        ).alias("t"),
+    )
+    return (
+        terms.groupBy("segment")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.expr("CAST(SUM(t) AS BIGINT) DIV MAX(n)").alias("brier_micro"),
+        )
+        .orderBy("segment")
+    )

@@ -2871,3 +2871,131 @@ def ts_haar_energy(spark, sf_dir):
         .select(F.col("lvl").cast("long").alias("lvl"), "n_blocks", "energy")
         .orderBy("lvl")
     )
+
+
+# -------------------------------------------------------- sample entropy
+
+_SAMPEN_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY day) AS i, v,
+         lead(v, 1) OVER (ORDER BY day) AS v1,
+         lead(v, 2) OVER (ORDER BY day) AS v2
+  FROM daily
+),
+r AS (
+  SELECT (MAX(v) - MIN(v)) // 10 AS tol FROM daily
+),
+tpl AS (
+  SELECT i, v, v1, v2 FROM idx WHERE v2 IS NOT NULL
+),
+pairs AS (
+  SELECT CASE WHEN GREATEST(abs(a.v - b.v), abs(a.v1 - b.v1)) <= r.tol
+              THEN 1 ELSE 0 END AS mb,
+         CASE WHEN GREATEST(abs(a.v - b.v), abs(a.v1 - b.v1),
+                            abs(a.v2 - b.v2)) <= r.tol
+              THEN 1 ELSE 0 END AS ma
+  FROM tpl a JOIN tpl b ON a.i < b.i, r
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MAX(r.tol) AS BIGINT) AS tol,
+       CAST(SUM(mb) AS BIGINT) AS b_matches,
+       CAST(SUM(ma) AS BIGINT) AS a_matches,
+       CASE WHEN SUM(ma) = 0 OR SUM(mb) = 0 THEN NULL
+            ELSE CAST(FLOOR(ln(CAST(SUM(mb) AS DOUBLE)) * 1000000) AS BIGINT)
+               - CAST(FLOOR(ln(CAST(SUM(ma) AS DOUBLE)) * 1000000) AS BIGINT)
+       END AS sampen_micro
+FROM pairs, r
+GROUP BY r.tol
+"""
+
+
+@register("ts_sample_entropy", oracle=_SAMPEN_SQL, tier="T2")
+def ts_sample_entropy(spark, sf_dir):
+    """Sample entropy (SampEn, m=2) of the daily event-value series:
+    −ln(A/B) where B counts template pairs of length 2 within Chebyshev
+    tolerance r and A the same pairs still matching at length 3 — the
+    regularity measure from physiology (low SampEn = predictable,
+    high = complex) that [[ts_hurst_exponent]]'s long-memory view doesn't
+    capture. Tolerance r = range/10 in exact cents (data-driven yet
+    integer-deterministic).
+
+    Determinism: matches are pure integer Chebyshev comparisons; SampEn
+    is ln(B) − ln(A) with each log independently floored to micro-nats
+    (the quantized-log recipe), zero-match degenerates to NULL on both
+    sides.
+
+    Scale: the template table is driver-scale (one row per DAY); the
+    all-pairs match is the deliberate bounded O(days²) triangle — ~250k
+    comparisons per decade, the stats_survival_km precedent — with the
+    tolerance broadcast as a 1-row scalar. For per-entity series at
+    100 TB, partition by entity and the triangle stays per-entity-bounded.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("v")
+    )
+    wo = Window.orderBy("day")
+    idx = daily.select(
+        F.row_number().over(wo).alias("i"),
+        "v",
+        F.lead("v", 1).over(wo).alias("v1"),
+        F.lead("v", 2).over(wo).alias("v2"),
+    )
+    r = daily.agg(F.expr("(MAX(v) - MIN(v)) DIV 10").alias("tol"))
+    tpl = idx.filter(F.col("v2").isNotNull())
+    a = tpl.select(
+        F.col("i").alias("ia"),
+        F.col("v").alias("av"),
+        F.col("v1").alias("av1"),
+        F.col("v2").alias("av2"),
+    )
+    b = tpl.select(
+        F.col("i").alias("ib"),
+        F.col("v").alias("bv"),
+        F.col("v1").alias("bv1"),
+        F.col("v2").alias("bv2"),
+    )
+    pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .crossJoin(F.broadcast(r))
+        .select(
+            F.expr(
+                """CASE WHEN GREATEST(abs(av - bv), abs(av1 - bv1)) <= tol
+                        THEN 1 ELSE 0 END"""
+            ).alias("mb"),
+            F.expr(
+                """CASE WHEN GREATEST(abs(av - bv), abs(av1 - bv1),
+                                      abs(av2 - bv2)) <= tol
+                        THEN 1 ELSE 0 END"""
+            ).alias("ma"),
+            "tol",
+        )
+    )
+    return pairs.groupBy("tol").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.max("tol").cast("long").alias("tol2"),
+        F.sum("mb").cast("long").alias("b_matches"),
+        F.sum("ma").cast("long").alias("a_matches"),
+        F.expr(
+            """CASE WHEN SUM(ma) = 0 OR SUM(mb) = 0 THEN NULL
+                    ELSE CAST(FLOOR(ln(CAST(SUM(mb) AS DOUBLE)) * 1000000) AS BIGINT)
+                       - CAST(FLOOR(ln(CAST(SUM(ma) AS DOUBLE)) * 1000000) AS BIGINT)
+               END"""
+        ).alias("sampen_micro"),
+    ).select(
+        "n_pairs",
+        F.col("tol2").alias("tol"),
+        "b_matches",
+        "a_matches",
+        "sampen_micro",
+    )

@@ -353,6 +353,7 @@ BNLJ_ALLOWED = {
     "text_unigram_logprob",
     "ts_dtw_profile",  # broadcast 1-row reference-profile array crossjoin
     "ts_xcorr_lags",  # broadcast 15-row lag-offset crossjoin (bounded expansion)
+    "ts_sample_entropy",  # bounded O(days^2) template triangle + 1-row tolerance
     "ts_gap_fill",
     "ts_locf",
     "vec_label_noise_knn",  # probe-broadcast cosine arm (same as sim_cosine_topk)
