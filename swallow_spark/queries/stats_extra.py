@@ -3142,3 +3142,104 @@ def stats_brier_score(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------- Chatterjee's xi
+
+_XI_SQL = """
+WITH base AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+         CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+ranked AS (
+  SELECT segment, o_orderkey, x,
+         CAST(COUNT(*) OVER (PARTITION BY segment ORDER BY y
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+  FROM base
+),
+seq AS (
+  SELECT segment, n, r,
+         lead(r) OVER (PARTITION BY segment ORDER BY x, o_orderkey) AS r_next
+  FROM ranked
+),
+s AS (
+  SELECT segment, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(abs(r_next - r)) AS BIGINT) AS s_sum
+  FROM seq WHERE r_next IS NOT NULL
+  GROUP BY segment
+)
+SELECT segment, n, s_sum,
+       CASE WHEN n < 2 THEN NULL
+            ELSE 1000000 - (3 * s_sum * 1000000) // (n * n - 1) END AS xi_micro
+FROM s
+ORDER BY segment
+"""
+
+
+@register("stats_xi_correlation", oracle=_XI_SQL, tier="T2")
+def stats_xi_correlation(spark, sf_dir):
+    """Chatterjee's ξ correlation (2020) between order price and the
+    customer's account balance, per segment: sort by X, take the Y-ranks'
+    adjacent variation — ξ = 1 − 3·Σ|r_{i+1}−r_i|/(n²−1) — the rank
+    coefficient that detects ARBITRARY functional dependence (not just
+    monotone like [[stats_spearman]]/[[stats_kendall_tau]]): ξ≈0 for
+    independence, →1 as Y becomes a function of X, even a sine.
+
+    Determinism: PURE int64 — the Y-rank is the ≤-count (a RANGE-frame
+    COUNT, so ties share it exactly in both engines), the X-order is the
+    total order (x, orderkey) (Chatterjee's random tie-breaking replaced
+    by a deterministic one — documented variant), and the final expression
+    is one non-negative-guarded... ξ can be slightly negative under
+    independence: the subtraction stays exact because BOTH operands of the
+    single // are non-negative (3·S·1e6 and n²−1) — the negativity lives
+    in the integer subtraction, never in a division.
+
+    Scale: two windows per segment (a value-range rank and an ordered
+    lead), then a partial+final aggregate — shuffles only on segment.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("x"),
+        F.expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)").alias("y"),
+    )
+    wy = (
+        Window.partitionBy("segment")
+        .orderBy("y")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("segment")
+    ranked = base.select(
+        "segment",
+        "o_orderkey",
+        "x",
+        F.count(F.lit(1)).over(wy).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    wx = Window.partitionBy("segment").orderBy("x", "o_orderkey")
+    seq = ranked.select(
+        "segment", "n", "r", F.lead("r").over(wx).alias("r_next")
+    )
+    s = (
+        seq.filter(F.col("r_next").isNotNull())
+        .groupBy("segment")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum(F.abs(F.col("r_next") - F.col("r"))).cast("long").alias("s_sum"),
+        )
+    )
+    return s.select(
+        "segment",
+        "n",
+        "s_sum",
+        F.expr(
+            """CASE WHEN n < 2 THEN NULL
+                    ELSE 1000000 - (3 * s_sum * 1000000) DIV (n * n - 1) END"""
+        ).alias("xi_micro"),
+    ).orderBy("segment")

@@ -774,3 +774,77 @@ def win_rolling_slope(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+# -------------------------------------------------------- decayed sum
+
+_DECAY_SQL = """
+WITH mx AS (
+  SELECT CAST(MAX(CAST(ts AS DATE)) AS DATE) AS max_day
+  FROM events WHERE ts IS NOT NULL
+),
+aged AS (
+  SELECT e.user_id,
+         CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) AS cents,
+         LEAST(date_diff('day', CAST(e.ts AS DATE), mx.max_day) // 7, 62)
+           AS half_lives
+  FROM events e, mx
+  WHERE e.value IS NOT NULL AND e.ts IS NOT NULL AND e.user_id IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents >> CAST(half_lives AS INT)) AS BIGINT) AS decayed_cents,
+       CAST(SUM(cents) AS BIGINT) AS raw_cents
+FROM aged
+GROUP BY user_id
+ORDER BY decayed_cents DESC, user_id
+LIMIT 20
+"""
+
+
+@register("win_decayed_sum", oracle=_DECAY_SQL, tier="T2")
+def win_decayed_sum(spark, sf_dir):
+    """Exponentially-decayed engagement value per user (half-life = 7
+    days): each event contributes value·2^(−⌊age/7⌋) relative to the
+    corpus's latest day — the recency-weighted score behind decayed LTV
+    and trending-content ranking, where last week counts double vs the
+    week before. Top-20 users by decayed value, raw total alongside.
+
+    Determinism: ZERO floats — the decay is a RIGHT SHIFT of exact int64
+    cents by the integer half-life count (shift ≡ floor-divide by 2^k on
+    non-negative operands, identical in both engines), capped at 62 to
+    stay in-range at any horizon. The continuous-decay variant (e^{−λt})
+    is [[ts_ewma]]'s fold; the shift spelling keeps the key
+    aggregate-only.
+
+    Scale: the global max day is the audited broadcast 1-row scalar
+    crossjoin (seq_rfm_scores' shape); everything else is one
+    partial+final aggregate on user — the decayed contribution is
+    computed IN the map side, so re-aggregation over time windows stays
+    mergeable.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    mx = e.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    aged = e.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.expr(
+            "LEAST(datediff(max_day, CAST(ts AS DATE)) DIV 7, 62)"
+        ).alias("half_lives"),
+    )
+    return (
+        aged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.expr("shiftright(cents, CAST(half_lives AS INT))"))
+            .cast("long")
+            .alias("decayed_cents"),
+            F.sum("cents").cast("long").alias("raw_cents"),
+        )
+        .orderBy(F.col("decayed_cents").desc(), "user_id")
+        .limit(20)
+    )

@@ -331,6 +331,7 @@ BNLJ_ALLOWED = {
     "seq_cohort_ltv",  # broadcast 1-row min-date crossjoin
     "seq_growth_accounting",  # broadcast 1-row min-date crossjoin
     "seq_rfm_scores",  # broadcast 1-row max-ts crossjoin
+    "win_decayed_sum",  # broadcast 1-row max-day crossjoin (decay anchor)
     "stats_chisq_gof",  # broadcast 1-row n crossjoin
     "stats_ljung_box",  # broadcast 1-row n/c0/Q-sum scalar crossjoins
     "text_js_divergence",  # broadcast 1-row totals/JS-sum scalar crossjoins
