@@ -1,0 +1,110 @@
+"""Property test for stats_xi_correlation: tie-dense (x, y) scatters must
+produce the SAME Chatterjee ξ in Spark, in the registered DuckDB oracle, and
+in a pure-Python reference — pinning the ≤-count rank under y-ties, the
+deterministic (x, orderkey) ordering under x-ties (replacing Chatterjee's
+random tie-break), and the exact integer assembly. Also asserts the
+statistical contract on constructed cases: ξ → 1 when y is a function of x.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# (x_dollars, y_dollars) drawn from tiny ranges => dense ties in both axes
+_row = st.tuples(st.integers(min_value=0, max_value=5), st.integers(min_value=0, max_value=5))
+_segment = st.lists(_row, min_size=2, max_size=30)
+_scenario = st.lists(_segment, min_size=1, max_size=3)
+
+
+def _materialize(case, tmpdir):
+    custs, orders = [], []
+    ok = 0
+    for ci, rows in enumerate(case, start=1):
+        for x, y in rows:
+            ok += 1
+            # one customer per order so each order carries its own y
+            custs.append(
+                {
+                    "c_custkey": ok,
+                    "c_mktsegment": f"S{ci}",
+                    "c_acctbal": float(y),
+                }
+            )
+            orders.append(
+                {"o_orderkey": ok, "o_custkey": ok, "o_totalprice": float(x)}
+            )
+    cpdf = pd.DataFrame(custs)
+    opdf = pd.DataFrame(orders)
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM cpdf) TO '{tmpdir}/customer.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM opdf) TO '{tmpdir}/orders.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+
+
+def _ref(case):
+    out = {}
+    ok = 0
+    for ci, rows in enumerate(case, start=1):
+        pts = []
+        for x, y in rows:
+            ok += 1
+            pts.append((100 * x, ok, 100 * y))
+        ys = [y for _, _, y in pts]
+        n = len(pts)
+        ranks = {key: sum(1 for v in ys if v <= y) for (x, key, y) in pts}
+        seq = sorted(pts, key=lambda t: (t[0], t[1]))
+        s = sum(
+            abs(ranks[seq[i + 1][1]] - ranks[seq[i][1]])
+            for i in range(n - 1)
+        )
+        xi = None if n < 2 else 1_000_000 - (3 * s * 1_000_000) // (n * n - 1)
+        out[f"S{ci}"] = (n, s, xi)
+    return out
+
+
+@pytest.fixture(scope="module")
+def q():
+    from swallow_spark.registry import all_queries
+
+    return all_queries()["stats_xi_correlation"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(_scenario)
+def test_xi_spark_duckdb_reference_agree(spark, q, tmp_path_factory, case):
+    tmpdir = str(tmp_path_factory.mktemp("xi"))
+    _materialize(case, tmpdir)
+    want = _ref(case)
+
+    got_spark = {
+        r.segment: (r.n, r.s_sum, r.xi_micro)
+        for r in q.fn(spark, tmpdir).collect()
+    }
+    assert got_spark == want
+
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmpdir}/{t}.parquet')"
+        )
+    got_duck = {r[0]: (r[1], r[2], r[3]) for r in con.sql(q.oracle).fetchall()}
+    con.close()
+    assert got_duck == want
+
+
+def test_xi_functional_dependence_approaches_one(spark, q, tmp_path_factory):
+    """y = (x % 7)² is a deterministic non-monotone function of x: ξ must be
+    high (→1 as n grows) where Spearman would sit near zero."""
+    tmpdir = str(tmp_path_factory.mktemp("xifn"))
+    case = [[(x % 7, (x % 7) ** 2 % 6) for x in range(30)]]
+    _materialize(case, tmpdir)
+    r = {row.segment: row.xi_micro for row in q.fn(spark, tmpdir).collect()}
+    assert r["S1"] > 500_000
