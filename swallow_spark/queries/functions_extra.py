@@ -157,7 +157,7 @@ def fn_variant(spark, sf_dir):
     "fn_xml",
     oracle="""
 SELECT o_orderkey, o_orderstatus, o_totalprice
-FROM orders
+FROM orders WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
 """,
     tier="T2",
 )
@@ -166,8 +166,12 @@ def fn_xml(spark, sf_dir):
     back with from_xml into a typed struct — the adapter shape for
     XML-bearing sources. The oracle is the round-trip identity: parsed
     fields must equal the original columns exactly (Java double→string is
-    shortest-exact, so the double survives the text round trip)."""
-    o = load(spark, sf_dir, "orders")
+    shortest-exact, so the double survives the text round trip). NULL
+    fields are excluded up front: concat() nulls the whole fragment, which
+    is a serializer-side choice, not a round-trip property."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderstatus").isNotNull()
+    )
     xml = F.concat(
         F.lit("<row><o_orderkey>"), F.col("o_orderkey"),
         F.lit("</o_orderkey><o_orderstatus>"), F.col("o_orderstatus"),

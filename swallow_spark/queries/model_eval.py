@@ -36,6 +36,7 @@ WITH base AS (
          CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS s,
          CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_totalprice IS NOT NULL
 ),
 g AS (
   SELECT segment, s,
@@ -79,7 +80,9 @@ def stats_auc_roc(spark, sf_dir):
     prices| per segment, not row count); customer dim broadcast; everything
     else is partial+final aggregation of the fact stream.
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     c = load(spark, sf_dir, "customer")
     base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
@@ -122,6 +125,7 @@ WITH base AS (
          o.o_orderkey AS k,
          CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_totalprice IS NOT NULL
 ),
 d AS (
   SELECT segment, pos,
@@ -170,7 +174,9 @@ def stats_lift_deciles(spark, sf_dir):
     distinct scores, assign bins by cumulative count — the AUC trick);
     the lift windows run over the 10-row-per-segment bin table.
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     c = load(spark, sf_dir, "customer")
     base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
@@ -420,6 +426,7 @@ WITH base AS (
          CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS s,
          CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_totalprice IS NOT NULL
 ),
 g AS (
   SELECT segment, s,
@@ -467,7 +474,9 @@ def stats_auc_pr(spark, sf_dir):
     distinct-score table, customer dim broadcast, one partial+final
     aggregate per stage.
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     c = load(spark, sf_dir, "customer")
     base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
@@ -512,6 +521,7 @@ WITH base AS (
          CAST(FLOOR(o.o_totalprice + 0.5) AS BIGINT) AS x,
          CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS grp
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_totalprice IS NOT NULL
 ),
 s AS (
   SELECT segment,
@@ -564,7 +574,9 @@ def stats_effect_sizes(spark, sf_dir):
     Scale: single map-side-combinable aggregate over the broadcast-joined
     scan; one row per segment crosses the shuffle.
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     c = load(spark, sf_dir, "customer")
     base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),

@@ -703,7 +703,8 @@ def sql_star_except(spark, sf_dir):
 WITH base AS (
   SELECT o_orderstatus, o_orderpriority,
          CAST(COUNT(*) AS BIGINT) AS n
-  FROM orders GROUP BY o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderpriority IS NOT NULL
+  GROUP BY o_orderstatus, o_orderpriority
 )
 SELECT * FROM base
 ORDER BY o_orderstatus, o_orderpriority, n
@@ -729,6 +730,7 @@ def sql_order_by_all(spark, sf_dir):
         """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         FROM orders_oball
+        WHERE o_orderpriority IS NOT NULL
         GROUP BY o_orderstatus, o_orderpriority
         ORDER BY ALL
         LIMIT 7

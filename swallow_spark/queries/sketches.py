@@ -302,7 +302,7 @@ _LOG2H_SQL = """
 WITH b AS (
   SELECT length(bin(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))) - 1
            AS bucket
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 ),
 h AS (
   SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -339,7 +339,9 @@ def sketch_log2_histogram(spark, sf_dir):
     aggregate + windowed cumsum over ≤ 64 rows — the cheapest quantile
     sketch that exists, and the merge story is a bucket-wise SUM.
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     b = o.select(
         (
             F.length(F.bin(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")))

@@ -547,7 +547,7 @@ WITH s AS (
   SELECT o_orderpriority AS grp,
          CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
          CAST(COUNT(*) AS BIGINT) AS c
-  FROM orders GROUP BY 1, 2
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
 ),
 cum AS (
   SELECT grp, v, c,
@@ -589,7 +589,9 @@ def agg_gini(spark, sf_dir):
     per group (not raw rows), so the per-group sort input is |distinct|
     and everything else is map-side combinable.
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     s = o.groupBy(
         F.col("o_orderpriority").alias("grp"),
         F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("v"),
@@ -2541,6 +2543,7 @@ WITH base AS (
          CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS s,
          CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_totalprice IS NOT NULL
 ),
 g AS (
   SELECT segment, s, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -2594,7 +2597,9 @@ def stats_best_split(spark, sf_dir):
     not rows); the argmax is a per-segment top-1 window, pushed down as
     WindowGroupLimit.
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     c = load(spark, sf_dir, "customer")
     base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
@@ -3074,6 +3079,7 @@ WITH base AS (
          CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS s,
          CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_totalprice IS NOT NULL
 ),
 ranked AS (
   SELECT segment, y,
@@ -3112,7 +3118,9 @@ def stats_brier_score(spark, sf_dir):
     Scale: one rank window per segment over the broadcast-joined scan,
     then a partial+final aggregate — the stats_auc_roc shape.
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     c = load(spark, sf_dir, "customer")
     base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
@@ -3152,6 +3160,7 @@ WITH base AS (
          CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS x,
          CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) AS y
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_totalprice IS NOT NULL AND c.c_acctbal IS NOT NULL
 ),
 ranked AS (
   SELECT segment, o_orderkey, x,
@@ -3201,8 +3210,12 @@ def stats_xi_correlation(spark, sf_dir):
     Scale: two windows per segment (a value-range rank and an ordered
     lead), then a partial+final aggregate — shuffles only on segment.
     """
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull()
+    )
     base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
         "o_orderkey",

@@ -383,7 +383,7 @@ WITH daily AS (
   SELECT DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS mon,
          CAST(o_orderdate AS DATE) AS day,
          SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
-  FROM orders GROUP BY 1, 2
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
 )
 SELECT day, CAST(cents AS BIGINT) AS cents,
        CASE
@@ -429,7 +429,9 @@ def udf_window_weighted_ma(spark, sf_dir):
         wts = np.arange(1, len(a) + 1, dtype="int64")
         return float(int((a * wts).sum())) / float(int(wts.sum()))
 
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     daily = o.groupBy(
         F.trunc(F.col("o_orderdate").cast("date"), "month").alias("mon"),
         F.col("o_orderdate").cast("date").alias("day"),

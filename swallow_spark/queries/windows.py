@@ -329,7 +329,7 @@ def win_pct_of_total(spark, sf_dir):
     oracle="""
 SELECT o_custkey, o_orderkey,
        cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd
-FROM orders WHERE o_custkey < 100
+FROM orders WHERE o_custkey < 100 AND o_totalprice IS NOT NULL
 """,
     tier="T2",
 )
@@ -342,7 +342,9 @@ def win_cume_dist(spark, sf_dir):
     Scale note: same single sort-per-partition as rank(); the custkey
     filter is pushed to the scan so the window input is already pruned.
     """
-    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_custkey") < 100) & F.col("o_totalprice").isNotNull()
+    )
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
     return o.select(
         "o_custkey", "o_orderkey", F.cume_dist().over(w).alias("cd")
