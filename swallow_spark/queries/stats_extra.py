@@ -3256,3 +3256,89 @@ def stats_xi_correlation(spark, sf_dir):
                     ELSE 1000000 - (3 * s_sum * 1000000) DIV (n * n - 1) END"""
         ).alias("xi_micro"),
     ).orderBy("segment")
+
+
+# ------------------------------------------------------------ Cohen's kappa
+
+_KAPPA_SQL = """
+WITH rated AS (
+  SELECT CASE WHEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   >= 25000000 THEN 1 ELSE 0 END AS a,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS b
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+         CAST(SUM(a) AS BIGINT) AS a1,
+         CAST(SUM(b) AS BIGINT) AS b1
+  FROM rated
+)
+SELECT n, agree, a1, b1,
+       CASE WHEN n * n - (a1 * b1 + (n - a1) * (n - b1)) = 0 THEN NULL
+            WHEN n * agree - (a1 * b1 + (n - a1) * (n - b1)) >= 0
+              THEN CAST(((n * agree - (a1 * b1 + (n - a1) * (n - b1)))
+                         * 1000000)
+                        // (n * n - (a1 * b1 + (n - a1) * (n - b1)))
+                        AS BIGINT)
+            ELSE CAST(-(((a1 * b1 + (n - a1) * (n - b1)) - n * agree)
+                        * 1000000
+                        // (n * n - (a1 * b1 + (n - a1) * (n - b1))))
+                      AS BIGINT)
+       END AS kappa_micro
+FROM s
+"""
+
+
+@register("stats_cohens_kappa", oracle=_KAPPA_SQL, tier="T2")
+def stats_cohens_kappa(spark, sf_dir):
+    """Cohen's κ agreement between two deterministic binary "raters" on
+    each order — rater A: price ≥ $250k, rater B: finished status — the
+    chance-corrected agreement used to validate labelers and weak
+    supervisors: κ = (p_o − p_e)/(1 − p_e), where p_e comes from the
+    raters' marginals.
+
+    Determinism: PURE int64 — clearing denominators gives
+    κ = (n·agree − E) / (n² − E) with E = a₁b₁ + (n−a₁)(n−b₁), all exact
+    integer products (n ≤ 1.5e5 ⇒ n² ≤ 2.3e10; ·1e6 ≤ 2.3e16 < 2^63); the
+    single division is negation-guarded because κ < 0 means
+    worse-than-chance (the Spark-DIV/DuckDB-// negative divergence).
+    NULL prices are excluded up front (the null-order probe rule).
+
+    Scale: one partial+final aggregate; four longs cross the shuffle.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    rated = o.select(
+        F.expr(
+            """CASE WHEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                    >= 25000000 THEN 1 ELSE 0 END"""
+        ).alias("a"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("b"),
+    )
+    s = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+        F.sum("a").cast("long").alias("a1"),
+        F.sum("b").cast("long").alias("b1"),
+    )
+    return s.select(
+        "n",
+        "agree",
+        "a1",
+        "b1",
+        F.expr(
+            """CASE WHEN n * n - (a1 * b1 + (n - a1) * (n - b1)) = 0 THEN NULL
+                    WHEN n * agree - (a1 * b1 + (n - a1) * (n - b1)) >= 0
+                      THEN CAST(((n * agree - (a1 * b1 + (n - a1) * (n - b1)))
+                                 * 1000000)
+                                DIV (n * n - (a1 * b1 + (n - a1) * (n - b1)))
+                                AS BIGINT)
+                    ELSE CAST(-(((a1 * b1 + (n - a1) * (n - b1)) - n * agree)
+                                * 1000000
+                                DIV (n * n - (a1 * b1 + (n - a1) * (n - b1))))
+                              AS BIGINT)
+               END"""
+        ).alias("kappa_micro"),
+    )
