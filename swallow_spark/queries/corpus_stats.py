@@ -369,3 +369,66 @@ def text_mattr_diversity(spark, sf_dir):
         .orderBy("mattr_micro", "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------- hapax ratio
+
+_HAPAX_SQL = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+freq AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS f
+  FROM tok WHERE token <> '' GROUP BY lang, token
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(SUM(f) AS BIGINT) AS tokens,
+       CASE WHEN COUNT(*) = 0 THEN NULL
+            ELSE (CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  * 1000000) // COUNT(*) END AS hapax_ratio_micro
+FROM freq
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_hapax_ratio", oracle=_HAPAX_SQL, tier="T2")
+def text_hapax_ratio(spark, sf_dir):
+    """Hapax legomena ratio per language: the fraction of vocabulary seen
+    exactly once — high hapax share means productive/natural text (or OCR
+    noise); near-zero means a closed template vocabulary. The pointwise
+    companion to [[text_vocab_growth]]'s Heaps-law curve and a standard
+    corpus-health column next to [[text_zipf_slope]].
+
+    Determinism: PURE int64 — frequency table, an exact =1 count, and one
+    truncating DIV on non-negative operands.
+
+    Scale: one partial+final aggregate on (lang, token) then a per-lang
+    rollup — the token explode feeds straight into map-side combine.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    freq = (
+        d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    return (
+        freq.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+            F.sum("f").cast("long").alias("tokens"),
+            F.expr(
+                """CASE WHEN COUNT(*) = 0 THEN NULL
+                        ELSE (CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                                   AS BIGINT) * 1000000) DIV COUNT(*) END"""
+            ).alias("hapax_ratio_micro"),
+        )
+        .orderBy("lang")
+    )

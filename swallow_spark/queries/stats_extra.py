@@ -3342,3 +3342,73 @@ def stats_cohens_kappa(spark, sf_dir):
                END"""
         ).alias("kappa_micro"),
     )
+
+
+# ------------------------------------------------------------ Theil index
+
+_THEIL_SQL = """
+WITH v AS (
+  SELECT o_orderpriority AS grp,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+),
+s AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * CAST(FLOOR(ln(CAST(x AS DOUBLE)) * 1000) AS BIGINT))
+              AS BIGINT) AS sxl
+  FROM v GROUP BY grp
+)
+SELECT grp AS o_orderpriority, n,
+       (sxl // sx)
+         - CAST(FLOOR(ln(CAST(sx AS DOUBLE)) * 1000) AS BIGINT)
+         + CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000) AS BIGINT)
+         AS theil_milli
+FROM s
+ORDER BY grp
+"""
+
+
+@register("stats_theil_index", oracle=_THEIL_SQL, tier="T2")
+def stats_theil_index(spark, sf_dir):
+    """Theil T inequality index of order value per priority class — the
+    entropy-based inequality measure that, unlike [[agg_gini]], decomposes
+    exactly into within-group + between-group terms (the reason economists
+    carry both): T = Σ(x/μ)ln(x/μ)/n = (Σ x·ln x)/S − ln S + ln n.
+
+    Determinism: each x's log is floored to int64 MILLI-nats BEFORE the
+    x-weighted sum (micro would overflow: Σ x·lnq_µ(x) ≈ 1.4e20 at sf0.1;
+    milli keeps it ≤ 1.4e17), the normalization is one truncating DIV on
+    non-negative operands, and the two corrective logs are single
+    quantized calls. Zero/NULL values excluded explicitly (ln domain).
+
+    Scale: one partial+final aggregate per group; three longs per group
+    cross the shuffle.
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0)
+    )
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("x"),
+    )
+    s = v.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(
+            F.col("x")
+            * F.floor(F.log(F.col("x").cast("double")) * 1000).cast("long")
+        )
+        .cast("long")
+        .alias("sxl"),
+    )
+    return s.select(
+        F.col("grp").alias("o_orderpriority"),
+        "n",
+        F.expr(
+            """(sxl DIV sx)
+               - CAST(FLOOR(ln(CAST(sx AS DOUBLE)) * 1000) AS BIGINT)
+               + CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000) AS BIGINT)"""
+        ).alias("theil_milli"),
+    ).orderBy("o_orderpriority")

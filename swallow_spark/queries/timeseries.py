@@ -2999,3 +2999,77 @@ def ts_sample_entropy(spark, sf_dir):
         "a_matches",
         "sampen_micro",
     )
+
+
+# ---------------------------------------------------------- record highs
+
+_RECORDS_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+),
+run AS (
+  SELECT day, v,
+         CAST(MAX(v) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS BIGINT) AS prev_max
+  FROM daily
+)
+SELECT day, v, prev_max,
+       CASE WHEN prev_max IS NULL OR v > prev_max THEN 1 ELSE 0 END
+         AS is_record,
+       CAST(SUM(CASE WHEN prev_max IS NULL OR v > prev_max THEN 1 ELSE 0 END)
+            OVER (ORDER BY day) AS BIGINT) AS records_to_date
+FROM run
+WHERE prev_max IS NULL OR v > prev_max
+ORDER BY day
+"""
+
+
+@register("ts_record_highs", oracle=_RECORDS_SQL, tier="T2")
+def ts_record_highs(spark, sf_dir):
+    """Record-breaking days: each day whose total strictly exceeds every
+    previous day's, with the running record count — the "new all-time
+    high" stream behind alerting and trend narratives. Under an i.i.d.
+    series the expected count is harmonic (~ln n), so a surplus of records
+    IS the trend signal ([[ts_mann_kendall]]'s cousin via record
+    statistics).
+
+    Determinism: pure int64 — the prior peak is a rows-frame running MAX
+    ending 1 PRECEDING (so ties are NOT records — strictness spelled the
+    same both sides), day one is a record by convention on both sides.
+
+    Scale: the day table is driver-scale after one partial+final
+    aggregate; the single ordered window is over |days| rows (partition by
+    series id for many series, as win_rolling_slope does).
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("v")
+    )
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    wrun = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = daily.select(
+        "day", "v", F.max("v").over(wprev).cast("long").alias("prev_max")
+    )
+    flagged = run.select(
+        "day",
+        "v",
+        "prev_max",
+        F.when(
+            F.col("prev_max").isNull() | (F.col("v") > F.col("prev_max")), 1
+        )
+        .otherwise(0)
+        .alias("is_record"),
+    ).withColumn(
+        "records_to_date", F.sum("is_record").over(wrun).cast("long")
+    )
+    return flagged.filter(F.col("is_record") == 1).orderBy("day")
