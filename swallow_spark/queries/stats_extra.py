@@ -3412,3 +3412,129 @@ def stats_theil_index(spark, sf_dir):
                + CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000) AS BIGINT)"""
         ).alias("theil_milli"),
     ).orderBy("o_orderpriority")
+
+
+# ------------------------------------------------------------ log-rank test
+
+_LOGRANK_SQL = """
+WITH subj AS (
+  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        DATE '2001-08-01') AS BIGINT) AS t,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS e
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_orderdate IS NOT NULL
+),
+per_t AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN g = 1 AND e = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d1,
+         CAST(SUM(e) AS BIGINT) AS d
+  FROM subj GROUP BY t
+),
+risk AS (
+  SELECT t, d1, d,
+         CAST(SUM(c1) OVER (ORDER BY t DESC) AS BIGINT) AS n1,
+         CAST(SUM(ct) OVER (ORDER BY t DESC) AS BIGINT) AS n
+  FROM per_t
+),
+terms AS (
+  SELECT d1,
+         CAST(FLOOR(CAST(d AS DOUBLE) * n1 / n * 1000000000) AS BIGINT)
+           AS e1_nano,
+         CASE WHEN n <= 1 THEN 0
+              ELSE CAST(FLOOR(CAST(d AS DOUBLE) * n1 * (n - n1) * (n - d)
+                              / (CAST(n AS DOUBLE) * n * (n - 1))
+                              * 1000000000) AS BIGINT) END AS v_nano
+  FROM risk WHERE d > 0
+)
+SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+       CAST(SUM(e1_nano) AS BIGINT) AS e1_nano,
+       CAST(SUM(v_nano) AS BIGINT) AS v_nano,
+       CASE WHEN SUM(v_nano) = 0 THEN NULL
+            ELSE CAST(FLOOR(
+              (CAST(SUM(d1) AS DOUBLE) - CAST(SUM(e1_nano) AS DOUBLE) / 1000000000)
+              * (CAST(SUM(d1) AS DOUBLE) - CAST(SUM(e1_nano) AS DOUBLE) / 1000000000)
+              / (CAST(SUM(v_nano) AS DOUBLE) / 1000000000)
+              * 1000000) AS BIGINT) END AS chisq_micro
+FROM terms
+"""
+
+
+@register("stats_log_rank_test", oracle=_LOGRANK_SQL, tier="T2")
+def stats_log_rank_test(spark, sf_dir):
+    """Log-rank (Mantel-Cox) test comparing the BUILDING segment's
+    time-to-completion curve against everyone else's: at each event time
+    the observed group-1 completions are compared to the hypergeometric
+    expectation given the at-risk sets, χ² = (ΣO−ΣE)²/ΣV — the standard
+    two-curve companion to [[stats_survival_km]] (duration = days from
+    order date to the fixture horizon; event = finished status).
+
+    Determinism: at-risk sets are exact descending cumulative int64
+    counts over the distinct-time table; each time's E and V terms are
+    ONE identically-spelled double expression floored to NANO-units
+    BEFORE the cross-time sums (the stats_psi_drift rule — V's exact
+    rational would need ~2^90); the final χ² assembly is one identical
+    double expression. Single-subject times (n ≤ 1) contribute V = 0 on
+    both sides.
+
+    Scale: one partial+final aggregate onto the distinct-time table
+    (|days| rows — driver-scale), two descending windows, a 1-row fold.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    c = load(spark, sf_dir, "customer")
+    subj = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("g"),
+        F.expr(
+            "CAST(datediff(DATE '2001-08-01', CAST(o_orderdate AS DATE))"
+            " AS BIGINT)"
+        ).alias("t"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("e"),
+    )
+    per_t = subj.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("ct"),
+        F.sum(F.when((F.col("g") == 1) & (F.col("e") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum("e").cast("long").alias("d"),
+    )
+    wdesc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select(
+        "t",
+        "d1",
+        "d",
+        F.sum("c1").over(wdesc).cast("long").alias("n1"),
+        F.sum("ct").over(wdesc).cast("long").alias("n"),
+    )
+    terms = risk.filter(F.col("d") > 0).select(
+        "d1",
+        F.expr(
+            "CAST(FLOOR(CAST(d AS DOUBLE) * n1 / n * 1000000000) AS BIGINT)"
+        ).alias("e1_nano"),
+        F.expr(
+            """CASE WHEN n <= 1 THEN 0
+                    ELSE CAST(FLOOR(CAST(d AS DOUBLE) * n1 * (n - n1) * (n - d)
+                                    / (CAST(n AS DOUBLE) * n * (n - 1))
+                                    * 1000000000) AS BIGINT) END"""
+        ).alias("v_nano"),
+    )
+    return terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1_nano").cast("long").alias("e1_nano"),
+        F.sum("v_nano").cast("long").alias("v_nano"),
+        F.expr(
+            """CASE WHEN SUM(v_nano) = 0 THEN NULL
+                    ELSE CAST(FLOOR(
+                      (CAST(SUM(d1) AS DOUBLE)
+                         - CAST(SUM(e1_nano) AS DOUBLE) / 1000000000)
+                      * (CAST(SUM(d1) AS DOUBLE)
+                         - CAST(SUM(e1_nano) AS DOUBLE) / 1000000000)
+                      / (CAST(SUM(v_nano) AS DOUBLE) / 1000000000)
+                      * 1000000) AS BIGINT) END"""
+        ).alias("chisq_micro"),
+    )

@@ -3073,3 +3073,87 @@ def ts_record_highs(spark, sf_dir):
         "records_to_date", F.sum("is_record").over(wrun).cast("long")
     )
     return flagged.filter(F.col("is_record") == 1).orderBy("day")
+
+
+# -------------------------------------------------------- turning points
+
+_TURNS_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+),
+ctx AS (
+  SELECT v,
+         lag(v) OVER (ORDER BY day) AS p,
+         lead(v) OVER (ORDER BY day) AS nx
+  FROM daily
+),
+t AS (
+  SELECT CASE WHEN (v > p AND v > nx) OR (v < p AND v < nx)
+              THEN 1 ELSE 0 END AS turn
+  FROM ctx WHERE p IS NOT NULL AND nx IS NOT NULL
+)
+SELECT CAST(COUNT(*) + 2 AS BIGINT) AS n_days,
+       CAST(SUM(turn) AS BIGINT) AS n_turns,
+       (2 * (COUNT(*) + 2 - 2) * 1000000) // 3 AS expected_micro,
+       CASE WHEN 16 * (COUNT(*) + 2) - 29 <= 0 THEN NULL
+            ELSE CAST(FLOOR(
+              (CAST(SUM(turn) AS DOUBLE)
+                 - 2.0 * (COUNT(*) + 2 - 2) / 3.0)
+              / sqrt((16.0 * (COUNT(*) + 2) - 29.0) / 90.0)
+              * 1000000) AS BIGINT) END AS z_micro
+FROM t
+"""
+
+
+@register("ts_turning_points", oracle=_TURNS_SQL, tier="T2")
+def ts_turning_points(spark, sf_dir):
+    """Turning-point test of the daily event-value series: count strict
+    local extrema; an i.i.d. series has E[T] = 2(n−2)/3 and
+    Var[T] = (16n−29)/90, so the standardized excess is a quick
+    randomness-vs-smoothness check — too few turns means trend/momentum
+    (cf. [[ts_mann_kendall]]), too many means oscillation. Strictness makes
+    tie plateaus contribute nothing, identically in both engines.
+
+    Determinism: turns are pure integer comparisons; the expectation is
+    exact integer micro-units; the z-score is ONE identically-spelled
+    double expression (subtract, divide, IEEE sqrt) floored to micro.
+
+    Scale: day table is driver-scale after one partial+final aggregate;
+    one ordered window over |days| rows.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("v")
+    )
+    wo = Window.orderBy("day")
+    ctx = daily.select(
+        "v", F.lag("v").over(wo).alias("p"), F.lead("v").over(wo).alias("nx")
+    ).filter(F.col("p").isNotNull() & F.col("nx").isNotNull())
+    t = ctx.select(
+        F.expr(
+            """CASE WHEN (v > p AND v > nx) OR (v < p AND v < nx)
+                    THEN 1 ELSE 0 END"""
+        ).alias("turn")
+    )
+    return t.agg(
+        (F.count(F.lit(1)) + 2).cast("long").alias("n_days"),
+        F.sum("turn").cast("long").alias("n_turns"),
+        F.expr("(2 * (COUNT(*) + 2 - 2) * 1000000) DIV 3").alias(
+            "expected_micro"
+        ),
+        F.expr(
+            """CASE WHEN 16 * (COUNT(*) + 2) - 29 <= 0 THEN NULL
+                    ELSE CAST(FLOOR(
+                      (CAST(SUM(turn) AS DOUBLE)
+                         - 2.0 * (COUNT(*) + 2 - 2) / 3.0)
+                      / sqrt((16.0 * (COUNT(*) + 2) - 29.0) / 90.0)
+                      * 1000000) AS BIGINT) END"""
+        ).alias("z_micro"),
+    )
