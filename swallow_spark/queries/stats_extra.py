@@ -3167,23 +3167,29 @@ ranked AS (
          CAST(COUNT(*) OVER (PARTITION BY segment ORDER BY y
                              RANGE BETWEEN UNBOUNDED PRECEDING
                                        AND CURRENT ROW) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY segment ORDER BY y
+                             RANGE BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING) AS BIGINT) AS l,
          CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
   FROM base
 ),
 seq AS (
-  SELECT segment, n, r,
+  SELECT segment, n, r, l,
          lead(r) OVER (PARTITION BY segment ORDER BY x, o_orderkey) AS r_next
   FROM ranked
 ),
 s AS (
   SELECT segment, CAST(MAX(n) AS BIGINT) AS n,
-         CAST(SUM(abs(r_next - r)) AS BIGINT) AS s_sum
-  FROM seq WHERE r_next IS NOT NULL
+         CAST(SUM(CASE WHEN r_next IS NULL THEN 0
+                       ELSE abs(r_next - r) END) AS BIGINT) AS s_sum,
+         CAST(SUM(l * (n - l)) AS BIGINT) AS t_sum
+  FROM seq
   GROUP BY segment
 )
-SELECT segment, n, s_sum,
-       CASE WHEN n < 2 THEN NULL
-            ELSE 1000000 - (3 * s_sum * 1000000) // (n * n - 1) END AS xi_micro
+SELECT segment, n, s_sum, t_sum,
+       CASE WHEN n < 2 OR (2 * t_sum) // n = 0 THEN NULL
+            ELSE 1000000 - (s_sum * 1000000) // ((2 * t_sum) // n)
+       END AS xi_micro
 FROM s
 ORDER BY segment
 """
@@ -3192,23 +3198,33 @@ ORDER BY segment
 @register("stats_xi_correlation", oracle=_XI_SQL, tier="T2")
 def stats_xi_correlation(spark, sf_dir):
     """Chatterjee's ξ correlation (2020) between order price and the
-    customer's account balance, per segment: sort by X, take the Y-ranks'
-    adjacent variation — ξ = 1 − 3·Σ|r_{i+1}−r_i|/(n²−1) — the rank
-    coefficient that detects ARBITRARY functional dependence (not just
-    monotone like [[stats_spearman]]/[[stats_kendall_tau]]): ξ≈0 for
-    independence, →1 as Y becomes a function of X, even a sine.
+    customer's account balance, per segment, with the TIE-CORRECTED
+    normalization: sort by X, take the Y-ranks' adjacent variation —
+    ξ = 1 − n·Σ|r_{i+1}−r_i| / (2·Σ l_i(n−l_i)), where r_i = #{y_j ≤ y_i}
+    and l_i = #{y_j ≥ y_i} — the rank coefficient that detects ARBITRARY
+    functional dependence (not just monotone like
+    [[stats_spearman]]/[[stats_kendall_tau]]): ξ≈0 for independence, →1 as
+    Y becomes a function of X, even a sine. With distinct Y the
+    denominator collapses to (n³−n)/3, recovering the tie-free
+    1 − 3S/(n²−1); with dense Y-ties (cents vs cents here) the tie-free
+    form is biased low and cannot reach 1 — the correction restores the
+    →1 contract (property-tested).
 
-    Determinism: PURE int64 — the Y-rank is the ≤-count (a RANGE-frame
-    COUNT, so ties share it exactly in both engines), the X-order is the
-    total order (x, orderkey) (Chatterjee's random tie-breaking replaced
-    by a deterministic one — documented variant), and the final expression
-    is one non-negative-guarded... ξ can be slightly negative under
-    independence: the subtraction stays exact because BOTH operands of the
-    single // are non-negative (3·S·1e6 and n²−1) — the negativity lives
-    in the integer subtraction, never in a division.
+    Determinism: PURE int64 — both Y-counts are RANGE-frame COUNTs (ties
+    share them exactly in both engines), the X-order is the total order
+    (x, orderkey) (Chatterjee's random tie-breaking replaced by a
+    deterministic one — documented variant), and the division is assembled
+    as 1e6 − (S·1e6) // ((2T) DIV n): folding n into the denominator first
+    keeps every operand under 2^63 (n·S·1e6 would overflow at sf≥0.1),
+    at a documented quantization cost of ≤ n/(2T) ≈ 2/n² relative — far
+    below micro resolution for n ≥ 100. Both // operands are non-negative
+    (negation-guard rule): ξ's possible negativity under independence
+    lives in the integer subtraction, never in a division. T = 0 (constant
+    Y) ⇒ ξ undefined ⇒ NULL.
 
-    Scale: two windows per segment (a value-range rank and an ordered
-    lead), then a partial+final aggregate — shuffles only on segment.
+    Scale: three windows per segment (two value-range counts sharing one
+    sort and an ordered lead), then a partial+final aggregate — shuffles
+    only on segment.
     """
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_totalprice").isNotNull()
@@ -3227,33 +3243,47 @@ def stats_xi_correlation(spark, sf_dir):
         .orderBy("y")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wl = (
+        Window.partitionBy("segment")
+        .orderBy("y")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     wn = Window.partitionBy("segment")
     ranked = base.select(
         "segment",
         "o_orderkey",
         "x",
         F.count(F.lit(1)).over(wy).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wl).cast("long").alias("l"),
         F.count(F.lit(1)).over(wn).cast("long").alias("n"),
     )
     wx = Window.partitionBy("segment").orderBy("x", "o_orderkey")
     seq = ranked.select(
-        "segment", "n", "r", F.lead("r").over(wx).alias("r_next")
+        "segment", "n", "r", "l", F.lead("r").over(wx).alias("r_next")
     )
-    s = (
-        seq.filter(F.col("r_next").isNotNull())
-        .groupBy("segment")
-        .agg(
-            F.max("n").cast("long").alias("n"),
-            F.sum(F.abs(F.col("r_next") - F.col("r"))).cast("long").alias("s_sum"),
+    s = seq.groupBy("segment").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("r_next").isNull(), F.lit(0)).otherwise(
+                F.abs(F.col("r_next") - F.col("r"))
+            )
         )
+        .cast("long")
+        .alias("s_sum"),
+        F.sum(F.col("l") * (F.col("n") - F.col("l")))
+        .cast("long")
+        .alias("t_sum"),
     )
     return s.select(
         "segment",
         "n",
         "s_sum",
+        "t_sum",
         F.expr(
-            """CASE WHEN n < 2 THEN NULL
-                    ELSE 1000000 - (3 * s_sum * 1000000) DIV (n * n - 1) END"""
+            """CASE WHEN n < 2 OR (2 * t_sum) DIV n = 0 THEN NULL
+                    ELSE 1000000 - (s_sum * 1000000)
+                                   DIV ((2 * t_sum) DIV n)
+               END"""
         ).alias("xi_micro"),
     ).orderBy("segment")
 

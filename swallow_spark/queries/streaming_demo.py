@@ -536,7 +536,13 @@ def stream_static_enrich(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "stream_static_enrich: AvailableNow drain did not finish "
+                "within 120s — failing loudly instead of reading a "
+                "partially-filled memory sink"
+            )
         rows = spark.table(qname).collect()
         spark.catalog.dropTempView(qname)
         return spark.createDataFrame(

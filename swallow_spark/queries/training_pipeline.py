@@ -181,7 +181,7 @@ chunks AS (
   SELECT doc_id, k.k AS chunk_id,
          LEAST(64, n_tok - k.k * 56) AS c
   FROM deduped,
-       LATERAL (SELECT unnest(generate_series(0, (n_tok - 1) // 56)) AS k) k
+       LATERAL (SELECT unnest(generate_series(0, (n_tok - 9) // 56)) AS k) k
 ),
 packed AS (
   SELECT doc_id, chunk_id, c,
@@ -217,8 +217,13 @@ def pipeline_pretrain_corpus(spark, sf_dir):
     order — is itself reproducible bit-for-bit.
 
     Determinism: zero floats anywhere. Chunk counts are
-    1 + (n_tok−1) DIV 56 with chunk k carrying LEAST(64, n_tok − 56k)
-    tokens; all operands non-negative so DIV ≡ //.
+    1 + (n_tok−9) DIV 56 with chunk k carrying LEAST(64, n_tok − 56k)
+    tokens; all operands non-negative so DIV ≡ // (gate guarantees
+    n_tok ≥ 20 > 9). The −9 stop rule (not −1) drops windows the previous
+    one already covers: window k−1 spans tokens [56(k−1), 56(k−1)+64), so
+    window k only adds tokens when n_tok − 56k > 8 — otherwise a trainer
+    would see a fully-contained duplicate sample and its tokens would be
+    double-counted in shard totals.
 
     Scale: the gate and chunk explode are map-only; dedup shuffles on
     md5(text) (hash-partitioned, the dedup_exact shape); the single
@@ -254,7 +259,7 @@ def pipeline_pretrain_corpus(spark, sf_dir):
     chunks = deduped.select(
         "doc_id",
         F.explode(
-            F.sequence(F.lit(0), F.expr("(n_tok - 1) DIV 56"))
+            F.sequence(F.lit(0), F.expr("(n_tok - 9) DIV 56"))
         ).alias("chunk_id"),
         "n_tok",
     ).select(

@@ -692,50 +692,81 @@ def udf_cogrouped_merge(spark, sf_dir):
     one activity summary; the oracle proves it against a plain FULL OUTER
     JOIN of the two aggregates.
 
-    Determinism inside Python: the conform recipe — np.floor(x*100+0.5)
-    per element (identical IEEE to the engines' FLOOR), NaN-skipping sums
-    (pandas NULLs arrive as NaN; np.nansum ≡ SQL SUM ignoring NULLs, with
-    the all-NULL group coalesced to 0 on both sides), exact int64 outputs.
+    SCALE SHAPE (round-7 rework): cogrouping directly on the customer key
+    fires one Python call PER KEY — ~15k interpreter round-trips at sf0.1,
+    ~9s of pure invocation overhead. Instead both sides cogroup on a
+    256-way HASH SUPER-GROUP pmod(xxhash64(k), 256) and each call regroups
+    its batch per-key VECTORIZED (pandas groupby + outer merge): identical
+    output (the unchanged FULL-OUTER-JOIN oracle pins the rewrite), 256
+    Python calls total, and the per-call work is columnar. This is the
+    general recipe for any high-cardinality cogrouped UDF: coarsen the
+    shuffle key, keep the per-key logic inside the batch. null keys: both
+    engines group NULL keys together (cogroup grouping semantics);
+    pandas reproduces that via groupby(dropna=False) + NaN-matching merge,
+    and the nullable Int64 k column carries the NULL group out.
 
-    Scale note: cogroup is ONE co-partitioned shuffle of each input on k —
-    the same cost as the equivalent join — and the per-key frames are
-    bounded by that customer's rows; this is the escape hatch for merge
-    logic SQL can't express (per-key model scoring over two aligned
-    panels, custom as-of semantics), at join-shaped cost.
+    Determinism inside Python: the conform recipe — np.floor(x*100+0.5)
+    per element (identical IEEE to the engines' FLOOR), NULLs arrive as
+    NaN and contribute 0 via nan_to_num (≡ SQL SUM ignoring NULLs with
+    all-NULL COALESCE 0), per-key cent sums are exact-integer-valued
+    float64 well under 2^53 before the int64 cast.
+
+    Scale note: ONE co-partitioned shuffle of each input on the bucket —
+    the same bytes moved as the per-key shuffle (the payload rows, not the
+    buckets, dominate) — and 256 buckets spread evenly under xxhash64, so
+    no straggler; this is the escape hatch for merge logic SQL can't
+    express (per-key model scoring over two aligned panels, custom as-of
+    semantics), at join-shaped cost.
     """
     import numpy as np
 
-    o = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("k"), "o_totalprice"
+    o = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"), "o_totalprice")
+        .withColumn("b", F.pmod(F.xxhash64("k"), F.lit(256)))
     )
-    e = load(spark, sf_dir, "events").select(
-        F.col("user_id").alias("k"), "value"
+    e = (
+        load(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("k"), "value")
+        .withColumn("b", F.pmod(F.xxhash64("k"), F.lit(256)))
     )
 
+    def _side(df: pd.DataFrame, col: str, cnt: str, tot: str) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "k": pd.Series(dtype="float64"),
+                    cnt: pd.Series(dtype="int64"),
+                    tot: pd.Series(dtype="float64"),
+                }
+            )
+        cents = np.nan_to_num(
+            np.floor(df[col].to_numpy(dtype="float64") * 100 + 0.5)
+        )
+        return (
+            pd.DataFrame({"k": df["k"], "c": cents})
+            .groupby("k", dropna=False, sort=False)
+            .agg(**{cnt: ("c", "size"), tot: ("c", "sum")})
+            .reset_index()
+        )
+
     def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        spend = (
-            int(np.nansum(np.floor(left["o_totalprice"].to_numpy() * 100 + 0.5)))
-            if len(left)
-            else 0
-        )
-        vcents = (
-            int(np.nansum(np.floor(right["value"].to_numpy() * 100 + 0.5)))
-            if len(right)
-            else 0
-        )
+        lg = _side(left, "o_totalprice", "n_orders", "spend_cents")
+        rg = _side(right, "value", "n_events", "value_cents")
+        m = lg.merge(rg, on="k", how="outer")
         return pd.DataFrame(
             {
-                "k": [key[0]],
-                "n_orders": [len(left)],
-                "spend_cents": [spend],
-                "n_events": [len(right)],
-                "value_cents": [vcents],
+                "k": m["k"].astype("Int64"),
+                "n_orders": m["n_orders"].fillna(0).astype("int64"),
+                "spend_cents": m["spend_cents"].fillna(0).astype("int64"),
+                "n_events": m["n_events"].fillna(0).astype("int64"),
+                "value_cents": m["value_cents"].fillna(0).astype("int64"),
             }
         )
 
     return (
-        o.groupBy("k")
-        .cogroup(e.groupBy("k"))
+        o.groupBy("b")
+        .cogroup(e.groupBy("b"))
         .applyInPandas(
             merge,
             "k long, n_orders long, spend_cents long, n_events long, "

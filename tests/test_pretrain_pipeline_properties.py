@@ -74,7 +74,9 @@ def _ref_manifest(texts):
         kept_by_text.setdefault(text, (did, n))
     chunks = []
     for did, n in sorted(kept_by_text.values()):
-        for k in range((n - 1) // 56 + 1):
+        # stop once the previous 64-token window already covers the tail
+        # (window k adds tokens only while n - 56k > 8)
+        for k in range((n - 9) // 56 + 1):
             chunks.append((did, k, min(64, n - 56 * k)))
     chunks.sort()
     cum = 0

@@ -60,13 +60,23 @@ def _ref(case):
         ys = [y for _, _, y in pts]
         n = len(pts)
         ranks = {key: sum(1 for v in ys if v <= y) for (x, key, y) in pts}
-        seq = sorted(pts, key=lambda t: (t[0], t[1]))
+        # tie-corrected denominator: l_i = #{y_j >= y_i}, T = sum l_i(n-l_i)
+        t = sum(
+            (lambda li: li * (n - li))(sum(1 for v in ys if v >= y))
+            for (_, _, y) in pts
+        )
+        seq = sorted(pts, key=lambda tt: (tt[0], tt[1]))
         s = sum(
             abs(ranks[seq[i + 1][1]] - ranks[seq[i][1]])
             for i in range(n - 1)
         )
-        xi = None if n < 2 else 1_000_000 - (3 * s * 1_000_000) // (n * n - 1)
-        out[f"S{ci}"] = (n, s, xi)
+        den = (2 * t) // n if n else 0
+        xi = (
+            None
+            if n < 2 or den == 0
+            else 1_000_000 - (s * 1_000_000) // den
+        )
+        out[f"S{ci}"] = (n, s, t, xi)
     return out
 
 
@@ -85,7 +95,7 @@ def test_xi_spark_duckdb_reference_agree(spark, q, tmp_path_factory, case):
     want = _ref(case)
 
     got_spark = {
-        r.segment: (r.n, r.s_sum, r.xi_micro)
+        r.segment: (r.n, r.s_sum, r.t_sum, r.xi_micro)
         for r in q.fn(spark, tmpdir).collect()
     }
     assert got_spark == want
@@ -95,7 +105,9 @@ def test_xi_spark_duckdb_reference_agree(spark, q, tmp_path_factory, case):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmpdir}/{t}.parquet')"
         )
-    got_duck = {r[0]: (r[1], r[2], r[3]) for r in con.sql(q.oracle).fetchall()}
+    got_duck = {
+        r[0]: (r[1], r[2], r[3], r[4]) for r in con.sql(q.oracle).fetchall()
+    }
     con.close()
     assert got_duck == want
 
@@ -108,3 +120,29 @@ def test_xi_functional_dependence_approaches_one(spark, q, tmp_path_factory):
     _materialize(case, tmpdir)
     r = {row.segment: row.xi_micro for row in q.fn(spark, tmpdir).collect()}
     assert r["S1"] > 500_000
+
+
+def test_xi_tie_dense_function_reaches_one(spark, q, tmp_path_factory):
+    """The tie-corrected denominator contract (the r6 ADVICE item): y = x
+    with only 4 distinct values repeated 25× each is a perfect function of
+    x under DENSE y-ties — corrected ξ = 1e6 − 75e6//3125 = 976_000
+    (S = 3 run boundaries × 25-rank steps; T = Σ l(n−l) = 156_250), → 1 as
+    runs grow. The flip side — where the tie-free form was badly biased
+    HIGH — is independence under binary ties: there E[S] ≈ n/2·step but
+    the tie-free (n²−1)/3 denominator reports ξ ≈ 0.25 spurious
+    dependence, while 2T/n = n·p(1−p)·step² normalizes it back to ≈ 0."""
+    tmpdir = str(tmp_path_factory.mktemp("xitie"))
+    case = [[(x % 4, x % 4) for x in range(100)]]
+    _materialize(case, tmpdir)
+    r = {row.segment: row.xi_micro for row in q.fn(spark, tmpdir).collect()}
+    assert r["S1"] == 976_000
+
+
+def test_xi_constant_y_is_null(spark, q, tmp_path_factory):
+    """Constant Y ⇒ T = 0 ⇒ ξ undefined ⇒ NULL (not a divide-by-zero and
+    not a fake 1_000_000)."""
+    tmpdir = str(tmp_path_factory.mktemp("xiconst"))
+    case = [[(x % 5, 3) for x in range(20)]]
+    _materialize(case, tmpdir)
+    r = {row.segment: row.xi_micro for row in q.fn(spark, tmpdir).collect()}
+    assert r["S1"] is None
