@@ -810,9 +810,20 @@ def udf_cogrouped_arrow(spark, sf_dir):
     present on one side only still fire with an empty table — the
     full-outer semantics, proven against a FULL OUTER JOIN oracle.
 
+    SCALE SHAPE (round-7 rework, same recipe as [[udf_cogrouped_merge]]):
+    cogroup on a 256-way hash super-group pmod(xxhash64(k), 256) instead
+    of the raw key — 256 Python calls instead of one per customer — and
+    regroup per-key inside the batch with pyarrow group_by + a pyarrow
+    full-outer join, never leaving Arrow. The unchanged FULL-OUTER-JOIN
+    oracle pins the rewrite output-identical. (Both sides are
+    null-key-free here — the event side filters user_id IS NOT NULL and
+    o_custkey is non-null — so Arrow's SQL-style non-null-matching join
+    is exactly the cogroup grouping semantics.)
+
     Determinism inside Python: floor(x·100+0.5) per element via pyarrow
     compute (same IEEE ops as the engines' FLOOR), min/max over exact
-    int64 — no float aggregate anywhere.
+    int64 — no float aggregate anywhere; Arrow min/max skip nulls like
+    SQL, and count(mode="all") is the row count COUNT(*) needs.
 
     Scale note: identical cost shape to cogrouped pandas (one
     co-partitioned shuffle per side), but Arrow batches skip the
@@ -822,49 +833,76 @@ def udf_cogrouped_arrow(spark, sf_dir):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    o = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("k"), "o_totalprice"
+    o = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"), "o_totalprice")
+        .withColumn("b", F.pmod(F.xxhash64("k"), F.lit(256)))
     )
     e = (
         load(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
         .select(F.col("user_id").alias("k"), "value")
+        .withColumn("b", F.pmod(F.xxhash64("k"), F.lit(256)))
     )
+
+    def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        return pc.cast(
+            pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64()
+        )
+
+    def _empty(names):
+        return pa.table({n: pa.array([], pa.int64()) for n in names})
 
     def merge(left: pa.Table, right: pa.Table) -> pa.Table:
         if left.num_rows:
-            k = left.column("k")[0].as_py()
-            oc = pc.cast(
-                pc.floor(
-                    pc.add(pc.multiply(left.column("o_totalprice"), 100.0), 0.5)
-                ),
-                pa.int64(),
+            lt = (
+                pa.table({"k": left.column("k"), "oc": _cents(left.column("o_totalprice"))})
+                .group_by("k")
+                .aggregate(
+                    [("oc", "max"), ("oc", "count", pc.CountOptions(mode="all"))]
+                )
             )
-            max_oc = pc.max(oc).as_py()
+            lt = pa.table(
+                {
+                    "k": lt.column("k"),
+                    "max_order_cents": lt.column("oc_max"),
+                    "n_orders": lt.column("oc_count"),
+                }
+            )
         else:
-            k = right.column("k")[0].as_py()
-            max_oc = None
+            lt = _empty(["k", "max_order_cents", "n_orders"])
         if right.num_rows:
-            ec = pc.cast(
-                pc.floor(pc.add(pc.multiply(right.column("value"), 100.0), 0.5)),
-                pa.int64(),
+            rt = (
+                pa.table({"k": right.column("k"), "ec": _cents(right.column("value"))})
+                .group_by("k")
+                .aggregate(
+                    [("ec", "min"), ("ec", "count", pc.CountOptions(mode="all"))]
+                )
             )
-            min_ec = pc.min(ec).as_py()  # Arrow min skips nulls, like SQL
+            rt = pa.table(
+                {
+                    "k": rt.column("k"),
+                    "min_event_cents": rt.column("ec_min"),
+                    "n_events": rt.column("ec_count"),
+                }
+            )
         else:
-            min_ec = None
+            rt = _empty(["k", "min_event_cents", "n_events"])
+        m = lt.join(rt, keys="k", join_type="full outer")
+        zero = pa.scalar(0, pa.int64())
         return pa.table(
             {
-                "k": pa.array([k], pa.int64()),
-                "n_orders": pa.array([left.num_rows], pa.int64()),
-                "max_order_cents": pa.array([max_oc], pa.int64()),
-                "n_events": pa.array([right.num_rows], pa.int64()),
-                "min_event_cents": pa.array([min_ec], pa.int64()),
+                "k": m.column("k"),
+                "n_orders": pc.coalesce(m.column("n_orders"), zero),
+                "max_order_cents": m.column("max_order_cents"),
+                "n_events": pc.coalesce(m.column("n_events"), zero),
+                "min_event_cents": m.column("min_event_cents"),
             }
         )
 
     return (
-        o.groupBy("k")
-        .cogroup(e.groupBy("k"))
+        o.groupBy("b")
+        .cogroup(e.groupBy("b"))
         .applyInArrow(
             merge,
             "k long, n_orders long, max_order_cents long, n_events long, "
