@@ -492,17 +492,57 @@ def _kcore_k(deg_df) -> int:
     )
 
 
-@register("graph_kcore", oracle=None, tier="T2")
+@register(
+    "graph_kcore",
+    oracle=f"""
+WITH RECURSIVE e0 AS ({_EDGES_SQL}),
+und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+kv AS (
+  SELECT GREATEST(1, CAST(FLOOR(quantile_cont(d, 0.5)) AS BIGINT) // 2) AS k
+  FROM (SELECT COUNT(*) AS d FROM und GROUP BY src)
+),
+peel(t, src, dst) AS (
+  SELECT 0, src, dst FROM und
+  UNION ALL
+  SELECT t + 1, src, dst FROM (
+    SELECT t, src, dst,
+           COUNT(*) OVER (PARTITION BY src) AS ds,
+           COUNT(*) OVER (PARTITION BY dst) AS dd
+    FROM peel
+  )
+  WHERE t < 30 AND ds >= (SELECT k FROM kv) AND dd >= (SELECT k FROM kv)
+)
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM peel WHERE t = 30
+GROUP BY src
+""",
+    tier="T2",
+)
 def graph_kcore(spark, sf_dir):
     """k-core decomposition at k = half the median initial degree:
     iteratively
     peel nodes of degree < k until the remaining subgraph has minimum
     degree ≥ k — the dense backbone used for community seeding and
     spam-cluster isolation. Returns the core's nodes with their
-    within-core degree. Rows-only per §2.0 rule 6 (a recursive CTE
-    cannot re-aggregate degrees per iteration); tests/test_graph.py
-    checks the result against an exact pandas peeling reference and the
-    min-degree ≥ k invariant.
+    within-core degree.
+
+    ORACLE (promoted from rows-only in round 7): parallel peeling IS
+    expressible as a recursive CTE despite the single-working-table-
+    reference rule — on a SYMMETRIZED edge list, deg(node) = #rows with
+    src=node = #rows with dst=node, so the per-round survivor filter
+    (deg(src) ≥ k AND deg(dst) ≥ k) is two window COUNTs over ONE scan of
+    the working table; no second self-reference, no per-iteration
+    re-aggregation needed. The CTE runs a FIXED 30 rounds (rows keep
+    reproducing after the fixpoint, matching Spark's iteration cap) and
+    the final filter t = 30 reads exactly the 30-round survivor set —
+    which is also the empty set when everything peels, because the
+    recursion then dies early and no t=30 rows exist. k is computed inside
+    the SQL with the same rule as _kcore_k (GREATEST(1,
+    floor(quantile_cont(d, .5)) // 2); Spark's percentile ≡ DuckDB's
+    quantile_cont linear interpolation, and the midpoint average of two
+    int64 degrees is exact in binary on both engines).
+    tests/test_graph.py additionally checks the result against an exact
+    pandas peeling reference and the min-degree ≥ k invariant.
 
     Scale note: each peel iteration is one degree aggregate + one semi
     join on the surviving-node set, with localCheckpoint truncating the
