@@ -49,6 +49,23 @@ HEADLINE = [
     "q21_suppliers_kept_waiting",
 ]
 
+# Extended set (round-7, VERDICT r6 item 5): the non-headline heavies whose
+# regressions were previously invisible to BENCH_r*.json — the iterative
+# graph keys, the ANN/statistics keys round 6 reworked, and the cogrouped
+# UDFs round 7 reworked. Reported in a separate "extended" block so the
+# headline total stays shape-compatible with r1-r6.
+EXTENDED = [
+    "graph_pagerank",
+    "graph_katz_centrality",
+    "graph_kcore",
+    "ann_lsh_bucketed",
+    "stats_bh_fdr",
+    "udf_cogrouped_merge",
+    "udf_cogrouped_arrow",
+    "dedup_simhash_portable",
+    "text_bm25_search",
+]
+
 
 def env_markers(sf_dir: str) -> dict:
     """Environment-noise markers (VERDICT r3 action): lets a reader tell a
@@ -169,6 +186,19 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(e).__name__}: {e}"[:300]
     total = round(sum(timings.values()), 3)
+
+    # Extended heavies: one unrecorded warm-up run each (codegen compile +
+    # persisted-intermediate build), then the same median-of-3 protocol.
+    extended: dict[str, float] = {}
+    for name in (n for n in EXTENDED if n in qs):
+        spark.sparkContext.setJobDescription(f"bench-ext:{name}")
+        try:
+            run_once(name)
+            runs = sorted(run_once(name) for _ in range(3))
+            extended[name] = round(runs[1], 3)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall",
@@ -176,6 +206,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extended": extended,
+        "extended_total": round(sum(extended.values()), 3),
         "env": {"before": env_before, "after": env_markers(sf_dir)},
     }
     if env_warnings:
