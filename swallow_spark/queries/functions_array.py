@@ -108,11 +108,17 @@ def fn_explode(spark, sf_dir):
 @register(
     "fn_map",
     oracle="""
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN props END AS props
+  FROM events
+)
 SELECT event_id,
        'k' AS first_key,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
        CAST(1 AS BIGINT) AS n_keys
-FROM events
+FROM ev
 """,
     tier="T2",
 )

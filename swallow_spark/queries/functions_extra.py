@@ -130,10 +130,16 @@ def fn_try_arith(spark, sf_dir):
 @register(
     "fn_variant",
     oracle="""
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN props END AS props
+  FROM events
+)
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
        CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
-FROM events
+FROM ev
 """,
     tier="T2",
 )
@@ -142,10 +148,13 @@ def fn_variant(spark, sf_dir):
     binary variant (shredded, no per-row re-parse) and variant_get extracts
     typed paths — the schema-on-read path for heterogeneous 100 TB event
     payloads, ~an order faster than string JSON extraction at scale.
-    Oracle extracts the same path via DuckDB's JSON functions."""
+    Oracle extracts the same path via DuckDB's JSON functions.
+    try_parse_json (not parse_json) on the Spark side: malformed JSON must
+    become a NULL variant, matching the oracle's json_valid pre-guard —
+    plain parse_json throws on the truncated-document probe variant."""
     e = load(spark, sf_dir, "events")
     return e.select(
-        "event_id", F.parse_json("props").alias("v")
+        "event_id", F.try_parse_json("props").alias("v")
     ).select(
         "event_id",
         F.expr("variant_get(v, '$.k', 'int')").alias("k"),

@@ -211,18 +211,29 @@ def fn_null(spark, sf_dir):
 @register(
     "fn_json",
     oracle="""
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN props END AS props
+  FROM events
+)
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k1,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2,
        CAST(json_extract_string(props, '$.k') IS NOT NULL AS INT) AS has_k,
        CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing
-FROM events
+FROM ev
 """,
     tier="T1",
 )
 def fn_json(spark, sf_dir):
     """JSON pack: path extraction (two routes in Spark: get_json_object and
-    from_json→field; both must agree with the oracle), missing-path → NULL."""
+    from_json→field; both must agree with the oracle), missing-path → NULL.
+    Malformed JSON → NULL on both engines: Spark's get_json_object /
+    PERMISSIVE from_json return NULL for truncated documents (probed —
+    Jackson does NOT surface prefix values), while DuckDB's
+    json_extract_string hard-errors, so the oracle pre-guards with
+    json_valid (the props-JSON drift probe rule)."""
     e = load(spark, sf_dir, "events")
     return e.select(
         "event_id",

@@ -40,6 +40,7 @@ FROM (
   JOIN supplier ON s_suppkey = pr.l_suppkey
   JOIN nation   ON n_nationkey = s_nationkey
   WHERE p_type = 'STANDARD' AND p_size <= 10
+    AND s_acctbal IS NOT NULL
 ) t
 WHERE rk = 1
 ORDER BY s_acctbal DESC, p_partkey
@@ -51,7 +52,10 @@ def q2_min_cost_supplier(spark, sf_dir):
     """TPC-H-Q2-style min-cost supplier: for each small STANDARD part, the
     supplier that actually shipped it with the lowest account balance
     (deterministic tiebreak on s_suppkey). partsupp is reconstructed as the
-    distinct traded (partkey, suppkey) pairs.
+    distinct traded (partkey, suppkey) pairs. Suppliers with NULL acctbal
+    are excluded on both sides — s_acctbal keys both the per-part rank and
+    the final ORDER BY ... LIMIT, where Spark and DuckDB disagree on null
+    placement (the null-order probe rule).
 
     Plan: distinct pairs aggregate once on the fact table, then every dim is
     broadcast; min-per-group is a row_number window over the (small) pair
@@ -61,7 +65,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
     )
-    s = load(spark, sf_dir, "supplier")
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal").isNotNull())
     n = load(spark, sf_dir, "nation")
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     w = Window.partitionBy("p_partkey").orderBy("s_acctbal", "s_suppkey")

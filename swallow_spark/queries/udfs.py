@@ -72,11 +72,17 @@ def udf_pandas_scalar(spark, sf_dir):
 @register(
     "udaf_pandas_grouped",
     oracle=f"""
-WITH c AS (
+WITH ev AS (
+  SELECT event_type, value,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN props END AS props
+  FROM events
+),
+c AS (
   SELECT event_type,
          CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS u,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-  FROM events
+  FROM ev
   WHERE value IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
 )
 SELECT event_type,

@@ -220,13 +220,17 @@ SELECT p_partkey,
        {sql_rnd('percent_rank() OVER w', 4)} AS pr,
        {sql_rnd('cume_dist() OVER w', 4)} AS cd
 FROM part
+WHERE p_size IS NOT NULL
 WINDOW w AS (ORDER BY p_size, p_partkey)
 """,
     tier="T2",
 )
 def win_percent_rank(spark, sf_dir):
-    """percent_rank + cume_dist over part sizes (total order, 4dp)."""
-    p = load(spark, sf_dir, "part")
+    """percent_rank + cume_dist over part sizes (total order, 4dp).
+    NULL sizes are excluded on both sides — the null-order probe rule: a
+    NULL measure must never reach a rank/sort path (Spark NULLS-FIRST-asc
+    vs DuckDB NULLS-LAST would shift every rank below it)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_size").isNotNull())
     w = Window.orderBy("p_size", "p_partkey")
     return p.select(
         "p_partkey",
@@ -543,6 +547,7 @@ WITH pts AS (
          CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
          CAST(p_size AS BIGINT) AS size
   FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
 )
 SELECT p.p_brand, p.p_partkey, p.price_cents, p.size
 FROM pts p
@@ -572,20 +577,30 @@ def win_skyline_dominance(spark, sf_dir):
     frontier, which the strictness clause pins in both engines.
 
     Determinism: prices are exact int64 cents (the RANGE frame needs the
-    integer key), sizes exact ints — no floats anywhere. Scale note: one
+    integer key), sizes exact ints — no floats anywhere; NULL price/size
+    points are excluded on both sides (a NULL coordinate can neither
+    dominate nor be dominated under SQL three-valued logic, but it would
+    reach Spark's RANGE-frame sort where the engines' null order differs —
+    the null-order probe rule). Scale note: one
     shuffle on p_brand serves both windows (same partition key; the
     equal-price max is a window over a finer key of the same sort order,
     no second exchange), vs the oracle's O(n²)-per-brand self-join —
     the classic skyline result that sorted order makes 2-D dominance a
     running max.
     """
-    p = load(spark, sf_dir, "part").select(
-        "p_brand",
-        "p_partkey",
-        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("price_cents"),
-        F.col("p_size").cast("long").alias("size"),
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+        )
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+            F.col("p_size").cast("long").alias("size"),
+        )
     )
     w_cheaper = (
         Window.partitionBy("p_brand")

@@ -1,0 +1,149 @@
+"""Property tests for the session-window family (VERDICT r6 item 7):
+random per-user timelines with inter-event gaps clustered on the exact
+30-minute boundary (0 / 1799 / 1800 / 1801 s) must produce the SAME
+sessions in Spark (`F.session_window` for stream_session_batch, the
+gaps-and-islands library op for win_sessionize), in the registered DuckDB
+oracles, and in a pure-Python reference — pinning the end-exclusive
+boundary semantics ([start, last_ts + gap)): an event EXACTLY gap seconds
+after the previous one starts a NEW session (>= gap splits, < gap merges),
+ts ties never split, and session value sums skip NULLs (all-NULL session →
+NULL val).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_BASE = dt.datetime(2024, 1, 1)
+_GAP_S = 1800  # the 30-minute session gap, in seconds
+
+# per-user inter-event gaps in SECONDS — clustered on the session boundary,
+# just under/over, zero (ts ties), and free-range values on both sides
+_gap = st.one_of(
+    st.just(0),
+    st.just(_GAP_S - 1),
+    st.just(_GAP_S),
+    st.just(_GAP_S + 1),
+    st.integers(min_value=0, max_value=2 * _GAP_S),
+)
+# value in whole cents, or None (NULL-skipping sums)
+_val_cents = st.one_of(st.none(), st.integers(min_value=0, max_value=9999))
+_user_timeline = st.lists(st.tuples(_gap, _val_cents), min_size=1, max_size=10)
+_scenario = st.lists(_user_timeline, min_size=1, max_size=4)
+
+
+def _materialize(case, tmpdir):
+    rows = []
+    eid = 0
+    for uid, steps in enumerate(case, start=1):
+        t = _BASE
+        for g, vc in steps:
+            t = t + dt.timedelta(seconds=g)
+            eid += 1
+            rows.append(
+                {
+                    "event_id": eid,
+                    "user_id": uid,
+                    "ts": t,
+                    "value": None if vc is None else vc / 100.0,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    pdf["value"] = pdf["value"].astype("float64")
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM pdf) TO '{tmpdir}/events.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    return rows
+
+
+def _ref_sessions(rows):
+    """Per-user gaps-and-islands walk over (ts, event_id)-sorted events:
+    new session iff first event or ts - prev_ts >= 1800 s. Returns
+    ({(user, start): (n_events, val)}, {event_id: (user, session_id)})."""
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    sessions: dict[tuple, tuple] = {}
+    event_sid: dict[int, tuple] = {}
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        sid = 0
+        prev_ts = None
+        cur: list = []
+
+        def flush(cur):
+            if not cur:
+                return
+            start = cur[0]["ts"]
+            cents = [
+                int(v * 100 + 0.5) if (v := r["value"]) is not None else None
+                for r in cur
+            ]
+            non_null = [c for c in cents if c is not None]
+            val = (sum(non_null) / 100.0) if non_null else None
+            sessions[(uid, start)] = (len(cur), val)
+
+        for r in evs:
+            if prev_ts is None or (r["ts"] - prev_ts).total_seconds() >= _GAP_S:
+                flush(cur)
+                cur = [r]
+                sid += 1
+            else:
+                cur.append(r)
+            prev_ts = r["ts"]
+            event_sid[r["event_id"]] = (uid, sid)
+        flush(cur)
+    return sessions, event_sid
+
+
+@pytest.fixture(scope="module")
+def qs():
+    from swallow_spark.registry import all_queries
+
+    q = all_queries()
+    return q["stream_session_batch"], q["win_sessionize"]
+
+
+@settings(max_examples=30, deadline=None)
+@given(_scenario)
+def test_session_windows_spark_duckdb_reference_agree(
+    spark, qs, tmp_path_factory, case
+):
+    q_batch, q_sid = qs
+    tmpdir = str(tmp_path_factory.mktemp("sess"))
+    rows = _materialize(case, tmpdir)
+    want_sessions, want_sids = _ref_sessions(rows)
+
+    got_spark = {
+        (r.user_id, r.session_start): (r.n_events, r.val)
+        for r in q_batch.fn(spark, tmpdir).collect()
+    }
+    assert got_spark == want_sessions
+
+    got_sids = {
+        r.event_id: (r.user_id, r.session_id)
+        for r in q_sid.fn(spark, tmpdir).collect()
+    }
+    assert got_sids == want_sids
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmpdir}/events.parquet')"
+    )
+    got_duck = {
+        (r[0], r[1]): (r[2], r[3]) for r in con.sql(q_batch.oracle).fetchall()
+    }
+    got_duck_sids = {
+        r[0]: (r[1], r[2]) for r in con.sql(q_sid.oracle).fetchall()
+    }
+    con.close()
+    assert got_duck == want_sessions
+    assert got_duck_sids == want_sids
