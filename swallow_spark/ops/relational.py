@@ -40,7 +40,12 @@ def sessionize(
     """Assign a session id per (user, gap)-separated run of events.
 
     Gaps-and-islands: one shuffle on user_col; semantics match Spark's
-    session_window ([start, last+gap), end-exclusive ⇒ `>= gap` starts new).
+    native session_window, which MERGES an event arriving exactly `gap`
+    after the previous one (windows [t, t+gap) touching at the boundary
+    coalesce) — measured, not assumed: the session-window property suite
+    falsified the previous `>= gap` spelling with the two-event
+    exactly-1800s case. A new session therefore starts strictly AFTER the
+    gap (`> gap`).
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_us = gap_minutes * 60 * 1_000_000
@@ -50,7 +55,7 @@ def sessionize(
         | (
             F.unix_micros(F.col(ts_col).cast("timestamp"))
             - F.unix_micros(prev.cast("timestamp"))
-            >= gap_us
+            > gap_us
         )
     ).cast("int")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

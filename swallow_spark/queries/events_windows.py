@@ -78,7 +78,7 @@ def stream_sliding_batch(spark, sf_dir):
 WITH marked AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -98,10 +98,14 @@ GROUP BY user_id, sid
 def stream_session_batch(spark, sf_dir):
     """Per-user session windows with a 30-minute gap.
 
-    Spark session semantics: a session is [first_ts, last_ts + gap); an event
-    exactly gap after the previous starts a NEW session (end-exclusive) — the
-    oracle's gaps-and-islands uses `>= gap` to match. Only robust columns
-    (start = min ts, count, sum) are emitted (SURVEY.md §7.3 item 3).
+    Spark session semantics (MEASURED by the round-7 property suite, which
+    falsified the previous `>= gap` oracle with the two-event
+    exactly-1800s case): per-event windows [t, t+gap) touching at the
+    boundary COALESCE, so an event exactly gap after the previous one
+    CONTINUES the session; a new session starts strictly after the gap —
+    the oracle's gaps-and-islands uses `> gap` to match. Only robust
+    columns (start = min ts, count, sum) are emitted (SURVEY.md §7.3
+    item 3).
     """
     e = load(spark, sf_dir, "events")
     return (

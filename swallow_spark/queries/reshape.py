@@ -138,7 +138,7 @@ FROM (
   SELECT event_id, user_id, ts,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   >= INTERVAL 30 MINUTE
+                   > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM events
 )
@@ -147,8 +147,9 @@ FROM (
 )
 def win_sessionize(spark, sf_dir):
     """Per-event session ids from the ops.relational.sessionize library op
-    (drives the E2 surface through the oracle gate; semantics match
-    session_window, end-exclusive)."""
+    (drives the E2 surface through the oracle gate; semantics match native
+    session_window: boundary-touching windows coalesce, new session
+    strictly after the gap)."""
     e = load(spark, sf_dir, "events")
     return sessionize(e, "user_id", "ts", 30).select(
         "event_id", "user_id", F.col("session_id").cast("long")

@@ -3,11 +3,13 @@ random per-user timelines with inter-event gaps clustered on the exact
 30-minute boundary (0 / 1799 / 1800 / 1801 s) must produce the SAME
 sessions in Spark (`F.session_window` for stream_session_batch, the
 gaps-and-islands library op for win_sessionize), in the registered DuckDB
-oracles, and in a pure-Python reference — pinning the end-exclusive
-boundary semantics ([start, last_ts + gap)): an event EXACTLY gap seconds
-after the previous one starts a NEW session (>= gap splits, < gap merges),
-ts ties never split, and session value sums skip NULLs (all-NULL session →
-NULL val).
+oracles, and in a pure-Python reference — pinning the boundary semantics
+this suite MEASURED on first run (falsifying the repo's previous `>= gap`
+oracles with the two-event exactly-1800s case): Spark's session_window
+coalesces per-event windows [t, t+gap) that touch at the boundary, so an
+event EXACTLY gap seconds after the previous one CONTINUES the session
+(> gap splits, <= gap merges), ts ties never split, and session value sums
+skip NULLs (all-NULL session → NULL val).
 """
 
 from __future__ import annotations
@@ -66,7 +68,8 @@ def _materialize(case, tmpdir):
 
 def _ref_sessions(rows):
     """Per-user gaps-and-islands walk over (ts, event_id)-sorted events:
-    new session iff first event or ts - prev_ts >= 1800 s. Returns
+    new session iff first event or ts - prev_ts > 1800 s (strict — the
+    measured session_window boundary-coalesce rule). Returns
     ({(user, start): (n_events, val)}, {event_id: (user, session_id)})."""
     by_user: dict[int, list] = {}
     for r in rows:
@@ -92,7 +95,7 @@ def _ref_sessions(rows):
             sessions[(uid, start)] = (len(cur), val)
 
         for r in evs:
-            if prev_ts is None or (r["ts"] - prev_ts).total_seconds() >= _GAP_S:
+            if prev_ts is None or (r["ts"] - prev_ts).total_seconds() > _GAP_S:
                 flush(cur)
                 cur = [r]
                 sid += 1
