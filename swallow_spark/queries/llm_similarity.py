@@ -301,7 +301,7 @@ def sim_pairs_threshold(spark, sf_dir):
     """Blocked similarity join: all same-label pairs with cosine ≥ 0.35
     (embedding-cosine near-dup detection; label is the blocking key).
 
-    Implementation: per-label applyInPandas with an exact int64 Gram matmul
+    Implementation: banded applyInPandas with an exact int64 Gram matmul
     (numpy) — the vectorized-Pandas-UDF path for dense vector math. Every
     arithmetic step mirrors the SQL oracle bit-for-bit: quantize
     floor(x*1e4+0.5) per element (IEEE double ops on the same float32
@@ -311,10 +311,22 @@ def sim_pairs_threshold(spark, sf_dir):
     interpreted zip_with/aggregate pair loop it replaces (BLAS batch vs
     per-pair array allocation).
 
-    Scale note: the shuffle key is the blocking label, so each Arrow batch
-    holds one label's vectors; for a hot label whose group outgrows
-    executor memory, band the label into sub-blocks (salt one side) before
-    grouping — same recipe as the LSH variant.
+    HOT-LABEL MITIGATION (round 7, measured by tools/skew_stress.py): with
+    one label blocking 20% of 20k vectors, the single-task quadratic block
+    ran 3.9× slower than the uniform control. Each label is now ADAPTIVELY
+    banded into nb = ceil(n_label/1024) sub-bands on pmod(xxhash64(vec_id),
+    nb), and each vector replicates to every band-pair containing its band
+    — the work unit becomes (label, band_i, band_j): the diagonal task
+    emits within-band pairs, off-diagonal tasks emit the bipartite cross
+    pairs, so every same-label pair is produced exactly once and the
+    unchanged all-pairs oracle pins the rewrite. Uniform labels get nb = 1
+    (a single task, zero overhead vs the unbanded shape); a hot label's
+    quadratic cost spreads over nb(nb+1)/2 bounded tasks. The per-label
+    count pass is one cheap aggregate broadcast back.
+
+    Scale note: the shuffle key is (label, band-pair); replication factor
+    is nb per hot label only — the manual analogue of AQE skew-splitting,
+    which cannot split a grouped-UDF aggregate.
     """
     import numpy as np
     import pandas as pd
@@ -322,44 +334,120 @@ def sim_pairs_threshold(spark, sf_dir):
     from ..ops.vectors import ESCALE
 
     e = load(spark, sf_dir, "embeddings")
+    cnt = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_lbl"))
+    banded = (
+        e.join(F.broadcast(cnt), "label")
+        .withColumn(
+            "nb",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("n_lbl") / F.lit(1024)).cast("int")
+            ),
+        )
+        .withColumn(
+            "b", F.pmod(F.xxhash64("vec_id"), F.col("nb")).cast("int")
+        )
+        .select(
+            "label",
+            "vec_id",
+            "embedding",
+            "b",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, nb - 1), "
+                    "x -> struct(least(b, x) AS bi, greatest(b, x) AS bj)))"
+                )
+            ).alias("bp"),
+        )
+        .select(
+            "label", "vec_id", "embedding", "b",
+            F.col("bp.bi").alias("bi"), F.col("bp.bj").alias("bj"),
+        )
+    )
 
-    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v1": pd.array([], dtype="int64"), "v2": pd.array([], dtype="int64"),
+             "label": pd.array([], dtype="int32"), "cosine": pd.array([], dtype="float64")}
+        )
+
+    def _quantize(pdf: pd.DataFrame):
         # NULL embeddings drop (the oracle's nrm-NULL rows fail nrm > 0);
         # ragged dims zero-pad to the batch max — zero padding reproduces
         # the oracle's prefix-dot semantics exactly (out-of-range list
         # elements are NULL and list_sum skips them) without changing any
         # vector's own norm (drift probe: np.stack crashed on None/ragged)
-        pdf = pdf[pdf["embedding"].notna()]
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {"v1": pd.array([], dtype="int64"), "v2": pd.array([], dtype="int64"),
-                 "label": pd.array([], dtype="int32"), "cosine": pd.array([], dtype="float64")}
-            )
         vecs = [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
         m = max(x.size for x in vecs)
         v = np.zeros((len(vecs), m))
         for r, x in enumerate(vecs):
             v[r, : x.size] = x
-        iv = np.floor(v * ESCALE + 0.5).astype(np.int64)
-        gram = iv @ iv.T
-        nrm = np.sqrt(gram.diagonal().astype(np.float64) / SCALE)
-        cos = (gram.astype(np.float64) / SCALE) / np.outer(
-            np.where(nrm > 0, nrm, np.nan), np.where(nrm > 0, nrm, np.nan)
+        return np.floor(v * ESCALE + 0.5).astype(np.int64)
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["embedding"].notna()]
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        if len(pdf) < 2:
+            return _empty()
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        if bi == bj:
+            iv = _quantize(pdf)
+            gram = iv @ iv.T
+            nrm = np.sqrt(gram.diagonal().astype(np.float64) / SCALE)
+            cos = (gram.astype(np.float64) / SCALE) / np.outer(
+                np.where(nrm > 0, nrm, np.nan), np.where(nrm > 0, nrm, np.nan)
+            )
+            i, j = np.triu_indices(len(pdf), k=1)  # vec_id-sorted → v1 < v2
+            keep = cos[i, j] >= 0.35  # NaN (zero-norm member) compares False
+            i, j = i[keep], j[keep]
+            ids = pdf["vec_id"].to_numpy()
+            return pd.DataFrame(
+                {
+                    "v1": ids[i],
+                    "v2": ids[j],
+                    "label": pdf["label"].to_numpy()[i],
+                    "cosine": np.floor(cos[i, j] * 10000 + 0.5) / 10000,
+                }
+            )
+        # off-diagonal band pair: bipartite cross pairs only — within-band
+        # pairs belong to the diagonal tasks, so each pair emits exactly once
+        a = pdf[pdf["b"] == bi].reset_index(drop=True)
+        c = pdf[pdf["b"] == bj].reset_index(drop=True)
+        if not len(a) or not len(c):
+            return _empty()
+        # pad both sides to the SHARED max dim so the bipartite dot equals
+        # the oracle's prefix-dot on the union batch
+        vecs_a = [np.asarray(x, dtype=np.float64) for x in a["embedding"]]
+        vecs_c = [np.asarray(x, dtype=np.float64) for x in c["embedding"]]
+        m = max(x.size for x in vecs_a + vecs_c)
+        va = np.zeros((len(vecs_a), m))
+        for r, x in enumerate(vecs_a):
+            va[r, : x.size] = x
+        vc = np.zeros((len(vecs_c), m))
+        for r, x in enumerate(vecs_c):
+            vc[r, : x.size] = x
+        ia = np.floor(va * ESCALE + 0.5).astype(np.int64)
+        ic = np.floor(vc * ESCALE + 0.5).astype(np.int64)
+        nrm_a = np.sqrt((ia * ia).sum(axis=1).astype(np.float64) / SCALE)
+        nrm_c = np.sqrt((ic * ic).sum(axis=1).astype(np.float64) / SCALE)
+        cos = ((ia @ ic.T).astype(np.float64) / SCALE) / np.outer(
+            np.where(nrm_a > 0, nrm_a, np.nan),
+            np.where(nrm_c > 0, nrm_c, np.nan),
         )
-        i, j = np.triu_indices(len(pdf), k=1)  # vec_id-sorted → v1 < v2
-        keep = cos[i, j] >= 0.35  # NaN (zero-norm member) compares False
-        i, j = i[keep], j[keep]
+        i, j = np.nonzero(cos >= 0.35)
+        ids_a = a["vec_id"].to_numpy()[i]
+        ids_c = c["vec_id"].to_numpy()[j]
+        v1 = np.minimum(ids_a, ids_c)
+        v2 = np.maximum(ids_a, ids_c)
         return pd.DataFrame(
             {
-                "v1": pdf["vec_id"].to_numpy()[i],
-                "v2": pdf["vec_id"].to_numpy()[j],
-                "label": pdf["label"].to_numpy()[i],
+                "v1": v1,
+                "v2": v2,
+                "label": a["label"].to_numpy()[i],
                 "cosine": np.floor(cos[i, j] * 10000 + 0.5) / 10000,
             }
         )
 
-    return e.groupBy("label").applyInPandas(
+    return banded.groupBy("label", "bi", "bj").applyInPandas(
         pairs, "v1 long, v2 long, label int, cosine double"
     )
 

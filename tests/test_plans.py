@@ -214,13 +214,20 @@ def test_rolling_distinct_no_set_state(spark):
 
 
 def test_sim_pairs_arrow_grouped(spark):
-    """sim_pairs_threshold must be the per-label Arrow/pandas Gram batch —
-    one embeddings scan, grouped-map eval, no pairwise join."""
+    """sim_pairs_threshold must be the banded Arrow/pandas Gram batch
+    (round-7 hot-label fix): grouped-map eval on (label, band_i, band_j),
+    the per-label count arriving via a BROADCAST hash join (the bounded
+    pre-pass — never a shuffle join), and no pairwise join anywhere. Two
+    parquet scans total: the count pass (label-column-pruned) and the
+    vector pass."""
     p = plan_of(spark, "sim_pairs_threshold")
     assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsInArrow" in p
-    assert "Join" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
     tree = p.split("\n\n(")[0]
-    assert tree.count("Scan parquet") == 1
+    assert tree.count("Scan parquet") == 2
 
 
 def test_contamination_broadcasts_eval_side(spark):

@@ -1,0 +1,228 @@
+"""Skew stress-test at builder-generated sf≈1 (VERDICT r6 item 4).
+
+Plan tests assert shuffle SHAPES; this measures BEHAVIOR under deliberate
+key skew, above the driver's largest scale factor. Two synthetic corpora of
+identical size (~10× sf0.1) are generated under /tmp (never touching
+/root/testdata): a SKEWED variant — one hot user owning 20% of events, one
+hot 10-word document prefix shared by 20% of docs (hot shingles → hot LSH
+buckets), one hot embedding label blocking 20% of vectors, one hot part in
+20% of lineitem baskets (hot graph vertex) — and a UNIFORM control. The
+skew-sensitive families then run on both, warm median-of-3, alongside
+hash-partition histograms of each family's shuffle key, so SCALE.md can
+record measured skew amplification rather than assumed shapes.
+
+Usage:  python tools/skew_stress.py [--keep]
+Prints one JSON line; human summary to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+BASE = "/tmp/swallow_skew"
+SRC = "/root/testdata/sf0.1"
+N_EVENTS = 1_000_000
+N_USERS = 15_000
+N_DOCS = 50_000
+N_VECS = 20_000
+N_ORDERS = 1_500_000
+N_PARTS = 20_000
+HOT_SHARE = 0.20
+
+KEYS = [
+    ("stream_session_batch", "events", "user_id"),
+    ("win_throttle_events", "events", "user_id"),
+    ("dedup_minhash_lsh", "documents", None),
+    ("sim_pairs_threshold", "embeddings", "label"),
+    ("graph_pagerank", "lineitem", None),
+]
+
+
+def _write(pdf: pd.DataFrame, path: str) -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"COPY (SELECT * FROM pdf) TO '{path}' (FORMAT PARQUET)")
+    con.close()
+
+
+def _gen_events(rng, skewed: bool, path: str) -> None:
+    n = N_EVENTS
+    if skewed:
+        n_hot = int(n * HOT_SHARE)
+        users = np.concatenate(
+            [np.ones(n_hot, dtype=np.int64),
+             rng.integers(2, N_USERS + 1, n - n_hot)]
+        )
+        rng.shuffle(users)
+    else:
+        users = rng.integers(1, N_USERS + 1, n)
+    ts = (
+        np.datetime64("2024-01-01", "s")
+        + rng.integers(0, 90 * 86400, n).astype("timedelta64[s]")
+    )
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(1, n + 1, dtype=np.int64),
+            "ts": ts.astype("datetime64[us]"),
+            "user_id": users,
+            "event_type": np.array(["view", "click", "cart", "buy", "share", "rate"])[
+                rng.integers(0, 6, n)
+            ],
+            "value": np.round(rng.uniform(0, 100, n), 2),
+            "props": pd.Series(rng.integers(0, 100, n)).map(
+                lambda k: '{"k": %d}' % k
+            ),
+        }
+    )
+    _write(pdf, path)
+
+
+def _gen_documents(rng, skewed: bool, path: str) -> None:
+    vocab = np.array([f"w{i}" for i in range(5000)])
+    words = vocab[rng.integers(0, 5000, (N_DOCS, 40))]
+    hot_prefix = " ".join(f"hot{i}" for i in range(10))
+    texts = []
+    n_hot = int(N_DOCS * HOT_SHARE)
+    for i in range(N_DOCS):
+        body = " ".join(words[i])
+        if skewed and i < n_hot:
+            texts.append(hot_prefix + " " + body)
+        else:
+            texts.append(body)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(1, N_DOCS + 1, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": "skewgen",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    _write(pdf, path)
+
+
+def _gen_embeddings(rng, skewed: bool, path: str) -> None:
+    vecs = rng.standard_normal((N_VECS, 64)).astype(np.float32)
+    if skewed:
+        n_hot = int(N_VECS * HOT_SHARE)
+        labels = np.concatenate(
+            [np.zeros(n_hot, dtype=np.int32),
+             rng.integers(1, 51, N_VECS - n_hot).astype(np.int32)]
+        )
+        rng.shuffle(labels)
+    else:
+        labels = rng.integers(0, 51, N_VECS).astype(np.int32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(1, N_VECS + 1, dtype=np.int64),
+            "embedding": list(vecs),
+            "label": labels,
+        }
+    )
+    _write(pdf, path)
+
+
+def _gen_lineitem(rng, skewed: bool, path: str) -> None:
+    # 4 uniform parts per order; skewed adds hot part 777 to 20% of baskets
+    orders = np.repeat(np.arange(1, N_ORDERS + 1, dtype=np.int64), 4)
+    parts = rng.integers(1, N_PARTS + 1, 4 * N_ORDERS)
+    if skewed:
+        hot_orders = rng.choice(
+            N_ORDERS, int(N_ORDERS * HOT_SHARE), replace=False
+        ) + 1
+        orders = np.concatenate([orders, hot_orders.astype(np.int64)])
+        parts = np.concatenate(
+            [parts, np.full(len(hot_orders), 777, dtype=parts.dtype)]
+        )
+    pdf = pd.DataFrame({"l_orderkey": orders, "l_partkey": parts})
+    _write(pdf, path)
+
+
+def generate(variant: str, seed: int) -> str:
+    d = f"{BASE}/{variant}/sf1"
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    skewed = variant == "skew"
+    _gen_events(rng, skewed, f"{d}/events.parquet")
+    _gen_documents(rng, skewed, f"{d}/documents.parquet")
+    _gen_embeddings(rng, skewed, f"{d}/embeddings.parquet")
+    _gen_lineitem(rng, skewed, f"{d}/lineitem.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders"):
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
+def partition_histogram(spark, sf_dir: str, table: str, key: str) -> dict:
+    """Rows per hash partition when shuffling `table` on `key` into 32
+    partitions — the distribution an executor fleet would actually see."""
+    import pyspark.sql.functions as F
+
+    from swallow_spark.io import load
+
+    df = load(spark, sf_dir, table).repartition(32, key)
+    counts = sorted(
+        r.n
+        for r in df.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {
+        "min": counts[0],
+        "p50": counts[len(counts) // 2],
+        "max": counts[-1],
+        "max_share": round(counts[-1] / sum(counts), 3),
+    }
+
+
+def main() -> None:
+    from swallow_spark.registry import all_queries
+    from swallow_spark.session import get_spark
+
+    keep = "--keep" in sys.argv
+    spark = get_spark("swallow_skew_stress")
+    qs = all_queries()
+    out: dict = {"n_events": N_EVENTS, "n_docs": N_DOCS, "n_vecs": N_VECS,
+                 "lineitem_rows": 4 * N_ORDERS, "hot_share": HOT_SHARE,
+                 "variants": {}}
+    try:
+        for variant in ("uniform", "skew"):
+            d = generate(variant, seed=7)
+            v: dict = {"timings": {}, "histograms": {}}
+            for table, key in {("events", "user_id"), ("embeddings", "label")}:
+                v["histograms"][f"{table}:{key}"] = partition_histogram(
+                    spark, d, table, key
+                )
+            for name, _table, _key in KEYS:
+                fn = qs[name].fn
+                fn(spark, d).write.format("noop").mode("overwrite").save()  # warm
+                runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+                    runs.append(time.perf_counter() - t0)
+                v["timings"][name] = round(sorted(runs)[1], 3)
+                print(f"{variant} {name}: {v['timings'][name]}s", file=sys.stderr)
+            out["variants"][variant] = v
+        for name, *_ in KEYS:
+            u = out["variants"]["uniform"]["timings"][name]
+            s = out["variants"]["skew"]["timings"][name]
+            out.setdefault("skew_amplification", {})[name] = round(s / u, 2)
+    finally:
+        if not keep:
+            shutil.rmtree(BASE, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
