@@ -45,11 +45,28 @@ def fn_zorder(spark, sf_dir):
     return li.select("l_orderkey", "l_linenumber", zexpr.alias("zval"))
 
 
-@register("etl_compact_files", oracle=None, tier="T3")
+@register(
+    "etl_compact_files",
+    oracle="""
+SELECT 'fragmented' AS phase, 64 AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM documents
+UNION ALL
+SELECT 'compacted', 2, CAST(COUNT(*) AS BIGINT) FROM documents
+""",
+    tier="T3",
+)
 def etl_compact_files(spark, sf_dir):
     """Small-file compaction: fragment documents into many tiny files, then
     rewrite to a target file count (the nightly compaction job every big
     table needs). Returns (phase, n_files, n_rows) proving row preservation.
+
+    ORACLE (promoted from rows-only in round 7): the output is a
+    deterministic function of the fixture — round-robin repartition(64)
+    yields exactly 64 non-empty partitions whenever |documents| ≥ 64
+    (smallest SF: 500 docs), coalesce(2) exactly 2 files, and both phases
+    must preserve COUNT(*). The hash gate now pins row preservation and
+    the file-count contract, not just "returns rows".
 
     Scale note: real compaction sizes partitions by bytes
     (spark.sql.files.maxPartitionBytes on read + repartition(target) on
@@ -120,7 +137,15 @@ def join_bucketed_colocate(spark, sf_dir):
     )
 
 
-@register("etl_range_partition_write", oracle=None, tier="T3")
+@register(
+    "etl_range_partition_write",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+       CAST(0 AS BIGINT) AS n_overlapping_file_pairs
+FROM lineitem
+""",
+    tier="T3",
+)
 def etl_range_partition_write(spark, sf_dir):
     """Range-partitioned sorted write: repartitionByRange(8, l_orderkey) +
     sortWithinPartitions before the parquet write gives every output file a
@@ -128,8 +153,14 @@ def etl_range_partition_write(spark, sf_dir):
     to one file via parquet footer min/max at read time. The standard
     layout for a 100 TB fact keyed by time or id.
 
-    Returns (total_rows, n_overlapping_file_pairs) with the overlap count
-    asserted zero by construction (read back via input_file_name)."""
+    Returns (total_rows, n_overlapping_file_pairs) read back via
+    input_file_name. ORACLE (promoted from rows-only in round 7): though
+    repartitionByRange samples its boundaries (file CONTENTS vary
+    run-to-run), the DECLARED output is deterministic — total rows must
+    equal COUNT(*) (row preservation) and the overlap count must be
+    exactly 0, because range partitions are half-open [b_i, b_{i+1})
+    intervals and equal keys never split across partitions. The hash gate
+    now pins the disjointness contract itself."""
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/"))

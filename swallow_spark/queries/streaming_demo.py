@@ -128,12 +128,26 @@ def stream_dropdup_watermark_demo(spark, sf_dir):
 # surface here.
 
 
-@register("stream_incremental_availablenow", oracle=None, tier="T3")
+@register(
+    "stream_incremental_availablenow",
+    oracle="""
+SELECT CAST(COUNT(*) - COUNT(*) // 4 AS BIGINT) AS run1_rows,
+       CAST(COUNT(*) // 4 AS BIGINT) AS run2_rows
+FROM events
+""",
+    tier="T3",
+)
 def stream_incremental_availablenow(spark, sf_dir):
     """Trigger.AvailableNow incremental ingestion: two runs share one
     checkpoint; the second processes ONLY files that arrived after the
     first (exactly-once file tracking, asserted). Returns the per-run
-    processed counts vs ground truth."""
+    processed counts vs ground truth.
+
+    ORACLE (promoted from rows-only in round 7): the landing files split
+    events by ntile(4) over ts order, and ntile tile SIZES depend only on
+    n (ties shift membership, never cardinality): run 1 drains tiles 1-3 =
+    n − n//4 rows, run 2 exactly the 4th tile = n//4 rows. The hash gate
+    now pins the exactly-once file-tracking row counts cross-engine."""
     import shutil as _sh
     import tempfile as _tf
 
@@ -151,12 +165,31 @@ def stream_incremental_availablenow(spark, sf_dir):
         _sh.rmtree(work, ignore_errors=True)
 
 
-@register("stream_foreachbatch_upsert_demo", oracle=None, tier="T3")
+@register(
+    "stream_foreachbatch_upsert_demo",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT user_id)
+            + (CASE WHEN COUNT(*) > COUNT(user_id) THEN 1 ELSE 0 END)
+            AS BIGINT) AS rows,
+       CAST(4 AS BIGINT) AS n_batches
+FROM events
+""",
+    tier="T3",
+)
 def stream_foreachbatch_upsert_demo(spark, sf_dir):
     """foreachBatch streaming MERGE/upsert: micro-batches fold into a keyed
     table (latest event per user, versioned-dir atomic swap); the final
     table provably equals the batch twin (exceptAll both ways == 0,
-    asserted). Returns (rows, n_batches)."""
+    asserted). Returns (rows, n_batches).
+
+    ORACLE (promoted from rows-only in round 7): the final upsert table
+    holds exactly one row per user partition — COUNT(DISTINCT user_id)
+    plus one for the NULL-user group if present (Spark window partitioning
+    groups NULL keys; SQL COUNT(DISTINCT) skips them, hence the
+    COUNT(*) > COUNT(user_id) indicator) — and the replay source stages
+    one file per ntile(4) chunk with maxFilesPerTrigger=1, so n_batches is
+    exactly 4. The tie-break inside latest_per_user affects which row
+    survives, never how many — the declared output is deterministic."""
     import shutil as _sh
     import tempfile as _tf
 
