@@ -226,11 +226,19 @@ def pipeline_pretrain_corpus(spark, sf_dir):
     double-counted in shard totals.
 
     Scale: the gate and chunk explode are map-only; dedup shuffles on
-    md5(text) (hash-partitioned, the dedup_exact shape); the single
-    unpartitioned running-sum window is the one deliberate scale cliff —
-    at 100 TB replace it with the two-pass per-partition-offset packer
-    (per-partition token subtotals broadcast back as offsets, identical
-    output) rather than a global sort; the manifest aggregate is
+    md5(text) (hash-partitioned, the dedup_exact shape); the corpus-order
+    running sum is the TWO-PASS PER-PARTITION-OFFSET packer (implemented
+    round 7, replacing the former unpartitioned window that pushed every
+    chunk through one task): repartitionByRange(doc_id, chunk_id) + local
+    sort preserves the global (doc_id, chunk_id) order across partitions;
+    pass 1 computes per-partition local cumsums in a single narrow
+    mapInPandas (state carries across Arrow batches within a partition);
+    pass 2 aggregates one subtotal per partition (bounded by the partition
+    count — the same driver-side-constant class as the IVF centroids) and
+    broadcasts exclusive offsets back. Output is boundary-placement
+    invariant — range sampling moves rows between partitions but never
+    changes any row's global prefix sum — so the unchanged oracle and the
+    hypothesis suite pin the rewrite. The manifest aggregate stays
     partial+final on shard id.
     """
     d = load(spark, sf_dir, "documents").filter(
@@ -267,12 +275,50 @@ def pipeline_pretrain_corpus(spark, sf_dir):
         "chunk_id",
         F.least(F.lit(64), F.col("n_tok") - F.col("chunk_id") * 56).alias("c"),
     )
-    wpack = (
-        Window.orderBy("doc_id", "chunk_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    import pandas as pd
+
+    ranged = (
+        chunks.repartitionByRange(32, "doc_id", "chunk_id")
+        .sortWithinPartitions("doc_id", "chunk_id")
+        .withColumn("pid", F.spark_partition_id())
     )
-    packed = chunks.withColumn("cum", F.sum("c").over(wpack)).withColumn(
-        "shard", F.expr("(cum + 511) DIV 512")
+
+    def local_cumsum(batches):
+        run = 0  # carries across Arrow batches WITHIN one partition
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+            pdf["local_cum"] = pdf["c"].cumsum() + run
+            run = int(pdf["local_cum"].iloc[-1])
+            yield pdf
+
+    local = ranged.mapInPandas(
+        local_cumsum,
+        "doc_id long, chunk_id long, c long, pid int, local_cum long",
+    )
+    # one subtotal row per partition — bounded metadata, broadcast back as
+    # exclusive offsets (the window below is over ≤ #partitions rows)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.max("local_cum").alias("subtotal"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("subtotal").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    packed = (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("cum", F.col("local_cum") + F.col("offset"))
+        .withColumn("shard", F.expr("(cum + 511) DIV 512"))
     )
     return (
         packed.groupBy("shard")

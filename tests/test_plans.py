@@ -230,6 +230,22 @@ def test_sim_pairs_arrow_grouped(spark):
     assert tree.count("Scan parquet") == 2
 
 
+def test_pretrain_packer_two_pass(spark):
+    """pipeline_pretrain_corpus must pack shards via the two-pass
+    per-partition-offset cumsum (round 7), not the former unpartitioned
+    window that funneled every chunk through one task: a narrow MapInPandas
+    computes local cumsums over the range-partitioned chunk stream, and the
+    per-partition offsets come back through a BROADCAST join."""
+    p = plan_of(spark, "pipeline_pretrain_corpus")
+    assert "MapInPandas" in p
+    assert "BroadcastHashJoin" in p
+    # the only Window left is the <=n_partitions-row offset prefix sum;
+    # the chunk stream itself must never hit a Window operator upstream of
+    # the MapInPandas (tree order: MapInPandas appears before any Window
+    # that consumes it would)
+    assert "SortMergeJoin" not in p
+
+
 def test_contamination_broadcasts_eval_side(spark):
     """text_contamination_ngram's 100 TB story: the (tiny) eval shingle set
     broadcasts; the corpus stream must NOT reach a shuffle-side join."""
