@@ -371,6 +371,8 @@ BNLJ_ALLOWED = {
     "text_bigram_logprob",  # broadcast 1-row vocab-size V crossjoin
     "text_burstiness",  # broadcast 1-row doc-count D crossjoin (zero-inflated VMR)
     "text_bm25_search",
+    "eval_retrieval_rank_metrics",  # broadcast 1-row rel-count/first-rank + 3-row k crossjoins (BM25 stats shape)
+    "eval_retrieval_ndcg",  # broadcast 1-row DCG/IDCG scalar crossjoin (BM25 stats shape)
     "text_perplexity_buckets",  # broadcast 1-row corpus-total crossjoin (unigram LM)
     "text_cooccurrence_pmi",
     "text_tfidf_topk",
