@@ -21,6 +21,7 @@ construction.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -298,4 +299,135 @@ def eval_retrieval_ndcg(spark, sf_dir):
                     ELSE CAST(dcg_micro * 1000000 DIV idcg_micro AS BIGINT)
                END"""
         ).alias("ndcg_micro"),
+    )
+
+
+# ------------------------------------------------------------ ROUGE-L
+# Candidate docs 1..50 paired with reference doc_id+100, both truncated to
+# their first 20 tokens — a bounded, deterministic summarization-eval grid.
+
+_ROUGE_SQL = """
+WITH RECURSIVE
+base AS (
+  SELECT doc_id, string_split(text, ' ')[1:20] AS toks
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+pairs AS (
+  SELECT c.doc_id AS cand_id, r.doc_id AS ref_id, c.toks AS ct, r.toks AS rt
+  FROM base c JOIN base r ON r.doc_id = c.doc_id + 100
+  WHERE c.doc_id <= 50
+),
+walk(cand_id, i, row) AS (
+  SELECT cand_id, 0,
+         list_transform(generate_series(1, len(rt)), j -> CAST(0 AS BIGINT))
+  FROM pairs
+  UNION ALL
+  SELECT w.cand_id, w.i + 1,
+         list_reduce(
+           [CAST([] AS BIGINT[])]
+             || list_transform(generate_series(1, len(p.rt)), j -> [j]),
+           (acc, x) -> acc || [
+             CASE WHEN p.ct[w.i + 1] = p.rt[x[1]]
+                  THEN (CASE WHEN x[1] = 1 THEN 0
+                             ELSE w.row[x[1] - 1] END) + 1
+                  ELSE greatest(
+                         w.row[x[1]],
+                         CASE WHEN x[1] = 1 THEN 0 ELSE acc[len(acc)] END)
+             END]
+         )
+  FROM walk w JOIN pairs p ON p.cand_id = w.cand_id
+  WHERE w.i < len(p.ct)
+)
+SELECT w.cand_id, p.ref_id,
+       CAST(len(p.ct) AS BIGINT) AS n_cand,
+       CAST(len(p.rt) AS BIGINT) AS n_ref,
+       CAST(w.row[len(w.row)] AS BIGINT) AS lcs_len,
+       CAST(w.row[len(w.row)] * 1000000 // len(p.ct) AS BIGINT) AS p_micro,
+       CAST(w.row[len(w.row)] * 1000000 // len(p.rt) AS BIGINT) AS r_micro,
+       CAST(w.row[len(w.row)] * 2000000 // (len(p.ct) + len(p.rt))
+            AS BIGINT) AS f1_micro
+FROM walk w JOIN pairs p USING (cand_id)
+WHERE w.i = len(p.ct)
+"""
+
+
+@register("text_rouge_l", oracle=_ROUGE_SQL, tier="T2")
+def text_rouge_l(spark, sf_dir):
+    """ROUGE-L (longest-common-subsequence precision/recall/F1) between
+    deterministic candidate/reference doc pairs — the summarization /
+    generation eval metric, over the fixture's (doc d, doc d+100) pairs
+    truncated to their first 20 tokens.
+
+    Determinism: PURE int64 — the LCS DP
+    L[i][j] = ct[i]=rt[j] ? L[i−1][j−1]+1 : max(L[i−1][j], L[i][j−1])
+    is integer-valued by construction, and the DuckDB twin replays the
+    identical DP as a recursive CTE over DP rows, each row built by a left
+    list-fold (the [[]] || [[j]…] empty-accumulator trick that resolves
+    the in-row L[i][j−1] dependency — the [[ts_dtw_profile]] recipe with
+    max-recurrence instead of min). P = lcs/|cand|, R = lcs/|ref| and the
+    β=1 F-measure collapses to 2·lcs/(|cand|+|ref|) exactly, so all three
+    are single non-negative `//` micro-ratios.
+
+    Scale note: the pair set is the bounded eval grid (50 pairs, ≤20
+    tokens each ⇒ ≤400-cell DPs); both join sides carry pushed-down
+    doc_id range filters so the scans prune to the eval slice. A
+    corpus-scale ROUGE sweep would block pairs first (the dedup recipe)
+    and run the same Arrow-batched DP per block.
+    """
+    import numpy as np
+
+    from ..io import load as _load
+
+    d = _load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = F.slice(F.split("text", " "), 1, 20)
+    cand = d.filter(F.col("doc_id") <= 50).select(
+        F.col("doc_id").alias("cand_id"), toks.alias("ct")
+    )
+    # doc_ids start at 0 ⇒ candidates 0..50 pair with references 100..150
+    ref = d.filter(F.col("doc_id").between(100, 150)).select(
+        F.col("doc_id").alias("ref_id"), toks.alias("rt")
+    )
+    pairs = cand.join(
+        F.broadcast(ref), ref.ref_id == cand.cand_id + 100
+    )
+
+    @F.pandas_udf("long")
+    def lcs(ct: pd.Series, rt: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(ct, rt):
+            a, b = list(a), list(b)
+            m = len(b)
+            prev = np.zeros(m + 1, dtype=np.int64)
+            for tok in a:
+                cur = np.zeros(m + 1, dtype=np.int64)
+                for j in range(1, m + 1):
+                    if tok == b[j - 1]:
+                        cur[j] = prev[j - 1] + 1
+                    else:
+                        cur[j] = max(prev[j], cur[j - 1])
+                prev = cur
+            out.append(int(prev[m]))
+        return pd.Series(out)
+
+    return pairs.select(
+        "cand_id",
+        "ref_id",
+        F.size("ct").cast("long").alias("n_cand"),
+        F.size("rt").cast("long").alias("n_ref"),
+        lcs("ct", "rt").alias("lcs_len"),
+        "ct",
+        "rt",
+    ).select(
+        "cand_id",
+        "ref_id",
+        "n_cand",
+        "n_ref",
+        "lcs_len",
+        F.expr("CAST(lcs_len * 1000000 DIV n_cand AS BIGINT)").alias("p_micro"),
+        F.expr("CAST(lcs_len * 1000000 DIV n_ref AS BIGINT)").alias("r_micro"),
+        F.expr(
+            "CAST(lcs_len * 2000000 DIV (n_cand + n_ref) AS BIGINT)"
+        ).alias("f1_micro"),
     )
