@@ -454,6 +454,13 @@ def dedup_minhash_portable(spark, sf_dir):
     # lands every NULL doc in one groupBy bucket and pairs them, while the
     # oracle's NULL-join drops them
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return _portable_minhash_pairs(d)
+
+
+def _portable_minhash_pairs(d):
+    """(d1, d2, n_bands) candidate pairs from the portable-hash MinHash+LSH
+    pipeline — shared by [[dedup_minhash_portable]] and the
+    [[eval_dedup_minhash_quality]] measurement key."""
     hs = F.expr(f"transform(split(text, ' '), t -> {_phs('t')})")
     sh = (
         d.select("doc_id", hs.alias("hs"))
@@ -688,3 +695,111 @@ def dedup_simhash_portable(spark, sf_dir):
         )
     )
     return same.unionByName(cross)
+
+
+# ------------------------------------------------- dedup-layer measurement
+
+_MINHASH_QUALITY_SQL = f"""
+WITH cand AS ({_MINHASH_PORTABLE_SQL}),
+truth AS (
+  WITH sh AS (
+    SELECT doc_id, unnest({sql_shingles('text')}) AS s FROM documents
+  ),
+  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+  pairs AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT d1, d2
+  FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.6
+),
+confusion AS (
+  SELECT (c.d1 IS NOT NULL) AS in_cand, (t.d1 IS NOT NULL) AS in_truth
+  FROM cand c FULL JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2
+)
+SELECT CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       CAST(SUM(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END)
+            AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN in_cand AND NOT in_truth THEN 1 ELSE 0 END)
+            AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN in_truth AND NOT in_cand THEN 1 ELSE 0 END)
+            AS BIGINT) AS fn,
+       CASE WHEN SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) = 0 THEN NULL
+            ELSE CAST(SUM(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END)
+                      * 1000000
+                      // SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT)
+       END AS precision_micro,
+       CASE WHEN SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) = 0 THEN NULL
+            ELSE CAST(SUM(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END)
+                      * 1000000
+                      // SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT)
+       END AS recall_micro
+FROM confusion
+"""
+
+
+@register("eval_dedup_minhash_quality", oracle=_MINHASH_QUALITY_SQL, tier="T2")
+def eval_dedup_minhash_quality(spark, sf_dir):
+    """Precision/recall of the MinHash+LSH dedup layer against exact
+    shingle-Jaccard ground truth — the measurement a curation stack runs
+    before trusting approximate dedup at 100 TB, here fully DETERMINISTIC
+    (and therefore oracle-checkable) because both layers use the portable
+    polynomial hash: candidates = [[dedup_minhash_portable]]'s banded pair
+    set, truth = exact 5-shingle Jaccard ≥ 0.6 (the 8×4 banding's s-curve
+    threshold is (1/8)^(1/4) ≈ 0.59, so τ = 0.6 is the matched operating
+    point). TP/FP/FN come from one FULL OUTER join of the two bounded pair
+    tables; precision/recall are micro-unit non-negative `//` ratios with
+    NULL degenerate cases.
+
+    Scale note: both inputs are already sub-quadratic (posting-list join
+    with df-capped postings; band buckets); the confusion join is
+    pair-keyed hash join over their outputs — the eval costs no more than
+    running the two dedup layers it measures.
+    """
+    from ..ops.dedup import shingle_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    cand = _portable_minhash_pairs(d).select("d1", "d2")
+    pairs, jac = shingle_jaccard_pairs(load(spark, sf_dir, "documents"))
+    truth = pairs.filter(jac >= 0.6).select(
+        F.col("d1").alias("t1"), F.col("d2").alias("t2")
+    )
+    conf = cand.join(
+        truth,
+        (cand.d1 == truth.t1) & (cand.d2 == truth.t2),
+        "full_outer",
+    ).select(
+        F.col("d1").isNotNull().alias("in_cand"),
+        F.col("t1").isNotNull().alias("in_truth"),
+    )
+    tp = F.sum(F.when(F.col("in_cand") & F.col("in_truth"), 1).otherwise(0))
+    nc = F.sum(F.when(F.col("in_cand"), 1).otherwise(0))
+    nt = F.sum(F.when(F.col("in_truth"), 1).otherwise(0))
+    return conf.agg(
+        nt.cast("long").alias("n_truth"),
+        nc.cast("long").alias("n_cand"),
+        tp.cast("long").alias("tp"),
+        F.sum(F.when(F.col("in_cand") & ~F.col("in_truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("in_truth") & ~F.col("in_cand"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    ).select(
+        "n_truth",
+        "n_cand",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            """CASE WHEN n_cand = 0 THEN NULL
+                    ELSE CAST(tp * 1000000 DIV n_cand AS BIGINT) END"""
+        ).alias("precision_micro"),
+        F.expr(
+            """CASE WHEN n_truth = 0 THEN NULL
+                    ELSE CAST(tp * 1000000 DIV n_truth AS BIGINT) END"""
+        ).alias("recall_micro"),
+    )
