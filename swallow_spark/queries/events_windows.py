@@ -173,38 +173,59 @@ def win_throttle_events(spark, sf_dir):
     fixtures). Timestamps compare as integer epoch microseconds; the
     boundary is inclusive (gap == 300 s keeps).
 
-    Scale note: one shuffle on user_id, then Arrow-grouped per-user folds
-    — each group is a bounded timeline, the classic keyed-state layout
-    (the streaming twin would be applyInPandasWithState). Output is the
-    kept events with their per-user keep rank, so the hash check pins
-    every keep/drop decision, not a summary.
+    Scale note (round-7 rework): the shuffle key is a 256-way hash
+    SUPER-GROUP pmod(xxhash64(user_id), 256) — 256 Python calls instead of
+    one per user (the udf_cogrouped_merge recipe) — and each batch
+    regroups per-user with pandas groupby(dropna=False) so NULL users stay
+    one group, as Spark's own grouping would have them. Inside each user,
+    the fold JUMPS along the kept chain with np.searchsorted (the next
+    kept event is the first with ts ≥ last_kept + 300 s; 'left' side picks
+    the first of a ts-tie run, exactly the greedy (ts, event_id) order) —
+    O(kept · log n) instead of a per-row Python loop, which is what the
+    skew stress-test's 200k-event hot user needs. Output is the kept
+    events with their per-user keep rank, so the unchanged recursive
+    oracle pins every keep/drop decision of the rewrite.
     """
+    import numpy as np
     import pandas as pd
 
-    e = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    e = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("tus"))
+        .withColumn("b", F.pmod(F.xxhash64("user_id"), F.lit(256)))
     )
 
     def throttle(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["tus", "event_id"])
-        kept_ids, seqs = [], []
-        last = None
-        seq = 0
-        for eid, t in zip(pdf["event_id"], pdf["tus"]):
-            if last is None or t - last >= _THROTTLE_US:
+        pdf = pdf.sort_values(["user_id", "tus", "event_id"])
+        out_u: list = []
+        out_e: list = []
+        out_s: list = []
+        for uid, g in pdf.groupby("user_id", sort=False, dropna=False):
+            tus = g["tus"].to_numpy()
+            eids = g["event_id"].to_numpy()
+            n = len(tus)
+            i = 0
+            seq = 0
+            while i < n:
                 seq += 1
-                last = t
-                kept_ids.append(eid)
-                seqs.append(seq)
+                out_u.append(uid)
+                out_e.append(eids[i])
+                out_s.append(seq)
+                # first index with tus >= last_kept + window; ties at the
+                # target share (tus, event_id) sort order, 'left' keeps the
+                # first — identical to the row-by-row greedy walk
+                i = int(
+                    np.searchsorted(tus, tus[i] + _THROTTLE_US, side="left")
+                )
         return pd.DataFrame(
             {
-                "user_id": pdf["user_id"].iloc[0],
-                "event_id": kept_ids,
-                "kept_seq": seqs,
+                "user_id": pd.array(out_u, dtype="Int64"),
+                "event_id": pd.array(out_e, dtype="int64"),
+                "kept_seq": pd.array(out_s, dtype="int64"),
             }
         )
 
-    return e.groupBy("user_id").applyInPandas(
+    return e.groupBy("b").applyInPandas(
         throttle, "user_id long, event_id long, kept_seq long"
     )
 
