@@ -1220,3 +1220,101 @@ def graph_katz_centrality(spark, sf_dir):
     rows = out.localCheckpoint(eager=True)
     und.unpersist()
     return rows
+
+
+_LOCAL_CC_SQL = f"""
+WITH e AS ({_EDGES_SQL}),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+  JOIN e e2 ON e1.dst = e2.src
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+  GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+  GROUP BY node
+)
+SELECT deg.node, deg.d, COALESCE(per_node.n_tri, 0) AS n_tri,
+       CAST(COALESCE(per_node.n_tri, 0) * 2000000 // (deg.d * (deg.d - 1))
+            AS BIGINT) AS local_cc_micro
+FROM deg LEFT JOIN per_node USING (node)
+WHERE deg.d >= 2
+ORDER BY local_cc_micro DESC, deg.node
+LIMIT 100
+"""
+
+
+@register("graph_local_clustering", oracle=_LOCAL_CC_SQL, tier="T2")
+def graph_local_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient of the co-purchase graph:
+    cc(v) = triangles_at(v) / (d(v)·(d(v)−1)/2) — the node-level
+    neighborhood-density score (global clustering is
+    [[graph_triangle_count]]'s single ratio; this is its distribution).
+    Top-100 nodes by (cc desc, node).
+
+    Determinism: triangle counts and degrees are exact integers; the
+    coefficient is one non-negative micro `//` (2·tri·1e6 // d(d−1),
+    d ≥ 2 enforced on both sides).
+
+    Scale note: triangles come from the Schank–Wagner oriented listing
+    (edges oriented by increasing packed (degree, id) key, common
+    out-neighbors intersected IN-ROW), so each triangle is produced once
+    at its minimum-key vertex and then attributed to its three VERTICES —
+    the [[graph_adamic_adar]] machinery with vertex attribution instead of
+    edge attribution. One adjacency groupBy + one node-keyed shuffle of
+    3·|triangles| attributions; oriented out-degree is arboricity-bounded
+    O(√E), so no hub straggler at 100 TB. The oracle keeps the canonical
+    3-join spelling — identical triangle set by construction.
+    """
+    e = _edges(spark, sf_dir).persist()
+    und = e.selectExpr("src AS node").unionAll(e.selectExpr("dst AS node"))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d")).persist()
+    ed = (
+        e.join(deg.select(F.col("node").alias("src"), F.col("d").alias("sd")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst")
+        .select(
+            "src",
+            "dst",
+            (F.col("sd") * F.lit(1_000_000_000) + F.col("src")).alias("skey"),
+            (F.col("dd") * F.lit(1_000_000_000) + F.col("dst")).alias("dkey"),
+        )
+    )
+    o = ed.select(
+        F.when(F.col("skey") < F.col("dkey"), F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(F.col("skey") < F.col("dkey"), F.col("dst")).otherwise(F.col("src")).alias("b"),
+    ).persist()
+    adj = o.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    tri = (
+        o.join(adj.select(F.col("a"), F.col("nbrs").alias("na")), "a")
+        .join(adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb")), "b")
+        .select("a", "b", F.explode(F.array_intersect("na", "nb")).alias("w"))
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    out = (
+        deg.filter(F.col("d") >= 2)
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("long").alias("d"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+            F.expr(
+                "CAST(COALESCE(n_tri, 0) * 2000000 DIV (d * (d - 1)) AS BIGINT)"
+            ).alias("local_cc_micro"),
+        )
+        .orderBy(F.col("local_cc_micro").desc(), "node")
+        .limit(100)
+    )
+    out = out.localCheckpoint(eager=True)
+    for df in (e, deg, o):
+        df.unpersist()
+    return out

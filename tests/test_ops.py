@@ -37,12 +37,16 @@ def test_dedup_keep_first_deterministic(spark):
 
 
 def test_sessionize_gap_boundary(spark):
-    # events exactly 30 min apart start a NEW session (end-exclusive)
+    # Spark's native session_window COALESCES per-event windows [t, t+gap)
+    # that touch at the boundary, so an event arriving EXACTLY gap after the
+    # previous one CONTINUES the session (strict '> gap' starts a new one) —
+    # pinned by tests/test_session_window_properties.py against the engine.
     df = spark.createDataFrame(
         [
             (1, ts("2024-01-01T00:00:00")),
             (1, ts("2024-01-01T00:29:59")),
-            (1, ts("2024-01-01T00:59:59")),  # 30:00 after first → same run? gap vs prev = 30:00 → new
+            (1, ts("2024-01-01T00:59:59")),  # gap vs prev = exactly 30:00 → SAME session
+            (1, ts("2024-01-01T01:30:00")),  # gap 30:01 > gap → NEW session
             (2, ts("2024-01-01T00:00:00")),
         ],
         "user_id long, ts timestamp",
@@ -53,7 +57,8 @@ def test_sessionize_gap_boundary(spark):
         by_user.setdefault(r.user_id, []).append((r.ts, r.session_id))
     u1 = sorted(by_user[1])
     assert u1[0][1] == 1 and u1[1][1] == 1  # 29:59 gap < 30 min → same session
-    assert u1[2][1] == 2  # exactly 30:00 gap → new session
+    assert u1[2][1] == 1  # exactly 30:00 gap → session_window coalesces → same
+    assert u1[3][1] == 2  # 30:01 gap → new session
     assert by_user[2][0][1] == 1
 
 

@@ -373,6 +373,7 @@ BNLJ_ALLOWED = {
     "text_bm25_search",
     "eval_retrieval_rank_metrics",  # broadcast 1-row rel-count/first-rank + 3-row k crossjoins (BM25 stats shape)
     "eval_retrieval_ndcg",  # broadcast 1-row DCG/IDCG scalar crossjoin (BM25 stats shape)
+    "eval_confusion_f1",  # broadcast |langs|-row class list x predictions: one-pass conditional-agg confusion scan
     "text_perplexity_buckets",  # broadcast 1-row corpus-total crossjoin (unigram LM)
     "text_cooccurrence_pmi",
     "text_tfidf_topk",
