@@ -1147,3 +1147,68 @@ def win_gaps_islands(spark, sf_dir):
             "CAST(99999 - MAX(len * 100000 + (99999 - start_eday)) % 100000 AS BIGINT)"
         ).alias("longest_streak_start_eday"),
     )
+
+
+_SESSION_ENTROPY_SQL = """
+WITH cnts AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+              AS BIGINT) AS sum_u
+  FROM cnts GROUP BY user_id
+)
+SELECT user_id, n, n_types,
+       CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) - sum_u // n
+         AS ent_micronats
+FROM per_user
+"""
+
+
+@register("seq_session_entropy", oracle=_SESSION_ENTROPY_SQL, tier="T2")
+def seq_session_entropy(spark, sf_dir):
+    """Per-user Shannon entropy (micro-nats) of the event-type mix — the
+    behavioral-diversity score: 0 means a single-action user (bot-like or
+    dormant), high entropy means the user exercises the whole product
+    surface. The user-behavior sibling of [[text_char_entropy]].
+
+    Determinism: H = ln(n) − (Σ c·ln c)/n with each ln floored to int64
+    micro-nat units BEFORE the per-user sum (exact integer arithmetic
+    after the quantized log calls, aggregation-order independent); ent ≥ 0
+    structurally so the single DIV is non-negative. NULL user/event_type
+    rows are excluded on both sides (the null_event probe class).
+
+    Scale: one map-side-combinable (user, type) count, one hash aggregate
+    on user — the shuffle is O(users·|event types|), not O(events).
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cnts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_user = cnts.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(
+            F.col("c")
+            * F.floor(F.log(F.col("c").cast("double")) * 1000000).cast("long")
+        )
+        .cast("long")
+        .alias("sum_u"),
+    )
+    return per_user.select(
+        "user_id",
+        "n",
+        "n_types",
+        (
+            F.floor(F.log(F.col("n").cast("double")) * 1000000).cast("long")
+            - F.expr("sum_u DIV n")
+        ).alias("ent_micronats"),
+    )

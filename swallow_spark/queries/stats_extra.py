@@ -3568,3 +3568,136 @@ def stats_log_rank_test(spark, sf_dir):
                       * 1000000) AS BIGINT) END"""
         ).alias("chisq_micro"),
     )
+
+
+_KW_CENTS = "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)"
+
+_KW_SQL = f"""
+WITH base AS (
+  SELECT c_mktsegment AS seg, {_KW_CENTS} AS v
+  FROM customer WHERE c_acctbal IS NOT NULL
+),
+vt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY v),
+vtp AS (
+  SELECT v, c,
+         SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) - c AS prev
+  FROM vt
+),
+sv AS (SELECT seg, v, CAST(COUNT(*) AS BIGINT) AS cg FROM base GROUP BY 1, 2),
+per AS (
+  SELECT sv.seg,
+         CAST(SUM(sv.cg * (2 * vtp.prev + vtp.c + 1)) AS BIGINT) AS two_r,
+         CAST(SUM(sv.cg) AS BIGINT) AS n_g
+  FROM sv JOIN vtp USING (v)
+  GROUP BY sv.seg
+),
+terms AS (
+  SELECT seg, n_g,
+         CAST(FLOOR(CAST(two_r AS DOUBLE) * CAST(two_r AS DOUBLE)
+                    / CAST(n_g AS DOUBLE)) AS BIGINT) AS term_units
+  FROM per
+),
+main AS (
+  SELECT CAST(SUM(term_units) AS BIGINT) AS s_units,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM terms
+),
+ties AS (SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS tie_term FROM vtp)
+SELECT main.k, main.n, ties.tie_term,
+       FLOOR((CAST(3 * main.s_units AS DOUBLE)
+              / CAST(main.n * (main.n + 1) AS DOUBLE)
+              - 3 * (main.n + 1)) * 10000 + 0.5) / 10000 AS h_stat,
+       FLOOR(((CAST(3 * main.s_units AS DOUBLE)
+               / CAST(main.n * (main.n + 1) AS DOUBLE)
+               - 3 * (main.n + 1))
+              / (1 - CAST(ties.tie_term AS DOUBLE)
+                     / CAST(main.n * main.n * main.n - main.n AS DOUBLE)))
+             * 10000 + 0.5) / 10000 AS h_corrected
+FROM main CROSS JOIN ties
+"""
+
+
+@register("stats_kruskal_wallis", oracle=_KW_SQL, tier="T2")
+def stats_kruskal_wallis(spark, sf_dir):
+    """Kruskal–Wallis H test across all five market segments' balance
+    distributions — the k-group generalization of [[stats_mann_whitney]]
+    (one-way ANOVA on ranks), with the standard tie correction
+    H' = H / (1 − Σ(t³−t)/(n³−n)).
+
+    Determinism: the doubled rank sums 2R_g = Σ c_gv·(2·prev + c + 1) are
+    exact int64 (the mann_whitney recipe); each segment's (2R_g)²/n_g is
+    floored to integer units BEFORE the cross-segment sum (the
+    order-independence rule for cross-group DOUBLE folds — the two IEEE
+    ops square/divide are correctly rounded from exact int64 inputs, so
+    the floor input is bit-identical in both engines); ties contribute
+    t³−t exactly. Only the final H expressions divide through doubles,
+    with one 1e-4 round each. Int64 headroom: 3·S ≤ ~2.5e17 at sf0.1
+    (documented; beyond ~4M rows per segment carry terms as
+    DECIMAL(38,0)).
+
+    Scale note: the global rank window runs over the per-distinct-value
+    pre-aggregate (|distinct cents| rows), never the raw table; the
+    (segment, value) table shuffles once on v for the prev join; ties and
+    H are 1-row broadcast scalar crossjoins.
+    """
+    base = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal").isNotNull())
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.expr(_KW_CENTS).alias("v"),
+        )
+    )
+    vt = base.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vtp = vt.select(
+        "v", "c", (F.sum("c").over(wv) - F.col("c")).alias("prev")
+    )
+    sv = base.groupBy("seg", "v").agg(F.count(F.lit(1)).cast("long").alias("cg"))
+    per = (
+        sv.join(vtp, "v")
+        .groupBy("seg")
+        .agg(
+            F.sum(F.col("cg") * (F.lit(2) * F.col("prev") + F.col("c") + 1))
+            .cast("long")
+            .alias("two_r"),
+            F.sum("cg").cast("long").alias("n_g"),
+        )
+    )
+    terms = per.select(
+        "n_g",
+        F.expr(
+            """CAST(FLOOR(CAST(two_r AS DOUBLE) * CAST(two_r AS DOUBLE)
+                          / CAST(n_g AS DOUBLE)) AS BIGINT)"""
+        ).alias("term_units"),
+    )
+    main = terms.agg(
+        F.sum("term_units").cast("long").alias("s_units"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    ties = vtp.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_term")
+    )
+    return main.crossJoin(F.broadcast(ties)).select(
+        "k",
+        "n",
+        "tie_term",
+        F.expr(
+            """FLOOR((CAST(3 * s_units AS DOUBLE)
+                      / CAST(n * (n + 1) AS DOUBLE)
+                      - 3 * (n + 1)) * 10000 + 0.5) / 10000"""
+        ).alias("h_stat"),
+        F.expr(
+            """FLOOR(((CAST(3 * s_units AS DOUBLE)
+                       / CAST(n * (n + 1) AS DOUBLE)
+                       - 3 * (n + 1))
+                      / (1 - CAST(tie_term AS DOUBLE)
+                             / CAST(n * n * n - n AS DOUBLE)))
+                     * 10000 + 0.5) / 10000"""
+        ).alias("h_corrected"),
+    )

@@ -874,3 +874,94 @@ def vec_pq_adc_topk(spark, sf_dir):
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _PQ_TOPK)
     )
+
+
+# --------------------------------------------- random (JL) sign projection
+# Deterministic ±1 sign matrix S[j][i] from md5("rp:{j}:{i}"): sign = +1 iff
+# the first hex digit is even. Both engines derive the SAME matrix — Python
+# hashlib on the Spark worker, md5() in the DuckDB oracle — no literals to
+# drift.
+
+_RP_K = 8
+_RP_D = 64
+
+
+def _rp_signs():
+    import hashlib
+
+    import numpy as np
+
+    s = np.empty((_RP_K, _RP_D), dtype=np.int64)
+    for j in range(_RP_K):
+        for i in range(_RP_D):
+            h = hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()
+            s[j, i] = 1 if int(h[0], 16) % 2 == 0 else -1
+    return s
+
+
+def _rp_proj_sql(j: int) -> str:
+    return f"""
+CAST(list_sum(list_transform(generate_series(1, {_RP_D}),
+  i -> (CASE WHEN strpos('02468ace',
+                         substr(md5('rp:{j}:' || CAST(i - 1 AS VARCHAR)), 1, 1)) > 0
+             THEN 1 ELSE -1 END)
+       * CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+     AS BIGINT)"""
+
+
+_RP_SQL = f"""
+SELECT vec_id,
+       {", ".join(f"{_rp_proj_sql(j)} AS p{j}" for j in range(_RP_K))}
+FROM embeddings
+WHERE embedding IS NOT NULL AND len(embedding) = {_RP_D}
+"""
+
+
+@register("vec_random_projection", oracle=_RP_SQL, tier="T2")
+def vec_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss sign (Achlioptas ±1) random projection of the
+    64-dim embeddings down to 8 dims — the cheap dimensionality-reduction
+    front-end an ANN or clustering stage runs before distance work at
+    100 TB (distances are preserved within 1±ε with the usual JL
+    guarantee; ±1 entries make the projection exact integer arithmetic).
+
+    Determinism: coordinates are quantized to exact int64 micro-units
+    (floor(x·1e6 + 0.5) — float32→double is exact, one correctly-rounded
+    multiply each), the sign matrix is derived identically in both engines
+    from md5("rp:j:i") first-hex-digit parity, and each projection is an
+    exact signed int64 sum (|p| ≤ 64·|x_micro|max ≈ 2e8 — no overflow).
+    NULL / ragged embeddings are excluded on both sides (the
+    null_embedding probe class).
+
+    Scale note: map-only, zero shuffles — ONE Arrow-batched numpy int64
+    matmul per batch against the process-cached 8×64 sign matrix (the
+    ann_lsh_bucketed rework recipe: never 512 codegen dot-expressions, one
+    BLAS-shaped pass), embarrassingly parallel at any scale.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == _RP_D)
+    ).select("vec_id", "embedding")
+    schema = StructType(
+        [StructField("vec_id", LongType())]
+        + [StructField(f"p{j}", LongType()) for j in range(_RP_K)]
+    )
+
+    def proj(batches):
+        import numpy as np
+        import pandas as pd
+
+        s_t = _rp_signs().T  # (64, 8)
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * 1e6 + 0.5).astype(np.int64)
+            y = q @ s_t  # exact int64
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for j in range(_RP_K):
+                out[f"p{j}"] = y[:, j]
+            yield pd.DataFrame(out)
+
+    return e.mapInPandas(proj, schema)

@@ -348,6 +348,7 @@ BNLJ_ALLOWED = {
     "stats_chisq_independence",
     "stats_jackknife_se",  # broadcast 1-row total/20-row fold cross joins
     "stats_ks_test",
+    "stats_kruskal_wallis",  # broadcast 1-row tie-term crossjoin (mann_whitney shape)
     "stats_mann_whitney",
     "etl_freshness_audit",  # broadcast 1-row global-max-ts crossjoin
     "graph_modularity",  # broadcast 1-row m / Q-numerator scalar cross joins
