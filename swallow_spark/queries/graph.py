@@ -1318,3 +1318,111 @@ def graph_local_clustering(spark, sf_dir):
     for df in (e, deg, o):
         df.unpersist()
     return out
+
+
+_CLOSENESS_HOPS = 4
+# exact micro-unit reciprocal-distance weights 1/d for d = 1..4 (baked
+# integers — the eval_retrieval_ndcg rule for quantized reciprocals)
+_HARMONIC_W = {1: 1000000, 2: 500000, 3: 333333, 4: 250000}
+
+_CLOSENESS_SQL = f"""
+WITH RECURSIVE e AS ({_EDGES_SQL}),
+und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+lm AS (
+  SELECT node FROM (SELECT DISTINCT src AS node FROM und)
+  ORDER BY node LIMIT 5
+),
+walk(lmk, node, d) AS (
+  SELECT node, node, 0 FROM lm
+  UNION
+  -- UNION (not ALL): per-step dedup of (lmk, node, d) keeps the working
+  -- set bounded by |reached| per depth instead of enumerating every path
+  -- (path enumeration is exponential on this dense co-purchase graph)
+  SELECT DISTINCT w.lmk, und.dst, w.d + 1
+  FROM walk w JOIN und ON und.src = w.node
+  WHERE w.d < {_CLOSENESS_HOPS}
+),
+dist AS (SELECT lmk, node, CAST(MIN(d) AS BIGINT) AS d
+         FROM walk GROUP BY lmk, node),
+reached AS (SELECT lmk, node, d FROM dist WHERE d > 0)
+SELECT lmk AS landmark,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(d) AS BIGINT) AS sum_d,
+       CAST(SUM(CASE d WHEN 1 THEN {_HARMONIC_W[1]} WHEN 2 THEN {_HARMONIC_W[2]}
+                       WHEN 3 THEN {_HARMONIC_W[3]} ELSE {_HARMONIC_W[4]} END)
+            AS BIGINT) AS harmonic_micro
+FROM reached
+GROUP BY lmk
+"""
+
+
+@register("graph_closeness_landmarks", oracle=_CLOSENESS_SQL, tier="T2")
+def graph_closeness_landmarks(spark, sf_dir):
+    """Hop-bounded harmonic centrality of 5 deterministic landmark nodes
+    (the smallest part keys in the co-purchase graph): HC = Σ 1/d(v) over
+    nodes reached within 4 hops — the landmark-sampling estimator used
+    when all-pairs closeness is unaffordable, and harmonic (not classic
+    closeness) so disconnected remainders contribute 0 instead of
+    poisoning the mean.
+
+    Determinism: PURE int64 — BFS levels are exact (MIN(d) collapses the
+    oracle CTE's multiplicity to true distance), and 1/d is the baked
+    micro-unit table {{1: 1000000, 2: 500000, 3: 333333, 4: 250000}}
+    (quantized reciprocals as integer constants, the NDCG-weights rule, so
+    no division crosses the hash).
+
+    Scale note: ONE multi-source frontier BFS carrying (landmark, node) —
+    5 landmarks share each hop's edge join instead of 5 sequential
+    traversals; frontier and visited sets broadcast (bounded by 5·reach),
+    the persisted edge table never re-shuffles, localCheckpoint truncates
+    per-hop lineage ([[graph_shortest_hops]] discipline). Fixed hop bound
+    ⇒ static plan depth at any data scale.
+    """
+    e = _edges(spark, sf_dir)
+    und = (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .persist()
+    )
+    seeds = (
+        und.select("src").distinct().orderBy("src").limit(5)
+        .select(F.col("src").alias("lmk"), F.col("src").alias("node"))
+    )
+    dist = seeds.withColumn("d", F.lit(0)).localCheckpoint(eager=True)
+    frontier = dist.select("lmk", "node")
+    for hop in range(1, _CLOSENESS_HOPS + 1):
+        nxt = (
+            und.join(F.broadcast(frontier), und["src"] == frontier["node"])
+            .select("lmk", und["dst"].alias("node"))
+            .distinct()
+            .join(
+                F.broadcast(dist.select("lmk", "node")),
+                ["lmk", "node"],
+                "left_anti",
+            )
+            .withColumn("d", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.union(nxt)
+        frontier = nxt.select("lmk", "node")
+        if nxt.isEmpty():
+            break
+    w = F.expr(
+        "CASE d WHEN 1 THEN {w1} WHEN 2 THEN {w2} WHEN 3 THEN {w3} "
+        "ELSE {w4} END".format(
+            w1=_HARMONIC_W[1], w2=_HARMONIC_W[2], w3=_HARMONIC_W[3],
+            w4=_HARMONIC_W[4],
+        )
+    )
+    out = (
+        dist.filter(F.col("d") > 0)
+        .groupBy(F.col("lmk").alias("landmark"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum("d").cast("long").alias("sum_d"),
+            F.sum(w).cast("long").alias("harmonic_micro"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return out

@@ -877,3 +877,73 @@ def multimodal_av_sync(spark, sf_dir):
         "doc_id long, n_cuts long, n_voiced long, "
         "n_voiced_scenes long, max_voiced_in_scene long",
     ).orderBy("doc_id")
+
+
+_IMG_HIST_SQL = """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+px AS (
+  -- intensity bin of byte i = its HIGH nibble = hex char 2i-1 (16 bins)
+  SELECT doc_id, n,
+         unnest(list_transform(generate_series(CAST(1 AS BIGINT), n),
+           i -> CAST(strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1
+                     AS BIGINT))) AS bin
+  FROM h
+)
+SELECT doc_id, bin,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(COUNT(*) * 1000000 // MAX(n) AS BIGINT) AS share_micro
+FROM px
+GROUP BY doc_id, bin
+"""
+
+
+@register("multimodal_image_histogram", oracle=_IMG_HIST_SQL, tier="T2")
+def multimodal_image_histogram(spark, sf_dir):
+    """Per-image 16-bin intensity histogram over an opaque binary payload
+    (bytes as 8-bit pixels, bin = high nibble) — the exposure/contrast
+    profile an image-curation pipeline computes before quality gating;
+    long-format (doc_id, bin, cnt, share) so downstream dedup can compare
+    histograms as distributions.
+
+    Determinism: PURE int64 — the bin of byte i is literally hex char
+    2i−1 of hex(payload) (identical for any UTF-8 payload in both engines;
+    the [[multimodal_audio_features]] hex-pair recipe, high nibble only),
+    counts are exact, shares one non-negative micro `//`. Empty/NULL
+    payloads are excluded on both sides.
+
+    Scale note: whole pipeline is JVM codegen (hex + in-row transform +
+    explode) — no Python; the explode emits (doc_id, bin) two-int rows and
+    the hash aggregate map-side-combines each partition to ≤16 rows per
+    doc before the shuffle, so the wide stage is O(docs·16), not
+    O(corpus bytes). A real decoder drops in at the payload column
+    (the injectable-seam contract of this family).
+    """
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    h = d.select(
+        "doc_id",
+        F.hex(F.encode("text", "utf-8")).alias("hx"),
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n"),
+    )
+    px = h.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(
+                """transform(sequence(CAST(1 AS BIGINT), n),
+                   i -> CAST(conv(substr(hx, CAST(2 * i - 1 AS INT), 1), 16, 10)
+                             AS BIGINT))"""
+            )
+        ).alias("bin"),
+    )
+    return px.groupBy("doc_id", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.expr("CAST(COUNT(1) * 1000000 DIV MAX(n) AS BIGINT)").alias(
+            "share_micro"
+        ),
+    )

@@ -3701,3 +3701,126 @@ def stats_kruskal_wallis(spark, sf_dir):
                      * 10000 + 0.5) / 10000"""
         ).alias("h_corrected"),
     )
+
+
+# pk uniquely orders a customer's orders: epoch-day * 1e10 + orderkey
+# (orderkey < 1e10 at any SF this repo targets; headroom documented below)
+_WSR_PK = (
+    "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) "
+    "* 10000000000 + o_orderkey"
+)
+_WSR_PK_SPARK = (
+    "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') "
+    "* 10000000000 + o_orderkey"
+)
+_WSR_CENTS = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+_WSR_SQL = f"""
+WITH pairs AS (
+  SELECT o_custkey,
+         min_by({_WSR_CENTS}, {_WSR_PK}) AS f,
+         max_by({_WSR_CENTS}, {_WSR_PK}) AS l
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+  GROUP BY o_custkey
+  HAVING COUNT(*) >= 2
+),
+diffs AS (
+  SELECT l - f AS d, abs(l - f) AS ad FROM pairs WHERE l - f <> 0
+),
+vt AS (
+  SELECT ad,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_pos
+  FROM diffs GROUP BY ad
+),
+vtp AS (
+  SELECT ad, c, c_pos,
+         SUM(c) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) - c AS prev
+  FROM vt
+),
+agg AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(c_pos * (2 * prev + c + 1)) AS BIGINT) AS two_wplus,
+         CAST(SUM(c * c * c - c) AS BIGINT) AS tie_term
+  FROM vtp
+)
+SELECT n, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg, two_wplus, tie_term,
+       FLOOR((CAST(two_wplus - n * (n + 1) // 2 AS DOUBLE)
+              / (2 * sqrt((CAST(2 * n * (n + 1) * (2 * n + 1) - tie_term
+                                AS DOUBLE)) / 48)))
+             * 10000 + 0.5) / 10000 AS z_stat
+FROM agg
+"""
+
+
+@register("stats_wilcoxon_signed_rank", oracle=_WSR_SQL, tier="T2")
+def stats_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank test on paired observations — each customer's
+    FIRST vs LAST order total (customers with ≥2 orders; zero differences
+    dropped per the standard procedure): the non-parametric paired
+    complement to [[stats_mann_whitney]]'s independent two-sample test,
+    with tie-corrected normal approximation.
+
+    Determinism: first/last are min_by/max_by over the UNIQUE packed key
+    epoch_day·1e10 + orderkey (no date-tie ambiguity; orderkey < 1e10 at
+    any targeted SF — beyond that widen the pack), differences are exact
+    cents, the doubled signed-rank sum 2W⁺ = Σ c_pos·(2·prev + c + 1) is
+    exact int64 over the distinct-|d| pre-aggregate (the mann_whitney
+    recipe), ties contribute t³−t exactly, and only the final z divides
+    through doubles with one 1e-4 round. Variance carried as the exact
+    integer 2n(n+1)(2n+1) − tie_term over 48 (≈1.3e13 at sf0.1 — int64
+    headroom documented).
+
+    Scale note: one customer-hash aggregate builds the pairs, the rank
+    window runs over the per-distinct-|d| pre-aggregate (|distinct| rows,
+    never the raw table), everything else map-side combines.
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    pairs = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.expr(f"min_by({_WSR_CENTS}, {_WSR_PK_SPARK})").alias("f"),
+            F.expr(f"max_by({_WSR_CENTS}, {_WSR_PK_SPARK})").alias("l"),
+            F.count(F.lit(1)).alias("n_ord"),
+        )
+        .filter(F.col("n_ord") >= 2)
+    )
+    diffs = pairs.select(
+        (F.col("l") - F.col("f")).alias("d"),
+        F.abs(F.col("l") - F.col("f")).alias("ad"),
+    ).filter(F.col("d") != 0)
+    vt = diffs.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("c_pos"),
+    )
+    wv = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vtp = vt.select(
+        "c", "c_pos", (F.sum("c").over(wv) - F.col("c")).alias("prev")
+    )
+    agg = vtp.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("c_pos").cast("long").alias("n_pos"),
+        F.sum(F.col("c_pos") * (F.lit(2) * F.col("prev") + F.col("c") + 1))
+        .cast("long")
+        .alias("two_wplus"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        "two_wplus",
+        "tie_term",
+        F.expr(
+            """FLOOR((CAST(two_wplus - n * (n + 1) DIV 2 AS DOUBLE)
+                      / (2 * sqrt((CAST(2 * n * (n + 1) * (2 * n + 1) - tie_term
+                                        AS DOUBLE)) / 48)))
+                     * 10000 + 0.5) / 10000"""
+        ).alias("z_stat"),
+    )
