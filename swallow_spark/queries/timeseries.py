@@ -3157,3 +3157,160 @@ def ts_turning_points(spark, sf_dir):
                       * 1000000) AS BIGINT) END"""
         ).alias("z_micro"),
     )
+
+
+# ---------------------------------------------------------------- PACF
+# Durbin–Levinson unrolled ALGEBRAICALLY over the 5 quantized lag
+# autocorrelations — both engines evaluate the CHARACTER-IDENTICAL
+# expression strings below on identical double inputs (micro-int rho / 1e6),
+# so every intermediate is the same IEEE value by construction.
+
+_PACF_M = 5
+
+
+def _dl_exprs() -> list[tuple[str, str]]:
+    """(name, expr) pairs of the Durbin–Levinson recursion over r1..r5.
+
+    Level k: phi_kk = (r_k − Σ_{j<k} phi_{k-1,j}·r_{k-j})
+                      / (1 − Σ_{j<k} phi_{k-1,j}·r_j),
+             phi_kj = phi_{k-1,j} − phi_kk·phi_{k-1,k-j}.
+    Emitted in dependency order; each name is unique so the pairs can be
+    applied as successive projection layers in either engine.
+    """
+    out: list[tuple[str, str]] = [("p1_1", "r1")]
+    prev = {1: "p1_1"}
+    for k in range(2, _PACF_M + 1):
+        num = " + ".join(f"{prev[j]} * r{k - j}" for j in range(1, k))
+        den = " + ".join(f"{prev[j]} * r{j}" for j in range(1, k))
+        kk = f"p{k}_{k}"
+        out.append((kk, f"(r{k} - ({num})) / (1 - ({den}))"))
+        cur = {k: kk}
+        for j in range(1, k):
+            nm = f"p{k}_{j}"
+            out.append((nm, f"{prev[j]} - {kk} * {prev[k - j]}"))
+            cur[j] = nm
+        prev = cur
+    return out
+
+
+_PACF_RHO_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS u
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+lagged AS (
+  SELECT l.lag, a.u AS a, b.u AS b
+  FROM (SELECT unnest([1, 2, 3, 4, 5]) AS lag) l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+),
+s AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(a) AS sa, SUM(b) AS sb, SUM(a * b) AS sab,
+         SUM(a * a) AS saa, SUM(b * b) AS sbb
+  FROM lagged GROUP BY lag
+),
+rho AS (
+  SELECT lag,
+         CAST(FLOOR(((n * sab - sa * sb)
+                     / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                            * CAST(n * sbb - sb * sb AS DOUBLE)))
+                    * 1000000 + 0.5) AS BIGINT) AS rho_micro
+  FROM s
+)
+"""
+
+
+def _pacf_oracle() -> str:
+    layers = "SELECT " + ", ".join(
+        f"CAST(SUM(CASE WHEN lag = {k} THEN rho_micro END) AS DOUBLE) / 1000000"
+        f" AS r{k}"
+        for k in range(1, _PACF_M + 1)
+    ) + " FROM rho"
+    src = f"({layers})"
+    for name, expr in _dl_exprs():
+        src = f"(SELECT *, {expr} AS {name} FROM {src})"
+    finals = ", ".join(
+        f"FLOOR(p{k}_{k} * 10000 + 0.5) / 10000 AS pacf{k}"
+        for k in range(1, _PACF_M + 1)
+    )
+    rs = ", ".join(
+        f"CAST(FLOOR(r{k} * 1000000 + 0.5) AS BIGINT) AS r{k}_micro"
+        for k in range(1, _PACF_M + 1)
+    )
+    return f"{_PACF_RHO_SQL} SELECT {rs}, {finals} FROM {src}"
+
+
+@register("ts_pacf", oracle=_pacf_oracle(), tier="T2")
+def ts_pacf(spark, sf_dir):
+    """Partial autocorrelation (lags 1..5) of the daily value series via the
+    Durbin–Levinson recursion — the AR-order diagnostic that separates
+    direct lag-k dependence from what lower lags already explain
+    ([[ts_autocorrelation]] gives the raw ACF this consumes).
+
+    Determinism: the five lag autocorrelations come from exact int64
+    sufficient statistics (the ts_autocorrelation recipe) and are
+    quantized to 1e-6 micro-ints BEFORE entering the recursion; the DL
+    recursion itself is unrolled ALGEBRAICALLY into character-identical
+    expression strings evaluated by both engines on those identical double
+    inputs (same parse → same IEEE op sequence → bit-equal intermediates),
+    with one 1e-4 round at the end. No fold state, no libm beyond the one
+    shared sqrt in rho.
+
+    Scale note: one daily-grain shuffle + a 5× |days| lag fan-out; the
+    recursion runs on a SINGLE one-row projection chain (pure expression
+    layers, zero exchanges).
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).cast("long").alias("u"))
+    lagged = daily.select(
+        "day", "u", F.explode(F.sequence(F.lit(1), F.lit(_PACF_M))).alias("lag")
+    )
+    shifted = daily.select(F.col("day").alias("bday"), F.col("u").alias("b"))
+    pairs = lagged.join(
+        shifted, F.date_add(F.col("day"), F.col("lag").cast("int")) == F.col("bday")
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("u") * F.col("b")).alias("sab"),
+        F.sum(F.col("u") * F.col("u")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    rho = s.select(
+        "lag",
+        F.expr(
+            """CAST(FLOOR(((n * sab - sa * sb)
+                           / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                                  * CAST(n * sbb - sb * sb AS DOUBLE)))
+                          * 1000000 + 0.5) AS BIGINT)"""
+        ).alias("rho_micro"),
+    )
+    row = rho.agg(
+        *[
+            F.expr(
+                f"CAST(SUM(CASE WHEN lag = {k} THEN rho_micro END) AS DOUBLE)"
+                f" / 1000000"
+            ).alias(f"r{k}")
+            for k in range(1, _PACF_M + 1)
+        ]
+    )
+    for name, expr in _dl_exprs():
+        row = row.select("*", F.expr(expr).alias(name))
+    return row.select(
+        *[
+            F.expr(f"CAST(FLOOR(r{k} * 1000000 + 0.5) AS BIGINT)").alias(
+                f"r{k}_micro"
+            )
+            for k in range(1, _PACF_M + 1)
+        ],
+        *[
+            F.expr(f"FLOOR(p{k}_{k} * 10000 + 0.5) / 10000").alias(f"pacf{k}")
+            for k in range(1, _PACF_M + 1)
+        ],
+    )
