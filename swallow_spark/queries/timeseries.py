@@ -3314,3 +3314,162 @@ def ts_pacf(spark, sf_dir):
             for k in range(1, _PACF_M + 1)
         ],
     )
+
+
+# ------------------------------------------------- Granger causality (1 lag)
+# Shared closed-form OLS expressions over exact int64 sufficient statistics:
+# both engines evaluate CHARACTER-IDENTICAL strings on identical inputs.
+
+_GRANGER_STATS = [
+    "n", "sa", "sb", "st", "saa", "sbb", "stt", "sab", "sat", "sbt",
+]
+
+# restricted model  t = d0 + d1*a :
+#   RSS_r = (Stt - St*St/n) - (Sat - Sa*St/n)^2 / (Saa - Sa*Sa/n)
+_GRANGER_RSS_R = (
+    "((stt - CAST(st AS DOUBLE) * st / n)"
+    " - (sat - CAST(sa AS DOUBLE) * st / n) * (sat - CAST(sa AS DOUBLE) * st / n)"
+    "   / (saa - CAST(sa AS DOUBLE) * sa / n))"
+)
+
+# full model t = c0 + c1*a + c2*b via Cramer on the 3x3 normal equations.
+_GRANGER_DETS = [
+    (
+        "det_m",
+        "(CAST(n AS DOUBLE) * (CAST(saa AS DOUBLE) * sbb - CAST(sab AS DOUBLE) * sab)"
+        " - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) * sbb - CAST(sab AS DOUBLE) * sb)"
+        " + CAST(sb AS DOUBLE) * (CAST(sa AS DOUBLE) * sab - CAST(saa AS DOUBLE) * sb))",
+    ),
+    (
+        "det_0",
+        "(CAST(st AS DOUBLE) * (CAST(saa AS DOUBLE) * sbb - CAST(sab AS DOUBLE) * sab)"
+        " - CAST(sa AS DOUBLE) * (CAST(sat AS DOUBLE) * sbb - CAST(sab AS DOUBLE) * sbt)"
+        " + CAST(sb AS DOUBLE) * (CAST(sat AS DOUBLE) * sab - CAST(saa AS DOUBLE) * sbt))",
+    ),
+    (
+        "det_1",
+        "(CAST(n AS DOUBLE) * (CAST(sat AS DOUBLE) * sbb - CAST(sbt AS DOUBLE) * sab)"
+        " - CAST(st AS DOUBLE) * (CAST(sa AS DOUBLE) * sbb - CAST(sab AS DOUBLE) * sb)"
+        " + CAST(sb AS DOUBLE) * (CAST(sa AS DOUBLE) * sbt - CAST(sat AS DOUBLE) * sb))",
+    ),
+    (
+        "det_2",
+        "(CAST(n AS DOUBLE) * (CAST(saa AS DOUBLE) * sbt - CAST(sab AS DOUBLE) * sat)"
+        " - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) * sbt - CAST(sat AS DOUBLE) * sb)"
+        " + CAST(st AS DOUBLE) * (CAST(sa AS DOUBLE) * sab - CAST(saa AS DOUBLE) * sb))",
+    ),
+]
+
+_GRANGER_LAYER2 = [
+    ("c0", "det_0 / det_m"),
+    ("c1", "det_1 / det_m"),
+    ("c2", "det_2 / det_m"),
+    ("rss_r", _GRANGER_RSS_R),
+]
+
+_GRANGER_LAYER3 = [
+    ("rss_f", "stt - (c0 * st + c1 * sat + c2 * sbt)"),
+]
+
+_GRANGER_FINAL = [
+    ("n_days", "CAST(n AS BIGINT)"),
+    ("rss_r_rnd", "FLOOR(rss_r * 100 + 0.5) / 100"),
+    ("rss_f_rnd", "FLOOR(rss_f * 100 + 0.5) / 100"),
+    (
+        "f_stat",
+        "FLOOR(((rss_r - rss_f) * (n - 3) / rss_f) * 10000 + 0.5) / 10000",
+    ),
+]
+
+_GRANGER_DAILY_SQL = """
+daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS ux,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS uy
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1
+),
+rows_ AS (
+  SELECT cur.uy AS t, prv.uy AS a, prv.ux AS b
+  FROM daily cur JOIN daily prv ON cur.day = prv.day + 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(a * a) AS BIGINT) AS saa, CAST(SUM(b * b) AS BIGINT) AS sbb,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(a * b) AS BIGINT) AS sab, CAST(SUM(a * t) AS BIGINT) AS sat,
+         CAST(SUM(b * t) AS BIGINT) AS sbt
+  FROM rows_
+)
+"""
+
+
+def _granger_oracle() -> str:
+    src = "(SELECT * FROM s)"
+    for layer in (_GRANGER_DETS, _GRANGER_LAYER2, _GRANGER_LAYER3):
+        adds = ", ".join(f"{e} AS {nm}" for nm, e in layer)
+        src = f"(SELECT *, {adds} FROM {src})"
+    finals = ", ".join(f"{e} AS {nm}" for nm, e in _GRANGER_FINAL)
+    return f"WITH {_GRANGER_DAILY_SQL} SELECT {finals} FROM {src}"
+
+
+@register("ts_granger_1lag", oracle=_granger_oracle(), tier="T2")
+def ts_granger_1lag(spark, sf_dir):
+    """One-lag Granger causality test: does yesterday's PURCHASE volume
+    improve predicting today's VIEW volume beyond yesterday's views alone?
+    F = ((RSS_r − RSS_f)/1) / (RSS_f/(n−3)) comparing the restricted AR(1)
+    to the full model with the cross-lag regressor — the lead-lag
+    screening test a metrics pipeline runs before trusting a driver metric
+    ([[ts_xcorr_lags]] finds the lag; this tests its predictive value).
+
+    Determinism: all ten sufficient statistics are exact int64 sums of
+    cent units; the 2-regressor OLS is solved closed-form via Cramer
+    determinants with both engines evaluating CHARACTER-IDENTICAL
+    expression strings on those identical inputs (the ts_pacf rule —
+    same parse, same IEEE sequence); RSS and F round once at the end.
+
+    Scale note: one daily-grain shuffle, a consecutive-day self-join on
+    the |days|-row aggregate, then a single 1-row projection chain.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cents_ = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.expr(f"CASE WHEN event_type = 'purchase' THEN {cents_} ELSE 0 END")
+        ).cast("long").alias("ux"),
+        F.sum(
+            F.expr(f"CASE WHEN event_type = 'view' THEN {cents_} ELSE 0 END")
+        ).cast("long").alias("uy"),
+    )
+    prv = daily.select(
+        F.col("day").alias("pday"), F.col("uy").alias("a"), F.col("ux").alias("b")
+    )
+    rows = daily.join(
+        prv, daily["day"] == F.date_add(F.col("pday"), 1)
+    ).select(F.col("uy").alias("t"), "a", "b")
+    s = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+        F.sum(F.col("a") * F.col("t")).cast("long").alias("sat"),
+        F.sum(F.col("b") * F.col("t")).cast("long").alias("sbt"),
+    )
+    row = s
+    for layer in (_GRANGER_DETS, _GRANGER_LAYER2, _GRANGER_LAYER3):
+        row = row.select("*", *[F.expr(e).alias(nm) for nm, e in layer])
+    return row.select(*[F.expr(e).alias(nm) for nm, e in _GRANGER_FINAL])
