@@ -1,0 +1,80 @@
+"""Property tests for eval_wer's word→char recode trick.
+
+The key's claim: character-level levenshtein over the per-pair recode
+(sorted combined vocab, word w → chr(48 + position)) EQUALS word-level
+edit distance, for any token lists whose combined vocabulary fits the
+code range. This suite pins that equivalence against a hand-written
+word-level DP reference, and pins the DuckDB leg (list_sort +
+list_position + chr + levenshtein) against the same reference — the two
+engines' paths are then equal by transitivity with the oracle hash.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+WORDS = ["the", "cat", "sat", "on", "a", "mat", "dog", "ran", "far", "zz"]
+
+tok_lists = st.lists(st.sampled_from(WORDS), min_size=0, max_size=20)
+
+
+def _word_lev(a: list[str], b: list[str]) -> int:
+    m = len(b)
+    prev = list(range(m + 1))
+    for i, wa in enumerate(a, 1):
+        cur = [i] + [0] * m
+        for j in range(1, m + 1):
+            cost = 0 if wa == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[m]
+
+
+def _recode(a: list[str], b: list[str]) -> tuple[str, str]:
+    vocab = sorted(set(a) | set(b))
+    code = {w: chr(48 + i + 1) for i, w in enumerate(vocab)}  # 1-indexed
+    return "".join(code[w] for w in a), "".join(code[w] for w in b)
+
+
+def _char_lev(x: str, y: str) -> int:
+    return _word_lev(list(x), list(y))
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+@settings(max_examples=150, deadline=None)
+@given(tok_lists, tok_lists)
+def test_recode_preserves_word_distance(a, b):
+    ca, cb = _recode(a, b)
+    assert _char_lev(ca, cb) == _word_lev(a, b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(tok_lists, tok_lists)
+def test_duckdb_recode_leg_matches_reference(con, a, b):
+    got = con.execute(
+        """
+        WITH p AS (SELECT CAST(? AS VARCHAR[]) AS ct, CAST(? AS VARCHAR[]) AS rt),
+        coded AS (
+          SELECT list_sort(list_distinct(ct || rt)) AS vocab, ct, rt FROM p
+        )
+        -- COALESCE: DuckDB's array_to_string([], '') is NULL where Spark's
+        -- concat_ws is '' — unreachable in eval_wer (empty texts filtered
+        -- before tokenizing) but pinned here so the divergence class is
+        -- on record for any future key that recodes possibly-empty lists.
+        SELECT levenshtein(
+          COALESCE(array_to_string(list_transform(ct,
+            w -> chr(48 + CAST(list_position(vocab, w) AS INTEGER))), ''), ''),
+          COALESCE(array_to_string(list_transform(rt,
+            w -> chr(48 + CAST(list_position(vocab, w) AS INTEGER))), ''), ''))
+        FROM coded
+        """,
+        [a, b],
+    ).fetchone()[0]
+    assert got == _word_lev(a, b)
