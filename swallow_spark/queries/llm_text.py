@@ -1867,3 +1867,78 @@ def text_bpe_apply(spark, sf_dir):
         .otherwise(F.expr("(n_tokens * 1000000) DIV n_words"))
         .alias("fertility_micro"),
     ).orderBy("lang")
+
+
+_CODE_SYM = r"[;{}()\[\]=<>|&#]"
+
+_CODE_DETECT_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '{_CODE_SYM}', '', 'g'))
+              AS BIGINT) AS n_symbols,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS n_digits,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+           AS n_spaces
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id, n_chars, n_symbols, n_digits,
+       CAST(n_symbols * 1000 // n_chars AS BIGINT) AS symbol_permille,
+       CAST(n_digits * 1000 // n_chars AS BIGINT) AS digit_permille,
+       CAST(CASE WHEN n_symbols * 100 > n_chars * 3
+                   OR n_digits * 100 > n_chars * 15
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_code_like
+FROM m
+"""
+
+
+@register("text_code_detect", oracle=_CODE_DETECT_SQL, tier="T2")
+def text_code_detect(spark, sf_dir):
+    """Code-vs-prose routing signal: per-doc counts of code-ish symbols
+    (;{{}}()[]=<>|&#) and digits, permille densities, and an integer
+    threshold flag (symbols > 3% OR digits > 15%) — the router a
+    pretraining pipeline uses to send documents down the code or prose
+    curation branch before [[text_gopher_rules]]-style gating.
+
+    Determinism: counts via length-minus-stripped-length with the SAME
+    regex class in both engines (DuckDB needs the explicit 'g' flag —
+    the text_pii_redact lesson); thresholds are integer
+    cross-multiplications so no float reaches the flag; densities one
+    non-negative permille `//` each.
+
+    Scale: map-only scan, pure codegen, embarrassingly parallel.
+    """
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    n_chars = F.length("text").cast("long")
+    n_sym = (
+        F.length("text") - F.length(F.regexp_replace("text", _CODE_SYM, ""))
+    ).cast("long")
+    n_dig = (
+        F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_sym.alias("n_symbols"),
+        n_dig.alias("n_digits"),
+    )
+    return m.select(
+        "doc_id",
+        "n_chars",
+        "n_symbols",
+        "n_digits",
+        F.expr("CAST(n_symbols * 1000 DIV n_chars AS BIGINT)").alias(
+            "symbol_permille"
+        ),
+        F.expr("CAST(n_digits * 1000 DIV n_chars AS BIGINT)").alias(
+            "digit_permille"
+        ),
+        F.expr(
+            """CAST(CASE WHEN n_symbols * 100 > n_chars * 3
+                           OR n_digits * 100 > n_chars * 15
+                         THEN 1 ELSE 0 END AS BIGINT)"""
+        ).alias("is_code_like"),
+    )

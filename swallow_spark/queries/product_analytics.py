@@ -1212,3 +1212,81 @@ def seq_session_entropy(spark, sf_dir):
             - F.expr("sum_u DIV n")
         ).alias("ent_micronats"),
     )
+
+
+_CHURN_HAZARD_SQL = """
+WITH spans AS (
+  SELECT user_id,
+         (MAX(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+          - MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))) // 7
+           AS last_week
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+),
+per_week AS (
+  SELECT last_week AS week, CAST(COUNT(*) AS BIGINT) AS churned
+  FROM spans GROUP BY last_week
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM spans),
+haz AS (
+  SELECT week, churned,
+         tot.n_users
+           - (SUM(churned) OVER (ORDER BY week ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) - churned)
+           AS at_risk
+  FROM per_week CROSS JOIN tot
+)
+SELECT CAST(week AS BIGINT) AS week, churned,
+       CAST(at_risk AS BIGINT) AS at_risk,
+       CAST(churned * 1000000 // at_risk AS BIGINT) AS hazard_micro
+FROM haz
+"""
+
+
+@register("seq_churn_hazard", oracle=_CHURN_HAZARD_SQL, tier="T2")
+def seq_churn_hazard(spark, sf_dir):
+    """Discrete-time churn hazard by tenure week: a user's tenure is
+    (last activity − first activity) in weeks, "churn at week k" = last
+    seen in tenure week k; hazard(k) = churned(k) / at-risk(k) where
+    at-risk is everyone whose final week is ≥ k — the life-table view of
+    retention that [[stats_survival_km]] computes at the event grain,
+    here at the product-analytics user grain.
+
+    Determinism: PURE int64 — tenure weeks from epoch-day arithmetic
+    (DIV 7 on a non-negative span), at-risk via one cumulative-sum window
+    (total − churned-before), hazards one non-negative micro `//`.
+    NULL user/ts excluded on both sides.
+
+    Scale: one user-hash aggregate (map-side combinable min/max), a
+    |weeks|-row window, and a 1-row total broadcast — the life table is
+    O(max tenure) rows regardless of corpus size.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    eday = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    # integer DIV, not float /7 — the seq_time_to_convert x.9999 hazard
+    spans = e.groupBy("user_id").agg(
+        ((F.max(eday) - F.min(eday)).cast("long")).alias("span_days")
+    ).select("user_id", F.expr("span_days DIV 7").alias("last_week"))
+    per_week = spans.groupBy(F.col("last_week").alias("week")).agg(
+        F.count(F.lit(1)).cast("long").alias("churned")
+    )
+    tot = spans.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    wcum = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    haz = per_week.crossJoin(F.broadcast(tot)).select(
+        "week",
+        "churned",
+        (
+            F.col("n_users")
+            - (F.sum("churned").over(wcum) - F.col("churned"))
+        ).alias("at_risk"),
+    )
+    return haz.select(
+        F.col("week").cast("long").alias("week"),
+        "churned",
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.expr("CAST(churned * 1000000 DIV at_risk AS BIGINT)").alias(
+            "hazard_micro"
+        ),
+    )

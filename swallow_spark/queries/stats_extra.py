@@ -3824,3 +3824,121 @@ def stats_wilcoxon_signed_rank(spark, sf_dir):
                      * 10000 + 0.5) / 10000"""
         ).alias("z_stat"),
     )
+
+
+_FRIEDMAN_CELLS_SQL = """
+cells AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS block,
+         c.c_mktsegment AS seg,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_totalprice IS NOT NULL AND o.o_orderdate IS NOT NULL
+  GROUP BY 1, 2
+),
+k AS (SELECT CAST(COUNT(DISTINCT seg) AS BIGINT) AS k FROM cells),
+full_blocks AS (
+  SELECT block FROM cells CROSS JOIN k
+  GROUP BY block, k.k HAVING COUNT(*) = MAX(k.k)
+),
+ranked AS (
+  SELECT c.seg,
+         2 * (rank() OVER (PARTITION BY c.block ORDER BY c.v) - 1)
+           + COUNT(*) OVER (PARTITION BY c.block, c.v) + 1 AS two_rank
+  FROM cells c JOIN full_blocks USING (block)
+)
+"""
+
+_FRIEDMAN_SQL = f"""
+WITH {_FRIEDMAN_CELLS_SQL},
+rj AS (
+  SELECT seg, CAST(SUM(two_rank) AS BIGINT) AS two_rj,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ranked GROUP BY seg
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(n) AS n,
+         CAST(SUM(two_rj * two_rj) AS BIGINT) AS s
+  FROM rj
+)
+SELECT k, n AS n_blocks,
+       FLOOR((CAST(3 * s AS DOUBLE) / (n * k * (k + 1)) - 3 * n * (k + 1))
+             * 10000 + 0.5) / 10000 AS chi2_stat
+FROM agg
+"""
+
+
+@register("stats_friedman", oracle=_FRIEDMAN_SQL, tier="T2")
+def stats_friedman(spark, sf_dir):
+    """Friedman test — k related samples over repeated blocks: monthly
+    revenue cells ranked WITHIN each calendar month across the five
+    market segments (blocks = complete months only), χ² = 12/(n·k·(k+1))
+    Σ R_j² − 3·n·(k+1). The repeated-measures complement to
+    [[stats_kruskal_wallis]]'s independent k-group test.
+
+    Determinism: within-block doubled average ranks are exact ints
+    (2·(min_rank−1) + peer_count + 1 — identical rank()/peer-count
+    semantics in both engines), Σ(2R_j)² is exact int64 (so χ² = 3S/(n·k·
+    (k+1)) − 3n(k+1) with one double divide + one 1e-4 round). Exact-cent
+    cell ties across segments within a month are handled by the average
+    rank; the untied variance normalization is the standard reported
+    form (documented).
+
+    Scale note: one (month, segment) aggregate, a broadcast
+    complete-block semi-join, a window over 5-row blocks, then two tiny
+    aggregates — everything map-side combinable before the month shuffle.
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("block"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    kdf = cells.agg(F.countDistinct("seg").cast("long").alias("k"))
+    full_blocks = (
+        cells.crossJoin(F.broadcast(kdf))
+        .groupBy("block", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == F.col("k"))
+        .select("block")
+    )
+    wr = Window.partitionBy("block").orderBy("v")
+    wp = Window.partitionBy("block", "v")
+    ranked = (
+        cells.join(F.broadcast(full_blocks), "block")
+        .select(
+            "seg",
+            (
+                F.lit(2) * (F.rank().over(wr) - 1)
+                + F.count(F.lit(1)).over(wp)
+                + 1
+            ).alias("two_rank"),
+        )
+    )
+    rj = ranked.groupBy("seg").agg(
+        F.sum("two_rank").cast("long").alias("two_rj"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    agg = rj.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n").alias("n"),
+        F.sum(F.col("two_rj") * F.col("two_rj")).cast("long").alias("s"),
+    )
+    return agg.select(
+        "k",
+        F.col("n").alias("n_blocks"),
+        F.expr(
+            """FLOOR((CAST(3 * s AS DOUBLE) / (n * k * (k + 1))
+                      - 3 * n * (k + 1)) * 10000 + 0.5) / 10000"""
+        ).alias("chi2_stat"),
+    )

@@ -3473,3 +3473,63 @@ def ts_granger_1lag(spark, sf_dir):
     for layer in (_GRANGER_DETS, _GRANGER_LAYER2, _GRANGER_LAYER3):
         row = row.select("*", *[F.expr(e).alias(nm) for nm, e in layer])
     return row.select(*[F.expr(e).alias(nm) for nm, e in _GRANGER_FINAL])
+
+
+_VEL_ACC_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))
+           AS eday,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS u
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(cur.eday AS BIGINT) AS eday, cur.u,
+       CAST(cur.u - p1.u AS BIGINT) AS velocity,
+       CAST(cur.u - 2 * p1.u + p2.u AS BIGINT) AS acceleration
+FROM daily cur
+JOIN daily p1 ON p1.eday = cur.eday - 1
+JOIN daily p2 ON p2.eday = cur.eday - 2
+"""
+
+
+@register("ts_velocity_accel", oracle=_VEL_ACC_SQL, tier="T2")
+def ts_velocity_accel(spark, sf_dir):
+    """First and second discrete derivatives (velocity / acceleration) of
+    the daily value series — the monitoring primitives behind "is the
+    metric still growing, and is the growth itself slowing?" Emitted only
+    for days with BOTH prior calendar days present, so gaps yield no
+    fabricated derivatives (the calendar-join discipline of
+    [[ts_autocorrelation]], not a row-based lag that silently spans
+    gaps).
+
+    Determinism: PURE int64 — epoch-day keys, exact cent sums, integer
+    differences.
+
+    Scale: one daily-grain aggregate, two self-equi-joins on the
+    |days|-row table (broadcastable at any horizon).
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("eday")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("u")
+    )
+    p1 = daily.select(F.col("eday").alias("e1"), F.col("u").alias("u1"))
+    p2 = daily.select(F.col("eday").alias("e2"), F.col("u").alias("u2"))
+    return (
+        daily.join(p1, F.col("e1") == F.col("eday") - 1)
+        .join(p2, F.col("e2") == F.col("eday") - 2)
+        .select(
+            F.col("eday").cast("long").alias("eday"),
+            "u",
+            (F.col("u") - F.col("u1")).cast("long").alias("velocity"),
+            (F.col("u") - 2 * F.col("u1") + F.col("u2"))
+            .cast("long")
+            .alias("acceleration"),
+        )
+    )
