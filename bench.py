@@ -64,6 +64,8 @@ EXTENDED = [
     "udf_cogrouped_arrow",
     "dedup_simhash_portable",
     "text_bm25_search",
+    "graph_local_clustering",  # round-7 session 2: vertex-attributed triangle listing
+    "graph_closeness_landmarks",  # round-7 session 2: multi-source frontier BFS
 ]
 
 

@@ -662,3 +662,128 @@ def sketch_linear_counting(spark, sf_dir):
         )
         .orderBy("grp")
     )
+
+
+# ------------------------------------------------ KMV shard-merge (union)
+# The mergeability proof for the KMV sketch: per-shard bottom-k states,
+# merged by union + re-trim, must equal the direct global bottom-k — the
+# exact property that makes the sketch a map-side-combinable aggregate at
+# 100 TB. Shards come from a portable md5 nibble of the key, so both
+# engines shard identically.
+
+_KMV_MERGE_SQL = f"""
+WITH hx AS (
+  SELECT event_type AS grp,
+         CAST(strpos('0123456789abcdef',
+              substr(md5(CAST(user_id AS VARCHAR)), 14, 1)) - 1 AS BIGINT) % 4
+           AS shard,
+         list_reduce(list_transform(generate_series(1, 13),
+           i -> CAST(strpos('0123456789abcdef',
+                substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1
+                AS BIGINT)),
+           (acc, d) -> acc * 16 + d) AS h
+  FROM events
+),
+dhs AS (SELECT DISTINCT grp, shard, h FROM hx),
+shard_bk AS (
+  SELECT grp, shard, h
+  FROM (SELECT grp, shard, h,
+               row_number() OVER (PARTITION BY grp, shard ORDER BY h) AS rn
+        FROM dhs)
+  WHERE rn <= {_KMV_K}
+),
+merged AS (
+  SELECT grp, h
+  FROM (SELECT grp, h,
+               row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM (SELECT DISTINCT grp, h FROM shard_bk))
+  WHERE rn <= {_KMV_K}
+),
+merged_k AS (SELECT grp, MAX(h) AS kth_merged, COUNT(*) AS k_used
+             FROM merged GROUP BY grp),
+direct AS (
+  SELECT grp, MAX(h) AS kth_direct
+  FROM (SELECT grp, h,
+               row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM (SELECT DISTINCT grp, h FROM dhs))
+  WHERE rn <= {_KMV_K}
+  GROUP BY grp
+)
+SELECT m.grp,
+       CAST(m.kth_merged AS BIGINT) AS kth_merged,
+       CAST(d.kth_direct AS BIGINT) AS kth_direct,
+       CAST(m.k_used AS BIGINT) AS k_used,
+       CAST(CASE WHEN m.kth_merged = d.kth_direct THEN 1 ELSE 0 END AS BIGINT)
+         AS merge_exact,
+       {sql_rnd(f'CASE WHEN m.k_used < {_KMV_K} THEN CAST(m.k_used AS DOUBLE) ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(m.kth_merged AS DOUBLE) END', 4)}
+         AS est_distinct
+FROM merged_k m JOIN direct d USING (grp)
+"""
+
+
+@register("sketch_kmv_merge", oracle=_KMV_MERGE_SQL, tier="T2")
+def sketch_kmv_merge(spark, sf_dir):
+    """KMV sketch MERGE: per-shard bottom-32 states (4 portable md5-nibble
+    shards per group) unioned and re-trimmed, proven equal to the direct
+    global bottom-32 (`merge_exact` is structurally 1 — every global
+    bottom-k hash is necessarily in its own shard's bottom-k). This is the
+    property that makes [[sketch_kmv_distinct]] a map-side-combinable
+    aggregate at 100 TB: partitions keep 32 longs each, the combiner is
+    union+trim, and the estimate is read off the merged state.
+
+    Determinism: hashes, shards, order statistics and the equality flag
+    are exact integers; the one estimate divide is the shared 5-bit-
+    mantissa numerator over an exact int64 ([[sketch_kmv_distinct]]'s
+    recipe).
+
+    Scale note: the shard windows are (grp, shard)-partitioned (parallel
+    across shards), the merge window runs over ≤ 4k rows per group by
+    construction, and the direct window here exists only as the oracle's
+    ground truth — a production pipeline keeps the per-shard states.
+    """
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"), F.col("user_id").alias("k")
+    )
+    md5s = F.md5(F.col("k").cast("string"))
+    hv = F.conv(F.substring(md5s, 1, 13), 16, 10).cast("long")
+    shard = (F.conv(F.substring(md5s, 14, 1), 16, 10).cast("long") % 4).alias(
+        "shard"
+    )
+    dhs = e.select("grp", shard, hv.alias("h")).distinct()
+    ws = Window.partitionBy("grp", "shard").orderBy("h")
+    shard_bk = (
+        dhs.select("grp", "shard", "h", F.row_number().over(ws).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("grp", "h")
+    )
+    wg = Window.partitionBy("grp").orderBy("h")
+    merged = (
+        shard_bk.distinct()
+        .select("grp", "h", F.row_number().over(wg).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    merged_k = merged.groupBy("grp").agg(
+        F.max("h").alias("kth_merged"), F.count(F.lit(1)).alias("k_used")
+    )
+    direct = (
+        dhs.select("grp", "h")
+        .distinct()
+        .select("grp", "h", F.row_number().over(wg).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("grp")
+        .agg(F.max("h").alias("kth_direct"))
+    )
+    est = (
+        f"CASE WHEN k_used < {_KMV_K} THEN CAST(k_used AS DOUBLE) "
+        f"ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(kth_merged AS DOUBLE) END"
+    )
+    return merged_k.join(direct, "grp").select(
+        "grp",
+        F.col("kth_merged").cast("long").alias("kth_merged"),
+        F.col("kth_direct").cast("long").alias("kth_direct"),
+        F.col("k_used").cast("long").alias("k_used"),
+        F.expr(
+            "CAST(CASE WHEN kth_merged = kth_direct THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("merge_exact"),
+        rnd(F.expr(est), 4).alias("est_distinct"),
+    )

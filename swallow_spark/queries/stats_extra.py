@@ -3942,3 +3942,76 @@ def stats_friedman(spark, sf_dir):
                       - 3 * n * (k + 1)) * 10000 + 0.5) / 10000"""
         ).alias("chi2_stat"),
     )
+
+
+# shared Wilson-interval expression strings (identical characters in both
+# engines — the ts_pacf rule): z = 1.96 enters as the exact literal 1.96
+_WILSON_CENTER = "(p_hat + 1.96 * 1.96 / (2 * n)) / (1 + 1.96 * 1.96 / n)"
+_WILSON_HALF = (
+    "(1.96 * sqrt(p_hat * (1 - p_hat) / n"
+    " + 1.96 * 1.96 / (4 * n * n))) / (1 + 1.96 * 1.96 / n)"
+)
+
+_WILSON_SQL = f"""
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+),
+p AS (SELECT segment, n, x, CAST(x AS DOUBLE) / n AS p_hat FROM base)
+SELECT segment, n, x,
+       FLOOR(p_hat * 1000000 + 0.5) / 1000000 AS p_hat,
+       FLOOR(({_WILSON_CENTER} - {_WILSON_HALF}) * 1000000 + 0.5) / 1000000
+         AS ci_lo,
+       FLOOR(({_WILSON_CENTER} + {_WILSON_HALF}) * 1000000 + 0.5) / 1000000
+         AS ci_hi
+FROM p
+"""
+
+
+@register("stats_proportion_ci_wilson", oracle=_WILSON_SQL, tier="T2")
+def stats_proportion_ci_wilson(spark, sf_dir):
+    """Wilson 95% score interval for a per-segment proportion (share of
+    fulfilled orders) — the interval that stays inside [0,1] and behaves
+    at small n where the Wald interval collapses; the per-variant readout
+    an experimentation stack reports next to [[ab_test_ztest]].
+
+    Determinism: x and n are exact counts; p̂, the center and half-width
+    are CHARACTER-IDENTICAL expression strings in both engines (the
+    ts_pacf rule — same parse, same IEEE sequence; the one sqrt is the
+    same libm-correctly-rounded call on identical input), each output
+    rounded once to 1e-6.
+
+    Scale note: one broadcast dim join + one segment aggregate —
+    map-side combinable, bounded output.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    p = base.select(
+        "segment", "n", "x", F.expr("CAST(x AS DOUBLE) / n").alias("p_hat")
+    )
+    return p.select(
+        "segment",
+        "n",
+        "x",
+        F.expr("FLOOR(p_hat * 1000000 + 0.5) / 1000000").alias("p_hat"),
+        F.expr(
+            f"FLOOR(({_WILSON_CENTER} - {_WILSON_HALF}) * 1000000 + 0.5) / 1000000"
+        ).alias("ci_lo"),
+        F.expr(
+            f"FLOOR(({_WILSON_CENTER} + {_WILSON_HALF}) * 1000000 + 0.5) / 1000000"
+        ).alias("ci_hi"),
+    )
