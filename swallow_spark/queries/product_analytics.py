@@ -1078,46 +1078,37 @@ isl AS (
   SELECT user_id, eday,
          eday - row_number() OVER (PARTITION BY user_id ORDER BY eday) AS grp
   FROM days
-),
-runs AS (
-  SELECT user_id, grp,
-         CAST(COUNT(*) AS BIGINT) AS len,
-         CAST(MIN(eday) AS BIGINT) AS start_eday
-  FROM isl GROUP BY user_id, grp
 )
 SELECT user_id,
-       CAST(SUM(len) AS BIGINT) AS n_active_days,
-       CAST(COUNT(*) AS BIGINT) AS n_islands,
-       CAST(MAX(len * 100000 + (99999 - start_eday)) // 100000 AS BIGINT)
-         AS longest_streak,
-       CAST(99999 - MAX(len * 100000 + (99999 - start_eday)) % 100000
-            AS BIGINT) AS longest_streak_start_eday
-FROM runs
-GROUP BY user_id
+       CAST(MIN(eday) AS BIGINT) AS start_eday,
+       CAST(MAX(eday) AS BIGINT) AS end_eday,
+       CAST(COUNT(*) AS BIGINT) AS len_days,
+       CAST(MIN(eday) - lag(MAX(eday)) OVER (PARTITION BY user_id
+                                             ORDER BY MIN(eday)) - 1
+            AS BIGINT) AS gap_before_days
+FROM isl
+GROUP BY user_id, grp
 """
 
 
 @register("win_gaps_islands", oracle=_GAPS_ISLANDS_SQL, tier="T2")
 def win_gaps_islands(spark, sf_dir):
-    """Gaps-and-islands over per-user activity days: consecutive-day runs
-    (streaks) found by the classic eday − row_number() grouping key, rolled
-    up to per-user totals — active days, number of islands, longest streak
-    and when it started. The engagement-streak shape every events warehouse
-    computes, and the canonical interview formulation of the operator.
+    """Gaps-and-islands DETAIL table: one row per consecutive-day activity
+    run (island) per user — start/end epoch day, length, and the gap that
+    preceded it — via the classic eday − row_number() constant-group key.
+    [[win_activity_streaks]] is this relation's per-user rollup; the
+    island grain is what re-engagement analysis actually joins against
+    (which campaigns landed inside the gap before a user came back?).
 
-    Determinism: PURE int64 — epoch days via datediff from 1970-01-01
-    (NTZ-safe date cast), island keys and run lengths are integers, and
-    the "longest streak, earliest start" tie-break is a single packed MAX
-    over len·1e5 + (99999 − start_eday) (epoch days ≤ ~2e4 ≪ 1e5, so the
-    pack is collision-free and inverts exactly; DuckDB % on non-negative
-    operands ≡ Spark %). NULL user/ts rows are excluded on both sides
-    before any window (the null_event probe class).
+    Determinism: PURE int64 — epoch days (NTZ-safe date cast), integer
+    group keys, and gap_before = this island's start − previous island's
+    end − 1 via a lag window over the per-user island sequence (NULL for
+    each user's first island in both engines). NULL user/ts rows are
+    excluded before any window (the null_event probe class).
 
-    Scale: one distinct shuffle on (user, day), one window partitioned by
-    user (no global window), two hash aggregates — the same partition key
-    end-to-end, so AQE coalesces rather than reshuffles. At 100 TB the
-    (user, day) distinct is the only wide stage and it is map-side
-    combinable.
+    Scale: one (user, day) distinct shuffle, then windows and aggregates
+    all partitioned by user — a single shuffle key end-to-end, AQE
+    coalesces the rest.
     """
     e = load(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
@@ -1129,23 +1120,21 @@ def win_gaps_islands(spark, sf_dir):
         ).alias("eday"),
     ).distinct()
     w = Window.partitionBy("user_id").orderBy("eday")
-    runs = (
-        days.withColumn("grp", F.col("eday") - F.row_number().over(w))
-        .groupBy("user_id", "grp")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("len"),
-            F.min("eday").cast("long").alias("start_eday"),
-        )
+    isl = days.withColumn("grp", F.col("eday") - F.row_number().over(w))
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.min("eday").cast("long").alias("start_eday"),
+        F.max("eday").cast("long").alias("end_eday"),
+        F.count(F.lit(1)).cast("long").alias("len_days"),
     )
-    return runs.groupBy("user_id").agg(
-        F.sum("len").cast("long").alias("n_active_days"),
-        F.count(F.lit(1)).cast("long").alias("n_islands"),
-        F.expr(
-            "CAST(MAX(len * 100000 + (99999 - start_eday)) DIV 100000 AS BIGINT)"
-        ).alias("longest_streak"),
-        F.expr(
-            "CAST(99999 - MAX(len * 100000 + (99999 - start_eday)) % 100000 AS BIGINT)"
-        ).alias("longest_streak_start_eday"),
+    wseq = Window.partitionBy("user_id").orderBy("start_eday")
+    return runs.select(
+        "user_id",
+        "start_eday",
+        "end_eday",
+        "len_days",
+        (F.col("start_eday") - F.lag("end_eday").over(wseq) - 1)
+        .cast("long")
+        .alias("gap_before_days"),
     )
 
 
