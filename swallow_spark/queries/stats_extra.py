@@ -4015,3 +4015,139 @@ def stats_proportion_ci_wilson(spark, sf_dir):
             f"FLOOR(({_WILSON_CENTER} + {_WILSON_HALF}) * 1000000 + 0.5) / 1000000"
         ).alias("ci_hi"),
     )
+
+
+_MI_SQL = """
+WITH base AS (
+  SELECT c.c_mktsegment AS x, o.o_orderstatus AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+nxy AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+nx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM nxy GROUP BY x),
+ny AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM nxy GROUP BY y),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM nxy),
+terms AS (
+  SELECT nxy.c *
+         (CAST(FLOOR(ln(CAST(nxy.c AS DOUBLE) * tot.n) * 1000000) AS BIGINT)
+          - CAST(FLOOR(ln(CAST(nx.cx AS DOUBLE) * ny.cy) * 1000000) AS BIGINT))
+           AS t
+  FROM nxy JOIN nx USING (x) JOIN ny USING (y) CROSS JOIN tot
+),
+hx AS (
+  SELECT CAST(FLOOR(ln(CAST(tot.n AS DOUBLE)) * 1000000) AS BIGINT)
+         - CAST(SUM(cx * CAST(FLOOR(ln(CAST(cx AS DOUBLE)) * 1000000)
+                              AS BIGINT)) AS BIGINT) // tot.n AS h
+  FROM nx CROSS JOIN tot GROUP BY tot.n
+),
+hy AS (
+  SELECT CAST(FLOOR(ln(CAST(tot.n AS DOUBLE)) * 1000000) AS BIGINT)
+         - CAST(SUM(cy * CAST(FLOOR(ln(CAST(cy AS DOUBLE)) * 1000000)
+                              AS BIGINT)) AS BIGINT) // tot.n AS h
+  FROM ny CROSS JOIN tot GROUP BY tot.n
+)
+SELECT tot.n,
+       CASE WHEN CAST(SUM(terms.t) AS BIGINT) >= 0
+            THEN CAST(SUM(terms.t) AS BIGINT) // tot.n
+            ELSE -((-CAST(SUM(terms.t) AS BIGINT)) // tot.n)
+       END AS mi_micronats,
+       hx.h AS h_x_micronats,
+       hy.h AS h_y_micronats,
+       CASE WHEN least(hx.h, hy.h) <= 0
+                 OR CAST(SUM(terms.t) AS BIGINT) < 0 THEN NULL
+            ELSE CAST((CAST(SUM(terms.t) AS BIGINT) // tot.n) * 1000000
+                      // least(hx.h, hy.h) AS BIGINT) END AS nmi_micro
+FROM terms CROSS JOIN tot CROSS JOIN hx CROSS JOIN hy
+GROUP BY tot.n, hx.h, hy.h
+"""
+
+
+@register("stats_mutual_information", oracle=_MI_SQL, tier="T2")
+def stats_mutual_information(spark, sf_dir):
+    """Mutual information between market segment and order status (with
+    marginal entropies and min-normalized NMI) — the feature-selection /
+    label-leakage screen ML pipelines run over candidate categorical
+    features; [[stats_chisq_independence]] tests the same table's
+    independence, MI measures its strength in nats.
+
+    Determinism: MI = Σ c_xy·[ln(c_xy·n) − ln(c_x·c_y)] / n with EACH ln
+    floored to int64 micro-nats BEFORE the weighted sum (the
+    [[text_char_entropy]] identity, applied to the ratio's numerator and
+    denominator separately so every term is an exact integer product);
+    marginal entropies use the same identity; NMI is one micro `//` of
+    two int64s. Log arguments c·n ≤ ~2.3e10 are int64→double exact.
+    MI ≥ 0 holds for true logs, but per-term quantization can leave the
+    SUM a few micro-nats NEGATIVE on near-independent tables, where
+    Spark's truncating DIV and DuckDB's flooring // diverge — so the
+    division is negation-guarded on BOTH sides (the text_perplexity
+    hazard class), and NMI reports NULL for a (quantization-)negative
+    MI instead of a sign-dependent ratio.
+
+    Scale note: the contingency table is |X|·|Y| rows after one
+    map-side-combinable aggregate; everything downstream is broadcast
+    1-row scalar joins (BNLJ-audited).
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("x"), F.col("o_orderstatus").alias("y")
+    )
+    nxy = base.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nx = nxy.groupBy("x").agg(F.sum("c").cast("long").alias("cx"))
+    ny = nxy.groupBy("y").agg(F.sum("c").cast("long").alias("cy"))
+    tot = nxy.agg(F.sum("c").cast("long").alias("n"))
+    qln = lambda e: F.floor(F.log(e) * 1000000).cast("long")  # noqa: E731
+    terms = (
+        nxy.join(F.broadcast(nx), "x")
+        .join(F.broadcast(ny), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("c")
+                * (
+                    qln(F.col("c").cast("double") * F.col("n"))
+                    - qln(F.col("cx").cast("double") * F.col("cy"))
+                )
+            ).alias("t")
+        )
+    )
+    hx = nx.crossJoin(F.broadcast(tot)).groupBy("n").agg(
+        (
+            qln(F.col("n").cast("double"))
+            - F.expr(
+                """CAST(SUM(cx * CAST(FLOOR(ln(CAST(cx AS DOUBLE)) * 1000000)
+                                      AS BIGINT)) AS BIGINT) DIV n"""
+            )
+        ).alias("h")
+    ).select(F.col("h").alias("h_x"))
+    hy = ny.crossJoin(F.broadcast(tot)).groupBy("n").agg(
+        (
+            qln(F.col("n").cast("double"))
+            - F.expr(
+                """CAST(SUM(cy * CAST(FLOOR(ln(CAST(cy AS DOUBLE)) * 1000000)
+                                      AS BIGINT)) AS BIGINT) DIV n"""
+            )
+        ).alias("h")
+    ).select(F.col("h").alias("h_y"))
+    mi = terms.crossJoin(F.broadcast(tot)).groupBy("n").agg(
+        F.expr(
+            """CASE WHEN CAST(SUM(t) AS BIGINT) >= 0
+                    THEN CAST(SUM(t) AS BIGINT) DIV n
+                    ELSE -((-CAST(SUM(t) AS BIGINT)) DIV n)
+               END"""
+        ).alias("mi_micronats")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n",
+            "mi_micronats",
+            F.col("h_x").alias("h_x_micronats"),
+            F.col("h_y").alias("h_y_micronats"),
+            F.expr(
+                """CASE WHEN least(h_x, h_y) <= 0 OR mi_micronats < 0 THEN NULL
+                        ELSE CAST(mi_micronats * 1000000 DIV least(h_x, h_y)
+                                  AS BIGINT) END"""
+            ).alias("nmi_micro"),
+        )
+    )

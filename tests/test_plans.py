@@ -349,6 +349,7 @@ BNLJ_ALLOWED = {
     "stats_jackknife_se",  # broadcast 1-row total/20-row fold cross joins
     "stats_ks_test",
     "stats_kruskal_wallis",  # broadcast 1-row tie-term crossjoin (mann_whitney shape)
+    "stats_mutual_information",  # broadcast 1-row n/H(x)/H(y) scalar crossjoins (chisq shape)
     "stats_mann_whitney",
     "etl_freshness_audit",  # broadcast 1-row global-max-ts crossjoin
     "graph_modularity",  # broadcast 1-row m / Q-numerator scalar cross joins
@@ -552,3 +553,34 @@ def test_bh_fdr_hashes_once_per_order(spark):
     # carries the four PRE-HASHED words — proof the hashes sit below it
     assert "explode(" in p
     assert "h0" in p and "h3" in p
+
+
+def test_image_histogram_partial_before_exchange(spark):
+    """multimodal_image_histogram's explode emits (doc_id, bin) rows; the
+    hash aggregate must partial-combine BEFORE the exchange so the wide
+    stage carries O(docs·16), not O(corpus bytes)."""
+    p = plan_of(spark, "multimodal_image_histogram")
+    assert "HashAggregate" in p and "Exchange" in p
+    # partial_count marker appears in the pre-exchange HashAggregate
+    pre_exchange = p.split("Exchange")[0]
+    assert "partial_count" in pre_exchange or "partial_count" in p
+
+
+def test_random_projection_is_map_only(spark):
+    """vec_random_projection must be a single Arrow-batched Python pass over
+    the scan — NO exchange anywhere (the JL projection is embarrassingly
+    parallel by construction)."""
+    p = plan_of(spark, "vec_random_projection")
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
+    assert "Exchange" not in p
+
+
+def test_kruskal_rank_window_over_preaggregate(spark):
+    """stats_kruskal_wallis's global rank window must run over the
+    per-distinct-value pre-aggregate: a HashAggregate appears BELOW the
+    single-partition window exchange, so the window input is |distinct
+    cents|, never the raw customer table."""
+    p = plan_of(spark, "stats_kruskal_wallis")
+    assert "Window" in p
+    below_window = p.split("Window")[-1]
+    assert "HashAggregate" in below_window

@@ -59,3 +59,45 @@ def test_pca_matches_frozen_model_reference(spark, emb_matrix):
     norms = np.sqrt((C.astype(np.float64) ** 2).sum(axis=0)) / 1e9
     np.testing.assert_allclose(norms, 1.0, atol=1e-6)
     assert abs(float(C[:, 0] @ C[:, 1]) / 1e18) < 1e-6
+
+
+def test_random_projection_jl_distortion(spark, emb_matrix):
+    """vec_random_projection quality invariant: the ±1 sign projection must
+    (a) reproduce the dense numpy projection EXACTLY (int64 equality — the
+    oracle pins this cross-engine, this pins it vs a reference
+    implementation), and (b) approximately preserve pairwise squared
+    distances after the standard 1/k scaling: median distortion of 200
+    deterministic pairs within [0.5, 2.0] — JL with k=8 is coarse, the
+    invariant is 'usable for candidate pruning', not exactness."""
+    from swallow_spark.queries.vectors_text_extra import _RP_D, _RP_K, _rp_signs
+
+    t, _ = emb_matrix
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    q = np.floor(x * 1e6 + 0.5).astype(np.int64)
+    s_t = _rp_signs().T
+    want = q @ s_t  # exact int64 reference
+
+    rows = (
+        all_queries()["vec_random_projection"]
+        .fn(spark, SF_SMOKE)
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = list(t["vec_id"])
+    order = np.argsort(ids)
+    got = np.array([[r[f"p{j}"] for j in range(_RP_K)] for r in rows], dtype=np.int64)
+    assert got.shape == want[order].shape
+    assert (got == want[order]).all()
+
+    # JL distortion on deterministic pairs (i, i + n//2)
+    n = q.shape[0]
+    ratios = []
+    for i in range(min(200, n // 2)):
+        a, b = i, i + n // 2
+        d_orig = float(((q[a] - q[b]) ** 2).sum())
+        d_proj = float(((want[a] - want[b]) ** 2).sum()) / _RP_K
+        if d_orig > 0:
+            ratios.append(d_proj / d_orig)
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    assert 0.5 <= med <= 2.0, med
