@@ -486,3 +486,149 @@ def eval_wer(spark, sf_dir):
             "CAST(levenshtein(cstr, rstr) * 1000000 DIV n_ref AS BIGINT)"
         ).alias("wer_micro"),
     )
+
+
+# ---------------------------------------------------------------- chrF
+# Character n-gram F-score (n = 1..6) over the same candidate/reference
+# grid; the space-stripped first 100 characters of each side.
+
+_CHRF_N = 6
+
+_CHRF_SQL = f"""
+WITH base AS (
+  SELECT doc_id, substr(replace(text, ' ', ''), 1, 100) AS s
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+pairs AS (
+  SELECT c.doc_id AS cand_id, r.doc_id AS ref_id, c.s AS cs, r.s AS rs
+  FROM base c JOIN base r ON r.doc_id = c.doc_id + 100
+  WHERE c.doc_id <= 50
+),
+ns AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
+cg AS (
+  SELECT p.cand_id, ns.n,
+         unnest(list_transform(
+           generate_series(1, greatest(length(p.cs) - ns.n + 1, 0)),
+           i -> substr(p.cs, CAST(i AS INTEGER), CAST(ns.n AS INTEGER)))) AS g
+  FROM pairs p CROSS JOIN ns
+),
+rg AS (
+  SELECT p.cand_id, ns.n,
+         unnest(list_transform(
+           generate_series(1, greatest(length(p.rs) - ns.n + 1, 0)),
+           i -> substr(p.rs, CAST(i AS INTEGER), CAST(ns.n AS INTEGER)))) AS g
+  FROM pairs p CROSS JOIN ns
+),
+cc AS (SELECT cand_id, n, g, CAST(COUNT(*) AS BIGINT) AS c FROM cg GROUP BY 1,2,3),
+rc AS (SELECT cand_id, n, g, CAST(COUNT(*) AS BIGINT) AS c FROM rg GROUP BY 1,2,3),
+ov AS (
+  SELECT cc.cand_id, cc.n, CAST(SUM(least(cc.c, rc.c)) AS BIGINT) AS o
+  FROM cc JOIN rc USING (cand_id, n, g) GROUP BY 1, 2
+),
+pern AS (
+  SELECT p.cand_id, p.ref_id, ns.n,
+         CAST(greatest(length(p.cs) - ns.n + 1, 0) AS BIGINT) AS tc,
+         CAST(greatest(length(p.rs) - ns.n + 1, 0) AS BIGINT) AS tr,
+         COALESCE(ov.o, 0) AS o
+  FROM pairs p CROSS JOIN ns
+  LEFT JOIN ov ON ov.cand_id = p.cand_id AND ov.n = ns.n
+),
+agg AS (
+  SELECT cand_id, ref_id,
+         CAST(SUM(CASE WHEN tc > 0 THEN o * 1000000 // tc END)
+              // SUM(CASE WHEN tc > 0 THEN 1 END) AS BIGINT) AS chrp_micro,
+         CAST(SUM(CASE WHEN tr > 0 THEN o * 1000000 // tr END)
+              // SUM(CASE WHEN tr > 0 THEN 1 END) AS BIGINT) AS chrr_micro
+  FROM pern GROUP BY 1, 2
+)
+SELECT cand_id, ref_id, chrp_micro, chrr_micro,
+       CASE WHEN chrp_micro + chrr_micro = 0 THEN 0
+            ELSE CAST(2 * chrp_micro * chrr_micro
+                      // (chrp_micro + chrr_micro) AS BIGINT) END AS chrf_micro
+FROM agg
+"""
+
+
+@register("eval_chrf", oracle=_CHRF_SQL, tier="T2")
+def eval_chrf(spark, sf_dir):
+    """chrF — character n-gram F-score (n = 1..6, space-stripped 100-char
+    prefixes) over the (doc d, doc d+100) eval grid: the tokenizer-free MT
+    metric that complements word-level [[eval_bleu]] (robust to
+    morphology/segmentation where BLEU is brittle).
+
+    Determinism: PURE int64 — clipped char-n-gram overlaps are exact
+    inner-join min-count sums, per-n precisions/recalls are micro `//`
+    ratios averaged over the n values with a non-empty total (both
+    engines' SUM/COUNT skip the NULL CASE arms identically), and the F1
+    harmonic mean is one guarded integer division. substr/replace are
+    codepoint-based in both engines (unicode probe covers the multi-byte
+    path).
+
+    Scale note: bounded eval grid (pushed-down doc_id filters, broadcast
+    reference side); the overlap join shuffles on (pair, n, gram) exactly
+    like eval_bleu — pair-blocked at corpus scale.
+    """
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    s = F.substring(F.regexp_replace("text", " ", ""), 1, 100)
+    cand = d.filter(F.col("doc_id") <= 50).select(
+        F.col("doc_id").alias("cand_id"), s.alias("cs")
+    )
+    ref = d.filter(F.col("doc_id").between(100, 150)).select(
+        F.col("doc_id").alias("ref_id"), s.alias("rs")
+    )
+    pairs = cand.join(F.broadcast(ref), ref.ref_id == cand.cand_id + 100)
+    ns = F.explode(F.array(*[F.lit(i) for i in range(1, _CHRF_N + 1)])).alias("n")
+    pn = pairs.select("cand_id", "ref_id", "cs", "rs", ns)
+
+    def grams(col):
+        return F.expr(
+            f"""transform(sequence(1, greatest(length({col}) - n + 1, 0)),
+                          i -> substr({col}, CAST(i AS INT), CAST(n AS INT)))"""
+        )
+
+    cc = pn.select("cand_id", "n", F.explode(grams("cs")).alias("g")).groupBy(
+        "cand_id", "n", "g"
+    ).agg(F.count(F.lit(1)).alias("c_c"))
+    rc = pn.select("cand_id", "n", F.explode(grams("rs")).alias("g")).groupBy(
+        "cand_id", "n", "g"
+    ).agg(F.count(F.lit(1)).alias("c_r"))
+    ov = (
+        cc.join(rc, ["cand_id", "n", "g"])
+        .groupBy("cand_id", "n")
+        .agg(F.sum(F.least("c_c", "c_r")).cast("long").alias("o"))
+    )
+    pern = (
+        pn.select(
+            "cand_id",
+            "ref_id",
+            "n",
+            F.expr("CAST(greatest(length(cs) - n + 1, 0) AS BIGINT)").alias("tc"),
+            F.expr("CAST(greatest(length(rs) - n + 1, 0) AS BIGINT)").alias("tr"),
+        )
+        .join(ov, ["cand_id", "n"], "left")
+        .fillna(0, subset=["o"])
+    )
+    agg = pern.groupBy("cand_id", "ref_id").agg(
+        F.expr(
+            """CAST(SUM(CASE WHEN tc > 0 THEN o * 1000000 DIV tc END)
+                    DIV SUM(CASE WHEN tc > 0 THEN 1 END) AS BIGINT)"""
+        ).alias("chrp_micro"),
+        F.expr(
+            """CAST(SUM(CASE WHEN tr > 0 THEN o * 1000000 DIV tr END)
+                    DIV SUM(CASE WHEN tr > 0 THEN 1 END) AS BIGINT)"""
+        ).alias("chrr_micro"),
+    )
+    return agg.select(
+        "cand_id",
+        "ref_id",
+        "chrp_micro",
+        "chrr_micro",
+        F.expr(
+            """CASE WHEN chrp_micro + chrr_micro = 0 THEN 0
+                    ELSE CAST(2 * chrp_micro * chrr_micro
+                              DIV (chrp_micro + chrr_micro) AS BIGINT)
+               END"""
+        ).alias("chrf_micro"),
+    )
