@@ -351,6 +351,8 @@ BNLJ_ALLOWED = {
     "stats_kruskal_wallis",  # broadcast 1-row tie-term crossjoin (mann_whitney shape)
     "stats_mutual_information",  # broadcast 1-row n/H(x)/H(y) scalar crossjoins (chisq shape)
     "sketch_kmv_intersect",  # broadcast 1-row exact-intersection ground-truth crossjoin
+    "seq_churn_hazard",  # broadcast 1-row total-users crossjoin (life-table denominator)
+    "stats_friedman",  # broadcast 1-row k (distinct-segment count) crossjoin
     "stats_mann_whitney",
     "etl_freshness_audit",  # broadcast 1-row global-max-ts crossjoin
     "graph_modularity",  # broadcast 1-row m / Q-numerator scalar cross joins
