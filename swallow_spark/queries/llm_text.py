@@ -1942,3 +1942,116 @@ def text_code_detect(spark, sf_dir):
                          THEN 1 ELSE 0 END AS BIGINT)"""
         ).alias("is_code_like"),
     )
+
+
+_LANGMIX_SQL = f"""
+WITH tok AS ({_TOK_SQL}),
+counts AS (SELECT lang, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+prof AS (
+  SELECT lang AS cand_lang, token
+  FROM (SELECT lang, token,
+               row_number() OVER (PARTITION BY lang ORDER BY c DESC, token) AS rk
+        FROM counts)
+  WHERE rk <= 10
+),
+doc_tok AS (SELECT DISTINCT doc_id, token FROM tok),
+hits AS (
+  SELECT dt.doc_id, p.cand_lang, CAST(COUNT(*) AS BIGINT) AS h
+  FROM doc_tok dt JOIN prof p USING (token)
+  GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(h) AS BIGINT) AS n_hits,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         CAST(SUM(h * CAST(FLOOR(ln(CAST(h AS DOUBLE)) * 1000000) AS BIGINT))
+              AS BIGINT) AS sum_u,
+         CAST(MAX(h) AS BIGINT) AS top1
+  FROM hits GROUP BY doc_id
+),
+top2 AS (
+  SELECT doc_id, CAST(MAX(h) AS BIGINT) AS second
+  FROM (SELECT doc_id, h,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY h DESC, cand_lang) AS rk
+        FROM hits)
+  WHERE rk = 2 GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_hits, p.n_langs,
+       CAST(FLOOR(ln(CAST(p.n_hits AS DOUBLE)) * 1000000) AS BIGINT)
+         - p.sum_u // p.n_hits AS mix_entropy_micronats,
+       p.top1,
+       COALESCE(t.second, 0) AS top2,
+       CAST((p.top1 - COALESCE(t.second, 0)) * 1000000 // p.n_hits AS BIGINT)
+         AS margin_micro
+FROM per_doc p LEFT JOIN top2 t USING (doc_id)
+"""
+
+
+@register("text_language_mix", oracle=_LANGMIX_SQL, tier="T2")
+def text_language_mix(spark, sf_dir):
+    """Per-document language-MIX profile: entropy of the doc's hits across
+    ALL language profiles plus the top1−top2 margin — the CONFIDENCE
+    signal behind [[text_language_id]]'s argmax (CCNet-style pipelines
+    gate on lang-ID confidence, not just the label; high mix entropy or a
+    thin margin routes the doc to the multilingual/uncertain branch).
+
+    Determinism: hit counts are exact ints; mix entropy uses the
+    quantized-log identity (each ln floored to micro-nats BEFORE the
+    per-doc sum); the margin is a non-negative micro `//`; top-2 comes
+    from a deterministic (h desc, lang) rank; top1 is a plain MAX.
+
+    Scale: identical shape to text_language_id (tiny broadcast profiles,
+    one (doc, token) distinct shuffle, doc-keyed aggregates).
+    """
+    tok = _tok(spark, sf_dir)
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    wprof = Window.partitionBy("lang").orderBy(F.col("c").desc(), "token")
+    prof = (
+        counts.withColumn("rk", F.row_number().over(wprof))
+        .filter(F.col("rk") <= 10)
+        .select(F.col("lang").alias("cand_lang"), "token")
+    )
+    doc_tok = tok.select("doc_id", "token").distinct()
+    hits = (
+        doc_tok.join(F.broadcast(prof), "token")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("h"))
+    )
+    per_doc = hits.groupBy("doc_id").agg(
+        F.sum("h").cast("long").alias("n_hits"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum(
+            F.col("h")
+            * F.floor(F.log(F.col("h").cast("double")) * 1000000).cast("long")
+        )
+        .cast("long")
+        .alias("sum_u"),
+        F.max("h").cast("long").alias("top1"),
+    )
+    wr = Window.partitionBy("doc_id").orderBy(F.col("h").desc(), "cand_lang")
+    top2 = (
+        hits.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 2)
+        .groupBy("doc_id")
+        .agg(F.max("h").cast("long").alias("second"))
+    )
+    return (
+        per_doc.join(top2, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_langs",
+            (
+                F.floor(F.log(F.col("n_hits").cast("double")) * 1000000).cast(
+                    "long"
+                )
+                - F.expr("sum_u DIV n_hits")
+            ).alias("mix_entropy_micronats"),
+            "top1",
+            F.coalesce(F.col("second"), F.lit(0)).cast("long").alias("top2"),
+            F.expr(
+                "CAST((top1 - COALESCE(second, 0)) * 1000000 DIV n_hits AS BIGINT)"
+            ).alias("margin_micro"),
+        )
+    )

@@ -3533,3 +3533,129 @@ def ts_velocity_accel(spark, sf_dir):
             .alias("acceleration"),
         )
     )
+
+
+_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))
+           AS eday,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS u
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+idx AS (
+  SELECT eday, u,
+         row_number() OVER (ORDER BY eday) AS i,
+         SUM(u) OVER (ORDER BY eday ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS pre
+  FROM daily
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(u) AS BIGINT) AS s
+        FROM daily),
+-- between-segment sum of squares at split after row i (1 <= i < n):
+-- BSS(i) = pre_i^2/i + (s-pre_i)^2/(n-i) - s^2/n; maximize the first two
+-- terms. Carried as exact int64 floor units (the kruskal per-term rule),
+-- computed on DOLLAR prefixes (// 100) so the squares stay inside int64
+-- even for a pathological all-mass-on-one-day series.
+scored AS (
+  SELECT idx.eday, idx.i, idx.pre, tot.n, tot.s,
+         CAST(FLOOR(CAST(idx.pre // 100 AS DOUBLE)
+                    * CAST(idx.pre // 100 AS DOUBLE)
+                    / CAST(idx.i AS DOUBLE)) AS BIGINT)
+         + CAST(FLOOR(CAST((tot.s - idx.pre) // 100 AS DOUBLE)
+                      * CAST((tot.s - idx.pre) // 100 AS DOUBLE)
+                      / CAST(tot.n - idx.i AS DOUBLE)) AS BIGINT) AS bss_units
+  FROM idx CROSS JOIN tot
+  WHERE idx.i < tot.n
+),
+best AS (
+  SELECT eday, i, pre, n, s, bss_units
+  FROM (SELECT *, row_number() OVER (ORDER BY bss_units DESC, eday) AS rk
+        FROM scored)
+  WHERE rk = 1
+)
+SELECT CAST(eday AS BIGINT) AS split_after_eday,
+       CAST(i AS BIGINT) AS n_left,
+       CAST(n - i AS BIGINT) AS n_right,
+       CAST(pre // i AS BIGINT) AS mean_left_cents,
+       CAST((s - pre) // (n - i) AS BIGINT) AS mean_right_cents,
+       bss_units
+FROM best
+"""
+
+
+@register("ts_changepoint_split", oracle=_CHANGEPOINT_SQL, tier="T2")
+def ts_changepoint_split(spark, sf_dir):
+    """Single change-point estimate for the daily value series: the split
+    that maximizes the between-segment sum of squares (the binary-
+    segmentation step every changepoint algorithm iterates; [[ts_cusum]]
+    monitors drift online, this localizes WHERE the level shifted).
+
+    Determinism: prefix sums and counts are exact int64; each split's
+    BSS contribution pre²/i + (s−pre)²/(n−i) is floored to integer units
+    per term (the kruskal rule — two correctly-rounded IEEE ops from
+    exact int64 inputs, so the floor input is bit-identical in both
+    engines — computed on DOLLAR (// 100) prefixes so even an
+    all-mass-on-one-day series keeps the squares inside int64); the
+    argmax tie-breaks on earliest day; segment means are non-negative
+    `//` cents. Note pre ≥ 0 so Spark DIV ≡ DuckDB // on both scalings.
+
+    Scale note: one daily-grain aggregate, one |days|-row prefix window,
+    one TakeOrderedAndProject argmax — the candidate-split scan is
+    O(days) with no self-join (prefix sums make BSS(i) closed-form).
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("eday")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("u")
+    )
+    wo = Window.orderBy("eday")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx = daily.select(
+        "eday",
+        F.row_number().over(wo).alias("i"),
+        F.sum("u").over(wc).alias("pre"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("u").cast("long").alias("s"),
+    )
+    scored = (
+        idx.crossJoin(F.broadcast(tot))
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            "eday",
+            "i",
+            "pre",
+            "n",
+            "s",
+            F.expr(
+                """CAST(FLOOR(CAST(pre DIV 100 AS DOUBLE)
+                              * CAST(pre DIV 100 AS DOUBLE)
+                              / CAST(i AS DOUBLE)) AS BIGINT)
+                   + CAST(FLOOR(CAST((s - pre) DIV 100 AS DOUBLE)
+                                * CAST((s - pre) DIV 100 AS DOUBLE)
+                                / CAST(n - i AS DOUBLE)) AS BIGINT)"""
+            ).alias("bss_units"),
+        )
+    )
+    best = (
+        scored.orderBy(F.col("bss_units").desc(), "eday")
+        .limit(1)
+    )
+    return best.select(
+        F.col("eday").cast("long").alias("split_after_eday"),
+        F.col("i").cast("long").alias("n_left"),
+        (F.col("n") - F.col("i")).cast("long").alias("n_right"),
+        F.expr("CAST(pre DIV i AS BIGINT)").alias("mean_left_cents"),
+        F.expr("CAST((s - pre) DIV (n - i) AS BIGINT)").alias(
+            "mean_right_cents"
+        ),
+        "bss_units",
+    )
