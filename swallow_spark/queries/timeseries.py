@@ -3659,3 +3659,169 @@ def ts_changepoint_split(spark, sf_dir):
         ),
         "bss_units",
     )
+
+
+# ---------------------------------------------------------------- KPSS
+# Level-stationarity test. All sufficient statistics are exact int64 in
+# DAILY-DOLLAR units (cents overflow the squared partial sums at sf0.1);
+# the statistic is then one shared closed-form expression chain (the
+# ts_pacf rule). Bartlett window l = 4.
+
+_KPSS_L = 4
+
+_KPSS_DAILY = """
+daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))
+           AS eday,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) // 100 AS BIGINT)
+           AS u
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+idx AS (
+  SELECT u, row_number() OVER (ORDER BY eday) AS t,
+         SUM(u) OVER (ORDER BY eday ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS pre
+  FROM daily
+)
+"""
+
+# shared final expressions over the exact int64 stats (identical strings
+# in both engines). xb = s/n; eta = (A - 2*xb*B + xb*xb*C) / (n*n);
+# g_j = (P_j - xb*(H_j + T_j) + (n - j)*xb*xb) / n;
+# lrv = g0 + 2 * sum_j (1 - j/5) * g_j; kpss = eta / lrv.
+_KPSS_G = {
+    j: (
+        f"((CAST(p{j} AS DOUBLE) - (CAST(s AS DOUBLE) / n) * (h{j} + t{j})"
+        f" + (n - {j}) * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+        f" / n)"
+    )
+    for j in range(0, _KPSS_L + 1)
+}
+_KPSS_ETA = (
+    "((CAST(a AS DOUBLE) - 2 * (CAST(s AS DOUBLE) / n) * b"
+    " + (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) * c)"
+    " / (CAST(n AS DOUBLE) * n))"
+)
+_KPSS_LRV = (
+    f"({_KPSS_G[0]} + 2 * (0.8 * {_KPSS_G[1]} + 0.6 * {_KPSS_G[2]}"
+    f" + 0.4 * {_KPSS_G[3]} + 0.2 * {_KPSS_G[4]}))"
+)
+
+_KPSS_SQL = f"""
+WITH {_KPSS_DAILY},
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(u) AS BIGINT) AS s,
+         CAST(SUM(pre * pre) AS BIGINT) AS a,
+         CAST(SUM(t * pre) AS BIGINT) AS b,
+         CAST(SUM(t * t) AS BIGINT) AS c
+  FROM idx
+),
+lags AS (
+  SELECT j.j,
+         CAST(SUM(cur.u * prv.u) AS BIGINT) AS p,
+         CAST(SUM(cur.u) AS BIGINT) AS h,
+         CAST(SUM(prv.u) AS BIGINT) AS t
+  FROM (SELECT unnest([0, 1, 2, 3, 4]) AS j) j
+  JOIN idx cur ON TRUE
+  JOIN idx prv ON prv.t = cur.t - j.j
+  GROUP BY j.j
+),
+wide AS (
+  SELECT base.n, base.s, base.a, base.b, base.c,
+         {", ".join(f"SUM(CASE WHEN j = {j} THEN p END) AS p{j}, "
+                    f"SUM(CASE WHEN j = {j} THEN h END) AS h{j}, "
+                    f"SUM(CASE WHEN j = {j} THEN t END) AS t{j}"
+                    for j in range(0, _KPSS_L + 1))}
+  FROM lags CROSS JOIN base
+  GROUP BY base.n, base.s, base.a, base.b, base.c
+)
+SELECT n,
+       FLOOR({_KPSS_ETA} * 100 + 0.5) / 100 AS eta,
+       FLOOR({_KPSS_LRV} * 100 + 0.5) / 100 AS lrv,
+       FLOOR(({_KPSS_ETA} / {_KPSS_LRV}) * 10000 + 0.5) / 10000 AS kpss_stat
+FROM wide
+"""
+
+
+@register("ts_kpss_stationarity", oracle=_KPSS_SQL, tier="T2")
+def ts_kpss_stationarity(spark, sf_dir):
+    """KPSS level-stationarity statistic of the daily value series
+    (Bartlett long-run variance, window l = 4): η = Σ S_t²/n² over
+    demeaned partial sums against the lag-weighted long-run variance —
+    the stationarity screen that pairs with [[ts_mann_kendall]] (trend
+    direction) and [[ts_hurst_exponent]] (long-memory) before any
+    forecasting key is trusted.
+
+    Determinism: every sufficient statistic (Σpre², Σt·pre, Σt², lag
+    products Σu_t·u_{t−j}, head/tail lag sums) is an exact int64 in
+    DAILY-DOLLAR units — cents would push Σpre² past int64 at sf0.1
+    (headroom documented: at sf≈10 move these five stats to
+    DECIMAL(38,0)); the statistic is then a single shared closed-form
+    expression chain evaluated character-identically by both engines
+    (the ts_pacf rule), with one rounding per output.
+
+    Scale note: one daily-grain aggregate, one |days|-row prefix window,
+    a 5× lag fan-out join on the |days|-row table, then a 1-row
+    projection — same cost envelope as ts_autocorrelation.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("eday")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) DIV 100 AS BIGINT)"
+        ).alias("u")
+    )
+    wo = Window.orderBy("eday")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx = daily.select(
+        "u",
+        F.row_number().over(wo).alias("t"),
+        F.sum("u").over(wc).alias("pre"),
+    ).persist()
+    base = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("u").cast("long").alias("s"),
+        F.sum(F.col("pre") * F.col("pre")).cast("long").alias("a"),
+        F.sum(F.col("t") * F.col("pre")).cast("long").alias("b"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("c"),
+    )
+    js = F.explode(F.array(*[F.lit(j) for j in range(0, _KPSS_L + 1)])).alias("j")
+    cur = idx.select(js, "u", "t")
+    prv = idx.select(F.col("t").alias("pt"), F.col("u").alias("pu"))
+    lags = (
+        cur.join(prv, F.col("pt") == F.col("t") - F.col("j"))
+        .groupBy("j")
+        .agg(
+            F.sum(F.col("u") * F.col("pu")).cast("long").alias("p"),
+            F.sum("u").cast("long").alias("h"),
+            F.sum("pu").cast("long").alias("t_"),
+        )
+    )
+    wide = lags.crossJoin(F.broadcast(base)).groupBy("n", "s", "a", "b", "c").agg(
+        *[
+            agg
+            for j in range(0, _KPSS_L + 1)
+            for agg in (
+                F.sum(F.expr(f"CASE WHEN j = {j} THEN p END")).alias(f"p{j}"),
+                F.sum(F.expr(f"CASE WHEN j = {j} THEN h END")).alias(f"h{j}"),
+                F.sum(F.expr(f"CASE WHEN j = {j} THEN t_ END")).alias(f"t{j}"),
+            )
+        ]
+    )
+    out = wide.select(
+        "n",
+        F.expr(f"FLOOR({_KPSS_ETA} * 100 + 0.5) / 100").alias("eta"),
+        F.expr(f"FLOOR({_KPSS_LRV} * 100 + 0.5) / 100").alias("lrv"),
+        F.expr(
+            f"FLOOR(({_KPSS_ETA} / {_KPSS_LRV}) * 10000 + 0.5) / 10000"
+        ).alias("kpss_stat"),
+    )
+    out = out.localCheckpoint(eager=True)
+    idx.unpersist()
+    return out

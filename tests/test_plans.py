@@ -354,6 +354,7 @@ BNLJ_ALLOWED = {
     "seq_churn_hazard",  # broadcast 1-row total-users crossjoin (life-table denominator)
     "stats_friedman",  # broadcast 1-row k (distinct-segment count) crossjoin
     "ts_changepoint_split",  # broadcast 1-row (n, s) totals crossjoin (BSS closed form)
+    "ts_kpss_stationarity",  # broadcast 1-row sufficient-stats crossjoin (pacf-rule chain)
     "stats_mann_whitney",
     "etl_freshness_audit",  # broadcast 1-row global-max-ts crossjoin
     "graph_modularity",  # broadcast 1-row m / Q-numerator scalar cross joins
