@@ -3825,3 +3825,94 @@ def ts_kpss_stationarity(spark, sf_dir):
     out = out.localCheckpoint(eager=True)
     idx.unpersist()
     return out
+
+
+# ------------------------------------------------- Dickey–Fuller (lag 0)
+# Shared closed-form simple-regression expressions (identical strings both
+# engines): beta = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx); t = beta / SE(beta).
+
+_DF_BETA = (
+    "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+)
+_DF_SYY = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)"
+_DF_SXY = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)"
+_DF_SXX = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)"
+_DF_T = (
+    f"({_DF_BETA} / sqrt((({_DF_SYY} - {_DF_BETA} * {_DF_SXY}) / (n - 2))"
+    f" / {_DF_SXX}))"
+)
+
+_DF_SQL = f"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))
+           AS eday,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS u
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+rows_ AS (
+  SELECT prv.u AS x, cur.u - prv.u AS y
+  FROM daily cur JOIN daily prv ON cur.eday = prv.eday + 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM rows_
+)
+SELECT n,
+       FLOOR({_DF_BETA} * 1000000 + 0.5) / 1000000 AS beta,
+       FLOOR({_DF_T} * 10000 + 0.5) / 10000 AS t_stat
+FROM s
+"""
+
+
+@register("ts_dickey_fuller", oracle=_DF_SQL, tier="T2")
+def ts_dickey_fuller(spark, sf_dir):
+    """Dickey–Fuller unit-root regression (lag 0, with intercept):
+    Δu_t = α + β·u_{t−1} + ε over calendar-consecutive days; β near 0
+    (t_stat above the DF critical values) means a unit root. The
+    complement of [[ts_kpss_stationarity]] — the classic double screen:
+    KPSS rejects stationarity, DF rejects the unit root, and a series
+    should fail exactly one of them.
+
+    Determinism: six exact int64 sufficient statistics in cents (Σx² ≈
+    7e16 at sf0.1 — headroom documented), then β and its t-statistic as
+    CHARACTER-IDENTICAL closed-form expression strings in both engines
+    (the ts_pacf rule; the one sqrt is the same correctly-rounded libm
+    call on identical input), one rounding per output.
+
+    Scale note: one daily-grain aggregate, one consecutive-day
+    self-equi-join on the |days|-row table, one 1-row projection.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("eday")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("u")
+    )
+    prv = daily.select(F.col("eday").alias("pday"), F.col("u").alias("pu"))
+    rows = daily.join(prv, F.col("eday") == F.col("pday") + 1).select(
+        F.col("pu").alias("x"), (F.col("u") - F.col("pu")).alias("y")
+    )
+    s = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return s.select(
+        "n",
+        F.expr(f"FLOOR({_DF_BETA} * 1000000 + 0.5) / 1000000").alias("beta"),
+        F.expr(f"FLOOR({_DF_T} * 10000 + 0.5) / 10000").alias("t_stat"),
+    )
