@@ -1,0 +1,186 @@
+"""Property tests for the gaps-and-islands detail relation and the
+churn-hazard life table (round-7 session-2 keys) — three-engine
+equivalence on synthetic day sets with boundary-clustered gaps
+(consecutive, gap-1, duplicate days), the session-window-suite pattern.
+
+The production keys read events; here the same core logic is exercised
+on generated (user, eday) sets via the keys' exact SQL shapes, compared
+against a pure-Python reference.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# per-user day offsets: small values cluster consecutive/gap-1 cases;
+# duplicates exercise the DISTINCT
+user_days = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user
+        st.integers(min_value=19000, max_value=19030),  # eday
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _ref_islands(pairs):
+    """Pure-Python islands: per user, sorted distinct days split where the
+    step exceeds 1; emit (user, start, end, len, gap_before)."""
+    from collections import defaultdict
+
+    by_user = defaultdict(set)
+    for u, d in pairs:
+        by_user[u].add(d)
+    out = []
+    for u in sorted(by_user):
+        days = sorted(by_user[u])
+        runs = []
+        start = prev = days[0]
+        for d in days[1:]:
+            if d == prev + 1:
+                prev = d
+                continue
+            runs.append((start, prev))
+            start = prev = d
+        runs.append((start, prev))
+        prev_end = None
+        for s, e in runs:
+            gap = None if prev_end is None else s - prev_end - 1
+            out.append((u, s, e, e - s + 1, gap))
+            prev_end = e
+    return sorted(out)
+
+
+_ISLANDS_CORE = """
+WITH days AS (SELECT DISTINCT user_id, eday FROM pairs),
+isl AS (
+  SELECT user_id, eday,
+         eday - row_number() OVER (PARTITION BY user_id ORDER BY eday) AS grp
+  FROM days
+),
+runs AS (
+  SELECT user_id, grp,
+         CAST(MIN(eday) AS BIGINT) AS start_eday,
+         CAST(MAX(eday) AS BIGINT) AS end_eday,
+         CAST(COUNT(*) AS BIGINT) AS len_days
+  FROM isl GROUP BY user_id, grp
+)
+SELECT user_id, start_eday, end_eday, len_days,
+       CAST(start_eday - lag(end_eday) OVER (PARTITION BY user_id
+                                             ORDER BY start_eday) - 1
+            AS BIGINT) AS gap_before_days
+FROM runs
+ORDER BY user_id, start_eday
+"""
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+@settings(max_examples=40, deadline=None)
+@given(user_days)
+def test_islands_duckdb_matches_reference(con, pairs):
+    import pandas as pd
+
+    pdf = pd.DataFrame(pairs, columns=["user_id", "eday"])
+    con.register("pairs", pdf)
+    got = [tuple(r) for r in con.sql(_ISLANDS_CORE).fetchall()]
+    con.unregister("pairs")
+    assert got == _ref_islands(pairs)
+
+
+@settings(max_examples=12, deadline=None)
+@given(user_days)
+def test_islands_spark_matches_reference(spark, pairs):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(pairs, "user_id long, eday long")
+    days = df.distinct()
+    w = Window.partitionBy("user_id").orderBy("eday")
+    isl = days.withColumn("grp", F.col("eday") - F.row_number().over(w))
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.min("eday").cast("long").alias("start_eday"),
+        F.max("eday").cast("long").alias("end_eday"),
+        F.count(F.lit(1)).cast("long").alias("len_days"),
+    )
+    wseq = Window.partitionBy("user_id").orderBy("start_eday")
+    out = runs.select(
+        "user_id",
+        "start_eday",
+        "end_eday",
+        "len_days",
+        (F.col("start_eday") - F.lag("end_eday").over(wseq) - 1)
+        .cast("long")
+        .alias("gap_before_days"),
+    ).orderBy("user_id", "start_eday")
+    got = [tuple(r) for r in out.collect()]
+    assert got == _ref_islands(pairs)
+
+
+def _ref_hazard(pairs):
+    """Pure-Python churn-hazard life table from (user, eday) activity."""
+    from collections import defaultdict
+
+    lo = defaultdict(lambda: None)
+    hi = defaultdict(lambda: None)
+    for u, d in pairs:
+        lo[u] = d if lo[u] is None else min(lo[u], d)
+        hi[u] = d if hi[u] is None else max(hi[u], d)
+    weeks = sorted((hi[u] - lo[u]) // 7 for u in lo)
+    n = len(weeks)
+    out = []
+    seen = 0
+    from itertools import groupby
+
+    for wk, grp in groupby(weeks):
+        c = len(list(grp))
+        at_risk = n - seen
+        out.append((wk, c, at_risk, c * 1_000_000 // at_risk))
+        seen += c
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(user_days)
+def test_churn_hazard_duckdb_matches_reference(con, pairs):
+    import pandas as pd
+
+    pdf = pd.DataFrame(pairs, columns=["user_id", "eday"])
+    con.register("pairs", pdf)
+    got = [
+        tuple(r)
+        for r in con.sql(
+            """
+WITH spans AS (
+  SELECT user_id, (MAX(eday) - MIN(eday)) // 7 AS last_week
+  FROM pairs GROUP BY user_id
+),
+per_week AS (
+  SELECT last_week AS week, CAST(COUNT(*) AS BIGINT) AS churned
+  FROM spans GROUP BY last_week
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM spans)
+SELECT CAST(week AS BIGINT), churned,
+       CAST(tot.n_users
+            - (SUM(churned) OVER (ORDER BY week ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) - churned)
+            AS BIGINT) AS at_risk,
+       CAST(churned * 1000000
+            // (tot.n_users
+                - (SUM(churned) OVER (ORDER BY week ROWS BETWEEN UNBOUNDED
+                                      PRECEDING AND CURRENT ROW) - churned))
+            AS BIGINT) AS hazard_micro
+FROM per_week CROSS JOIN tot
+ORDER BY week
+"""
+        ).fetchall()
+    ]
+    con.unregister("pairs")
+    assert got == _ref_hazard(pairs)
