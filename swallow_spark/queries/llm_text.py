@@ -2055,3 +2055,84 @@ def text_language_mix(spark, sf_dir):
             ).alias("margin_micro"),
         )
     )
+
+
+# Planted mixed-normalization-form suffixes for text_unicode_normalize.
+# The fixture text is pure ASCII (verified each round), so each doc gets a
+# deterministic suffix chosen by doc_id % 4 covering the canonical NFC cases:
+#   0: e + U+0301 combining acute        -> composes to U+00E9 (é)
+#   1: A + U+030A combining ring         -> composes to U+00C5 (Å)
+#   2: U+212B ANGSTROM SIGN (singleton)  -> canonical-maps to U+00C5
+#   3: s + U+0323 + U+0307 (reorder+compose) -> U+1E69 (ṩ); already-NFC é stays
+_NFC_SUFFIXES = [
+    " café",
+    " Århus",
+    " Ångström",
+    " é ṩ",
+]
+
+
+@register(
+    "text_unicode_normalize",
+    oracle=f"""
+SELECT doc_id,
+       nfc_normalize(aug) AS text_nfc,
+       CAST(length(aug) AS BIGINT) AS n_cp_raw,
+       CAST(length(nfc_normalize(aug)) AS BIGINT) AS n_cp_nfc,
+       CAST(CASE WHEN aug != nfc_normalize(aug) THEN 1 ELSE 0 END AS BIGINT)
+         AS changed
+FROM (SELECT doc_id,
+             text || CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN '{_NFC_SUFFIXES[0]}'
+               WHEN 1 THEN '{_NFC_SUFFIXES[1]}'
+               WHEN 2 THEN '{_NFC_SUFFIXES[2]}'
+               ELSE '{_NFC_SUFFIXES[3]}'
+             END AS aug
+      FROM documents) t
+""",
+    tier="T2",
+)
+def text_unicode_normalize(spark, sf_dir):
+    """Unicode NFC normalization — the canonical pre-dedup pass in every LLM
+    curation stack (decomposed 'e'+U+0301 and composed U+00E9 must hash
+    identically before exact/near dedup). The fixture text is pure ASCII, so
+    a deterministic mixed-form suffix is planted per doc (composition,
+    reordering + composition, and the U+212B singleton) before normalizing —
+    the oracle (DuckDB ``nfc_normalize``, utf8proc) byte-compares the
+    normalized text and codepoint lengths against pandas
+    ``Series.str.normalize('NFC')`` (Python unicodedata); both implement
+    UAX #15 canonical composition.
+
+    Scale note: mapInPandas streams Arrow batches — linear per-row pass, no
+    shuffle, constant memory; at 100 TB this fuses with the rest of the
+    cleaning stage (strip → normalize → hash) in one map stage. NULL text →
+    NULL aug in both engines (|| / concat NULL semantics), normalized NULL
+    row preserved with changed = 0 per the oracle's CASE.
+    """
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _NFC_SUFFIXES]),
+        F.pmod(F.col("doc_id"), F.lit(4)).cast("int") + 1,
+    )
+    aug_df = d.select("doc_id", F.concat(F.col("text"), suffix).alias("aug"))
+
+    def norm_batches(batches):
+        for pdf in batches:
+            nfc = pdf["aug"].str.normalize("NFC")
+            changed = pdf["aug"].ne(nfc) & pdf["aug"].notna()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text_nfc": nfc,
+                    "n_cp_raw": pdf["aug"].str.len().astype("Int64"),
+                    "n_cp_nfc": nfc.str.len().astype("Int64"),
+                    "changed": changed.astype("int64"),
+                }
+            )
+
+    return aug_df.mapInPandas(
+        norm_batches,
+        "doc_id long, text_nfc string, n_cp_raw long, n_cp_nfc long, changed long",
+    )

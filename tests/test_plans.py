@@ -214,18 +214,52 @@ def test_rolling_distinct_no_set_state(spark):
 
 
 def test_sim_pairs_arrow_grouped(spark):
-    """sim_pairs_threshold must be the banded Arrow/pandas Gram batch
-    (round-7 hot-label fix): grouped-map eval on (label, band_i, band_j),
-    the per-label count arriving via a BROADCAST hash join (the bounded
-    pre-pass — never a shuffle join), and no pairwise join anywhere. Two
-    parquet scans total: the count pass (label-column-pruned) and the
-    vector pass."""
+    """sim_pairs_threshold on the UNIFORM fixture must take the round-8
+    short-circuit: the driver-side pyarrow histogram probe proves every
+    label fits one band, so the plan is ONE parquet scan feeding a
+    per-label grouped-map — no count job, no broadcast join, no band-pair
+    explode, and no pairwise join anywhere."""
+    p = plan_of(spark, "sim_pairs_threshold")
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsInArrow" in p
+    assert "BroadcastHashJoin" not in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    tree = p.split("\n\n(")[0]
+    assert tree.count("Scan parquet") == 1
+
+
+def test_sim_pairs_banded_when_skewed(spark, monkeypatch):
+    """When the histogram probe reports a hot label (forced here by
+    shrinking the band target), sim_pairs_threshold must keep the round-7
+    banded shape with the per-label nb map built LOCALLY from the probe and
+    arriving via a BROADCAST hash join — still only one parquet scan (the
+    count job is gone in this mode too)."""
+    import swallow_spark.queries.llm_similarity as sim
+
+    monkeypatch.setattr(sim, "_BAND_TARGET", 8)
     p = plan_of(spark, "sim_pairs_threshold")
     assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsInArrow" in p
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
+    tree = p.split("\n\n(")[0]
+    assert tree.count("Scan parquet") == 1
+
+
+def test_sim_pairs_distributed_count_above_gate(spark, monkeypatch):
+    """Above the probe size gate (real-cluster scale, forced here by zeroing
+    the gate) the label counts must come from the DISTRIBUTED aggregate
+    broadcast back — two parquet scans (label-pruned count pass + vector
+    pass), broadcast join, banded grouped-map."""
+    import swallow_spark.queries.llm_similarity as sim
+
+    monkeypatch.setattr(sim, "_PROBE_MAX_BYTES", 0)
+    p = plan_of(spark, "sim_pairs_threshold")
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsInArrow" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
     tree = p.split("\n\n(")[0]
     assert tree.count("Scan parquet") == 2
 

@@ -29,6 +29,13 @@ UNI_TEXTS = [
     "café café café résumé naïve",
     "mixed ascii ünïcode tökens here now",
     "ŧĦɇ qÜiçk ƀrøwn føx jumps",
+    # mixed-normalization forms (round 8, for text_unicode_normalize and any
+    # key hashing raw text): decomposed e+U+0301, the U+212B angstrom
+    # singleton, and combining-mark reorderings that NFC must canonicalize
+    "décomposed é again résumé",
+    "angstrom Å sign Å here twice",
+    "ṩ reorder ṩ both ways",
+    "already composed é Å ṩ stays",
 ]
 
 
