@@ -69,6 +69,20 @@ EXTENDED = [
 ]
 
 
+def spin_sec() -> float:
+    """Wall time of a fixed single-thread Python workload (~0.12 s quiet).
+
+    Measured once per benched key (not just per run): two consecutive driver
+    benches (r6, r7) carried CPU-contention warnings, making cross-round
+    comparisons an argument from env markers. A per-key spin sample lets the
+    normalized column discount contention at the moment each key ran."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(5_000_000):
+        x += i
+    return round(time.perf_counter() - t0, 4)
+
+
 def env_markers(sf_dir: str) -> dict:
     """Environment-noise markers (VERDICT r3 action): lets a reader tell a
     real perf regression from a loaded/cold-cache box without a rerun.
@@ -86,11 +100,7 @@ def env_markers(sf_dir: str) -> dict:
         m["loadavg"] = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         pass
-    t0 = time.perf_counter()
-    x = 0
-    for i in range(5_000_000):
-        x += i
-    m["spin_sec"] = round(time.perf_counter() - t0, 4)
+    m["spin_sec"] = spin_sec()
     try:
         biggest = max(
             (os.path.join(sf_dir, f) for f in os.listdir(sf_dir) if f.endswith(".parquet")),
@@ -179,25 +189,40 @@ def main() -> None:
     # Per-key fault isolation: one crashing query must not zero out the
     # whole bench record (round 2 lost its BENCH to a single load error).
     timings: dict[str, float] = {}
+    normalized: dict[str, float] = {}
+    spins: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         spark.sparkContext.setJobDescription(f"bench:{name}")
         try:
+            sp = spin_sec()
             runs = sorted(run_once(name) for _ in range(3))
             timings[name] = round(runs[1], 3)
+            spins[name] = sp
+            # contention-discounted reading: median / (spin at that moment /
+            # quiet reference). On a quiet box ratio ≈ 1 and the two columns
+            # agree; under contention the normalized column is comparable
+            # across rounds while the raw column is comparable to BASELINE.md
+            normalized[name] = round(runs[1] / max(sp / SPIN_REF_SEC, 1.0), 3)
         except Exception as e:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(e).__name__}: {e}"[:300]
     total = round(sum(timings.values()), 3)
+    total_normalized = round(sum(normalized.values()), 3)
 
     # Extended heavies: one unrecorded warm-up run each (codegen compile +
     # persisted-intermediate build), then the same median-of-3 protocol.
     extended: dict[str, float] = {}
+    extended_normalized: dict[str, float] = {}
     for name in (n for n in EXTENDED if n in qs):
         spark.sparkContext.setJobDescription(f"bench-ext:{name}")
         try:
             run_once(name)
+            sp = spin_sec()
             runs = sorted(run_once(name) for _ in range(3))
             extended[name] = round(runs[1], 3)
+            extended_normalized[name] = round(
+                runs[1] / max(sp / SPIN_REF_SEC, 1.0), 3
+            )
         except Exception as e:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
@@ -208,8 +233,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "value_spin_normalized": total_normalized,
+        "queries_spin_normalized": normalized,
+        "per_key_spin_sec": spins,
+        "spin_ref_sec": SPIN_REF_SEC,
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
+        "extended_spin_normalized": extended_normalized,
+        "extended_total_spin_normalized": round(
+            sum(extended_normalized.values()), 3
+        ),
         "env": {"before": env_before, "after": env_markers(sf_dir)},
     }
     if env_warnings:

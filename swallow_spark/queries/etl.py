@@ -10,6 +10,7 @@ from pyspark.sql.window import Window
 
 from ..conform import rnd, sql_rnd
 from ..io import load
+from ..ops.materialize import materialize
 from ..registry import register
 
 
@@ -228,14 +229,14 @@ def dedup_connected_components(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     pairs, jac = shingle_jaccard_pairs(d)
-    edges = pairs.filter(jac >= 0.8).select("d1", "d2").localCheckpoint()
+    edges = pairs.filter(jac >= 0.8).select("d1", "d2").transform(materialize)
     # undirected adjacency
     adj = (
         edges.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
         .unionByName(edges.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
     )
     nodes = adj.select(F.col("src").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("comp")).transform(materialize)
     for _ in range(50):
         neigh = (
             adj.join(labels, adj.src == labels.node)
@@ -245,7 +246,7 @@ def dedup_connected_components(spark, sf_dir):
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         changed = (
             new_labels.alias("n")

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..io import load
+from ..ops.materialize import materialize
 from ..registry import register
 
 # Co-purchase edges: undirected part-part pairs that co-occur in an order.
@@ -198,7 +199,7 @@ def graph_pagerank(spark, sf_dir):
     # instead of a driver collect/re-create round trip. At 5 fixed iterations
     # one terminal checkpoint beats per-iteration cuts (measured: 5.4 → 4.3 s);
     # for deeper iteration counts checkpoint every ~10 to bound lineage.
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(materialize)
     adj.unpersist()
     return out
 
@@ -292,7 +293,7 @@ def graph_triangle_count(spark, sf_dir):
             / 1000000
         ).alias("global_clustering"),
     )
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(materialize)
     for df in (e, deg, o):
         df.unpersist()
     return out
@@ -421,7 +422,7 @@ def graph_jaccard_neighbors(spark, sf_dir):
         .orderBy(F.col("jaccard").desc(), "src", "dst")
         .limit(50)
     )
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(materialize)
     for df in (e, deg, o):
         df.unpersist()
     return out
@@ -555,7 +556,7 @@ def graph_kcore(spark, sf_dir):
     edges = (
         e.selectExpr("src", "dst")
         .unionAll(e.selectExpr("dst AS src", "src AS dst"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     k = _kcore_k(edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")))
     for _ in range(30):
@@ -566,7 +567,7 @@ def graph_kcore(spark, sf_dir):
             edges.join(F.broadcast(keep), "src")
             .join(F.broadcast(keep.withColumnRenamed("src", "dst")), "dst")
             .select("src", "dst")
-            .localCheckpoint()
+            .transform(materialize)
         )
         if edges.count() == n_before:
             break
@@ -619,7 +620,7 @@ def graph_shortest_hops(spark, sf_dir):
         .persist()
     )
     seed = und.agg(F.min("src").alias("node"))
-    dist = seed.withColumn("d", F.lit(0)).localCheckpoint(eager=True)
+    dist = seed.withColumn("d", F.lit(0)).transform(materialize)
     frontier = dist.select("node")
     for hop in range(1, 5):
         # The frontier (and the visited set) of a hop-bounded ego BFS stay
@@ -635,7 +636,7 @@ def graph_shortest_hops(spark, sf_dir):
             .distinct()
             .join(F.broadcast(dist.select("node")), "node", "left_anti")
             .withColumn("d", F.lit(hop))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         dist = dist.union(nxt)
         frontier = nxt.select("node")
@@ -645,7 +646,7 @@ def graph_shortest_hops(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("node").cast("long").alias("sum_node_id"),
     ).select(F.col("d").cast("long").alias("distance"), "n_nodes", "sum_node_id")
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(materialize)
     und.unpersist()
     return out
 
@@ -756,7 +757,7 @@ def graph_adamic_adar(spark, sf_dir):
         .orderBy(F.col("adamic_adar").desc(), "src", "dst")
         .limit(50)
     )
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(materialize)
     for df in (e, deg, o):
         df.unpersist()
     return out
@@ -1038,7 +1039,7 @@ def graph_label_propagation(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy(F.col("n_nodes").desc(), "community")
         .limit(50)
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     und.unpersist()
     return out
 
@@ -1143,7 +1144,7 @@ def graph_hits(spark, sf_dir):
         .orderBy(F.col("auth_units").desc(), "partkey")
         .limit(20)
     )
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(materialize)
     e.unpersist()
     return out
 
@@ -1217,7 +1218,7 @@ def graph_katz_centrality(spark, sf_dir):
         .orderBy(F.col("katz_milli").desc(), "node")
         .limit(20)
     )
-    rows = out.localCheckpoint(eager=True)
+    rows = out.transform(materialize)
     und.unpersist()
     return rows
 
@@ -1314,7 +1315,7 @@ def graph_local_clustering(spark, sf_dir):
         .orderBy(F.col("local_cc_micro").desc(), "node")
         .limit(100)
     )
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(materialize)
     for df in (e, deg, o):
         df.unpersist()
     return out
@@ -1388,7 +1389,7 @@ def graph_closeness_landmarks(spark, sf_dir):
         und.select("src").distinct().orderBy("src").limit(5)
         .select(F.col("src").alias("lmk"), F.col("src").alias("node"))
     )
-    dist = seeds.withColumn("d", F.lit(0)).localCheckpoint(eager=True)
+    dist = seeds.withColumn("d", F.lit(0)).transform(materialize)
     frontier = dist.select("lmk", "node")
     for hop in range(1, _CLOSENESS_HOPS + 1):
         nxt = (
@@ -1401,7 +1402,7 @@ def graph_closeness_landmarks(spark, sf_dir):
                 "left_anti",
             )
             .withColumn("d", F.lit(hop))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         dist = dist.union(nxt)
         frontier = nxt.select("lmk", "node")
@@ -1423,6 +1424,6 @@ def graph_closeness_landmarks(spark, sf_dir):
             F.sum(w).cast("long").alias("harmonic_micro"),
         )
     )
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(materialize)
     und.unpersist()
     return out

@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 from ..conform import rnd, sql_rnd
 from ..io import load
 from ..ops.text import sql_shingles
+from ..ops.materialize import materialize
 from ..registry import register
 
 
@@ -624,7 +625,7 @@ def dedup_simhash_portable(spark, sf_dir):
     groups = (
         sigs.groupBy("sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # groups is small (distinct sigs ≪ docs) — broadcast for the expansion
     # joins below; on a corpus whose distinct-sig table outgrows broadcast,

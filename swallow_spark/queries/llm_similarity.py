@@ -28,6 +28,7 @@ from ..ops.vectors import (
     sql_int_units,
     sql_l2_norm,
 )
+from ..ops.materialize import materialize
 from ..registry import register
 
 _N_PROBES = 10
@@ -673,7 +674,7 @@ def ann_lsh_bucketed(spark, sf_dir):
     # corpus), which otherwise each recompute the signature pass.
     n = e.select("vec_id", "embedding").mapInPandas(
         signatures, schema="vec_id long, iv array<long>, nrm double, table int, bucket long"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     cos = _pair_cos()
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
     # multi-probe expansion: probes also visit the Hamming-1 buckets of
@@ -805,12 +806,12 @@ def dedup_semantic_clusters(spark, sf_dir):
     self-join with localCheckpoint truncating lineage, capped at graph
     diameter 50. The corpus is scanned once, inside the pair stage.
     """
-    pairs = sim_pairs_threshold(spark, sf_dir).select("v1", "v2").localCheckpoint()
+    pairs = sim_pairs_threshold(spark, sf_dir).select("v1", "v2").transform(materialize)
     adj = pairs.select(F.col("v1").alias("src"), F.col("v2").alias("dst")).unionByName(
         pairs.select(F.col("v2").alias("src"), F.col("v1").alias("dst"))
     )
     nodes = adj.select(F.col("src").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("comp")).transform(materialize)
     for _ in range(50):
         neigh = adj.join(labels, adj.src == labels.node).select(
             F.col("dst").alias("node"), "comp"
@@ -819,7 +820,7 @@ def dedup_semantic_clusters(spark, sf_dir):
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         changed = (
             new_labels.alias("n")

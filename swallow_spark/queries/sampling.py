@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from ..conform import rnd
 from ..io import load
+from ..ops.materialize import materialize
 from ..registry import register
 
 _MULT = 2654435761  # Knuth multiplicative hash constant
@@ -201,7 +202,7 @@ def ann_ivf_kmeans(spark, sf_dir):
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
         .select("probe_id", "neighbor_id", rnd(F.col("cos"), 4).alias("cosine"), "rk")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # materialize, then release the cached base table (no recompute risk)
     e.unpersist()

@@ -11,6 +11,7 @@ from pyspark.sql.window import Window
 
 from ..conform import cents, money_sum, sql_money_sum
 from ..io import load
+from ..ops.materialize import materialize
 from ..registry import register
 
 
@@ -3822,7 +3823,7 @@ def ts_kpss_stationarity(spark, sf_dir):
             f"FLOOR(({_KPSS_ETA} / {_KPSS_LRV}) * 10000 + 0.5) / 10000"
         ).alias("kpss_stat"),
     )
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(materialize)
     idx.unpersist()
     return out
 
