@@ -965,3 +965,210 @@ def vec_random_projection(spark, sf_dir):
             yield pd.DataFrame(out)
 
     return e.mapInPandas(proj, schema)
+
+
+# ------------------------------------------- portable bucketed LSH ANN (r8)
+# VERDICT r7 item 6: the full bucketed-ANN recipe (hyperplane signatures →
+# (table, bucket) shuffle → multi-probe → in-bucket exact rerank) rebuilt
+# with PORTABLE hashes so DuckDB reproduces the whole pipeline end-to-end —
+# the same way dedup_minhash_portable twins dedup_minhash_lsh. Hyperplanes
+# are ±1 sign planes from md5("lsh:t:p:i") first-hex-digit parity (the
+# vec_random_projection recipe); plane dots are exact int64 on 1e-4-unit
+# quantized coordinates, so bucket assignment has no float sign boundary.
+
+_PL_TABLES = 4
+_PL_BITS = 4
+_PL_DIM = 64
+_PL_K = 5
+_PL_PROBES = 10
+_PL_MASKS = (0, 1, 2, 4, 8)  # multi-probe: own bucket + the 4 Hamming-1
+
+
+def _pl_signs():
+    import hashlib
+
+    import numpy as np
+
+    s = np.empty((_PL_TABLES * _PL_BITS, _PL_DIM), dtype=np.int64)
+    for t in range(_PL_TABLES):
+        for p in range(_PL_BITS):
+            for i in range(_PL_DIM):
+                h = hashlib.md5(f"lsh:{t}:{p}:{i}".encode()).hexdigest()
+                s[t * _PL_BITS + p, i] = 1 if int(h[0], 16) % 2 == 0 else -1
+    return s
+
+
+_PL_SQL = f"""
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS iv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_PL_DIM}
+),
+norms AS (
+  SELECT * FROM (
+    SELECT vec_id, iv,
+           sqrt(CAST(list_sum(list_transform(generate_series(1, {_PL_DIM}),
+                i -> iv[i] * iv[i])) AS DOUBLE) / 100000000) AS nrm
+    FROM iv
+  ) WHERE nrm > 0
+),
+signs AS (
+  SELECT t.t, p.p, i.i,
+         CASE WHEN strpos('02468ace',
+                substr(md5('lsh:' || t.t || ':' || p.p || ':' || i.i), 1, 1)) > 0
+              THEN 1 ELSE -1 END AS s
+  FROM generate_series(0, {_PL_TABLES - 1}) t(t),
+       generate_series(0, {_PL_BITS - 1}) p(p),
+       generate_series(0, {_PL_DIM - 1}) i(i)
+),
+bits AS (
+  SELECT n.vec_id, s.t, s.p,
+         CASE WHEN SUM(s.s * n.iv[s.i + 1]) > 0 THEN 1 ELSE 0 END AS bit
+  FROM norms n CROSS JOIN signs s
+  GROUP BY n.vec_id, s.t, s.p
+),
+sig AS (
+  SELECT vec_id, t, CAST(SUM(bit * (1 << p)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id, t
+),
+probes AS (
+  SELECT vec_id, t,
+         unnest([{", ".join(f"xor(bucket, {m})" for m in _PL_MASKS)}]) AS bucket
+  FROM sig WHERE vec_id < {_PL_PROBES}
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+  FROM probes p
+  JOIN sig c ON p.t = c.t AND p.bucket = c.bucket AND c.vec_id != p.vec_id
+),
+scored AS (
+  SELECT cand.probe_id, cand.neighbor_id,
+         (CAST(list_sum(list_transform(generate_series(1, {_PL_DIM}),
+            i -> a.iv[i] * b.iv[i])) AS DOUBLE) / 100000000) / (a.nrm * b.nrm)
+           AS cos
+  FROM cand
+  JOIN norms a ON a.vec_id = cand.probe_id
+  JOIN norms b ON b.vec_id = cand.neighbor_id
+)
+SELECT probe_id, neighbor_id,
+       {{rnd}} AS cosine,
+       CAST(row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= {_PL_K}
+""".format(rnd="(FLOOR(cos * 10000 + 0.5) / 10000)")
+
+
+@register("vec_ann_lsh_portable", oracle=_PL_SQL, tier="T2")
+def vec_ann_lsh_portable(spark, sf_dir):
+    """End-to-end bucketed LSH ANN, fully oracle-checked: 4 tables × 4-bit
+    random-hyperplane signatures → candidate generation ONLY within
+    colliding (table, bucket) pairs (multi-probe: each probe also visits
+    its 4 Hamming-1 buckets per table, fan-out on the probe side only) →
+    exact integer-unit cosine rerank of the candidates → top-5. DuckDB
+    rebuilds the identical pipeline (signatures, buckets, multi-probe,
+    rerank) from the same md5-parity sign planes, so every stage —
+    including which neighbors are REACHABLE at all — is pinned, not just
+    sampled for recall. Recall vs the exhaustive twin (sim_cosine_topk) is
+    asserted in tests/test_ann_portable_recall.py.
+
+    Scale note: identical physical shape to ann_lsh_bucketed — the shuffle
+    key is (table, bucket), the signature pass is ONE Arrow-batched int64
+    matmul per batch against the process-constant 16×64 sign matrix, and
+    the signature table is materialized once because it feeds both join
+    sides. Corpus side is scanned once; nothing is all-pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..ops.materialize import materialize
+    from ..ops.vectors import SCALE, dot_int
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def signatures(batches):
+        S = _pl_signs()  # (16, 64)
+        bit = np.asarray(
+            [1 << p for _ in range(_PL_TABLES) for p in range(_PL_BITS)],
+            dtype=np.int64,
+        )
+        seg = np.repeat(np.arange(_PL_TABLES), _PL_BITS)
+        tables = np.arange(_PL_TABLES, dtype=np.int32)
+        for pdf in batches:
+            keep = pdf["embedding"].map(
+                lambda v: v is not None and len(v) == _PL_DIM
+            )
+            pdf = pdf[keep]
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            q = np.floor(x * 10_000 + 0.5).astype(np.int64)
+            nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64) / SCALE)
+            pos = (q @ S.T) > 0  # exact int64 plane dots, (n, 16)
+            bucket = np.zeros((len(pdf), _PL_TABLES), dtype=np.int64)
+            np.add.at(bucket.T, seg, (pos * bit).T)
+            ok = nrm > 0
+            n_ok = int(ok.sum())
+            if not n_ok:
+                continue
+            q, nrm, bucket = q[ok], nrm[ok], bucket[ok]
+            ids = pdf["vec_id"].to_numpy()[ok]
+            ivobj = np.empty(n_ok, dtype=object)
+            for i in range(n_ok):
+                ivobj[i] = q[i].tolist()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, _PL_TABLES),
+                    "iv": np.repeat(ivobj, _PL_TABLES),
+                    "nrm": np.repeat(nrm, _PL_TABLES),
+                    "table": np.tile(tables, n_ok),
+                    "bucket": bucket.reshape(-1),
+                }
+            )
+
+    n = (
+        e.select("vec_id", "embedding")
+        .mapInPandas(
+            signatures,
+            schema="vec_id long, iv array<long>, nrm double, table int, bucket long",
+        )
+        .transform(materialize)
+    )
+    probe = n.filter(F.col("vec_id") < _PL_PROBES).select(
+        "vec_id",
+        "iv",
+        "nrm",
+        "table",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in _PL_MASKS])
+        ).alias("bucket"),
+    )
+    cos = (
+        dot_int(F.col("a.iv"), F.col("b.iv")).cast("double") / F.lit(SCALE)
+    ) / (F.col("a.nrm") * F.col("b.nrm"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        probe.alias("a")
+        .join(
+            n.alias("b"),
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos.alias("cos"),
+        )
+        .dropDuplicates(["probe_id", "neighbor_id"])
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _PL_K)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            (F.floor(F.col("cos") * 10000 + F.lit(0.5)) / 10000).alias("cosine"),
+            "rk",
+        )
+    )
