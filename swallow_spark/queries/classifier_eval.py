@@ -319,9 +319,16 @@ def eval_bleu(spark, sf_dir):
     pn = pairs.select("cand_id", "ref_id", "ct", "rt", ns)
 
     def grams(col):
+        # explicit size >= n guard: Spark sequence(1, 0) counts DOWN to
+        # [1, 0] and slice(col, 0, n) is an ANSI crash — a candidate
+        # shorter than n tokens must yield ZERO n-grams, like DuckDB's
+        # empty generate_series (the text_ngrams recipe; found by the
+        # round-8 eval-battery degenerate-input suite)
         return F.expr(
-            f"""transform(sequence(1, greatest(size({col}) - n + 1, 0)),
-                          i -> concat_ws(' ', slice({col}, i, n)))"""
+            f"""CASE WHEN size({col}) >= n THEN
+                  transform(sequence(1, size({col}) - n + 1),
+                            i -> concat_ws(' ', slice({col}, i, n)))
+                ELSE array() END"""
         )
 
     cg = pn.select(
@@ -358,9 +365,18 @@ def eval_bleu(spark, sf_dir):
             .alias(f"clip{i}")
             for i in (1, 2, 3, 4)
         ],
+        # total_cnt = 0 (candidate shorter than n tokens) must yield NULL,
+        # not a crash: DuckDB's `//` returns NULL on zero, but Spark DIV
+        # under this repo's ANSI session THROWS — guard explicitly (found
+        # by the round-8 eval-battery degenerate-input suite; the fixture
+        # never exercises it but a regenerated short doc inside the eval
+        # grid would)
         *[
             F.sum(
-                F.expr(f"CASE WHEN n = {i} THEN clip_cnt * 1000000 DIV total_cnt END")
+                F.expr(
+                    f"CASE WHEN n = {i} AND total_cnt > 0 "
+                    "THEN clip_cnt * 1000000 DIV total_cnt END"
+                )
             )
             .cast("long")
             .alias(f"p{i}_micro")
@@ -368,7 +384,10 @@ def eval_bleu(spark, sf_dir):
         ],
         *[
             F.sum(
-                F.expr(f"CASE WHEN n = {i} THEN clip_cnt * 1000 DIV total_cnt END")
+                F.expr(
+                    f"CASE WHEN n = {i} AND total_cnt > 0 "
+                    "THEN clip_cnt * 1000 DIV total_cnt END"
+                )
             )
             .cast("long")
             .alias(f"_m{i}")
