@@ -97,6 +97,58 @@ FROM scored
 """
 
 
+def _langid_pred(spark, sf_dir, with_conf: bool = False):
+    """(doc_id, actual, predicted) from the corpus language-ID rule —
+    the shared prediction layer of the eval_* metrics (mirrors
+    _LANGID_CTE). With with_conf=True also carries the top-1 overlap and
+    the doc's total overlap (the confidence numerator/denominator
+    eval_calibration_ece bins)."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    wprof = Window.partitionBy("lang").orderBy(F.col("c").desc(), "token")
+    prof = (
+        counts.withColumn("rk", F.row_number().over(wprof))
+        .filter(F.col("rk") <= 10)
+        .select(F.col("lang").alias("cand_lang"), "token")
+    )
+    doc_tok = tok.select("doc_id", "lang", "token").distinct()
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.col("overlap").desc(), "cand_lang"
+    )
+    ovl = (
+        doc_tok.join(F.broadcast(prof), "token")
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    if not with_conf:
+        return (
+            ovl.withColumn("rk", F.row_number().over(wbest))
+            .filter(F.col("rk") == 1)
+            .select(
+                "doc_id",
+                F.col("lang").alias("actual"),
+                F.col("cand_lang").alias("predicted"),
+            )
+        )
+    tot = ovl.groupBy("doc_id").agg(
+        F.sum("overlap").cast("long").alias("o_total")
+    )
+    return (
+        ovl.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .join(tot, "doc_id")
+        .select(
+            "doc_id",
+            F.col("lang").alias("actual"),
+            F.col("cand_lang").alias("predicted"),
+            F.col("overlap").cast("long").alias("o_top"),
+            "o_total",
+        )
+    )
+
+
 @register("eval_confusion_f1", oracle=_CONFUSION_SQL, tier="T2")
 def eval_confusion_f1(spark, sf_dir):
     """Multiclass confusion counts + per-class precision/recall/F1 and
@@ -118,28 +170,7 @@ def eval_confusion_f1(spark, sf_dir):
     bounded |langs| this is a conditional-aggregation scan, the standard
     one-pass confusion-matrix shape at any scale.
     """
-    tok = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
-    )
-    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
-    wprof = Window.partitionBy("lang").orderBy(F.col("c").desc(), "token")
-    prof = (
-        counts.withColumn("rk", F.row_number().over(wprof))
-        .filter(F.col("rk") <= 10)
-        .select(F.col("lang").alias("cand_lang"), "token")
-    )
-    doc_tok = tok.select("doc_id", "lang", "token").distinct()
-    wbest = Window.partitionBy("doc_id").orderBy(
-        F.col("overlap").desc(), "cand_lang"
-    )
-    pred = (
-        doc_tok.join(F.broadcast(prof), "token")
-        .groupBy("doc_id", "lang", "cand_lang")
-        .agg(F.count(F.lit(1)).alias("overlap"))
-        .withColumn("rk", F.row_number().over(wbest))
-        .filter(F.col("rk") == 1)
-        .select(F.col("lang").alias("actual"), F.col("cand_lang").alias("predicted"))
-    )
+    pred = _langid_pred(spark, sf_dir).select("actual", "predicted")
     cls = pred.select(F.col("actual").alias("cls")).distinct()
     per = (
         F.broadcast(cls)
@@ -651,3 +682,279 @@ def eval_chrf(spark, sf_dir):
                END"""
         ).alias("chrf_micro"),
     )
+
+
+# --------------------------------------- agreement + calibration (round 8)
+
+_KAPPA_SQL = f"""
+WITH {_LANGID_CTE},
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS BIGINT)
+           AS correct
+  FROM pred
+),
+t AS (SELECT actual AS cls, CAST(COUNT(*) AS BIGINT) AS tn FROM pred GROUP BY 1),
+p AS (SELECT predicted AS cls, CAST(COUNT(*) AS BIGINT) AS pn FROM pred GROUP BY 1),
+chance AS (
+  SELECT CAST(COALESCE(SUM(t.tn * p.pn), 0) AS BIGINT) AS pe_num
+  FROM t JOIN p USING (cls)
+)
+SELECT n, correct,
+       CAST(correct * 1000000 // n AS BIGINT) AS po_micro,
+       CAST(pe_num * 1000000 // (n * n) AS BIGINT) AS pe_micro,
+       CASE WHEN n * n = pe_num THEN NULL
+            WHEN correct * n >= pe_num
+              THEN CAST((correct * n - pe_num) * 1000000
+                        // (n * n - pe_num) AS BIGINT)
+            ELSE CAST(-((pe_num - correct * n) * 1000000
+                        // (n * n - pe_num)) AS BIGINT)
+       END AS kappa_micro
+FROM m CROSS JOIN chance
+"""
+
+
+@register("eval_cohen_kappa", oracle=_KAPPA_SQL, tier="T2")
+def eval_cohen_kappa(spark, sf_dir):
+    """MULTICLASS Cohen's kappa — chance-corrected agreement between the
+    language-ID rule and the true labels: κ = (p_o − p_e)/(1 − p_e) with
+    p_e the marginal-product chance rate summed over ALL classes. The
+    standard sanity statistic when a classifier's raw accuracy is inflated
+    by class imbalance. (The binary two-rater variant over orders is
+    [[stats_cohens_kappa]]; this one scores a real K-class classifier
+    against ground truth.)
+
+    Determinism: PURE int64 — p_o and p_e are micro `//` ratios of exact
+    counts over n and n² (n ≤ ~1e4 at fixture scale; n²·1e6 « 2^63), and
+    κ itself is the negation-guarded integer divide
+    (correct·n − pe_num) · 1e6 // (n² − pe_num): the guard keeps DuckDB's
+    floor `//` and Spark's truncating DIV identical when the numerator is
+    negative (worse-than-chance classifiers). Degenerate pe = 1 (single
+    class on both margins) yields NULL in both engines.
+
+    Scale note: one shuffle for the prediction layer, then two tiny
+    per-class aggregates broadcast into a 1-row join. At 100 TB the n²
+    terms exceed int64 around n ≈ 3e6 — carry pe as a per-class sum of
+    (t_k/n)·(p_k/n) micro-products there; the fixture recipe keeps the
+    exact-integer form the oracle can check.
+    """
+    pred = _langid_pred(spark, sf_dir).select("actual", "predicted")
+    m = pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("actual") == F.col("predicted")).cast("long"))
+        .cast("long")
+        .alias("correct"),
+    )
+    t = pred.groupBy(F.col("actual").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("tn")
+    )
+    p = pred.groupBy(F.col("predicted").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("pn")
+    )
+    chance = (
+        t.join(p, "cls")
+        .agg(F.coalesce(F.sum(F.col("tn") * F.col("pn")), F.lit(0)).cast("long").alias("pe_num"))
+    )
+    return m.crossJoin(F.broadcast(chance)).select(
+        "n",
+        "correct",
+        F.expr("CAST(correct * 1000000 DIV n AS BIGINT)").alias("po_micro"),
+        F.expr("CAST(pe_num * 1000000 DIV (n * n) AS BIGINT)").alias("pe_micro"),
+        F.expr(
+            """CASE WHEN n * n = pe_num THEN NULL
+                    WHEN correct * n >= pe_num
+                      THEN CAST((correct * n - pe_num) * 1000000
+                                DIV (n * n - pe_num) AS BIGINT)
+                    ELSE CAST(-((pe_num - correct * n) * 1000000
+                                DIV (n * n - pe_num)) AS BIGINT)
+               END"""
+        ).alias("kappa_micro"),
+    )
+
+
+_MCC_SQL = f"""
+WITH {_LANGID_CTE},
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS BIGINT)
+           AS correct
+  FROM pred
+),
+t AS (SELECT actual AS cls, CAST(COUNT(*) AS BIGINT) AS tn FROM pred GROUP BY 1),
+p AS (SELECT predicted AS cls, CAST(COUNT(*) AS BIGINT) AS pn FROM pred GROUP BY 1),
+sums AS (
+  SELECT CAST(COALESCE((SELECT SUM(t.tn * p.pn) FROM t JOIN p USING (cls)), 0)
+              AS BIGINT) AS ptsum,
+         CAST((SELECT SUM(pn * pn) FROM p) AS BIGINT) AS ppsum,
+         CAST((SELECT SUM(tn * tn) FROM t) AS BIGINT) AS ttsum
+)
+SELECT n, correct,
+       CAST(correct * n - ptsum AS BIGINT) AS cov_num,
+       CAST(n * n - ppsum AS BIGINT) AS cov_pred,
+       CAST(n * n - ttsum AS BIGINT) AS cov_true,
+       CASE WHEN n * n = ppsum OR n * n = ttsum THEN NULL
+            ELSE CAST(FLOOR(CAST(correct * n - ptsum AS DOUBLE)
+                            / sqrt(CAST(n * n - ppsum AS DOUBLE)
+                                   * CAST(n * n - ttsum AS DOUBLE))
+                            * 1000000 + 0.5) AS BIGINT) END AS mcc_micro
+FROM m CROSS JOIN sums
+"""
+
+
+@register("eval_mcc_multiclass", oracle=_MCC_SQL, tier="T2")
+def eval_mcc_multiclass(spark, sf_dir):
+    """Multiclass Matthews correlation (the R_K statistic) for the
+    language-ID rule: MCC = (c·n − Σp_k t_k) / √((n² − Σp_k²)(n² − Σt_k²))
+    — the balanced single-number classifier score that, unlike accuracy
+    and F1, punishes lopsided error placement.
+
+    Determinism: the three covariance terms are EXACT int64 (reported
+    raw); the final ratio is double division in pinned op order — the
+    radicand product of two exact ints ≤ (1e4)⁴ = 1e16 sits inside the
+    double-exact range at fixture scale, sqrt is IEEE correctly-rounded
+    in both engines, and the result is half-up-quantized to micro-units.
+    Zero covariance on either margin (single-class degenerate) → NULL in
+    both engines.
+
+    Scale note: same shape as [[eval_cohen_kappa]] — prediction layer,
+    two per-class aggregates, 1-row broadcast join; at extreme n switch
+    the covariances to per-class micro-share sums (docstring recipe
+    there).
+    """
+    pred = _langid_pred(spark, sf_dir).select("actual", "predicted")
+    m = pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("actual") == F.col("predicted")).cast("long"))
+        .cast("long")
+        .alias("correct"),
+    )
+    t = pred.groupBy(F.col("actual").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("tn")
+    )
+    p = pred.groupBy(F.col("predicted").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("pn")
+    )
+    ptsum = (
+        t.join(p, "cls")
+        .agg(F.coalesce(F.sum(F.col("tn") * F.col("pn")), F.lit(0)).cast("long").alias("ptsum"))
+    )
+    ppsum = p.agg(F.sum(F.col("pn") * F.col("pn")).cast("long").alias("ppsum"))
+    ttsum = t.agg(F.sum(F.col("tn") * F.col("tn")).cast("long").alias("ttsum"))
+    sums = ptsum.crossJoin(F.broadcast(ppsum)).crossJoin(F.broadcast(ttsum))
+    return m.crossJoin(F.broadcast(sums)).select(
+        "n",
+        "correct",
+        F.expr("CAST(correct * n - ptsum AS BIGINT)").alias("cov_num"),
+        F.expr("CAST(n * n - ppsum AS BIGINT)").alias("cov_pred"),
+        F.expr("CAST(n * n - ttsum AS BIGINT)").alias("cov_true"),
+        F.expr(
+            """CASE WHEN n * n = ppsum OR n * n = ttsum THEN NULL
+                    ELSE FLOOR(CAST(correct * n - ptsum AS DOUBLE)
+                               / sqrt(CAST(n * n - ppsum AS DOUBLE)
+                                      * CAST(n * n - ttsum AS DOUBLE))
+                               * 1000000 + 0.5) END"""
+        ).alias("mcc_micro"),
+    )
+
+
+_ECE_SQL = f"""
+WITH {_LANGID_CTE},
+conf AS (
+  SELECT pr.doc_id, pr.actual, pr.predicted,
+         CAST(o1.overlap * 1000000
+              // SUM(o2.overlap) AS BIGINT) AS conf_micro
+  FROM pred pr
+  JOIN ovl o1 ON o1.doc_id = pr.doc_id AND o1.cand_lang = pr.predicted
+  JOIN ovl o2 ON o2.doc_id = pr.doc_id
+  GROUP BY pr.doc_id, pr.actual, pr.predicted, o1.overlap
+),
+binned AS (
+  SELECT least(conf_micro // 100000, 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(conf_micro) AS BIGINT) AS conf_sum_micro,
+         CAST(SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+  FROM conf GROUP BY 1
+),
+gaps AS (
+  SELECT bin, n_docs, conf_sum_micro, n_correct,
+         CAST(abs(conf_sum_micro - n_correct * 1000000) AS BIGINT)
+           AS gap_micro_sum
+  FROM binned
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_docs, conf_sum_micro, n_correct,
+       gap_micro_sum, CAST(NULL AS BIGINT) AS ece_micro
+FROM gaps
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(SUM(n_docs) AS BIGINT),
+       CAST(SUM(conf_sum_micro) AS BIGINT), CAST(SUM(n_correct) AS BIGINT),
+       CAST(SUM(gap_micro_sum) AS BIGINT),
+       CAST(SUM(gap_micro_sum) // SUM(n_docs) AS BIGINT)
+FROM gaps
+"""
+
+
+@register("eval_calibration_ece", oracle=_ECE_SQL, tier="T2")
+def eval_calibration_ece(spark, sf_dir):
+    """Expected calibration error of the language-ID rule's confidence
+    (top-1 overlap share of the doc's total profile overlap), binned into
+    10 fixed confidence deciles: per-bin document counts, summed
+    confidence, correct counts, and |Σconf − 1e6·correct| gaps, plus the
+    __total__ row (bin = −1) carrying ECE = Σ_b gap_b // N — the
+    calibration diagnostic every confidence-thresholded curation filter
+    (lang-ID gating, toxicity cutoffs) needs before its threshold means
+    anything. (Complements [[stats_calibration_ece]], which demonstrates
+    the plumbing on hash pseudo-scores over events; this one calibrates a
+    REAL in-repo classifier's confidence against its actual correctness.)
+
+    Determinism: PURE int64 — confidence is one non-negative micro `//`
+    per doc (denominator ≥ top-1 overlap ≥ 1), bins are integer
+    divides capped at 9, the per-bin gap |Σconf_micro − correct·1e6| is
+    exact, and ECE is a single final `//`. The weighted form
+    Σ (n_b/N)·|acc_b − conf_b| collapses to Σgap // N exactly, so no
+    per-bin mean ever divides.
+
+    Scale note: prediction layer + one extra per-doc total-overlap
+    aggregate (same shuffle key), then a 10-row aggregate — flat cost
+    over the corpus scan at any scale.
+    """
+    pred = _langid_pred(spark, sf_dir, with_conf=True)
+    conf = pred.select(
+        "actual",
+        "predicted",
+        F.expr("CAST(o_top * 1000000 DIV o_total AS BIGINT)").alias("conf_micro"),
+    )
+    binned = conf.groupBy(
+        F.least(F.expr("conf_micro DIV 100000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("conf_micro").cast("long").alias("conf_sum_micro"),
+        F.sum((F.col("actual") == F.col("predicted")).cast("long"))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    gaps = binned.withColumn(
+        "gap_micro_sum",
+        F.abs(F.col("conf_sum_micro") - F.col("n_correct") * F.lit(1000000)).cast(
+            "long"
+        ),
+    )
+    per_bin = gaps.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_docs",
+        "conf_sum_micro",
+        "n_correct",
+        "gap_micro_sum",
+        F.lit(None).cast("long").alias("ece_micro"),
+    )
+    total = gaps.agg(
+        F.lit(-1).cast("long").alias("bin"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("conf_sum_micro").cast("long").alias("conf_sum_micro"),
+        F.sum("n_correct").cast("long").alias("n_correct"),
+        F.sum("gap_micro_sum").cast("long").alias("gap_micro_sum"),
+        F.expr(
+            "CAST(SUM(gap_micro_sum) DIV SUM(n_docs) AS BIGINT)"
+        ).alias("ece_micro"),
+    )
+    return per_bin.unionAll(total)

@@ -400,6 +400,8 @@ BNLJ_ALLOWED = {
     "stats_ljung_box",  # broadcast 1-row n/c0/Q-sum scalar crossjoins
     "text_js_divergence",  # broadcast 1-row totals/JS-sum scalar crossjoins
     "stats_calibration_ece",  # broadcast 1-row ECE/total scalar crossjoins
+    "eval_cohen_kappa",  # broadcast 1-row chance-agreement crossjoin
+    "eval_mcc_multiclass",  # broadcast 1-row covariance-sums crossjoins
     "stats_cuped",  # broadcast 1-row bounds/theta crossjoins
     "stats_kendall_tau",  # deliberately bounded 25-nation pair set + 1-row n crossjoin
     "stats_survival_km",  # bounded O(days^2) prefix-product triangle + 1-row maxdate

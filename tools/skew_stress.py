@@ -11,8 +11,13 @@ skew-sensitive families then run on both, warm median-of-3, alongside
 hash-partition histograms of each family's shuffle key, so SCALE.md can
 record measured skew amplification rather than assumed shapes.
 
-Usage:  python tools/skew_stress.py [--keep]
+Usage:  python tools/skew_stress.py [--keep] [--scale N]
 Prints one JSON line; human summary to stderr.
+
+--scale multiplies every corpus size (round 8, VERDICT r7 item 7: the
+iterative graph keys and the throttle fold measured at sf≈3 — 3M events,
+18M+ lineitem rows — where a hot vertex owning ~20% of basket edges is the
+power-law case a crawl graph presents).
 """
 
 from __future__ import annotations
@@ -45,7 +50,19 @@ KEYS = [
     ("dedup_minhash_lsh", "documents", None),
     ("sim_pairs_threshold", "embeddings", "label"),
     ("graph_pagerank", "lineitem", None),
+    ("graph_kcore", "lineitem", None),
 ]
+
+
+def apply_scale(mult: int) -> None:
+    """Scale every corpus size in place (module constants)."""
+    global N_EVENTS, N_USERS, N_DOCS, N_VECS, N_ORDERS, N_PARTS
+    N_EVENTS *= mult
+    N_USERS *= mult
+    N_DOCS *= mult
+    N_VECS *= mult
+    N_ORDERS *= mult
+    N_PARTS *= mult
 
 
 def _write(pdf: pd.DataFrame, path: str) -> None:
@@ -190,11 +207,15 @@ def main() -> None:
     from swallow_spark.session import get_spark
 
     keep = "--keep" in sys.argv
+    scale = 1
+    if "--scale" in sys.argv:
+        scale = int(sys.argv[sys.argv.index("--scale") + 1])
+        apply_scale(scale)
     spark = get_spark("swallow_skew_stress")
     qs = all_queries()
     out: dict = {"n_events": N_EVENTS, "n_docs": N_DOCS, "n_vecs": N_VECS,
                  "lineitem_rows": 4 * N_ORDERS, "hot_share": HOT_SHARE,
-                 "variants": {}}
+                 "scale": scale, "variants": {}}
     try:
         for variant in ("uniform", "skew"):
             d = generate(variant, seed=7)
