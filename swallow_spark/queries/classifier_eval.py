@@ -958,3 +958,81 @@ def eval_calibration_ece(spark, sf_dir):
         ).alias("ece_micro"),
     )
     return per_bin.unionAll(total)
+
+
+_BRIER_SQL = f"""
+WITH {_LANGID_CTE},
+per_doc AS (
+  SELECT o.doc_id, o.lang AS actual,
+         CAST(SUM(o.overlap) AS BIGINT) AS t_total,
+         CAST(SUM(o.overlap * o.overlap) AS BIGINT) AS sq_sum,
+         CAST(COALESCE(SUM(CASE WHEN o.cand_lang = o.lang
+                                THEN o.overlap END), 0) AS BIGINT) AS o_act
+  FROM ovl o GROUP BY 1, 2
+)
+SELECT doc_id, actual, t_total,
+       CAST((sq_sum - o_act * o_act + (t_total - o_act) * (t_total - o_act))
+            * 1000000 // (t_total * t_total) AS BIGINT) AS brier_micro
+FROM per_doc
+"""
+
+
+@register("eval_brier_multiclass", oracle=_BRIER_SQL, tier="T2")
+def eval_brier_multiclass(spark, sf_dir):
+    """Multiclass Brier score per document for the language-ID rule's
+    overlap-share probability vector: Σ_k (p_k − y_k)² with
+    p_k = overlap_k / T — the proper scoring rule that penalizes both
+    miscalibration and misclassification, completing the calibration set
+    ([[eval_calibration_ece]] bins, this scores).
+
+    Determinism: PURE int64 — clearing the T denominator gives
+    Σ_k (o_k − y_k·T)² = sq_sum − o_act² + (T − o_act)², all exact
+    integer products (overlaps ≤ ~60 per doc, T² ≤ ~4e3; ·1e6 « 2^63),
+    one non-negative `//` per doc. A doc whose true class has zero
+    profile overlap contributes the full (T)² miss term exactly; docs
+    with no profile overlap at all are excluded in both engines (inner
+    aggregation over the overlap relation — same exclusion the prediction
+    layer applies).
+
+    Scale note: one extra aggregate on the prediction layer's existing
+    (doc_id) key — no new shuffle; per-doc output keeps every value
+    hash-checkable.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    wprof = Window.partitionBy("lang").orderBy(F.col("c").desc(), "token")
+    prof = (
+        counts.withColumn("rk", F.row_number().over(wprof))
+        .filter(F.col("rk") <= 10)
+        .select(F.col("lang").alias("cand_lang"), "token")
+    )
+    doc_tok = tok.select("doc_id", "lang", "token").distinct()
+    ovl = (
+        doc_tok.join(F.broadcast(prof), "token")
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    per_doc = ovl.groupBy("doc_id", F.col("lang").alias("actual")).agg(
+        F.sum("overlap").cast("long").alias("t_total"),
+        F.sum(F.col("overlap") * F.col("overlap")).cast("long").alias("sq_sum"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("cand_lang") == F.col("lang"), F.col("overlap"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("o_act"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "actual",
+        "t_total",
+        F.expr(
+            """CAST((sq_sum - o_act * o_act
+                     + (t_total - o_act) * (t_total - o_act))
+                    * 1000000 DIV (t_total * t_total) AS BIGINT)"""
+        ).alias("brier_micro"),
+    )
