@@ -1,20 +1,21 @@
-"""Quiet-box per-key bench regression gate (round 8, VERDICT r7 item 2).
+"""Per-key bench regression gate (round 8, VERDICT r7 item 2).
 
 Two consecutive driver benches ran under CPU contention, so cross-round
-totals stopped being attributable. This gate makes regressions visible
-WITHOUT a quiet driver bench: each headline/extended key's warm median must
-stay within TOLERANCE of the recorded quiet baseline
-(tests/golden/bench_quiet_baseline.json, written by tools/bench_baseline.py
-— which refuses to record on a contended box).
+totals stopped being attributable. This gate makes per-key regressions
+visible WITHOUT a quiet driver bench: each headline/extended key's warm
+median — SPIN-NORMALIZED, so a flat box-speed difference cancels — must
+stay within TOLERANCE of the recorded baseline
+(tests/golden/bench_quiet_baseline.json, written by tools/bench_baseline.py).
 
-The whole module SKIPS when the box is currently contended (spin > 1.25×
-reference) — a loaded box would flag phantom regressions — or when no
-baseline has been recorded yet.
+The module SKIPS when no baseline is recorded, or when the box is so
+erratically loaded that normalization is unreliable (spin above the hard
+cap, or 1-min loadavg high at module start).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -26,25 +27,28 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import bench  # noqa: E402
 
 BASELINE_PATH = Path(__file__).parent / "golden/bench_quiet_baseline.json"
-TOLERANCE = 1.5  # warm median may drift this much before the gate fails
+TOLERANCE = 1.5  # normalized warm median may drift this much before failing
+SPIN_HARD_CAP = 0.6  # beyond ~5× reference, normalization is guesswork
 
 
 def _baseline():
     if not BASELINE_PATH.exists():
-        pytest.skip("no quiet baseline recorded (run tools/bench_baseline.py)")
+        pytest.skip("no baseline recorded (run tools/bench_baseline.py)")
     return json.loads(BASELINE_PATH.read_text())
 
 
 @pytest.fixture(scope="module")
-def quiet_box():
+def gate_ok():
     sp = bench.spin_sec()
-    if sp > bench.SPIN_REF_SEC * (1 + bench.SPIN_TOL):
-        pytest.skip(f"box contended (spin {sp}) — gate meaningless under load")
+    if sp > SPIN_HARD_CAP:
+        pytest.skip(f"spin {sp} > {SPIN_HARD_CAP} — box too erratic for the gate")
+    if os.getloadavg()[0] > 4.0:
+        pytest.skip("loadavg high — concurrent work would flag phantom regressions")
     return sp
 
 
 @pytest.fixture(scope="module")
-def warm(spark):
+def warm(spark, gate_ok):
     """Warm the JVM, parquet cache, and Python worker pool once."""
     base = _baseline()
     from swallow_spark.registry import declared_queries
@@ -62,18 +66,25 @@ def warm(spark):
 
 
 @pytest.mark.parametrize("name", bench.HEADLINE + bench.EXTENDED)
-def test_key_within_quiet_baseline(name, quiet_box, warm):
+def test_key_within_baseline(name, warm):
     base, qs, run_once = warm
-    if name not in base["medians"]:
+    norm_base = base.get("medians_spin_normalized", base["medians"])
+    if name not in norm_base:
         pytest.skip(f"{name} not in recorded baseline")
     if name not in qs:
         pytest.fail(f"benched key {name} disappeared from the registry")
     run_once(name)  # warm-up, unrecorded
+    # minimum of 3 spin samples: contention only slows spin, so the min is
+    # the robust box-speed estimate (a single burst-inflated sample would
+    # deflate the normalized reading and mask — or fake — a regression)
+    sp = min(bench.spin_sec() for _ in range(3))
     median = sorted(run_once(name) for _ in range(3))[1]
-    limit = base["medians"][name] * TOLERANCE
-    assert median <= limit, (
-        f"{name}: warm median {median:.3f}s exceeds {TOLERANCE}× quiet "
-        f"baseline {base['medians'][name]}s — investigate before shipping "
-        f"(or re-record via tools/bench_baseline.py if the speedup/slowdown "
-        f"is intentional and documented in BENCH.md)"
+    normalized = median / max(sp / bench.SPIN_REF_SEC, 1.0)
+    limit = norm_base[name] * TOLERANCE
+    assert normalized <= limit, (
+        f"{name}: spin-normalized warm median {normalized:.3f}s (raw "
+        f"{median:.3f}s at spin {sp}) exceeds {TOLERANCE}× baseline "
+        f"{norm_base[name]}s — investigate before shipping (or re-record "
+        f"via tools/bench_baseline.py if the change is intentional and "
+        f"documented in BENCH.md)"
     )

@@ -1,10 +1,17 @@
-"""Record the quiet-box per-key bench baseline (VERDICT r7 item 2).
+"""Record the per-key bench baseline for the regression gate (VERDICT r7
+item 2).
 
 Runs the headline + extended keys with bench.py's exact protocol (noop sink,
-warm-up, median of 3) and writes tests/golden/bench_quiet_baseline.json —
-the reference the regression gate (tests/test_bench_regression.py) compares
-against. REFUSES to record on a contended box: a baseline taken under load
-would make the gate permanently loose.
+warm-up, median of 3) and writes tests/golden/bench_quiet_baseline.json.
+Each key's median is stored RAW plus the spin marker sampled just before it,
+so the gate (tests/test_bench_regression.py) compares SPIN-NORMALIZED values
+— box-speed-relative, usable even when the host is permanently slower than
+the 0.12 s reference (observed: this host idles at spin ≈ 0.36 with loadavg
+0 — a 3× slower CPU allocation, not our load).
+
+Still refuses to record when the box is actively contended (loadavg high or
+spin unstable across keys) unless --force: normalization corrects a FLAT
+speed difference, not bursty noise.
 
 Usage:  python tools/bench_baseline.py [--force]
 """
@@ -13,6 +20,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -29,12 +38,12 @@ SF_DIR = "/root/testdata/sf0.1"
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--force", action="store_true", help="record even if contended")
+    ap.add_argument("--force", action="store_true", help="record even if unstable")
     args = ap.parse_args()
 
-    sp = bench.spin_sec()
-    if sp > bench.SPIN_REF_SEC * (1 + bench.SPIN_TOL) and not args.force:
-        sys.exit(f"box contended (spin {sp} > {bench.SPIN_REF_SEC}×1.25) — not recording")
+    load1 = os.getloadavg()[0]
+    if load1 > 2.0 and not args.force:
+        sys.exit(f"loadavg {load1:.2f} > 2 — box actively contended, not recording")
 
     spark = get_spark("bench_baseline", cpus=32)
     qs = declared_queries()
@@ -46,27 +55,61 @@ def main() -> None:
         return time.perf_counter() - t0
 
     run_once("limit_topn")
-    baseline: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spins: dict[str, float] = {}
     for name in names:
         run_once(name)  # warm-up
+        sp = bench.spin_sec()
         runs = sorted(run_once(name) for _ in range(3))
-        baseline[name] = round(runs[1], 3)
-        print(f"{name}: {baseline[name]}", file=sys.stderr)
+        medians[name] = round(runs[1], 3)
+        spins[name] = sp
+        print(f"{name}: {medians[name]} (spin {sp})", file=sys.stderr)
 
+    spin_vals = sorted(spins.values())
+    spin_med = spin_vals[len(spin_vals) // 2]
+    spread = spin_vals[-1] / max(spin_vals[0], 1e-9)
+    if spread > 1.6 and not args.force:
+        sys.exit(
+            f"spin spread {spread:.2f}× across keys — bursty contention, "
+            "normalization unreliable; not recording"
+        )
+
+    # normalize with the RUN-MINIMUM spin: contention only ever slows the
+    # spin loop, so the minimum across the run is the stable box-speed
+    # estimate — a per-key burst must not deflate that key's baseline
+    spin_min = spin_vals[0]
     OUT.write_text(
         json.dumps(
             {
                 "sf_dir": SF_DIR,
-                "spin_sec_at_record": sp,
+                "spin_median": spin_med,
+                "spin_run_min": spin_min,
+                "spin_per_key": spins,
                 "spin_ref_sec": bench.SPIN_REF_SEC,
                 "recorded_unix": int(time.time()),
-                "medians": baseline,
+                "medians": medians,
+                "medians_spin_normalized": {
+                    k: round(v / max(spin_min / bench.SPIN_REF_SEC, 1.0), 3)
+                    for k, v in medians.items()
+                },
+                "note": (
+                    "gate compares spin-normalized values using the "
+                    "run-minimum spin; per-key spins kept for diagnostics. "
+                    f"spread={spread:.2f}"
+                ),
             },
             indent=1,
         )
         + "\n"
     )
     print(f"wrote {OUT}", file=sys.stderr)
+    if statistics.median(spin_vals) > bench.SPIN_REF_SEC * 1.25:
+        print(
+            f"note: recorded on a slow/contended box (spin median "
+            f"{spin_med}); gate uses normalized values so this is OK if the "
+            "slowness was flat",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":
