@@ -68,7 +68,9 @@ def main() -> None:
     spin_vals = sorted(spins.values())
     spin_med = spin_vals[len(spin_vals) // 2]
     spread = spin_vals[-1] / max(spin_vals[0], 1e-9)
-    if spread > 1.6 and not args.force:
+    # run-min normalization is robust to isolated bursts, so only refuse on
+    # genuinely bursty runs (the min itself is then untrustworthy)
+    if spread > 2.0 and not args.force:
         sys.exit(
             f"spin spread {spread:.2f}× across keys — bursty contention, "
             "normalization unreliable; not recording"
