@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import bench  # noqa: E402
 
-BASELINE_PATH = Path(__file__).parent / "golden/bench_quiet_baseline.json"
+BASELINE_PATH = Path(__file__).parent / "baselines/bench_quiet_baseline.json"
 TOLERANCE = 1.5  # normalized warm median may drift this much before failing
 SPIN_HARD_CAP = 0.6  # beyond ~5× reference, normalization is guesswork
 

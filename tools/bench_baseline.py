@@ -2,7 +2,7 @@
 item 2).
 
 Runs the headline + extended keys with bench.py's exact protocol (noop sink,
-warm-up, median of 3) and writes tests/golden/bench_quiet_baseline.json.
+warm-up, median of 3) and writes tests/baselines/bench_quiet_baseline.json.
 Each key's median is stored RAW plus the spin marker sampled just before it,
 so the gate (tests/test_bench_regression.py) compares SPIN-NORMALIZED values
 — box-speed-relative, usable even when the host is permanently slower than
@@ -32,7 +32,7 @@ import bench  # noqa: E402
 from swallow_spark.registry import declared_queries  # noqa: E402
 from swallow_spark.session import get_spark  # noqa: E402
 
-OUT = Path(__file__).resolve().parent.parent / "tests/golden/bench_quiet_baseline.json"
+OUT = Path(__file__).resolve().parent.parent / "tests/baselines/bench_quiet_baseline.json"
 SF_DIR = "/root/testdata/sf0.1"
 
 
