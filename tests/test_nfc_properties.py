@@ -1,0 +1,68 @@
+"""Property tests for the text_unicode_normalize NFC recipe (round 8).
+
+The key's claim: pandas ``Series.str.normalize('NFC')`` (Python
+unicodedata, UAX #15) and DuckDB ``nfc_normalize`` (utf8proc) agree
+byte-for-byte on arbitrary text, including pathological combining-mark
+stacks, singletons, and Hangul jamo — so the Spark leg and the oracle leg
+are equal by transitivity with python's unicodedata as the referee.
+
+Generators bias hard toward the dangerous cases: combining marks with
+different canonical combining classes (reordering), composition
+singletons (U+212B, U+2126), Hangul jamo sequences (algorithmic
+composition), and already-composed characters.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+BASES = st.sampled_from(list("aesASnc") + ["é", "å", "ḍ", "ᄀ", "ᅡ"])
+MARKS = st.sampled_from(
+    ["́", "̀", "̊", "̣", "̇", "̱", "̖"]
+)
+SINGLETONS = st.sampled_from(["Å", "Ω", "Å", "Ω"])
+JAMO = st.sampled_from(["가", "각", "가"])
+
+piece = st.one_of(
+    BASES,
+    MARKS,
+    SINGLETONS,
+    JAMO,
+    st.text(alphabet="xy z", min_size=0, max_size=3),
+)
+texts = st.lists(piece, min_size=0, max_size=12).map("".join)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    yield c
+    c.close()
+
+
+@settings(max_examples=300, deadline=None)
+@given(texts)
+def test_three_engines_agree_on_nfc(con, s):
+    py = unicodedata.normalize("NFC", s)
+    pdn = pd.Series([s]).str.normalize("NFC")[0]
+    duck = con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+    assert pdn == py, f"pandas diverged on {s!r}"
+    assert duck == py, f"duckdb diverged on {s!r}"
+    # codepoint length parity (the key's n_cp_nfc column)
+    duck_len = con.execute("SELECT length(nfc_normalize(?))", [s]).fetchone()[0]
+    assert duck_len == len(py)
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts)
+def test_nfc_idempotent_and_canonical_equivalent(con, s):
+    once = unicodedata.normalize("NFC", s)
+    assert unicodedata.normalize("NFC", once) == once  # idempotent
+    # canonical equivalence preserved: NFD of both sides must match
+    assert unicodedata.normalize("NFD", once) == unicodedata.normalize("NFD", s)
