@@ -2136,3 +2136,90 @@ def text_unicode_normalize(spark, sf_dir):
         norm_batches,
         "doc_id long, text_nfc string, n_cp_raw long, n_cp_nfc long, changed long",
     )
+
+
+# Canonical dedup-key pass (round 8): the standard pre-hash normalization
+# chain every curation stack runs — whitespace collapse → casefold → NFC —
+# proven by construction: each doc is planted in TWO surface forms (composed
+# "Café" vs decomposed upper-case "Cafe"+U+0301 with doubled spaces) that
+# must collapse to ONE canonical key.
+_CANON_COMPOSED = " Café"        # composed é, single space
+_CANON_DECOMPOSED = "  Café"    # decomposed e + combining acute, doubled space
+
+
+@register(
+    "text_canonical_key",
+    oracle=f"""
+WITH variants AS (
+  SELECT doc_id AS id, text || '{_CANON_COMPOSED}' AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) || '{_CANON_DECOMPOSED}' FROM documents
+),
+canon AS (
+  SELECT id,
+         nfc_normalize(lower(trim(regexp_replace(t, ' +', ' ', 'g')))) AS k
+  FROM variants WHERE t IS NOT NULL
+)
+SELECT k AS canonical_key,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(id) AS BIGINT) AS min_id,
+       CAST(MAX(id) AS BIGINT) AS max_id
+FROM canon GROUP BY k
+""",
+    tier="T2",
+)
+def text_canonical_key(spark, sf_dir):
+    """Canonical dedup-key normalization — whitespace collapse → casefold →
+    NFC — applied to two planted surface forms of every document (composed
+    "Café" vs upper-cased text + decomposed "Cafe"+U+0301 with doubled
+    spaces). Exact dedup hashes THIS key, not raw bytes; without the chain
+    the two forms of each doc would hash apart ([[text_unicode_normalize]]
+    reports the normalization itself; this key proves the merge: every
+    canonical key must collect exactly its two variants, and the oracle
+    checks the grouped relation byte-for-byte).
+
+    Determinism: the JVM stage (concat, upper/lower, regexp ' +' collapse,
+    trim) uses only constructs Spark and DuckDB read identically on this
+    charset (planted uppercase is ASCII-only — exotic case mappings never
+    enter); the NFC stage is the pinned three-engine recipe
+    (tests/test_nfc_properties.py). NULL text drops in both engines.
+
+    Scale note: map-only until the single groupBy(canonical_key) shuffle —
+    at 100 TB this IS the exact-dedup shuffle, just keyed on the canonical
+    form; the Arrow-batched NFC pass fuses with the scan.
+    """
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    v1 = d.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.col("text"), F.lit(_CANON_COMPOSED)).alias("t"),
+    )
+    v2 = d.select(
+        (F.col("doc_id") + 100000).alias("id"),
+        F.concat(F.upper(F.col("text")), F.lit(_CANON_DECOMPOSED)).alias("t"),
+    )
+    pre = (
+        v1.unionAll(v2)
+        .filter(F.col("t").isNotNull())
+        .select(
+            "id",
+            F.lower(F.trim(F.regexp_replace("t", " +", " "))).alias("pre"),
+        )
+    )
+
+    def nfc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"id": pdf["id"], "k": pdf["pre"].str.normalize("NFC")}
+            )
+
+    return (
+        pre.mapInPandas(nfc, "id long, k string")
+        .groupBy(F.col("k").alias("canonical_key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("id").cast("long").alias("min_id"),
+            F.max("id").cast("long").alias("max_id"),
+        )
+    )
