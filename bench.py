@@ -66,6 +66,7 @@ EXTENDED = [
     "text_bm25_search",
     "graph_local_clustering",  # round-7 session 2: vertex-attributed triangle listing
     "graph_closeness_landmarks",  # round-7 session 2: multi-source frontier BFS
+    "vec_ann_lsh_portable",  # round 8: fully-oracled bucketed ANN
 ]
 
 

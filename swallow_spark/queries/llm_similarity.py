@@ -397,7 +397,7 @@ def sim_pairs_threshold(spark, sf_dir):
     hist = _label_histogram(sf_dir)
     uniform = hist is not None and max(hist.values(), default=0) <= _BAND_TARGET
     if uniform:
-        banded = None  # short-circuit below: plain per-label grouping
+        cnt = None  # short-circuit below: plain per-label grouping, no counts
     elif hist is not None:
         nb_pdf = pd.DataFrame(
             {
@@ -409,7 +409,7 @@ def sim_pairs_threshold(spark, sf_dir):
         cnt = spark.createDataFrame(nb_pdf)
     else:
         cnt = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_lbl"))
-    banded = banded if uniform else (
+    banded = None if uniform else (
         e.join(F.broadcast(cnt), "label")
         .withColumn(
             "nb",
