@@ -29,6 +29,12 @@ from pyspark.sql import DataFrame
 
 _ENV = "SWALLOW_CHECKPOINT_DIR"
 
+# applicationId -> base dir last passed to setCheckpointDir. Spark's
+# getCheckpointDir returns the UUID subdir (possibly scheme-qualified, e.g.
+# "file:/base/<uuid>"), so the base we chose is tracked here rather than
+# parsed back out of the resolved path.
+_SET_BASE: dict[str, str] = {}
+
 
 def checkpoint_dir() -> str | None:
     """The configured reliable-checkpoint directory, or None (local mode)."""
@@ -36,20 +42,26 @@ def checkpoint_dir() -> str | None:
     return d if d else None
 
 
-def materialize(df: DataFrame, eager: bool = True, dir: str | None = None) -> DataFrame:
+def materialize(df: DataFrame, eager: bool = True, ckpt_dir: str | None = None) -> DataFrame:
     """Materialize ``df`` and truncate its lineage.
 
-    Reliable ``checkpoint()`` when a directory is configured (``dir`` argument
-    wins over $SWALLOW_CHECKPOINT_DIR), else ``localCheckpoint()``. Both are
-    executor-side — no driver collect either way.
+    Reliable ``checkpoint()`` when a directory is configured (``ckpt_dir``
+    argument wins over $SWALLOW_CHECKPOINT_DIR), else ``localCheckpoint()``.
+    Both are executor-side — no driver collect either way.
     """
-    d = dir if dir is not None else checkpoint_dir()
+    d = ckpt_dir if ckpt_dir is not None else checkpoint_dir()
     if d:
         sc = df.sparkSession.sparkContext
-        # setCheckpointDir creates a fresh UUID subdir per call — set once
-        # per context (first reliable cut wins; later dir changes would
-        # orphan in-flight checkpoints mid-job anyway)
-        if sc._jsc.sc().getCheckpointDir().isEmpty():
+        # Public accessor (PySpark >= 3.1; Connect-safe — no _jsc/_jvm).
+        # setCheckpointDir creates a fresh UUID subdir per call, so re-set
+        # only when unset or when an explicit ckpt_dir names a different
+        # base than the one last set — the documented "ckpt_dir argument
+        # wins" contract actually holds.
+        app = sc.applicationId
+        if sc.getCheckpointDir() is None or (
+            ckpt_dir is not None and _SET_BASE.get(app) != d
+        ):
             sc.setCheckpointDir(d)
+            _SET_BASE[app] = d
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

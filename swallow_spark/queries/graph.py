@@ -76,6 +76,16 @@ def _edges(spark, sf_dir) -> DataFrame:
     )
     if cache_key is None:
         return edges
+    # Evict superseded entries for the same table path (regenerated file →
+    # new mtime/size, or a new SparkContext): one live entry per path keeps
+    # a long-lived driver from pinning dead localCheckpoint blocks forever.
+    stale = [k for k in _EDGE_CACHE if k[1] == cache_key[1] and k != cache_key]
+    for k in stale:
+        old = _EDGE_CACHE.pop(k)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # blocks of a dead SparkContext are already gone
     _EDGE_CACHE[cache_key] = _mat(edges)
     return _EDGE_CACHE[cache_key]
 

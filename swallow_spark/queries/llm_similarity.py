@@ -78,7 +78,11 @@ def _label_histogram(sf_dir):
             )
         hist.pop(None, None)  # NULL labels never pair (equi-join semantics)
         return hist
-    except OSError:
+    except Exception:
+        # Broad by contract: a corrupt/truncated footer raises pyarrow
+        # ArrowInvalid, a missing pyarrow raises ImportError — every probe
+        # failure must fall back to the distributed count path, never fail
+        # the query.
         return None
 
 # quantize once per vector; norms from the same integer units. Zero-norm
@@ -362,7 +366,7 @@ def sim_pairs_threshold(spark, sf_dir):
     HOT-LABEL MITIGATION (round 7, measured by tools/skew_stress.py): with
     one label blocking 20% of 20k vectors, the single-task quadratic block
     ran 3.9× slower than the uniform control. Each label is now ADAPTIVELY
-    banded into nb = ceil(n_label/1024) sub-bands on pmod(xxhash64(vec_id),
+    banded into nb = ceil(n_label/_BAND_TARGET) sub-bands on pmod(xxhash64(vec_id),
     nb), and each vector replicates to every band-pair containing its band
     — the work unit becomes (label, band_i, band_j): the diagonal task
     emits within-band pairs, off-diagonal tasks emit the bipartite cross
@@ -414,7 +418,7 @@ def sim_pairs_threshold(spark, sf_dir):
         .withColumn(
             "nb",
             F.greatest(
-                F.lit(1), F.ceil(F.col("n_lbl") / F.lit(1024)).cast("int")
+                F.lit(1), F.ceil(F.col("n_lbl") / F.lit(_BAND_TARGET)).cast("int")
             ),
         )
         .withColumn(

@@ -5,7 +5,7 @@ totals stopped being attributable. This gate makes per-key regressions
 visible WITHOUT a quiet driver bench: each headline/extended key's warm
 median — SPIN-NORMALIZED, so a flat box-speed difference cancels — must
 stay within TOLERANCE of the recorded baseline
-(tests/golden/bench_quiet_baseline.json, written by tools/bench_baseline.py).
+(tests/baselines/bench_quiet_baseline.json, written by tools/bench_baseline.py).
 
 The module SKIPS when no baseline is recorded, or when the box is so
 erratically loaded that normalization is unreliable (spin above the hard
