@@ -1172,3 +1172,179 @@ def vec_ann_lsh_portable(spark, sf_dir):
             "rk",
         )
     )
+
+
+# --- IVF ANN with a frozen coarse quantizer (VERDICT r8 item 3) -------------
+# ann_ivf_kmeans (sampling.py) keeps the Lloyd loop ONLINE and is therefore
+# rows-only; this twin freezes the coarse quantizer offline (tools/
+# ivf_freeze.py -> ivf_frozen.py, the vec_pq_encode pattern), which is both
+# the realistic 100 TB deployment shape (fit the quantizer once on a sample,
+# ship it as a constant, assignment is a map-only pass) and what makes the
+# ENTIRE index — cell assignment, nprobe routing, rerank — hash-checkable in
+# DuckDB.
+_IVF_K = 16
+_IVF_NPROBE = 6
+_IVF_PROBES = 10
+_IVF_TOPK = 5
+
+
+def _ivf_cb_values() -> str:
+    from .ivf_frozen import IVF_CENTROIDS
+
+    return ",\n    ".join(
+        f"({cell}, {j}, {IVF_CENTROIDS[cell][j]})"
+        for cell in range(_IVF_K)
+        for j in range(_VEC_DIM)
+    )
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH cb AS (
+  SELECT * FROM (VALUES
+    {_ivf_cb_values()}) AS t(cell, j, c)
+),
+iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS iv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_VEC_DIM}
+),
+norms AS (
+  SELECT * FROM (
+    SELECT vec_id, iv,
+           sqrt(CAST(list_sum(list_transform(generate_series(1, {_VEC_DIM}),
+                i -> iv[i] * iv[i])) AS DOUBLE) / 100000000) AS nrm
+    FROM iv
+  ) WHERE nrm > 0
+),
+dist AS (
+  SELECT n.vec_id, cb.cell,
+         CAST(SUM((n.iv[cb.j + 1] - cb.c) * (n.iv[cb.j + 1] - cb.c)) AS BIGINT)
+           AS d2
+  FROM norms n CROSS JOIN cb
+  GROUP BY n.vec_id, cb.cell
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
+  FROM dist
+),
+corpus AS (SELECT vec_id, cell FROM ranked WHERE crk = 1),
+probes AS (SELECT vec_id, cell FROM ranked
+           WHERE crk <= {_IVF_NPROBE} AND vec_id < {_IVF_PROBES}),
+cand AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN corpus c ON p.cell = c.cell AND c.vec_id != p.vec_id
+),
+scored AS (
+  SELECT cand.probe_id, cand.neighbor_id,
+         (CAST(list_sum(list_transform(generate_series(1, {_VEC_DIM}),
+            i -> a.iv[i] * b.iv[i])) AS DOUBLE) / 100000000) / (a.nrm * b.nrm)
+           AS cos
+  FROM cand
+  JOIN norms a ON a.vec_id = cand.probe_id
+  JOIN norms b ON b.vec_id = cand.neighbor_id
+)
+SELECT probe_id, neighbor_id,
+       (FLOOR(cos * 10000 + 0.5) / 10000) AS cosine,
+       CAST(row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= {_IVF_TOPK}
+"""
+
+
+@register("vec_ann_ivf_portable", oracle=_ivf_oracle(), tier="T2")
+def vec_ann_ivf_portable(spark, sf_dir):
+    """End-to-end IVF ANN with frozen centroids, fully oracle-checked: each
+    vector is assigned to its nearest of 16 frozen cells (exact int64
+    squared-L2 in 1e-4 units, tie-break lowest cell id); the corpus is
+    indexed by home cell, each probe fans out to its nprobe=6 nearest
+    cells (probe-side-only cost, the same trick as the LSH multi-probe),
+    candidates are reranked by exact integer-unit cosine, top-5 kept.
+    DuckDB rebuilds the identical pipeline from the same frozen centroid
+    literals (ivf_frozen.py), so every stage — including which neighbors
+    are REACHABLE — is pinned. Recall vs the exhaustive twin
+    (sim_cosine_topk) is asserted in tests/test_ann_portable_recall.py;
+    the online-Lloyd rows-only variant is ann_ivf_kmeans (sampling.py).
+
+    Exactness: data and centroids share the 1e-4 integer unit system, so
+    cell distances are exact int64 in both engines and near-tie
+    assignments are partition-order independent; the rerank is the proven
+    integer-cosine recipe (sim_cosine_topk / vec_ann_lsh_portable).
+
+    Scale note: the 4 KiB centroid table ships inside the plan (at 100 TB:
+    fit on a driver-side sample, freeze, broadcast) — assignment is a
+    map-only whole-stage-codegen pass, `cell` is the one shuffle key (the
+    inverted list), and the assignment table is materialized once because
+    it feeds both join sides. Nothing is all-pairs; per-probe work is
+    bounded by the nprobe cells' populations.
+    """
+    from .ivf_frozen import IVF_CENTROIDS
+    from ..ops.materialize import materialize
+    from ..ops.vectors import SCALE, dot_int, int_units
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == _VEC_DIM)
+    )
+    base = e.select("vec_id", int_units(F.col("embedding")).alias("iv"))
+    nrm = F.sqrt(dot_int(F.col("iv"), F.col("iv")).cast("double") / F.lit(SCALE))
+    base = base.withColumn("nrm", nrm).filter(F.col("nrm") > 0)
+
+    def d2_to(cent):
+        arr = F.array(*[F.lit(int(c)).cast("long") for c in cent])
+        return F.aggregate(
+            F.zip_with(F.col("iv"), arr, lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    cells_ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(d2_to(IVF_CENTROIDS[i]).alias("d"), F.lit(i).alias("c"))
+                for i in range(_IVF_K)
+            ]
+        )
+    )
+    assigned = (
+        base.select(
+            "vec_id",
+            "iv",
+            "nrm",
+            F.posexplode(F.slice(cells_ranked, 1, _IVF_NPROBE)).alias("crk", "cs"),
+        )
+        .select("vec_id", "iv", "nrm", "crk", F.col("cs.c").alias("cell"))
+        .transform(materialize)
+    )
+    corpus = assigned.filter(F.col("crk") == 0).select("vec_id", "iv", "nrm", "cell")
+    probes = assigned.filter(F.col("vec_id") < _IVF_PROBES).select(
+        "vec_id", "iv", "nrm", "cell"
+    )
+    cos = (
+        dot_int(F.col("a.iv"), F.col("b.iv")).cast("double") / F.lit(SCALE)
+    ) / (F.col("a.nrm") * F.col("b.nrm"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        probes.alias("a")
+        .join(
+            corpus.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos.alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _IVF_TOPK)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            (F.floor(F.col("cos") * 10000 + F.lit(0.5)) / 10000).alias("cosine"),
+            "rk",
+        )
+    )

@@ -1,8 +1,11 @@
-"""vec_ann_lsh_portable recall vs the exhaustive twin (round 8, VERDICT r7
-item 6). The key itself is fully oracle-checked (every bucket, probe, and
-rerank decision pinned by DuckDB); this asserts the APPROXIMATION QUALITY —
-that the bucketed pipeline actually finds the true neighbors the exhaustive
-sim_cosine_topk returns. Measured at add time: 0.92 (sf0.01), 0.96 (sf0.1).
+"""Portable-ANN recall vs the exhaustive twin (rounds 8-9, VERDICT r7 item 6
+/ r8 item 3). The keys themselves are fully oracle-checked (every bucket /
+cell, probe, and rerank decision pinned by DuckDB); this asserts the
+APPROXIMATION QUALITY — that the bucketed pipelines actually find the true
+neighbors the exhaustive sim_cosine_topk returns. Measured at add time:
+LSH 0.92 (sf0.01) / 0.96 (sf0.1); IVF 0.60 (sf0.01, out-of-fit corpus with
+near-random vectors — honest IVF behavior when the coarse quantizer was fit
+elsewhere) / 0.98 (sf0.1, the fit corpus).
 """
 
 from __future__ import annotations
@@ -15,11 +18,13 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-@pytest.mark.parametrize("sf_dir,floor", [
-    ("/root/testdata/sf0.01", 0.80),
-    ("/root/testdata/sf0.1", 0.85),
+@pytest.mark.parametrize("key,sf_dir,floor", [
+    ("vec_ann_lsh_portable", "/root/testdata/sf0.01", 0.80),
+    ("vec_ann_lsh_portable", "/root/testdata/sf0.1", 0.85),
+    ("vec_ann_ivf_portable", "/root/testdata/sf0.01", 0.50),
+    ("vec_ann_ivf_portable", "/root/testdata/sf0.1", 0.90),
 ])
-def test_portable_ann_recall(spark, sf_dir, floor):
+def test_portable_ann_recall(spark, key, sf_dir, floor):
     from swallow_spark.registry import all_queries
 
     qs = all_queries()
@@ -29,8 +34,8 @@ def test_portable_ann_recall(spark, sf_dir, floor):
     }
     ann = {
         (r.probe_id, r.neighbor_id)
-        for r in qs["vec_ann_lsh_portable"].fn(spark, sf_dir).collect()
+        for r in qs[key].fn(spark, sf_dir).collect()
     }
     assert exact, "exhaustive twin returned nothing"
     recall = len(exact & ann) / len(exact)
-    assert recall >= floor, f"recall {recall:.3f} under {floor} at {sf_dir}"
+    assert recall >= floor, f"{key} recall {recall:.3f} under {floor} at {sf_dir}"
