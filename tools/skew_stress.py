@@ -11,8 +11,9 @@ skew-sensitive families then run on both, warm median-of-3, alongside
 hash-partition histograms of each family's shuffle key, so SCALE.md can
 record measured skew amplification rather than assumed shapes.
 
-Usage:  python tools/skew_stress.py [--keep] [--scale N]
-Prints one JSON line; human summary to stderr.
+Usage:  python tools/skew_stress.py [--keep] [--scale N] [--keys a,b,c]
+Prints one JSON line; human summary to stderr. --keys restricts the run to a
+subset of KEYS (one family at a time keeps a --scale 3 run tractable).
 
 --scale multiplies every corpus size (round 8, VERDICT r7 item 7: the
 iterative graph keys and the throttle fold measured at sf≈3 — 3M events,
@@ -51,6 +52,13 @@ KEYS = [
     ("sim_pairs_threshold", "embeddings", "label"),
     ("graph_pagerank", "lineitem", None),
     ("graph_kcore", "lineitem", None),
+    # round 9 (VERDICT r8 item 4): the explode-heavy text family — the hot
+    # 10-word prefix gives tokens hot0..hot9 df = 20% of docs (~25x the mean
+    # df), the boilerplate-header shape a crawl corpus presents. The exposed
+    # keys are the token/shingle posting lists.
+    ("text_tfidf_topk", "documents", None),
+    ("text_bm25_search", "documents", None),
+    ("dedup_near_exact_jaccard", "documents", None),
 ]
 
 
@@ -211,6 +219,13 @@ def main() -> None:
     if "--scale" in sys.argv:
         scale = int(sys.argv[sys.argv.index("--scale") + 1])
         apply_scale(scale)
+    keys = KEYS
+    if "--keys" in sys.argv:
+        wanted = set(sys.argv[sys.argv.index("--keys") + 1].split(","))
+        unknown = wanted - {k for k, *_ in KEYS}
+        if unknown:
+            raise SystemExit(f"unknown keys: {sorted(unknown)}")
+        keys = [k for k in KEYS if k[0] in wanted]
     spark = get_spark("swallow_skew_stress")
     qs = all_queries()
     out: dict = {"n_events": N_EVENTS, "n_docs": N_DOCS, "n_vecs": N_VECS,
@@ -224,7 +239,7 @@ def main() -> None:
                 v["histograms"][f"{table}:{key}"] = partition_histogram(
                     spark, d, table, key
                 )
-            for name, _table, _key in KEYS:
+            for name, _table, _key in keys:
                 fn = qs[name].fn
                 fn(spark, d).write.format("noop").mode("overwrite").save()  # warm
                 runs = []
@@ -235,7 +250,7 @@ def main() -> None:
                 v["timings"][name] = round(sorted(runs)[1], 3)
                 print(f"{variant} {name}: {v['timings'][name]}s", file=sys.stderr)
             out["variants"][variant] = v
-        for name, *_ in KEYS:
+        for name, *_ in keys:
             u = out["variants"]["uniform"]["timings"][name]
             s = out["variants"]["skew"]["timings"][name]
             out.setdefault("skew_amplification", {})[name] = round(s / u, 2)
