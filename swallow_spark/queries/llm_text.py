@@ -2223,3 +2223,159 @@ def text_canonical_key(spark, sf_dir):
             F.max("id").cast("long").alias("max_id"),
         )
     )
+
+
+# --- Boilerplate-prefix detection (round 9) ---------------------------------
+# text_template_groups catches whole-document templates (digit-masked exact
+# match); this catches the OTHER crawl boilerplate shape — a shared header
+# prefix on otherwise-distinct documents (cookie banners, site navigation,
+# license preambles). The round-9 skew harness measures exactly this shape
+# (a hot 10-word prefix on 20% of docs); here it becomes a first-class
+# curation signal rather than only a stress input.
+_BP_K = 5  # prefix length in tokens
+_BP_MIN_SUPPORT = 2
+
+_BP_PREFIX_SQL = (
+    f"array_to_string(list_slice(string_split(text, ' '), 1, {_BP_K}), ' ')"
+)
+
+
+@register(
+    "text_boilerplate_prefix",
+    oracle=f"""
+SELECT prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS exemplar_doc,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT doc_id, n_chars, {_BP_PREFIX_SQL} AS prefix
+  FROM documents WHERE text IS NOT NULL
+)
+GROUP BY prefix
+HAVING COUNT(*) >= {_BP_MIN_SUPPORT}
+""",
+    tier="T2",
+)
+def text_boilerplate_prefix(spark, sf_dir):
+    """Shared-header boilerplate detection: documents grouped by their
+    first-5-token prefix; prefixes carried by >= 2 documents are the
+    boilerplate candidates a curation pass strips before dedup/quality
+    scoring (a hot navigation header otherwise dominates shingle posting
+    lists and depresses near-dup thresholds). Emits support, the exemplar
+    (lowest doc_id), and the total character mass behind each prefix.
+
+    Determinism: prefix is a pure token-slice (slice truncates identically
+    to list_slice for short docs); counts and MIN are exact.
+
+    Scale note: ONE partial+final aggregate keyed on the prefix — the
+    dedup_exact shape; at 100 TB group on xxhash64(prefix) to keep shuffle
+    rows narrow and re-attach one exemplar string per surviving group.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pre = d.select(
+        "doc_id",
+        "n_chars",
+        F.array_join(F.slice(tokens(F.col("text")), 1, _BP_K), " ").alias("prefix"),
+    )
+    return (
+        pre.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("exemplar_doc"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") >= _BP_MIN_SUPPORT)
+    )
+
+
+# --- N-gram novelty (round 9) ------------------------------------------------
+# Corpus-order novelty: the share of a document's distinct 3-grams whose
+# global FIRST occurrence (lowest doc_id) is this document — the
+# memorization-risk / marginal-contribution signal a curation stack uses to
+# rank candidate additions against an existing corpus (a doc whose grams all
+# appeared earlier adds nothing the model hasn't seen).
+_NOV_N = 3
+
+_NOV_GRAMS_SQL = f"""
+SELECT doc_id,
+       unnest(list_distinct(list_transform(
+         generate_series(1, len(string_split(text, ' ')) - {_NOV_N - 1}),
+         i -> array_to_string(list_slice(string_split(text, ' '),
+                                         i, i + {_NOV_N - 1}), ' ')))) AS g
+FROM documents
+WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= {_NOV_N}
+"""
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH grams AS ({_NOV_GRAMS_SQL}),
+firsts AS (SELECT g, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+           FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN firsts.first_doc = grams.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN firsts.first_doc = grams.doc_id
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS novelty_micro
+FROM grams JOIN firsts USING (g)
+GROUP BY grams.doc_id
+""",
+    tier="T2",
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty against corpus order: novelty_micro =
+    share of the doc's distinct 3-grams first introduced (lowest doc_id)
+    by this doc. Docs under 3 tokens have no 3-grams and are absent in
+    both engines (the Spark side guards size >= 3 explicitly — sequence(1,
+    size-2) would count DOWN for shorter docs, the text_ngrams ANSI
+    lesson).
+
+    Determinism: gram strings are identical token-slices; first_doc is an
+    exact MIN; the ratio is one non-negative integer `//` in micro-units.
+
+    Scale note: the global first-occurrence aggregate is min() — fully
+    map-side combinable, so a boilerplate gram appearing in 20% of docs
+    costs one partial row per task, not a hot reduce key (the same
+    structural protection the round-9 skew table measured for tfidf's df
+    count). The gram join shuffles on the gram, novelty re-aggregates on
+    doc_id; at 100 TB hash grams to int64 before the exchange.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = d.filter(F.size(tokens(F.col("text"))) >= _NOV_N)
+    # single-element transform binds the split once (the text_ngrams
+    # hoisting rule: Catalyst does not hoist loop-invariant subexpressions
+    # out of HOF lambdas, so referencing split(...) inside the index
+    # transform would re-split per gram)
+    grams_expr = F.expr(
+        f"""
+        explode(element_at(transform(array(split(text, ' ')), a ->
+          CASE WHEN size(a) >= {_NOV_N} THEN
+            array_distinct(transform(sequence(1, size(a) - {_NOV_N - 1}),
+              i -> concat_ws(' ', slice(a, i, {_NOV_N}))))
+          ELSE array() END), 1))
+        """
+    )
+    grams = d.select("doc_id", grams_expr.alias("g"))
+    firsts = grams.groupBy("g").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("CAST(n_novel * 1000000 DIV n_grams AS BIGINT)").alias(
+                "novelty_micro"
+            ),
+        )
+    )

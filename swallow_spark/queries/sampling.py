@@ -430,3 +430,85 @@ def sample_label_balance(spark, sf_dir):
         .filter(F.col("rk") <= F.col("mincnt"))
         .select("label", "vec_id", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# --- Quality-weighted acceptance sampling (round 9) --------------------------
+# The DCLM-style curation move: instead of a hard quality threshold, keep a
+# document with probability proportional to its quality score — soft
+# downsampling that preserves some low-quality mass for robustness while
+# concentrating the corpus on high-quality text. Acceptance is DETERMINISTIC
+# (integer key-hash slot vs integer micro-unit quality), so the same doc
+# survives on every run, engine, and partitioning — rand()-based sampling
+# cannot provide that.
+from ..ops.text import STOPWORDS as _QW_STOP
+
+_QW_STOP_IN = "('" + "', '".join(_QW_STOP) + "')"
+
+# quality = uniq_ratio * (1 - stopword_ratio), the text_quality_score recipe
+_QW_UNIQ_SQL = (
+    "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+    " / len(string_split(text, ' '))"
+)
+_QW_STOP_SQL = (
+    f"CAST(len(list_filter(string_split(text, ' '), t -> t IN {_QW_STOP_IN}))"
+    " AS DOUBLE) / len(string_split(text, ' '))"
+)
+_QW_MICRO_SQL = (
+    f"CAST(FLOOR(({_QW_UNIQ_SQL}) * (1 - {_QW_STOP_SQL}) * 1000000 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "sample_quality_weighted",
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       quality_micro
+FROM (
+  SELECT doc_id, lang, text, {_QW_MICRO_SQL} AS quality_micro
+  FROM documents WHERE text IS NOT NULL
+)
+WHERE {_slot_sql('doc_id')} * 1000 < quality_micro
+""",
+    tier="T2",
+)
+def sample_quality_weighted(spark, sf_dir):
+    """Quality-proportional deterministic sampling: keep a document iff its
+    key-hash slot (uniform in 0..999, the sample_deterministic recipe)
+    scaled to micro-units falls below its quality score in micro-units
+    (uniqueness ratio x (1 - stopword ratio), the text_quality_score
+    recipe) — P(keep) ~= quality, decided by pure integer comparison.
+
+    Determinism: both sides of the comparison are exact int64 (the slot is
+    modular arithmetic on doc_id; quality_micro is floor(q * 1e6 + 0.5) of
+    a double derived identically from integer token counts in both
+    engines), so acceptance is reproducible across retries, partitionings,
+    and engines — the property a 100 TB corpus-curation pass must have for
+    auditable lineage.
+
+    Scale note: map-only (filter + projection, no shuffle, no state);
+    predicate and column pruning reach the parquet scan. The whole pass is
+    embarrassingly parallel at any corpus size.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from ..ops.text import tokens as _tokens
+
+    arr = _tokens(F.col("text"))
+    n_tok = F.size(arr)
+    uniq_ratio = F.size(F.array_distinct(arr)).cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter(arr, lambda t: t.isin(*_QW_STOP))).cast("double") / n_tok
+    )
+    q_micro = F.floor(
+        uniq_ratio * (F.lit(1) - stop_ratio) * F.lit(1000000) + F.lit(0.5)
+    ).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            n_tok.cast("long").alias("n_tokens"),
+            q_micro.alias("quality_micro"),
+        )
+        .filter(_slot(F.col("doc_id")) * F.lit(1000) < F.col("quality_micro"))
+    )
