@@ -1194,3 +1194,179 @@ def etl_dq_quarantine(spark, sf_dir):
         )
         .orderBy("mask")
     )
+
+
+# --- Incremental (asymmetric) dedup (round 9) --------------------------------
+# The production curation shape for a daily crawl increment: dedupe the NEW
+# batch against the EXISTING corpus only — no base×base pairs (the corpus is
+# already deduped), no increment×increment pairs (a separate intra-batch
+# pass). The asymmetry is the whole point at 100 TB: the join fan-out is
+# |increment| × (shared-posting density), never |corpus|².
+_INC_FRAC = 0.5  # split point: doc_id <= floor(max*frac) = base, rest = incoming
+_INC_K = 5
+_INC_TAU = 0.8
+
+_INC_SQL = f"""
+WITH s AS (SELECT CAST(FLOOR(MAX(doc_id) * {_INC_FRAC}) AS BIGINT) AS sp
+           FROM documents),
+docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+exact AS (
+  SELECT i.doc_id, MIN(b.doc_id) AS matched_doc
+  FROM docs i JOIN docs b ON md5(i.text) = md5(b.text)
+  WHERE i.doc_id > (SELECT sp FROM s) AND b.doc_id <= (SELECT sp FROM s)
+  GROUP BY i.doc_id
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - {_INC_K - 1}, 1)),
+           i -> array_to_string(list_slice(string_split(text, ' '),
+                                           i, i + {_INC_K - 1}), ' ')))) AS g
+  FROM docs
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS i_doc, b.doc_id AS b_doc, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g
+  WHERE a.doc_id > (SELECT sp FROM s) AND b.doc_id <= (SELECT sp FROM s)
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT i_doc AS doc_id, b_doc AS matched_doc,
+         CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jac,
+         row_number() OVER (
+           PARTITION BY i_doc
+           ORDER BY CAST(inter AS DOUBLE) / (x.n + y.n - inter) DESC, b_doc
+         ) AS rk
+  FROM pairs JOIN sz x ON i_doc = x.doc_id JOIN sz y ON b_doc = y.doc_id
+  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= {_INC_TAU}
+)
+SELECT i.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS verdict,
+       CASE WHEN e.doc_id IS NOT NULL THEN e.matched_doc
+            ELSE n.matched_doc END AS matched_doc,
+       CASE WHEN e.doc_id IS NOT NULL THEN NULL
+            ELSE {sql_rnd('n.jac', 4)} END AS jaccard
+FROM docs i
+LEFT JOIN exact e ON i.doc_id = e.doc_id
+LEFT JOIN (SELECT * FROM near WHERE rk = 1) n ON i.doc_id = n.doc_id
+WHERE i.doc_id > (SELECT sp FROM s)
+"""
+
+
+@register("etl_incremental_dedup", oracle=_INC_SQL, tier="T2")
+def etl_incremental_dedup(spark, sf_dir):
+    """Asymmetric incremental dedup: classify every document of an incoming
+    batch (doc_id above the 50% split point, standing in for today's
+    crawl) against the existing corpus only — `exact_dup` on content-hash
+    match (lowest matching base doc), else `near_dup` on 5-shingle Jaccard
+    >= 0.8 (best base match: highest Jaccard, then lowest doc_id), else
+    `novel`. No base×base and no increment×increment pairs are ever formed.
+
+    Determinism: the near-dup ranking orders by an exact-integer-derived
+    ratio (IEEE division of identical int64 operands is correctly rounded,
+    so equal rationals compare equal in both engines) with doc_id
+    tie-break; exact matches take precedence over near matches.
+
+    Scale note: the exact arm is a hash-equi-join on md5 (shuffle carries
+    32-byte digests, not texts); the near arm is the capped posting-list
+    inverted index (shingles hashed to int64 slices, base-side df-cap 500
+    — the dedup_near_exact_jaccard machinery) restricted to cross-split
+    pairs BEFORE the pair explosion, so increment-vs-corpus fan-out is
+    posting-density-bounded. The split scalar is one broadcast 1-row
+    aggregate (audited BNLJ). At 100 TB the base postings/hashes are a
+    PERSISTED index the daily job reads, not recomputes — the split here
+    stands in for that storage seam.
+    """
+    raw = load(spark, sf_dir, "documents")
+    d = raw.filter(F.col("text").isNotNull())
+    # split point over the UNFILTERED table: doc_id assignment is metadata,
+    # so a NULL-text doc still advances the watermark (oracle's `s` CTE
+    # reads documents unfiltered — the null_text drift probe caught the
+    # filtered-frame version diverging when NULL-text rows carry the
+    # highest ids)
+    sp = raw.agg(
+        F.floor(F.max("doc_id") * F.lit(_INC_FRAC)).cast("long").alias("sp")
+    )
+    dd = d.crossJoin(F.broadcast(sp))
+    base = dd.filter(F.col("doc_id") <= F.col("sp")).select("doc_id", "text")
+    inc = dd.filter(F.col("doc_id") > F.col("sp")).select("doc_id", "text")
+
+    exact = (
+        inc.select("doc_id", F.md5("text").alias("h"))
+        .join(
+            base.select(F.col("doc_id").alias("b_doc"), F.md5("text").alias("h")),
+            "h",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("b_doc").cast("long").alias("e_matched"))
+    )
+
+    def _sh(frame):
+        # int64 slice-hash shingles (ops.dedup recipe: tokens contain no
+        # spaces, so slice equality <=> joined-string equality; the string
+        # oracle diverges only on a real 64-bit collision)
+        return frame.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"element_at(transform(array(split(text, ' ')), a ->"
+                        f" transform(sequence(1, greatest(size(a) - {_INC_K - 1}, 1)),"
+                        f"   i -> xxhash64(slice(a, i, {_INC_K})))), 1)"
+                    )
+                )
+            ).alias("g"),
+        )
+
+    sh_b, sh_i = _sh(base), _sh(inc)
+    sz_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sz_i = sh_i.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # df-cap on the BASE posting side: a stop-phrase shingle shared by
+    # hundreds of corpus docs carries no near-dup signal and would own the
+    # pair fan-out (the shingle_jaccard_pairs straggler rule)
+    post_b = (
+        sh_b.groupBy("g")
+        .agg(F.slice(F.array_sort(F.collect_list("doc_id")), 1, 500).alias("bs"))
+        .select("g", F.explode("bs").alias("b_doc"))
+    )
+    pairs = (
+        sh_i.join(post_b, "g")
+        .groupBy(F.col("doc_id"), F.col("b_doc"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("ni") + F.col("nb") - F.col("inter")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("jac").desc(), "b_doc")
+    near = (
+        pairs.join(sz_i.withColumnRenamed("n", "ni"), "doc_id")
+        .join(
+            sz_b.select(F.col("doc_id").alias("b_doc"), F.col("n").alias("nb")),
+            "b_doc",
+        )
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= _INC_TAU)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("b_doc").cast("long").alias("n_matched"), "jac")
+    )
+    return (
+        inc.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("e_matched").isNotNull(), "exact_dup")
+            .when(F.col("n_matched").isNotNull(), "near_dup")
+            .otherwise("novel")
+            .alias("verdict"),
+            F.when(F.col("e_matched").isNotNull(), F.col("e_matched"))
+            .otherwise(F.col("n_matched"))
+            .alias("matched_doc"),
+            F.when(F.col("e_matched").isNotNull(), F.lit(None).cast("double"))
+            .otherwise(rnd(F.col("jac"), 4))
+            .alias("jaccard"),
+        )
+    )

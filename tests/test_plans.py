@@ -391,6 +391,7 @@ BNLJ_ALLOWED = {
     "ts_kpss_stationarity",  # broadcast 1-row sufficient-stats crossjoin (pacf-rule chain)
     "stats_mann_whitney",
     "etl_freshness_audit",  # broadcast 1-row global-max-ts crossjoin
+    "etl_incremental_dedup",  # broadcast 1-row split-point scalar crossjoin
     "graph_modularity",  # broadcast 1-row m / Q-numerator scalar cross joins
     "seq_cohort_ltv",  # broadcast 1-row min-date crossjoin
     "seq_growth_accounting",  # broadcast 1-row min-date crossjoin
