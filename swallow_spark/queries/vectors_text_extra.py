@@ -1348,3 +1348,190 @@ def vec_ann_ivf_portable(spark, sf_dir):
             "rk",
         )
     )
+
+
+# --- IVF+PQ composed index (round 9) -----------------------------------------
+# The canonical billion-scale serving layout (FAISS IVFPQ): IVF cells bound
+# WHICH vectors a probe scores, PQ/ADC bounds HOW MUCH each scoring costs
+# (16 LUT lookups against 12-byte codes instead of a 256-byte vector read).
+# Both halves are frozen offline models already proven separately
+# (ivf_frozen.py routing = vec_ann_ivf_portable; pq_frozen.py codes/ADC =
+# vec_pq_encode / vec_pq_adc_topk), so the COMPOSITION is hash-checkable
+# end-to-end too. Books are fit on raw vectors (flat PQ), not per-cell
+# residuals — documented honestly; residual-PQ would need per-cell books.
+_IVFPQ_NPROBE = 6
+_IVFPQ_TOPK = 5
+_IVFPQ_PROBES = 10
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+WITH icb AS (
+  SELECT * FROM (VALUES
+    {_ivf_cb_values()}) AS t(cell, j, c)
+),
+{_pq_qdist_sql()},
+qflat AS (
+  SELECT vec_id, s * {_PQ_SUB_DIM} + j + 1 AS jf, qv FROM q
+),
+ivfd AS (
+  SELECT qf.vec_id, icb.cell,
+         CAST(SUM((qf.qv - icb.c) * (qf.qv - icb.c)) AS BIGINT) AS d2
+  FROM qflat qf JOIN icb ON icb.j + 1 = qf.jf
+  GROUP BY qf.vec_id, icb.cell
+),
+cells AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
+  FROM ivfd
+),
+home AS (SELECT vec_id, cell FROM cells WHERE crk = 1),
+pcells AS (SELECT vec_id AS probe_id, cell FROM cells
+           WHERE crk <= {_IVFPQ_NPROBE} AND vec_id < {_IVFPQ_PROBES}),
+best AS (
+  SELECT vec_id, s, cid,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
+  FROM dist
+),
+lut AS (
+  SELECT vec_id AS probe_id, s, cid, d2 FROM dist
+  WHERE vec_id < {_IVFPQ_PROBES}
+),
+adc AS (
+  SELECT pc.probe_id, h.vec_id AS neighbor_id,
+         CAST(SUM(l.d2) AS BIGINT) AS adc_dist
+  FROM pcells pc
+  JOIN home h ON h.cell = pc.cell AND h.vec_id != pc.probe_id
+  JOIN best b ON b.vec_id = h.vec_id AND b.rk = 1
+  JOIN lut l ON l.probe_id = pc.probe_id AND l.s = b.s AND l.cid = b.cid
+  GROUP BY pc.probe_id, h.vec_id
+)
+SELECT probe_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc_dist, neighbor_id) AS rk
+  FROM adc
+)
+WHERE rk <= {_IVFPQ_TOPK}
+"""
+
+
+@register("vec_ann_ivfpq_portable", oracle=_ivfpq_oracle(), tier="T2")
+def vec_ann_ivfpq_portable(spark, sf_dir):
+    """Composed IVF+PQ ANN, fully oracle-checked: the corpus is routed to
+    its nearest frozen IVF cell AND compressed to 12-byte PQ codes in ONE
+    Arrow pass; a probe visits its nprobe=6 nearest cells and scores only
+    those cells' codes by ADC (16 exact-int64 LUT lookups per candidate),
+    top-5 by (adc_dist, neighbor_id). Every stage — cell assignment, code
+    assignment, routing, LUT, ranking — is exact int64 in the shared 1e-4
+    unit system and rebuilt verbatim in DuckDB from the same frozen
+    literals. Routing loss vs the exhaustive-ADC twin (vec_pq_adc_topk) is
+    asserted in tests/test_ann_portable_recall.py.
+
+    Scale note: THE billion-scale serving shape — the index pass is
+    map-only (one (n,16,64,4) broadcasted subtract per batch for codes +
+    one (n,16,64) for cells, both against plan-shipped 4 KiB constants),
+    `cell` is the single corpus shuffle key, the probe side (10 rows ×
+    1 KiB LUTs × 6 cells) broadcasts, and candidates are read as two
+    BIGINT code words — the corpus vectors themselves are never touched
+    after indexing. At 100 TB: ~20× less candidate I/O than rerank on raw
+    vectors, bounded per-probe work, no all-pairs anywhere.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .ivf_frozen import IVF_CENTROIDS
+
+    e = load(spark, sf_dir, "embeddings")
+    assign = _pq_codes_batches()
+    mlo = np.asarray(_PQ_MULT_LO, dtype=np.int64)
+    mhi = np.asarray(_PQ_MULT_HI, dtype=np.int64)
+    IC = np.asarray(IVF_CENTROIDS, dtype=np.int64)  # (16, 64)
+
+    def index_pass(it):
+        for pdf in it:
+            r = assign(pdf)
+            if r is None:
+                continue
+            pdf, q, codes, _ = r
+            qf = q.reshape(len(pdf), _VEC_DIM)  # (n, 64) int64 units
+            d2c = ((qf[:, None, :] - IC[None, :, :]) ** 2).sum(axis=2)
+            cell = d2c.argmin(axis=1)  # first-occurrence = lowest cell
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell.astype(np.int32),
+                    "code_lo": (codes[:, :_PQ_LO] * mlo).sum(axis=1),
+                    "code_hi": (codes[:, _PQ_LO:] * mhi).sum(axis=1),
+                }
+            )
+
+    codes = e.select("vec_id", "embedding").mapInPandas(
+        index_pass, "vec_id long, cell int, code_lo long, code_hi long"
+    )
+
+    def probe_pass(it):
+        from .pq_frozen import PQ_BOOKS
+
+        C = np.asarray(PQ_BOOKS, dtype=np.int64)  # (16, 64, 4)
+        for pdf in it:
+            keep = pdf["embedding"].map(
+                lambda v: v is not None and len(v) == _VEC_DIM
+            )
+            pdf = pdf[keep]
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            q = np.floor(x * 10_000 + 0.5).astype(np.int64)
+            qs = q.reshape(len(pdf), _PQ_N_SUB, _PQ_SUB_DIM)
+            diff = qs[:, :, None, :] - C[None, :, :, :]
+            lut = (diff * diff).sum(axis=3).reshape(len(pdf), -1)  # (n, 1024)
+            d2c = ((q[:, None, :] - IC[None, :, :]) ** 2).sum(axis=2)
+            # stable ascending sort: ties resolve to the lowest cell id,
+            # matching ORDER BY d2, cell
+            order = np.argsort(d2c, axis=1, kind="stable")[:, :_IVFPQ_NPROBE]
+            n = len(pdf)
+            ids = pdf["vec_id"].to_numpy()
+            lobj = np.empty(n, dtype=object)
+            for i in range(n):
+                lobj[i] = lut[i].tolist()
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.repeat(ids, _IVFPQ_NPROBE),
+                    "cell": order.reshape(-1).astype(np.int32),
+                    "lut": np.repeat(lobj, _IVFPQ_NPROBE),
+                }
+            )
+
+    probes = (
+        e.filter(F.col("vec_id") < _IVFPQ_PROBES)
+        .select("vec_id", "embedding")
+        .mapInPandas(probe_pass, "probe_id long, cell int, lut array<long>")
+    )
+
+    def code_at(s):
+        if s < _PQ_LO:
+            return F.expr(f"(code_lo DIV {64**s}) % 64")
+        return F.expr(f"(code_hi DIV {64**(s - _PQ_LO)}) % 64")
+
+    adc = sum(
+        F.element_at(
+            F.col("lut"), (F.lit(s * _PQ_N_CENT + 1) + code_at(s)).cast("int")
+        )
+        for s in range(_PQ_N_SUB)
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        F.broadcast(probes)
+        .join(
+            codes,
+            (probes.cell == codes.cell) & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.cast("long").alias("adc_dist"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _IVFPQ_TOPK)
+    )

@@ -18,19 +18,24 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-@pytest.mark.parametrize("key,sf_dir,floor", [
-    ("vec_ann_lsh_portable", "/root/testdata/sf0.01", 0.80),
-    ("vec_ann_lsh_portable", "/root/testdata/sf0.1", 0.85),
-    ("vec_ann_ivf_portable", "/root/testdata/sf0.01", 0.50),
-    ("vec_ann_ivf_portable", "/root/testdata/sf0.1", 0.90),
+# (key, exhaustive twin it approximates, sf_dir, recall floor). The IVFPQ
+# twin is the EXHAUSTIVE-ADC key so the assertion isolates routing loss —
+# PQ quantization loss is vec_pq_adc_topk's own documented recall story.
+@pytest.mark.parametrize("key,twin,sf_dir,floor", [
+    ("vec_ann_lsh_portable", "sim_cosine_topk", "/root/testdata/sf0.01", 0.80),
+    ("vec_ann_lsh_portable", "sim_cosine_topk", "/root/testdata/sf0.1", 0.85),
+    ("vec_ann_ivf_portable", "sim_cosine_topk", "/root/testdata/sf0.01", 0.50),
+    ("vec_ann_ivf_portable", "sim_cosine_topk", "/root/testdata/sf0.1", 0.90),
+    ("vec_ann_ivfpq_portable", "vec_pq_adc_topk", "/root/testdata/sf0.01", 0.50),
+    ("vec_ann_ivfpq_portable", "vec_pq_adc_topk", "/root/testdata/sf0.1", 0.75),
 ])
-def test_portable_ann_recall(spark, key, sf_dir, floor):
+def test_portable_ann_recall(spark, key, twin, sf_dir, floor):
     from swallow_spark.registry import all_queries
 
     qs = all_queries()
     exact = {
         (r.probe_id, r.neighbor_id)
-        for r in qs["sim_cosine_topk"].fn(spark, sf_dir).collect()
+        for r in qs[twin].fn(spark, sf_dir).collect()
     }
     ann = {
         (r.probe_id, r.neighbor_id)
