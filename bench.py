@@ -67,6 +67,10 @@ EXTENDED = [
     "graph_local_clustering",  # round-7 session 2: vertex-attributed triangle listing
     "graph_closeness_landmarks",  # round-7 session 2: multi-source frontier BFS
     "vec_ann_lsh_portable",  # round 8: fully-oracled bucketed ANN
+    "vec_ann_ivf_portable",  # round 9: frozen-centroid IVF ANN
+    "vec_ann_ivfpq_portable",  # round 9: composed IVF routing + PQ/ADC scoring
+    "etl_incremental_dedup",  # round 9: asymmetric increment-vs-corpus dedup
+    "text_ngram_novelty",  # round 9: explode-heavy first-occurrence join
 ]
 
 

@@ -1275,48 +1275,70 @@ def vec_ann_ivf_portable(spark, sf_dir):
     assignments are partition-order independent; the rerank is the proven
     integer-cosine recipe (sim_cosine_topk / vec_ann_lsh_portable).
 
-    Scale note: the 4 KiB centroid table ships inside the plan (at 100 TB:
-    fit on a driver-side sample, freeze, broadcast) — assignment is a
-    map-only whole-stage-codegen pass, `cell` is the one shuffle key (the
-    inverted list), and the assignment table is materialized once because
-    it feeds both join sides. Nothing is all-pairs; per-probe work is
-    bounded by the nprobe cells' populations.
+    Scale note: the 4 KiB centroid table ships with the task (at 100 TB:
+    fit on a driver-side sample, freeze, broadcast) — assignment is one
+    map-only Arrow-batched numpy pass (a (n,16,64) broadcasted subtract
+    per batch; the pure-expression HOF formulation evaluated interpreted
+    and benched 2.5x slower), `cell` is the one shuffle key (the inverted
+    list), and the assignment table is materialized once because it feeds
+    both join sides. Nothing is all-pairs; per-probe work is bounded by
+    the nprobe cells' populations.
     """
     from .ivf_frozen import IVF_CENTROIDS
+    import numpy as np
+    import pandas as pd
+
     from ..ops.materialize import materialize
-    from ..ops.vectors import SCALE, dot_int, int_units
+    from ..ops.vectors import SCALE, dot_int
 
-    e = load(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") == _VEC_DIM)
-    )
-    base = e.select("vec_id", int_units(F.col("embedding")).alias("iv"))
-    nrm = F.sqrt(dot_int(F.col("iv"), F.col("iv")).cast("double") / F.lit(SCALE))
-    base = base.withColumn("nrm", nrm).filter(F.col("nrm") > 0)
+    e = load(spark, sf_dir, "embeddings")
+    IC = np.asarray(IVF_CENTROIDS, dtype=np.int64)  # (16, 64)
 
-    def d2_to(cent):
-        arr = F.array(*[F.lit(int(c)).cast("long") for c in cent])
-        return F.aggregate(
-            F.zip_with(F.col("iv"), arr, lambda x, c: (x - c) * (x - c)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+    # One Arrow-batched numpy pass computes iv/nrm and the nprobe nearest
+    # cells per vector (exact int64 d2; stable argsort = ORDER BY d2, cell).
+    # The pure-expression formulation (16 aggregate-HOF folds) evaluated
+    # INTERPRETED — higher-order functions sit outside whole-stage codegen —
+    # and benched 2.5x slower than this pass at sf0.1.
+    def assign_pass(it):
+        for pdf in it:
+            keep = pdf["embedding"].map(
+                lambda v: v is not None and len(v) == _VEC_DIM
+            )
+            pdf = pdf[keep]
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            q = np.floor(x * 10_000 + 0.5).astype(np.int64)
+            nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64) / SCALE)
+            ok = nrm > 0  # zero-norm: cosine undefined (llm_similarity rule)
+            n_ok = int(ok.sum())
+            if not n_ok:
+                continue
+            q, nrm = q[ok], nrm[ok]
+            ids = pdf["vec_id"].to_numpy()[ok]
+            d2c = ((q[:, None, :] - IC[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2c, axis=1, kind="stable")[:, :_IVF_NPROBE]
+            ivobj = np.empty(n_ok, dtype=object)
+            for i in range(n_ok):
+                ivobj[i] = q[i].tolist()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, _IVF_NPROBE),
+                    "iv": np.repeat(ivobj, _IVF_NPROBE),
+                    "nrm": np.repeat(nrm, _IVF_NPROBE),
+                    "crk": np.tile(
+                        np.arange(_IVF_NPROBE, dtype=np.int32), n_ok
+                    ),
+                    "cell": order.reshape(-1).astype(np.int32),
+                }
+            )
 
-    cells_ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(d2_to(IVF_CENTROIDS[i]).alias("d"), F.lit(i).alias("c"))
-                for i in range(_IVF_K)
-            ]
-        )
-    )
     assigned = (
-        base.select(
-            "vec_id",
-            "iv",
-            "nrm",
-            F.posexplode(F.slice(cells_ranked, 1, _IVF_NPROBE)).alias("crk", "cs"),
+        e.select("vec_id", "embedding")
+        .mapInPandas(
+            assign_pass,
+            schema="vec_id long, iv array<long>, nrm double, crk int, cell int",
         )
-        .select("vec_id", "iv", "nrm", "crk", F.col("cs.c").alias("cell"))
         .transform(materialize)
     )
     corpus = assigned.filter(F.col("crk") == 0).select("vec_id", "iv", "nrm", "cell")
