@@ -1557,3 +1557,227 @@ def vec_ann_ivfpq_portable(spark, sf_dir):
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _IVFPQ_TOPK)
     )
+
+
+# --- Residual IVF+PQ (round 9) ------------------------------------------------
+# vec_ann_ivfpq_portable quantizes RAW vectors (flat PQ); production IVFPQ
+# (the FAISS default) quantizes the RESIDUAL x − centroid(cell(x)), which
+# concentrates the 6-bit code budget on within-cell variance — the ADC LUT
+# then depends on (probe, cell), not just the probe. Residuals are int64
+# differences of int64 quantities (data, IVF centroids, residual books all
+# in 1e-4 units), so the full residual pipeline stays exactly
+# oracle-checkable. Books: tools/rpq_freeze.py → rpq_frozen.py (one global
+# residual codebook, the FAISS layout — not per-cell books).
+
+
+def _rpq_cb_values() -> str:
+    from .rpq_frozen import RPQ_BOOKS
+
+    return ",\n    ".join(
+        f"({s}, {cid}, {jj}, {RPQ_BOOKS[s][cid][jj]})"
+        for s in range(_PQ_N_SUB)
+        for cid in range(_PQ_N_CENT)
+        for jj in range(_PQ_SUB_DIM)
+    )
+
+
+def _rivfpq_oracle() -> str:
+    return f"""
+WITH icb AS (
+  SELECT * FROM (VALUES
+    {_ivf_cb_values()}) AS t(cell, j, c)
+),
+rcb AS (
+  SELECT * FROM (VALUES
+    {_rpq_cb_values()}) AS t(s, cid, jj, c)
+),
+q AS (
+  SELECT vec_id, g.i AS jf,
+         CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qv
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+  WHERE embedding IS NOT NULL AND len(embedding) = {_VEC_DIM}
+),
+ivfd AS (
+  SELECT q.vec_id, icb.cell,
+         CAST(SUM((q.qv - icb.c) * (q.qv - icb.c)) AS BIGINT) AS d2
+  FROM q JOIN icb ON icb.j + 1 = q.jf
+  GROUP BY q.vec_id, icb.cell
+),
+cells AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
+  FROM ivfd
+),
+home AS (SELECT vec_id, cell FROM cells WHERE crk = 1),
+pcells AS (SELECT vec_id AS probe_id, cell FROM cells
+           WHERE crk <= {_IVFPQ_NPROBE} AND vec_id < {_IVFPQ_PROBES}),
+rescorp AS (
+  SELECT q.vec_id, CAST((q.jf - 1) // {_PQ_SUB_DIM} AS INT) AS s,
+         CAST((q.jf - 1) % {_PQ_SUB_DIM} AS INT) AS jj,
+         q.qv - icb.c AS rv
+  FROM q JOIN home h ON h.vec_id = q.vec_id
+  JOIN icb ON icb.cell = h.cell AND icb.j + 1 = q.jf
+),
+distc AS (
+  SELECT rc.vec_id, rc.s, rcb.cid,
+         CAST(SUM((rc.rv - rcb.c) * (rc.rv - rcb.c)) AS BIGINT) AS d2
+  FROM rescorp rc JOIN rcb ON rcb.s = rc.s AND rcb.jj = rc.jj
+  GROUP BY rc.vec_id, rc.s, rcb.cid
+),
+best AS (
+  SELECT vec_id, s, cid,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
+  FROM distc
+),
+resprobe AS (
+  SELECT pc.probe_id, pc.cell, CAST((q.jf - 1) // {_PQ_SUB_DIM} AS INT) AS s,
+         CAST((q.jf - 1) % {_PQ_SUB_DIM} AS INT) AS jj,
+         q.qv - icb.c AS rv
+  FROM q JOIN pcells pc ON pc.probe_id = q.vec_id
+  JOIN icb ON icb.cell = pc.cell AND icb.j + 1 = q.jf
+),
+lut AS (
+  SELECT rp.probe_id, rp.cell, rp.s, rcb.cid,
+         CAST(SUM((rp.rv - rcb.c) * (rp.rv - rcb.c)) AS BIGINT) AS d2
+  FROM resprobe rp JOIN rcb ON rcb.s = rp.s AND rcb.jj = rp.jj
+  GROUP BY rp.probe_id, rp.cell, rp.s, rcb.cid
+),
+adc AS (
+  SELECT pc.probe_id, h.vec_id AS neighbor_id,
+         CAST(SUM(l.d2) AS BIGINT) AS adc_dist
+  FROM pcells pc
+  JOIN home h ON h.cell = pc.cell AND h.vec_id != pc.probe_id
+  JOIN best b ON b.vec_id = h.vec_id AND b.rk = 1
+  JOIN lut l ON l.probe_id = pc.probe_id AND l.cell = pc.cell
+            AND l.s = b.s AND l.cid = b.cid
+  GROUP BY pc.probe_id, h.vec_id
+)
+SELECT probe_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc_dist, neighbor_id) AS rk
+  FROM adc
+)
+WHERE rk <= {_IVFPQ_TOPK}
+"""
+
+
+@register("vec_ann_ivfpq_residual", oracle=_rivfpq_oracle(), tier="T2")
+def vec_ann_ivfpq_residual(spark, sf_dir):
+    """Residual IVF+PQ ANN (the FAISS-default layout), fully oracle-checked:
+    the corpus vector's RESIDUAL against its home-cell centroid is PQ-coded
+    (one global residual codebook, rpq_frozen.py); each probe builds one
+    exact-int64 LUT PER PROBED CELL from its own residual against that
+    cell's centroid, so ADC approximates within-cell L2 rather than raw L2
+    — the 6-bit code budget covers within-cell variance only. Top-5 by
+    (adc_dist, neighbor_id). DuckDB rebuilds routing, residuals, codes,
+    per-cell LUTs, and ranking from the same frozen literals.
+
+    Exactness: residuals are int64 differences of int64 quantities; every
+    distance is an exact integer sum — the approximation is quantization
+    error vs true distance, never run-to-run noise.
+
+    Scale note: same physical shape as vec_ann_ivfpq_portable — one
+    map-only Arrow index pass, `cell` the single corpus shuffle key,
+    12-byte candidate reads — plus nprobe LUTs per probe instead of one
+    (probe-side-only cost, 6 KiB per probe; the corpus side is unchanged).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .ivf_frozen import IVF_CENTROIDS
+    from .rpq_frozen import RPQ_BOOKS
+
+    e = load(spark, sf_dir, "embeddings")
+    IC = np.asarray(IVF_CENTROIDS, dtype=np.int64)  # (16, 64)
+    RB = np.asarray(RPQ_BOOKS, dtype=np.int64)  # (16, 64, 4)
+    mlo = np.asarray(_PQ_MULT_LO, dtype=np.int64)
+    mhi = np.asarray(_PQ_MULT_HI, dtype=np.int64)
+
+    def _quant(pdf):
+        keep = pdf["embedding"].map(lambda v: v is not None and len(v) == _VEC_DIM)
+        pdf = pdf[keep]
+        if not len(pdf):
+            return None
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        return pdf, np.floor(x * 10_000 + 0.5).astype(np.int64)
+
+    def index_pass(it):
+        for pdf in it:
+            r = _quant(pdf)
+            if r is None:
+                continue
+            pdf, q = r
+            d2c = ((q[:, None, :] - IC[None, :, :]) ** 2).sum(axis=2)
+            cell = d2c.argmin(axis=1)
+            res = (q - IC[cell]).reshape(len(pdf), _PQ_N_SUB, _PQ_SUB_DIM)
+            diff = res[:, :, None, :] - RB[None, :, :, :]
+            codes = (diff * diff).sum(axis=3).argmin(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell.astype(np.int32),
+                    "code_lo": (codes[:, :_PQ_LO] * mlo).sum(axis=1),
+                    "code_hi": (codes[:, _PQ_LO:] * mhi).sum(axis=1),
+                }
+            )
+
+    codes = e.select("vec_id", "embedding").mapInPandas(
+        index_pass, "vec_id long, cell int, code_lo long, code_hi long"
+    )
+
+    def probe_pass(it):
+        for pdf in it:
+            r = _quant(pdf)
+            if r is None:
+                continue
+            pdf, q = r
+            d2c = ((q[:, None, :] - IC[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2c, axis=1, kind="stable")[:, :_IVFPQ_NPROBE]
+            ids = pdf["vec_id"].to_numpy()
+            rows_id, rows_cell, rows_lut = [], [], []
+            for i in range(len(pdf)):
+                for c in order[i]:
+                    res = (q[i] - IC[c]).reshape(_PQ_N_SUB, _PQ_SUB_DIM)
+                    diff = res[:, None, :] - RB
+                    lut = (diff * diff).sum(axis=2).reshape(-1)
+                    rows_id.append(ids[i])
+                    rows_cell.append(int(c))
+                    rows_lut.append(lut.tolist())
+            yield pd.DataFrame(
+                {"probe_id": rows_id, "cell": rows_cell, "lut": rows_lut}
+            )
+
+    probes = (
+        e.filter(F.col("vec_id") < _IVFPQ_PROBES)
+        .select("vec_id", "embedding")
+        .mapInPandas(probe_pass, "probe_id long, cell int, lut array<long>")
+    )
+
+    def code_at(s):
+        if s < _PQ_LO:
+            return F.expr(f"(code_lo DIV {64**s}) % 64")
+        return F.expr(f"(code_hi DIV {64**(s - _PQ_LO)}) % 64")
+
+    adc = sum(
+        F.element_at(
+            F.col("lut"), (F.lit(s * _PQ_N_CENT + 1) + code_at(s)).cast("int")
+        )
+        for s in range(_PQ_N_SUB)
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        F.broadcast(probes)
+        .join(
+            codes,
+            (probes.cell == codes.cell) & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.cast("long").alias("adc_dist"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _IVFPQ_TOPK)
+    )
