@@ -1036,3 +1036,133 @@ def eval_brier_multiclass(spark, sf_dir):
                     * 1000000 DIV (t_total * t_total) AS BIGINT)"""
         ).alias("brier_micro"),
     )
+
+
+# ------------------------------------------------------- pass@k estimator
+# Code-generation evaluation (HumanEval / MBPP protocol): each task gets n
+# independent samples, c of which pass; the unbiased pass@k estimator is
+#   pass@k = 1 - C(n-c, k) / C(n, k)
+# (Chen et al. 2021, "Evaluating Large Language Models Trained on Code").
+# The ratio is computed in its overflow-safe product form
+#   prod_{i=0..k-1} (n-c-i)/(n-i),
+# unrolled at fixed k into a chain of non-negative integer DIVs in micro
+# units — the chain is emitted by ONE Python helper for BOTH engines, so
+# the truncation sequence is identical by construction.
+
+
+def _pass_at_k_expr(k: int, div: str) -> str:
+    """1e6-scaled pass@k as a fixed-k unrolled integer-division chain.
+
+    Each step multiplies the running micro-ratio (<= 1e6) by the next
+    numerator term GREATEST(n-c-i, 0) (the guard zeroes the whole product
+    when n-c < k, where the estimator is exactly 1) and divides by
+    GREATEST(n-i, 1) (the clamp only fires on n < k rows, which callers
+    filter out — it exists so ANSI mode never sees a zero divisor while
+    the k-column is evaluated eagerly for every task). Intermediates stay
+    below 1e6 * n — int64-safe for any real sample count.
+    """
+    r = "1000000"
+    for i in range(k):
+        r = f"(({r}) * GREATEST(n - c - {i}, 0)) {div} GREATEST(n - {i}, 1)"
+    return f"1000000 - ({r})"
+
+
+_PAK_KS = (1, 5, 10)
+
+_PAK_SQL = f"""
+WITH tasks AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+per AS (
+  SELECT n, c,
+         {_pass_at_k_expr(1, '//')} AS p1,
+         {_pass_at_k_expr(5, '//')} AS p5,
+         {_pass_at_k_expr(10, '//')} AS p10
+  FROM tasks
+),
+stacked AS (
+  SELECT 1 AS k, p1 AS p FROM per WHERE n >= 1
+  UNION ALL SELECT 5, p5 FROM per WHERE n >= 5
+  UNION ALL SELECT 10, p10 FROM per WHERE n >= 10
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_tasks,
+       CAST(SUM(CASE WHEN p = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS saturated_tasks,
+       CAST(SUM(p) // COUNT(*) AS BIGINT) AS mean_pass_micro,
+       CAST(MIN(p) AS BIGINT) AS min_pass_micro,
+       CAST(MAX(p) AS BIGINT) AS max_pass_micro
+FROM stacked GROUP BY k ORDER BY k
+"""
+
+
+@register("eval_pass_at_k", oracle=_PAK_SQL, tier="T2")
+def eval_pass_at_k(spark, sf_dir):
+    """Unbiased pass@k over a deterministic task/sample grid: customers are
+    tasks, their orders are the n samples, o_orderstatus = 'F' marks a
+    passing sample. For k in (1, 5, 10) reports, over tasks with n >= k,
+    the task count, the saturated count (estimator exactly 1), and the
+    mean/min/max estimator value in micro-units.
+
+    Determinism: the C(n-c,k)/C(n,k) ratio is the fixed-k unrolled chain
+    of non-negative integer DIVs emitted by _pass_at_k_expr for BOTH
+    engines — the truncation sequence is shared by construction, so the
+    result is exact-int64 reproducible across engines, retries, and
+    partitionings.
+
+    Scale: one hash aggregate on the task key (map-side combinable
+    count/sum), then a 3-way stack of the per-task constant-time
+    expression and a tiny final aggregate — embarrassingly parallel at
+    100 TB; no window, no join, no shuffle beyond the task groupBy.
+    """
+    o = load(spark, sf_dir, "orders")
+    tasks = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    per = tasks.select(
+        "n",
+        "c",
+        *[
+            F.expr(_pass_at_k_expr(k, "DIV")).alias(f"p{k}")
+            for k in _PAK_KS
+        ],
+    )
+    stacked = (
+        per.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("long").alias("k"),
+                            F.when(F.col("n") >= k, F.col(f"p{k}")).alias("p"),
+                        )
+                        for k in _PAK_KS
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.k", "s.p")
+        .filter(F.col("p").isNotNull())
+    )
+    return (
+        stacked.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tasks"),
+            F.sum(F.when(F.col("p") == 1000000, 1).otherwise(0))
+            .cast("long")
+            .alias("saturated_tasks"),
+            F.expr("CAST(SUM(p) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_pass_micro"
+            ),
+            F.min("p").cast("long").alias("min_pass_micro"),
+            F.max("p").cast("long").alias("max_pass_micro"),
+        )
+        .orderBy("k")
+    )
