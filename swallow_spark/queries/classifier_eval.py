@@ -1166,3 +1166,253 @@ def eval_pass_at_k(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+# ------------------------------------------------- Bradley-Terry strengths
+# The preference-model fit of an RLHF pipeline: training_preference_pairs
+# builds (chosen, rejected) pairs; this key fits per-group strengths from
+# the FULL pairwise win matrix. Groups are the document languages, a
+# "comparison" is any cross-group doc pair, the winner is the doc with the
+# strictly higher integer quality score (ties discarded, standard BT). The
+# win matrix is derived WITHOUT an all-pairs join: wins_ab = sum over a's
+# per-score histogram of b's strictly-lower cumulative count (the
+# stats_mann_whitney rank-sum machinery, generalized to k groups), then
+# the minorize-maximize update p_i <- W_i / sum_j N_ij/(p_i+p_j) (Hunter
+# 2004) runs for 4 fixed iterations in micro-units with every division a
+# non-negative integer DIV, so the fit is bit-identical across engines.
+
+_BT_ITERS = 4
+_BT_TERM = "1000000000000"  # 1e12 iteration scale: N<=2e6 keeps N*1e12 int64
+
+
+def _bt_iteration_ctes(div: str) -> str:
+    """it0..itN CTE chain of the MM update, emitted identically for both
+    engines (all operands non-negative, so truncating DIV == floor //)."""
+    ctes = []
+    for k in range(1, _BT_ITERS + 1):
+        prev = f"it{k - 1}"
+        ctes.append(
+            f"""raw{k} AS (
+  SELECT pr.i AS lang,
+         CAST(MIN(w.wshare) * {_BT_TERM} {div}
+              GREATEST(CAST(SUM(pr.n * {_BT_TERM} {div}
+                                GREATEST(pa.p + pb.p, 1)) AS BIGINT), 1)
+              AS BIGINT) AS praw
+  FROM pairs pr
+  JOIN {prev} pa ON pa.lang = pr.i
+  JOIN {prev} pb ON pb.lang = pr.j
+  JOIN wsum w ON w.lang = pr.i
+  GROUP BY pr.i
+),
+it{k} AS (
+  SELECT lang,
+         CAST(praw * 1000000 {div}
+              GREATEST((SELECT CAST(SUM(praw) AS BIGINT) FROM raw{k}), 1)
+              AS BIGINT) AS p
+  FROM raw{k}
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+_BT_SQL = f"""
+WITH scored AS (
+  SELECT lang,
+         (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+          * 1000000)
+           // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+),
+hist AS (
+  SELECT score, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM scored GROUP BY 1, 2
+),
+langs AS (SELECT DISTINCT lang AS other FROM scored),
+prevs AS (
+  SELECT h.score, h.lang, h.c, l.other,
+         COALESCE(SUM(CASE WHEN h.lang = l.other THEN h.c END)
+                  OVER (PARTITION BY l.other ORDER BY h.score
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS prev
+  FROM hist h CROSS JOIN langs l
+),
+wins AS (
+  SELECT lang AS winner, other AS loser,
+         CAST(SUM(c * prev) AS BIGINT) AS w
+  FROM prevs WHERE lang <> other GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wins),
+share AS (
+  SELECT winner, loser,
+         CAST(w * 1000000 // GREATEST(tw, 1) AS BIGINT) AS s
+  FROM wins CROSS JOIN tot
+),
+pairs AS (
+  SELECT a.winner AS i, a.loser AS j, a.s + b.s AS n
+  FROM share a JOIN share b ON a.winner = b.loser AND a.loser = b.winner
+),
+wsum AS (
+  SELECT winner AS lang, CAST(SUM(s) AS BIGINT) AS wshare
+  FROM share GROUP BY 1
+),
+it0 AS (
+  SELECT other AS lang,
+         CAST(1000000 // GREATEST((SELECT COUNT(*) FROM langs), 1)
+              AS BIGINT) AS p
+  FROM langs
+),
+{_bt_iteration_ctes('//')}
+SELECT w.lang,
+       w.wshare AS wins_share_micro,
+       f.p AS strength_micro,
+       CAST(row_number() OVER (ORDER BY f.p DESC, w.lang) AS BIGINT) AS rank
+FROM it{_BT_ITERS} f JOIN wsum w ON w.lang = f.lang
+ORDER BY rank
+"""
+
+
+@register("eval_bradley_terry", oracle=_BT_SQL, tier="T2")
+def eval_bradley_terry(spark, sf_dir):
+    """Bradley-Terry strength fit over the cross-language pairwise win
+    matrix of the integer document-quality score — the preference-model
+    (reward-model) companion to training_preference_pairs: W_i (each
+    group's share of total pairwise wins) and the 4-iteration MM strength
+    p_i, both in micro-units, plus the strength rank.
+
+    Determinism: the win matrix is exact integer counting (strictly-
+    greater scores only, ties discarded); the MM iterations run the
+    identical micro-unit DIV chain in both engines (_bt_iteration_ctes
+    emits the SQL; this body mirrors it op-for-op), all operands
+    non-negative so truncation == floor.
+
+    Scale: no all-pairs join anywhere — wins come from the per-distinct-
+    score histogram x the bounded group dimension (|hist| * k rows), with
+    one strictly-less cumulative window per group partition (the
+    stats_mann_whitney shape; at 100 TB, bucket the score axis first).
+    Everything after `share` operates on k*(k-1) rows; each MM iteration
+    is materialized so 4 iterations stay 4 plans, not 2^4
+    (the graph_hits lesson).
+    """
+    from ..ops.materialize import materialize
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    scored = d.select(
+        "lang",
+        F.expr(
+            "(CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " * 1000000)"
+            " DIV CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("score"),
+    )
+    hist = scored.groupBy("score", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    langs = scored.select(F.col("lang").alias("other")).distinct()
+    w_cum = (
+        Window.partitionBy("other")
+        .orderBy("score")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    prevs = hist.crossJoin(F.broadcast(langs)).select(
+        "score",
+        "lang",
+        "c",
+        "other",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("lang") == F.col("other"), F.col("c"))
+            ).over(w_cum),
+            F.lit(0),
+        ).alias("prev"),
+    )
+    wins = (
+        prevs.filter(F.col("lang") != F.col("other"))
+        .groupBy(
+            F.col("lang").alias("winner"), F.col("other").alias("loser")
+        )
+        .agg(F.sum(F.col("c") * F.col("prev")).cast("long").alias("w"))
+    )
+    tot = wins.agg(F.sum("w").cast("long").alias("tw"))
+    share = materialize(
+        wins.crossJoin(F.broadcast(tot)).select(
+            "winner",
+            "loser",
+            F.expr("CAST(w * 1000000 DIV GREATEST(tw, 1) AS BIGINT)").alias(
+                "s"
+            ),
+        )
+    )
+    pairs = (
+        share.alias("a")
+        .join(
+            share.alias("b"),
+            (F.col("a.winner") == F.col("b.loser"))
+            & (F.col("a.loser") == F.col("b.winner")),
+        )
+        .select(
+            F.col("a.winner").alias("i"),
+            F.col("a.loser").alias("j"),
+            (F.col("a.s") + F.col("b.s")).alias("n"),
+        )
+    )
+    wsum = share.groupBy(F.col("winner").alias("lang")).agg(
+        F.sum("s").cast("long").alias("wshare")
+    )
+    nl = langs.agg(F.count(F.lit(1)).alias("n_langs"))
+    p = langs.crossJoin(F.broadcast(nl)).select(
+        F.col("other").alias("lang"),
+        F.expr("CAST(1000000 DIV GREATEST(n_langs, 1) AS BIGINT)").alias("p"),
+    )
+    for _ in range(_BT_ITERS):
+        pa = p.select(
+            F.col("lang").alias("i_lang"), F.col("p").alias("p_i")
+        )
+        pb = p.select(
+            F.col("lang").alias("j_lang"), F.col("p").alias("p_j")
+        )
+        ws = wsum.select(
+            F.col("lang").alias("w_lang"), F.col("wshare").alias("wshare")
+        )
+        raw = (
+            pairs.join(pa, F.col("i") == F.col("i_lang"))
+            .join(pb, F.col("j") == F.col("j_lang"))
+            .join(ws, F.col("i") == F.col("w_lang"))
+            .groupBy("i")
+            .agg(
+                F.min("wshare").alias("wshare"),
+                F.expr(
+                    f"CAST(SUM(n * {_BT_TERM} DIV GREATEST(p_i + p_j, 1))"
+                    " AS BIGINT)"
+                ).alias("denom"),
+            )
+            .select(
+                F.col("i").alias("lang"),
+                F.expr(
+                    f"CAST(wshare * {_BT_TERM} DIV GREATEST(denom, 1)"
+                    " AS BIGINT)"
+                ).alias("praw"),
+            )
+        )
+        sp = raw.agg(F.sum("praw").cast("long").alias("sp"))
+        p = materialize(
+            raw.crossJoin(F.broadcast(sp)).select(
+                "lang",
+                F.expr(
+                    "CAST(praw * 1000000 DIV GREATEST(sp, 1) AS BIGINT)"
+                ).alias("p"),
+            )
+        )
+    w_rank = Window.orderBy(F.col("p").desc(), "lang")
+    return (
+        p.join(wsum, "lang")
+        .select(
+            "lang",
+            F.col("wshare").alias("wins_share_micro"),
+            F.col("p").alias("strength_micro"),
+            F.row_number().over(w_rank).cast("long").alias("rank"),
+        )
+        .orderBy("rank")
+    )

@@ -391,6 +391,7 @@ BNLJ_ALLOWED = {
     "ts_kpss_stationarity",  # broadcast 1-row sufficient-stats crossjoin (pacf-rule chain)
     "stats_mann_whitney",
     "etl_freshness_audit",  # broadcast 1-row global-max-ts crossjoin
+    "eval_bradley_terry",  # broadcast k-row lang-dim + 1-row scalar crossjoins (MW shape)
     "etl_incremental_dedup",  # broadcast 1-row split-point scalar crossjoin
     "graph_modularity",  # broadcast 1-row m / Q-numerator scalar cross joins
     "seq_cohort_ltv",  # broadcast 1-row min-date crossjoin
