@@ -1256,6 +1256,63 @@ QUALIFY rk <= {_IVF_TOPK}
 """
 
 
+def _ivf_assign(e, nprobe: int):
+    """(vec_id, iv, nrm, crk, cell) for the ``nprobe`` nearest frozen cells
+    per vector — one Arrow-batched numpy pass (exact int64 d2; stable
+    argsort = ORDER BY d2, cell), materialized because every caller feeds
+    it to both sides of a join. Shared by vec_ann_ivf_portable (nprobe=6)
+    and vec_ann_recall_sweep (nprobe=8)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..ops.materialize import materialize
+    from ..ops.vectors import SCALE
+    from .ivf_frozen import IVF_CENTROIDS
+
+    IC = np.asarray(IVF_CENTROIDS, dtype=np.int64)  # (16, 64)
+
+    def assign_pass(it):
+        for pdf in it:
+            keep = pdf["embedding"].map(
+                lambda v: v is not None and len(v) == _VEC_DIM
+            )
+            pdf = pdf[keep]
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            q = np.floor(x * 10_000 + 0.5).astype(np.int64)
+            nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64) / SCALE)
+            ok = nrm > 0  # zero-norm: cosine undefined (llm_similarity rule)
+            n_ok = int(ok.sum())
+            if not n_ok:
+                continue
+            q, nrm = q[ok], nrm[ok]
+            ids = pdf["vec_id"].to_numpy()[ok]
+            d2c = ((q[:, None, :] - IC[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2c, axis=1, kind="stable")[:, :nprobe]
+            ivobj = np.empty(n_ok, dtype=object)
+            for i in range(n_ok):
+                ivobj[i] = q[i].tolist()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, nprobe),
+                    "iv": np.repeat(ivobj, nprobe),
+                    "nrm": np.repeat(nrm, nprobe),
+                    "crk": np.tile(np.arange(nprobe, dtype=np.int32), n_ok),
+                    "cell": order.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return (
+        e.select("vec_id", "embedding")
+        .mapInPandas(
+            assign_pass,
+            schema="vec_id long, iv array<long>, nrm double, crk int, cell int",
+        )
+        .transform(materialize)
+    )
+
+
 @register("vec_ann_ivf_portable", oracle=_ivf_oracle(), tier="T2")
 def vec_ann_ivf_portable(spark, sf_dir):
     """End-to-end IVF ANN with frozen centroids, fully oracle-checked: each
@@ -1284,63 +1341,14 @@ def vec_ann_ivf_portable(spark, sf_dir):
     both join sides. Nothing is all-pairs; per-probe work is bounded by
     the nprobe cells' populations.
     """
-    from .ivf_frozen import IVF_CENTROIDS
-    import numpy as np
-    import pandas as pd
-
-    from ..ops.materialize import materialize
     from ..ops.vectors import SCALE, dot_int
 
     e = load(spark, sf_dir, "embeddings")
-    IC = np.asarray(IVF_CENTROIDS, dtype=np.int64)  # (16, 64)
 
-    # One Arrow-batched numpy pass computes iv/nrm and the nprobe nearest
-    # cells per vector (exact int64 d2; stable argsort = ORDER BY d2, cell).
-    # The pure-expression formulation (16 aggregate-HOF folds) evaluated
-    # INTERPRETED — higher-order functions sit outside whole-stage codegen —
-    # and benched 2.5x slower than this pass at sf0.1.
-    def assign_pass(it):
-        for pdf in it:
-            keep = pdf["embedding"].map(
-                lambda v: v is not None and len(v) == _VEC_DIM
-            )
-            pdf = pdf[keep]
-            if not len(pdf):
-                continue
-            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            q = np.floor(x * 10_000 + 0.5).astype(np.int64)
-            nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64) / SCALE)
-            ok = nrm > 0  # zero-norm: cosine undefined (llm_similarity rule)
-            n_ok = int(ok.sum())
-            if not n_ok:
-                continue
-            q, nrm = q[ok], nrm[ok]
-            ids = pdf["vec_id"].to_numpy()[ok]
-            d2c = ((q[:, None, :] - IC[None, :, :]) ** 2).sum(axis=2)
-            order = np.argsort(d2c, axis=1, kind="stable")[:, :_IVF_NPROBE]
-            ivobj = np.empty(n_ok, dtype=object)
-            for i in range(n_ok):
-                ivobj[i] = q[i].tolist()
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(ids, _IVF_NPROBE),
-                    "iv": np.repeat(ivobj, _IVF_NPROBE),
-                    "nrm": np.repeat(nrm, _IVF_NPROBE),
-                    "crk": np.tile(
-                        np.arange(_IVF_NPROBE, dtype=np.int32), n_ok
-                    ),
-                    "cell": order.reshape(-1).astype(np.int32),
-                }
-            )
-
-    assigned = (
-        e.select("vec_id", "embedding")
-        .mapInPandas(
-            assign_pass,
-            schema="vec_id long, iv array<long>, nrm double, crk int, cell int",
-        )
-        .transform(materialize)
-    )
+    # _ivf_assign is one Arrow-batched numpy pass (the pure-expression
+    # formulation — 16 aggregate-HOF folds — evaluated INTERPRETED, outside
+    # whole-stage codegen, and benched 2.5x slower at sf0.1).
+    assigned = _ivf_assign(e, _IVF_NPROBE)
     corpus = assigned.filter(F.col("crk") == 0).select("vec_id", "iv", "nrm", "cell")
     probes = assigned.filter(F.col("vec_id") < _IVF_PROBES).select(
         "vec_id", "iv", "nrm", "cell"
@@ -1780,4 +1788,211 @@ def vec_ann_ivfpq_residual(spark, sf_dir):
         )
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _IVFPQ_TOPK)
+    )
+
+
+# ------------------------------------- IVF recall-vs-nprobe sweep (round 9)
+# The operating-curve evaluation a real ANN deployment tunes against:
+# recall@k as a function of nprobe, measured against the exhaustive scan,
+# in one plan. "Measure, don't guess" applied to the IVF index itself —
+# the sweep shares vec_ann_ivf_portable's frozen quantizer and integer
+# rerank, so the ENTIRE curve is hash-checkable in DuckDB.
+_SWEEP_NPROBES = (1, 2, 4, 8)
+_SWEEP_MAX = max(_SWEEP_NPROBES)
+
+_SWEEP_COS = (
+    "(CAST(list_sum(list_transform(generate_series(1, {d}), "
+    "i -> a.iv[i] * b.iv[i])) AS DOUBLE) / 100000000) / (a.nrm * b.nrm)"
+).format(d=_VEC_DIM)
+
+
+def _ivf_sweep_oracle() -> str:
+    nps = ", ".join(f"({p})" for p in _SWEEP_NPROBES)
+    return f"""
+WITH cb AS (
+  SELECT * FROM (VALUES
+    {_ivf_cb_values()}) AS t(cell, j, c)
+),
+iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS iv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_VEC_DIM}
+),
+norms AS (
+  SELECT * FROM (
+    SELECT vec_id, iv,
+           sqrt(CAST(list_sum(list_transform(generate_series(1, {_VEC_DIM}),
+                i -> iv[i] * iv[i])) AS DOUBLE) / 100000000) AS nrm
+    FROM iv
+  ) WHERE nrm > 0
+),
+dist AS (
+  SELECT n.vec_id, cb.cell,
+         CAST(SUM((n.iv[cb.j + 1] - cb.c) * (n.iv[cb.j + 1] - cb.c)) AS BIGINT)
+           AS d2
+  FROM norms n CROSS JOIN cb
+  GROUP BY n.vec_id, cb.cell
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
+  FROM dist
+),
+corpus AS (SELECT vec_id, cell FROM ranked WHERE crk = 1),
+probes AS (SELECT vec_id, cell, crk FROM ranked
+           WHERE crk <= {_SWEEP_MAX} AND vec_id < {_IVF_PROBES}),
+cand AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, p.crk
+  FROM probes p JOIN corpus c ON p.cell = c.cell AND c.vec_id != p.vec_id
+),
+scored AS (
+  SELECT cand.probe_id, cand.neighbor_id, cand.crk, {_SWEEP_COS} AS cos
+  FROM cand
+  JOIN norms a ON a.vec_id = cand.probe_id
+  JOIN norms b ON b.vec_id = cand.neighbor_id
+),
+nps AS (SELECT * FROM (VALUES {nps}) AS t(np)),
+cand_np AS (
+  SELECT np, probe_id, neighbor_id, cos
+  FROM scored CROSS JOIN nps WHERE scored.crk <= nps.np
+),
+ann AS (
+  SELECT np, probe_id, neighbor_id FROM (
+    SELECT np, probe_id, neighbor_id,
+           row_number() OVER (PARTITION BY np, probe_id
+                              ORDER BY cos DESC, neighbor_id) AS rk
+    FROM cand_np
+  ) WHERE rk <= {_IVF_TOPK}
+),
+exh AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_SWEEP_COS} DESC, b.vec_id) AS rk
+    FROM norms a JOIN norms b ON b.vec_id != a.vec_id
+    WHERE a.vec_id < {_IVF_PROBES}
+  ) WHERE rk <= {_IVF_TOPK}
+),
+counts AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS n_cand
+           FROM cand_np GROUP BY np),
+hit AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM ann JOIN exh USING (probe_id, neighbor_id) GROUP BY np),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes
+        FROM norms WHERE vec_id < {_IVF_PROBES})
+SELECT CAST(c.np AS BIGINT) AS nprobe,
+       t.n_probes,
+       c.n_cand,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(h.hits, 0) * 1000000
+            // GREATEST(t.n_probes * {_IVF_TOPK}, 1) AS BIGINT)
+         AS recall_micro
+FROM counts c LEFT JOIN hit h ON c.np = h.np CROSS JOIN tot t
+ORDER BY nprobe
+"""
+
+
+@register("vec_ann_recall_sweep", oracle=_ivf_sweep_oracle(), tier="T2")
+def vec_ann_recall_sweep(spark, sf_dir):
+    """Recall@5-vs-nprobe operating curve for the frozen-quantizer IVF
+    index: for nprobe in (1, 2, 4, 8), the candidate volume actually
+    scored, the overlap with the exhaustive top-5 (hits), and recall in
+    micro-units — the table an ANN deployment reads to pick its
+    latency/recall point.
+
+    Determinism: shares vec_ann_ivf_portable's frozen centroids and
+    exact-int64 assignment, and the hit join is on (probe, neighbor) ids
+    only — no float ever crosses an engine boundary un-quantized.
+
+    Scale: one assignment pass (map-only, materialized once) feeds both
+    the index side (home cell) and the probe side (8 ranked cells);
+    per-nprobe reachability is a filter on the probe-side cell rank, so
+    the sweep costs ONE bucketed candidate join at the widest nprobe plus
+    per-curve-point window ranks over probe-bounded rows. The exhaustive
+    arm is the audited bounded-broadcast probe scan (sim_cosine_topk
+    shape) — it exists to measure recall and is probe-bounded, not
+    corpus-quadratic.
+    """
+    from ..ops.materialize import materialize
+    from ..ops.vectors import SCALE, dot_int
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned = _ivf_assign(e, _SWEEP_MAX)  # crk is 0-based here
+    corpus = assigned.filter(F.col("crk") == 0).select(
+        "vec_id", "iv", "nrm", "cell"
+    )
+    probes = assigned.filter(F.col("vec_id") < _IVF_PROBES)
+    cos = (
+        dot_int(F.col("a.iv"), F.col("b.iv")).cast("double") / F.lit(SCALE)
+    ) / (F.col("a.nrm") * F.col("b.nrm"))
+    cand = materialize(
+        probes.alias("a")
+        .join(
+            corpus.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("a.crk").alias("crk"),
+            cos.alias("cos"),
+        )
+    )
+    cand_np = cand.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(p) for p in _SWEEP_NPROBES])
+        ).alias("np"),
+    ).filter(F.col("crk") < F.col("np"))
+    w_ann = Window.partitionBy("np", "probe_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    ann = (
+        cand_np.withColumn("rk", F.row_number().over(w_ann))
+        .filter(F.col("rk") <= _IVF_TOPK)
+        .select("np", "probe_id", "neighbor_id")
+    )
+    probe0 = assigned.filter(
+        (F.col("vec_id") < _IVF_PROBES) & (F.col("crk") == 0)
+    ).select("vec_id", "iv", "nrm")
+    w_exh = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    exh = (
+        F.broadcast(probe0.alias("a"))
+        .join(corpus.alias("b"), F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos.alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w_exh))
+        .filter(F.col("rk") <= _IVF_TOPK)
+        .select("probe_id", "neighbor_id")
+    )
+    counts = cand_np.groupBy("np").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand")
+    )
+    hits = (
+        ann.join(exh, ["probe_id", "neighbor_id"])
+        .groupBy("np")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    tot = probe0.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    return (
+        counts.join(hits, "np", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("np").cast("long").alias("nprobe"),
+            "n_probes",
+            "n_cand",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.expr(
+                f"CAST(COALESCE(hits, 0) * 1000000"
+                f" DIV GREATEST(n_probes * {_IVF_TOPK}, 1) AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+        .orderBy("nprobe")
     )
