@@ -1196,3 +1196,63 @@ def sql_ctas_dml(spark, sf_dir):
         """
     )
     return spark.sql(f"SELECT o_orderpriority, n, cents FROM {tbl}")
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+WITH RECURSIVE anc(custkey, anc_key, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT a.custkey, a.anc_key // 10, a.depth + 1
+  FROM anc a JOIN customer p ON p.c_custkey = a.anc_key // 10
+  WHERE a.anc_key >= 10
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT anc_key) AS BIGINT) AS n_roots,
+       CAST(MIN(custkey) AS BIGINT) AS min_custkey,
+       CAST(MAX(custkey) AS BIGINT) AS max_custkey
+FROM anc WHERE anc_key < 10
+GROUP BY depth ORDER BY depth
+""",
+    tier="T2",
+)
+def sql_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4's recursive CTE) walking a hierarchy to its
+    roots: every customer climbs the deterministic B-ary tree
+    parent = custkey DIV 10 (the org-chart / filesystem shape), the
+    recursive step gated on the parent row actually existing via an equi
+    join — the UnionLoop-with-join plan, not arithmetic-only recursion.
+    Reports the depth histogram with per-depth root counts and custkey
+    extent; chains terminate at the single-digit roots.
+
+    Determinism: pure integer arithmetic (DIV == DuckDB's // on
+    non-negative keys) and exact counts — no floats anywhere.
+
+    Scale note: recursion depth is log10(max custkey) (~7 levels at 100
+    TB), each level one hash equi-join of the frontier against the dim's
+    key — Spark materializes each UnionLoop iteration, so this is the
+    bounded-iteration join-per-level shape, with the final aggregate a
+    tiny depth-keyed rollup. The WHERE anc_key >= 10 guard bounds the
+    frontier monotonically.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("rc_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(custkey, anc_key, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM rc_customer
+          UNION ALL
+          SELECT a.custkey, a.anc_key DIV 10, a.depth + 1
+          FROM anc a JOIN rc_customer p ON p.c_custkey = a.anc_key DIV 10
+          WHERE a.anc_key >= 10
+        )
+        SELECT CAST(depth AS BIGINT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(COUNT(DISTINCT anc_key) AS BIGINT) AS n_roots,
+               CAST(MIN(custkey) AS BIGINT) AS min_custkey,
+               CAST(MAX(custkey) AS BIGINT) AS max_custkey
+        FROM anc WHERE anc_key < 10
+        GROUP BY depth ORDER BY depth
+        """
+    )
