@@ -1996,3 +1996,102 @@ def vec_ann_recall_sweep(spark, sf_dir):
         )
         .orderBy("nprobe")
     )
+
+
+# ----------------------------------------- IVF cell-balance diagnostic (r9)
+# The skew report for the IVF inverted lists: per-cell population (empty
+# cells included — a dead cell is a tuning bug), corpus share, and the
+# ratio to the uniform load, in micro-units. At 100 TB this table decides
+# whether a hot cell needs salting before the candidate join.
+
+
+def _ivf_balance_oracle() -> str:
+    return f"""
+WITH cb AS (
+  SELECT * FROM (VALUES
+    {_ivf_cb_values()}) AS t(cell, j, c)
+),
+iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS iv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_VEC_DIM}
+),
+norms AS (
+  SELECT * FROM (
+    SELECT vec_id, iv,
+           sqrt(CAST(list_sum(list_transform(generate_series(1, {_VEC_DIM}),
+                i -> iv[i] * iv[i])) AS DOUBLE) / 100000000) AS nrm
+    FROM iv
+  ) WHERE nrm > 0
+),
+dist AS (
+  SELECT n.vec_id, cb.cell,
+         CAST(SUM((n.iv[cb.j + 1] - cb.c) * (n.iv[cb.j + 1] - cb.c)) AS BIGINT)
+           AS d2
+  FROM norms n CROSS JOIN cb
+  GROUP BY n.vec_id, cb.cell
+),
+home AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
+    FROM dist
+  ) WHERE crk = 1
+),
+pop AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM home GROUP BY cell),
+cells AS (SELECT UNNEST(generate_series(0, {_IVF_K - 1})) AS cell),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM home)
+SELECT CAST(c.cell AS BIGINT) AS cell,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_vectors,
+       CAST(COALESCE(p.n, 0) * 1000000 // GREATEST(t.total, 1) AS BIGINT)
+         AS share_micro,
+       CAST(COALESCE(p.n, 0) * {_IVF_K} * 1000000 // GREATEST(t.total, 1)
+            AS BIGINT) AS load_vs_uniform_micro
+FROM cells c LEFT JOIN pop p ON p.cell = c.cell CROSS JOIN tot t
+ORDER BY cell
+"""
+
+
+@register("vec_ivf_cell_balance", oracle=_ivf_balance_oracle(), tier="T2")
+def vec_ivf_cell_balance(spark, sf_dir):
+    """Load-balance report for the frozen IVF index's inverted lists: one
+    row per codebook cell (empty cells included) with its population,
+    corpus share, and micro-unit ratio to the uniform load — 1e6 means a
+    perfectly balanced cell, 16e6 means one cell holds the whole corpus.
+
+    Determinism: exact int64 cell assignment (vec_ann_ivf_portable's
+    recipe) and pure integer counting/division.
+
+    Scale: the assignment pass is map-only; the per-cell count is one
+    partial+final aggregate on a 16-value key; the codebook-range left
+    join keeps dead cells visible (a dead cell at 100 TB means the
+    quantizer no longer matches the corpus — re-freeze). This is the
+    table that decides whether a hot inverted list needs salting before
+    the candidate join.
+    """
+    from ..ops.vectors import SCALE  # noqa: F401  (documents the unit system)
+
+    e = load(spark, sf_dir, "embeddings")
+    home = _ivf_assign(e, 1).filter(F.col("crk") == 0).select("vec_id", "cell")
+    pop = home.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = home.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    cells = spark.range(_IVF_K).select(F.col("id").cast("int").alias("cell"))
+    return (
+        cells.join(pop, "cell", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_vectors"),
+            F.expr(
+                "CAST(COALESCE(n, 0) * 1000000 DIV GREATEST(total, 1)"
+                " AS BIGINT)"
+            ).alias("share_micro"),
+            F.expr(
+                f"CAST(COALESCE(n, 0) * {_IVF_K} * 1000000"
+                " DIV GREATEST(total, 1) AS BIGINT)"
+            ).alias("load_vs_uniform_micro"),
+        )
+        .orderBy("cell")
+    )
