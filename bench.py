@@ -71,6 +71,8 @@ EXTENDED = [
     "vec_ann_ivfpq_portable",  # round 9: composed IVF routing + PQ/ADC scoring
     "etl_incremental_dedup",  # round 9: asymmetric increment-vs-corpus dedup
     "text_ngram_novelty",  # round 9: explode-heavy first-occurrence join
+    "eval_bradley_terry",  # round 9: MW win matrix + 4 materialized MM iterations
+    "vec_ann_recall_sweep",  # round 9: 4-point recall curve + exhaustive arm
 ]
 
 

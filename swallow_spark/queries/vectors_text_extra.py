@@ -2095,3 +2095,113 @@ def vec_ivf_cell_balance(spark, sf_dir):
         )
         .orderBy("cell")
     )
+
+
+# ------------------------------------------ PQ distortion report (round 9)
+# The re-train signal for the PQ codebooks: per-subspace reconstruction
+# error at the chosen code. A subspace whose mean distortion runs hot is
+# the one whose codebook no longer fits the corpus — re-freeze it (or give
+# it more centroids) before recall quietly degrades. Companion to
+# vec_ivf_cell_balance on the compression half of the IVF+PQ index.
+
+
+def _pq_distortion_oracle() -> str:
+    return f"""
+WITH {_pq_qdist_sql()},
+best AS (
+  SELECT vec_id, s, cid, d2,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
+  FROM dist
+),
+per AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d2) AS BIGINT) AS sd,
+         CAST(MAX(d2) AS BIGINT) AS mx
+  FROM best WHERE rk = 1 GROUP BY s
+),
+tot AS (SELECT CAST(SUM(sd) AS BIGINT) AS t FROM per)
+SELECT CAST(p.s AS BIGINT) AS subspace,
+       p.n AS n_vectors,
+       p.sd AS sum_d2,
+       CAST(p.sd // GREATEST(p.n, 1) AS BIGINT) AS mean_d2,
+       p.mx AS max_d2,
+       CAST((p.sd // 1000) * 1000000 // GREATEST(t.t // 1000, 1) AS BIGINT)
+         AS share_micro
+FROM per p CROSS JOIN tot t ORDER BY subspace
+"""
+
+
+@register("vec_pq_distortion", oracle=_pq_distortion_oracle(), tier="T2")
+def vec_pq_distortion(spark, sf_dir):
+    """Per-subspace PQ reconstruction-error report: for each of the 16
+    frozen codebooks, the vector count, total/mean/max squared distortion
+    at the chosen code (exact int64 units²), and each subspace's share of
+    total distortion in micro-units — the table that says WHICH codebook
+    to re-train when recall drifts.
+
+    Determinism: vec_pq_encode's exact integer assignment (argmin
+    first-occurrence == ORDER BY d2, cid); the share divide pre-scales
+    both operands by 1000 in BOTH engines so sums stay int64 at any
+    corpus size.
+
+    Scale: the mapInPandas pass emits 16 PARTIAL rows per Arrow batch
+    (n/sum/max per subspace), not per-vector rows — the map-side-combine
+    shape — so the exchange carries 16 x n_batches rows regardless of
+    corpus size; the final aggregate and the 1-row total crossjoin are
+    constant-sized.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .pq_frozen import PQ_BOOKS
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    assign = _pq_codes_batches()
+    books = [[list(c) for c in book] for book in PQ_BOOKS]
+
+    def partials(it):
+        for pdf in it:
+            r = assign(pdf)
+            if r is None:
+                continue
+            pdf, q, codes, _ = r
+            C = np.asarray(books, dtype=np.int64)  # (16, 64, 4)
+            diff = q - np.take_along_axis(
+                C[None, :, :, :],
+                codes[:, :, None, None].astype(np.int64),
+                axis=2,
+            )[:, :, 0, :]
+            d2 = (diff * diff).sum(axis=2)  # (n, 16) exact int64
+            yield pd.DataFrame(
+                {
+                    "s": np.arange(_PQ_N_SUB, dtype=np.int32),
+                    "n": np.full(_PQ_N_SUB, d2.shape[0], dtype=np.int64),
+                    "sd": d2.sum(axis=0),
+                    "mx": d2.max(axis=0),
+                }
+            )
+
+    per = (
+        e.mapInPandas(partials, "s int, n long, sd long, mx long")
+        .groupBy("s")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sd").cast("long").alias("sd"),
+            F.max("mx").cast("long").alias("mx"),
+        )
+    )
+    tot = per.agg(F.sum("sd").cast("long").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").cast("long").alias("subspace"),
+            F.col("n").alias("n_vectors"),
+            F.col("sd").alias("sum_d2"),
+            F.expr("CAST(sd DIV GREATEST(n, 1) AS BIGINT)").alias("mean_d2"),
+            F.col("mx").alias("max_d2"),
+            F.expr(
+                "CAST((sd DIV 1000) * 1000000 DIV GREATEST(t DIV 1000, 1)"
+                " AS BIGINT)"
+            ).alias("share_micro"),
+        )
+        .orderBy("subspace")
+    )

@@ -380,6 +380,7 @@ BNLJ_ALLOWED = {
     "sim_cosine_topk",
     "vec_ann_recall_sweep",  # exhaustive arm: bounded-broadcast probe scan (sim_cosine_topk shape) + 1-row tot
     "vec_ivf_cell_balance",  # broadcast 1-row corpus-total crossjoin
+    "vec_pq_distortion",  # broadcast 1-row total-distortion crossjoin
     "sim_knn_join_label",
     "stats_chisq_independence",
     "stats_jackknife_se",  # broadcast 1-row total/20-row fold cross joins
