@@ -473,3 +473,131 @@ def stats_calibration_ece(spark, sf_dir):
             ).alias("ece"),
         )
     )
+
+
+# ------------------------------------------------ power analysis (round 9)
+# The planning half of the experiment battery: ab_test_ztest / stats_cuped
+# / stats_sprt_stopping ANALYZE a finished experiment; this key sizes the
+# NEXT one. Standard two-proportion power formula (alpha=0.05 two-sided,
+# power=0.80):
+#   n/arm = (z_a*sqrt(2*pbar*qbar) + z_b*sqrt(p1*q1 + p2*q2))^2 / delta^2
+# with p1 the observed per-segment baseline conversion. The whole float
+# expression is emitted by ONE helper for both engines (short
+# decimal-exact literals only), so the IEEE sequence is shared.
+
+
+def _power_expr(d: str) -> str:
+    """n-per-arm for absolute MDE ``d`` (a short decimal literal string),
+    over a column conv_micro holding baseline conversion in micro-units.
+    Identical text runs in Spark SQL and DuckDB."""
+    p1 = "(CAST(conv_micro AS DOUBLE) / 1000000)"
+    p2 = f"LEAST({p1} + {d}, 0.999999)"
+    pbar = f"(({p1} + {p2}) / 2)"
+    a = (
+        f"(1.96 * sqrt(2 * {pbar} * (1 - {pbar})) + "
+        f"0.84 * sqrt({p1} * (1 - {p1}) + {p2} * (1 - {p2})))"
+    )
+    return f"(({a}) * ({a}) / ({d} * {d}))"
+
+
+_POWER_DELTAS = ((10, "0.01"), (20, "0.02"), (50, "0.05"))
+
+_POWER_SQL = f"""
+WITH flags AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey)
+              THEN 1 ELSE 0 END AS conv
+  FROM customer c
+),
+per AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(conv) AS BIGINT) AS conv
+  FROM flags GROUP BY 1
+),
+base AS (
+  SELECT segment, total,
+         CAST(conv * 1000000 // total AS BIGINT) AS conv_micro
+  FROM per
+),
+stacked AS (
+  {" UNION ALL ".join(
+      f"SELECT segment, total, conv_micro, {dm} AS delta_milli, "
+      f"{_power_expr(ds)} AS raw FROM base"
+      for dm, ds in _POWER_DELTAS
+  )}
+)
+SELECT segment,
+       CAST(delta_milli AS BIGINT) AS delta_milli,
+       total AS n_customers,
+       conv_micro,
+       {sql_rnd('raw', 2)} AS n_per_arm
+FROM stacked
+"""
+
+
+@register("stats_power_twoprop", oracle=_POWER_SQL, tier="T2")
+def stats_power_twoprop(spark, sf_dir):
+    """Two-proportion sample-size (power) analysis per market segment: the
+    observed baseline conversion (customer has >= 1 order) in micro-units
+    and the required n per arm to detect absolute MDEs of 1/2/5 points at
+    alpha=0.05 (two-sided), power=0.80 — the table an experimentation
+    platform shows before any traffic is assigned.
+
+    Determinism: counts and conv_micro are exact int64; the float power
+    formula is ONE shared expression string (_power_expr) evaluated by
+    both engines with short decimal-exact z literals (1.96 / 0.84), then
+    half-up rounded to 2 decimals; p2 is clamped below 1 so the variance
+    sqrt never sees a negative.
+
+    Scale: the conversion flag is a left-semi-shaped join against the
+    distinct order keys (no order rows shuffled beyond the key), one
+    partial+final aggregate on the bounded segment dimension, then
+    constant-time math on k x 3 rows.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    ok = o.select(F.col("o_custkey").alias("ck")).distinct()
+    flags = c.join(ok, c.c_custkey == ok.ck, "left").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("ck").isNotNull(), 1).otherwise(0).alias("conv"),
+    )
+    base = (
+        flags.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.sum("conv").cast("long").alias("conv"),
+        )
+        .select(
+            "segment",
+            "total",
+            F.expr("CAST(conv * 1000000 DIV total AS BIGINT)").alias(
+                "conv_micro"
+            ),
+        )
+    )
+    stacked = (
+        base.select(
+            "segment",
+            "total",
+            "conv_micro",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(dm).cast("long").alias("delta_milli"),
+                            F.expr(_power_expr(ds)).alias("raw"),
+                        )
+                        for dm, ds in _POWER_DELTAS
+                    ]
+                )
+            ).alias("s"),
+        )
+    )
+    return stacked.select(
+        "segment",
+        F.col("s.delta_milli").alias("delta_milli"),
+        F.col("total").alias("n_customers"),
+        "conv_micro",
+        rnd(F.col("s.raw"), 2).alias("n_per_arm"),
+    )
