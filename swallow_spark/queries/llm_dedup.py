@@ -804,3 +804,101 @@ def eval_dedup_minhash_quality(spark, sf_dir):
                     ELSE CAST(tp * 1000000 DIV n_truth AS BIGINT) END"""
         ).alias("recall_micro"),
     )
+
+
+# --------------------------------------- dedup threshold sweep (round 9)
+# The aggressiveness curve for the shingle-Jaccard dedup pass, named
+# under eval_* like eval_dedup_minhash_quality (the dedup meta-evals):
+# how many pairs fire, how many docs would be dropped, and the removal
+# rate, at each candidate threshold — the table read before committing a
+# corpus-wide dedup threshold, mirroring vec_ann_recall_sweep's
+# operating-curve pattern on the dedup family.
+
+_SWEEP_THRESHOLDS = (500, 600, 700, 800, 900)  # milli-Jaccard
+
+_DEDUP_SWEEP_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({sql_shingles('text')}) AS s FROM documents
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jacp AS (
+  SELECT d1, d2, CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jac
+  FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+),
+thr AS (SELECT * FROM (VALUES {", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)}) AS t(thr)),
+st AS (
+  SELECT t.thr, j.d1, j.d2 FROM jacp j CROSS JOIN thr t
+  WHERE j.jac >= CAST(t.thr AS DOUBLE) / 1000
+),
+per AS (
+  SELECT thr, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COUNT(DISTINCT d2) AS BIGINT) AS n_dup_docs
+  FROM st GROUP BY thr
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT CAST(p.thr AS BIGINT) AS threshold_milli,
+       p.n_pairs,
+       p.n_dup_docs,
+       t.n_docs,
+       CAST(p.n_dup_docs * 1000000 // GREATEST(t.n_docs, 1) AS BIGINT)
+         AS removal_micro
+FROM per p CROSS JOIN tot t
+ORDER BY threshold_milli
+"""
+
+
+@register("eval_dedup_threshold_sweep", oracle=_DEDUP_SWEEP_SQL, tier="T2")
+def eval_dedup_threshold_sweep(spark, sf_dir):
+    """Operating curve for shingle-Jaccard dedup: for each candidate
+    threshold (0.5 .. 0.9), the surviving pair count, the distinct
+    later-doc count that would be dropped under keep-lowest-id, the
+    corpus size, and the removal rate in micro-units.
+
+    Determinism: the Jaccard ratio is the identical IEEE divide of exact
+    integer (inter, n1, n2) in both engines (dedup_near_exact_jaccard's
+    proven recipe), thresholds compare against t/1000 computed the same
+    way on both sides, and all outputs are exact integers. Thresholds
+    that fire zero pairs drop out of both engines symmetrically.
+
+    Scale: ONE pass of the capped posting-list inverted index (the
+    d1 < d2 pair set is computed once, then the 5-threshold fan-out is a
+    constant-factor explode over the already-small pair set) — the whole
+    sweep costs one dedup run plus a tiny aggregate, not five dedup runs.
+    """
+    from ..ops.dedup import shingle_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs, jac = shingle_jaccard_pairs(d)
+    pj = pairs.select("d1", "d2", jac.alias("jac"))
+    st = pj.select(
+        "d1",
+        "d2",
+        "jac",
+        F.explode(
+            F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+        ).alias("thr"),
+    ).filter(F.col("jac") >= F.col("thr").cast("double") / 1000)
+    per = st.groupBy("thr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("d2").cast("long").alias("n_dup_docs"),
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("thr").cast("long").alias("threshold_milli"),
+            "n_pairs",
+            "n_dup_docs",
+            "n_docs",
+            F.expr(
+                "CAST(n_dup_docs * 1000000 DIV GREATEST(n_docs, 1)"
+                " AS BIGINT)"
+            ).alias("removal_micro"),
+        )
+        .orderBy("threshold_milli")
+    )

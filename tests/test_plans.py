@@ -395,6 +395,7 @@ BNLJ_ALLOWED = {
     "stats_mann_whitney",
     "etl_freshness_audit",  # broadcast 1-row global-max-ts crossjoin
     "eval_bradley_terry",  # broadcast k-row lang-dim + 1-row scalar crossjoins (MW shape)
+    "eval_dedup_threshold_sweep",  # broadcast 1-row corpus-total crossjoin
     "etl_incremental_dedup",  # broadcast 1-row split-point scalar crossjoin
     "graph_modularity",  # broadcast 1-row m / Q-numerator scalar cross joins
     "seq_cohort_ltv",  # broadcast 1-row min-date crossjoin
