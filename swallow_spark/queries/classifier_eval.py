@@ -1416,3 +1416,196 @@ def eval_bradley_terry(spark, sf_dir):
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------- length-bias audit (round 9)
+# The classic reward-model failure: scores that secretly reward LENGTH.
+# Per language, the monotonic association between document length and the
+# quality score (the corpus reward-model stub), plus the top-vs-bottom
+# length-decile quality gap — the audit run before trusting any scored
+# pool for preference training (eval_bradley_terry / 
+# training_preference_pairs consume the same score).
+
+_LB_SQL = """
+WITH scored AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+          * 1000000)
+           // CAST(len(string_split(text, ' ')) AS BIGINT) AS q
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+),
+gx AS (
+  SELECT lang, ntok,
+         2 * SUM(COUNT(*)) OVER (PARTITION BY lang ORDER BY ntok)
+           - COUNT(*) + 1 AS dx
+  FROM scored GROUP BY lang, ntok
+),
+gy AS (
+  SELECT lang, q,
+         2 * SUM(COUNT(*)) OVER (PARTITION BY lang ORDER BY q)
+           - COUNT(*) + 1 AS dy
+  FROM scored GROUP BY lang, q
+),
+r AS (
+  SELECT s.lang, gx.dx, gy.dy
+  FROM scored s
+  JOIN gx ON gx.lang = s.lang AND gx.ntok = s.ntok
+  JOIN gy ON gy.lang = s.lang AND gy.q = s.q
+),
+mom AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx) AS BIGINT) AS sdx, CAST(SUM(dy) AS BIGINT) AS sdy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sdx2,
+         CAST(SUM(dy * dy) AS BIGINT) AS sdy2,
+         CAST(SUM(dx * dy) AS BIGINT) AS sdxy
+  FROM r GROUP BY lang
+),
+dec AS (
+  SELECT lang, q,
+         ntile(10) OVER (PARTITION BY lang ORDER BY ntok, doc_id) AS d
+  FROM scored
+),
+gap AS (
+  SELECT lang,
+         CASE WHEN SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) = 0 THEN NULL
+              ELSE CAST(SUM(CASE WHEN d = 1 THEN q ELSE 0 END)
+                        // SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) END AS q_bottom_micro,
+         CASE WHEN SUM(CASE WHEN d = 10 THEN 1 ELSE 0 END) = 0 THEN NULL
+              ELSE CAST(SUM(CASE WHEN d = 10 THEN q ELSE 0 END)
+                        // SUM(CASE WHEN d = 10 THEN 1 ELSE 0 END)
+                        AS BIGINT) END AS q_top_micro
+  FROM dec GROUP BY lang
+)
+SELECT m.lang, m.n AS n_docs,
+       CASE WHEN m.n < 2
+                 OR m.n * m.sdx2 - m.sdx * m.sdx = 0
+                 OR m.n * m.sdy2 - m.sdy * m.sdy = 0 THEN NULL
+            ELSE FLOOR((CAST(m.n AS DOUBLE) * m.sdxy
+                        - CAST(m.sdx AS DOUBLE) * m.sdy)
+                 / sqrt((CAST(m.n AS DOUBLE) * m.sdx2
+                         - CAST(m.sdx AS DOUBLE) * m.sdx)
+                        * (CAST(m.n AS DOUBLE) * m.sdy2
+                           - CAST(m.sdy AS DOUBLE) * m.sdy))
+                 * 1000000 + 0.5) / 1000000 END AS rho_len_quality,
+       g.q_bottom_micro,
+       g.q_top_micro,
+       g.q_top_micro - g.q_bottom_micro AS gap_micro
+FROM mom m JOIN gap g ON g.lang = m.lang
+ORDER BY m.lang
+"""
+
+
+@register("eval_length_bias", oracle=_LB_SQL, tier="T2")
+def eval_length_bias(spark, sf_dir):
+    """Length-bias audit of the document quality score, per language:
+    Spearman rho between token count and score (doubled-tie-rank recipe,
+    stats_spearman's machinery partitioned by group) and the mean-score
+    gap between the top and bottom length deciles — negative rho/gap here
+    means the "reward" anti-correlates with length (this score divides by
+    token count), the mirror image of the verbosity bias a real reward
+    model is audited for.
+
+    Determinism: ranks/deciles from exact integer cumulative counts and
+    ntile over a (length, doc_id) total order (remainder semantics
+    verified identical across engines); the only float is the final rho
+    expression, NULL-guarded on exact-integer zero-variance tests so
+    degenerate groups can never reach a divide-by-zero or an inf cast.
+
+    Scale: rank windows run over per-(lang, distinct-value) aggregates
+    (the KS single-reducer bound, partitioned by lang); the rank join
+    back is value-keyed; deciles are one window over the lang partition;
+    everything else is partial+final aggregates.
+    """
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    scored = d.select(
+        "lang",
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("ntok"),
+        F.expr(
+            "(CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " * 1000000)"
+            " DIV CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("q"),
+    )
+
+    def doubled_ranks(col, alias):
+        wcum = (
+            Window.partitionBy("lang")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            scored.groupBy("lang", col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "lang",
+                col,
+                (2 * F.sum("cnt").over(wcum) - F.col("cnt") + 1).alias(alias),
+            )
+        )
+
+    gx = doubled_ranks("ntok", "dx")
+    gy = doubled_ranks("q", "dy")
+    mom = (
+        scored.join(gx, ["lang", "ntok"])
+        .join(gy, ["lang", "q"])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dx").cast("long").alias("sdx"),
+            F.sum("dy").cast("long").alias("sdy"),
+            F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sdx2"),
+            F.sum(F.col("dy") * F.col("dy")).cast("long").alias("sdy2"),
+            F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sdxy"),
+        )
+    )
+    dec = scored.select(
+        "lang",
+        "q",
+        F.ntile(10)
+        .over(Window.partitionBy("lang").orderBy("ntok", "doc_id"))
+        .alias("d"),
+    )
+    gap = dec.groupBy("lang").agg(
+        F.expr(
+            "CASE WHEN SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) = 0 THEN NULL"
+            " ELSE CAST(SUM(CASE WHEN d = 1 THEN q ELSE 0 END)"
+            " DIV SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) END"
+        ).alias("q_bottom_micro"),
+        F.expr(
+            "CASE WHEN SUM(CASE WHEN d = 10 THEN 1 ELSE 0 END) = 0 THEN NULL"
+            " ELSE CAST(SUM(CASE WHEN d = 10 THEN q ELSE 0 END)"
+            " DIV SUM(CASE WHEN d = 10 THEN 1 ELSE 0 END) AS BIGINT) END"
+        ).alias("q_top_micro"),
+    )
+    rho = F.expr(
+        """CASE WHEN n < 2
+                 OR n * sdx2 - sdx * sdx = 0
+                 OR n * sdy2 - sdy * sdy = 0 THEN NULL
+            ELSE FLOOR((CAST(n AS DOUBLE) * sdxy
+                        - CAST(sdx AS DOUBLE) * sdy)
+                 / sqrt((CAST(n AS DOUBLE) * sdx2
+                         - CAST(sdx AS DOUBLE) * sdx)
+                        * (CAST(n AS DOUBLE) * sdy2
+                           - CAST(sdy AS DOUBLE) * sdy))
+                 * 1000000 + 0.5) / 1000000 END"""
+    )
+    return (
+        mom.join(gap, "lang")
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            rho.alias("rho_len_quality"),
+            "q_bottom_micro",
+            "q_top_micro",
+            (F.col("q_top_micro") - F.col("q_bottom_micro")).alias(
+                "gap_micro"
+            ),
+        )
+        .orderBy("lang")
+    )
