@@ -1469,3 +1469,137 @@ def graph_closeness_landmarks(spark, sf_dir):
     out = out.transform(materialize)
     und.unpersist()
     return out
+
+
+# ------------------------------------- personalized PageRank (round 9)
+# PPR with restart to a small seed set — the recommendation/expansion
+# primitive ("parts related to THESE parts") that global graph_pagerank
+# cannot answer. Same exact-int64 fixed-point recipe: the restart mass is
+# R0 split over the seeds, every iteration is
+#   r = 15*v DIV 100 + 85*contribs DIV 100
+# with floor division, so the result is partition-order independent and
+# the DuckDB twin unrolls the iterations as chained CTEs.
+_PPR_ITERS = 4
+_PPR_TOPK = 30
+_PPR_SEEDS = 3
+
+
+def _ppr_oracle() -> str:
+    base = f"""
+WITH e0 AS ({_EDGES_SQL}),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seeds AS (SELECT node FROM nodes ORDER BY node LIMIT {_PPR_SEEDS}),
+sv AS (SELECT node,
+              CAST({_PR_R0} // GREATEST((SELECT COUNT(*) FROM seeds), 1)
+                   AS BIGINT) AS v
+       FROM seeds),
+r0 AS (SELECT n.node, CAST(COALESCE(sv.v, 0) AS BIGINT) AS r
+       FROM nodes n LEFT JOIN sv USING (node))"""
+    steps = []
+    for i in range(1, _PPR_ITERS + 1):
+        steps.append(
+            f""",
+c{i} AS (SELECT ed.dst AS node, SUM(r{i - 1}.r // ed.deg) AS csum
+         FROM ed JOIN r{i - 1} ON ed.src = r{i - 1}.node GROUP BY ed.dst),
+r{i} AS (SELECT nodes.node,
+                CAST(15 * COALESCE(sv.v, 0) // 100
+                     + 85 * COALESCE(c{i}.csum, 0) // 100 AS BIGINT) AS r
+         FROM nodes LEFT JOIN c{i} USING (node) LEFT JOIN sv USING (node))"""
+        )
+    return (
+        base
+        + "".join(steps)
+        + f"""
+SELECT r.node AS node, r.r AS ppr_units,
+       CAST(CASE WHEN sv.node IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_seed
+FROM r{_PPR_ITERS} r LEFT JOIN sv ON sv.node = r.node
+ORDER BY ppr_units DESC, r.node
+LIMIT {_PPR_TOPK}
+"""
+    )
+
+
+@register("graph_ppr_restart", oracle=_ppr_oracle(), tier="T2")
+def graph_ppr_restart(spark, sf_dir):
+    """Personalized PageRank (restart 0.15 to the {3} lowest part ids,
+    4 fixed iterations) on the undirected co-purchase graph — "what is
+    related to THESE parts": top-30 nodes by PPR mass with a seed flag.
+    ORACLE-CHECKED via graph_pagerank's exact int64 fixed-point recipe
+    (floor-division contributions, restart mass R0 split over the seed
+    set), unrolled in DuckDB as chained CTEs.
+
+    Determinism: identical to graph_pagerank — every quantity is int64,
+    every divide floors on non-negative operands, so the scores are
+    bit-identical at any partitioning; seed selection is a total order
+    (ORDER BY node LIMIT k).
+
+    Scale note: shares the cached edge view and the pagerank iteration
+    shape (adjacency persisted hash-partitioned on the join key; the
+    |edges| expansion lives only in-flight between explode and the
+    map-side partial sum). The restart vector is a k-row broadcast. The
+    asymmetric detail vs pagerank: mass DIES at non-seed dangling ends
+    instead of teleporting uniformly, which is what localizes the scores
+    around the seeds.
+    """
+    e = _edges(spark, sf_dir)
+    und = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    adj = (
+        und.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .withColumn("deg", F.size("nbrs"))
+        .persist()
+    )
+    nodes = adj.select(F.col("src").alias("node"))
+    seeds = nodes.orderBy("node").limit(_PPR_SEEDS)
+    ns = seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
+    sv = materialize(
+        seeds.crossJoin(F.broadcast(ns)).select(
+            "node",
+            F.expr(
+                f"CAST({_PR_R0} DIV GREATEST(n_seeds, 1) AS BIGINT)"
+            ).alias("v"),
+        )
+    )
+    ranks = nodes.join(F.broadcast(sv), "node", "left").select(
+        "node", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("r")
+    )
+    for _ in range(_PPR_ITERS):
+        contribs = (
+            adj.join(ranks, adj["src"] == ranks["node"])
+            .select(
+                F.explode("nbrs").alias("node"),
+                F.expr("r DIV deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        # undirected symmetric graph: contribs covers every node, so the
+        # nodes frame never needs re-joining; only the seed bonus does.
+        ranks = contribs.join(F.broadcast(sv), "node", "left").select(
+            "node",
+            F.expr(
+                "CAST(15 * COALESCE(v, 0) DIV 100"
+                " + 85 * csum DIV 100 AS BIGINT)"
+            ).alias("r"),
+        )
+    out = (
+        ranks.join(F.broadcast(sv), "node", "left")
+        .select(
+            "node",
+            F.col("r").alias("ppr_units"),
+            F.when(F.col("v").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_seed"),
+        )
+        .orderBy(F.col("ppr_units").desc(), "node")
+        .limit(_PPR_TOPK)
+        .transform(materialize)
+    )
+    adj.unpersist()
+    return out

@@ -398,6 +398,7 @@ BNLJ_ALLOWED = {
     "eval_dedup_threshold_sweep",  # broadcast 1-row corpus-total crossjoin
     "etl_incremental_dedup",  # broadcast 1-row split-point scalar crossjoin
     "graph_modularity",  # broadcast 1-row m / Q-numerator scalar cross joins
+    "graph_ppr_restart",  # broadcast 1-row seed-count crossjoin (restart-mass split)
     "seq_cohort_ltv",  # broadcast 1-row min-date crossjoin
     "seq_growth_accounting",  # broadcast 1-row min-date crossjoin
     "seq_rfm_scores",  # broadcast 1-row max-ts crossjoin
