@@ -1,0 +1,212 @@
+"""Adversarial/property coverage for the round-9 preference-eval keys.
+
+eval_pass_at_k: the fixed-k unrolled integer-DIV chain (_pass_at_k_expr)
+is evaluated in DuckDB over an adversarial (n, c) grid and checked against
+a pure-Python replay of the SAME chain plus exact-combinatorics bounds:
+each truncating step loses < 1 micro-unit, so the chain must sit within
+[exact_floor - k, exact_floor] and hit the closed-form endpoints exactly.
+
+eval_bradley_terry: the micro-unit MM iteration (_bt_iteration_ctes) is
+replayed in pure Python over random integer win matrices and compared to
+DuckDB running the identical CTE chain — bit-identity of the fit, plus
+the invariants that make the fit meaningful (strengths bounded by the
+normalizer, domination ordering preserved on separated matrices).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from swallow_spark.queries.classifier_eval import (
+    _BT_ITERS,
+    _BT_TERM,
+    _bt_iteration_ctes,
+    _pass_at_k_expr,
+)
+
+
+# --------------------------------------------------------------- pass@k
+
+
+def _chain_py(n: int, c: int, k: int) -> int:
+    """Pure-Python replay of _pass_at_k_expr's truncation sequence."""
+    r = 1_000_000
+    for i in range(k):
+        r = (r * max(n - c - i, 0)) // max(n - i, 1)
+    return 1_000_000 - r
+
+
+def _exact_micro(n: int, c: int, k: int) -> int:
+    """floor(1e6 * (1 - C(n-c,k)/C(n,k))) from exact combinatorics."""
+    if n - c < k:
+        return 1_000_000
+    num = math.comb(n - c, k)
+    den = math.comb(n, k)
+    return 1_000_000 - (num * 1_000_000 + den - 1) // den  # ceil on ratio
+
+
+GRID = [
+    (n, c, k)
+    for n in (1, 2, 5, 10, 13, 40)
+    for c in range(0, 41)
+    for k in (1, 5, 10)
+    if c <= n and n >= k
+]
+
+
+def test_pass_at_k_chain_matches_duckdb_everywhere():
+    """The emitted SQL ('//' spelling) and the Python replay of the same
+    chain agree on every grid point — the cross-engine contract."""
+    con = duckdb.connect()
+    rows = ", ".join(f"({n}, {c}, {k})" for n, c, k in GRID)
+    q = f"""
+    SELECT n, c, k,
+           CASE WHEN k = 1 THEN {_pass_at_k_expr(1, '//')}
+                WHEN k = 5 THEN {_pass_at_k_expr(5, '//')}
+                ELSE {_pass_at_k_expr(10, '//')} END AS p
+    FROM (VALUES {rows}) AS t(n, c, k)
+    """
+    for n, c, k, p in con.execute(q).fetchall():
+        assert p == _chain_py(n, c, k), (n, c, k)
+
+
+@pytest.mark.parametrize("n,c,k", GRID)
+def test_pass_at_k_bounds_and_endpoints(n, c, k):
+    got = _chain_py(n, c, k)
+    exact = _exact_micro(n, c, k)
+    # each of the k truncating divides loses < 1 micro-unit of the ratio,
+    # which can only INCREASE the reported pass@k by < k micro total
+    assert exact <= got <= exact + k, (n, c, k, got, exact)
+    if c == 0:
+        assert got == 0
+    if n - c < k:
+        assert got == 1_000_000
+    if c == n and k <= n:
+        assert got == 1_000_000
+
+
+def test_pass_at_k_monotone_in_c_and_k():
+    for n in (5, 10, 40):
+        for k in (1, 5):
+            vals = [_chain_py(n, c, k) for c in range(n + 1)]
+            assert vals == sorted(vals), (n, k)  # more passes, higher pass@k
+        for c in range(n + 1):
+            if n >= 10:
+                p1, p5, p10 = (_chain_py(n, c, k) for k in (1, 5, 10))
+                assert p1 <= p5 <= p10, (n, c)  # more draws, higher pass@k
+
+
+# --------------------------------------------------------- Bradley-Terry
+
+
+def _bt_py(pairs: dict[tuple[str, str], int], iters: int = _BT_ITERS):
+    """Pure-Python replay of the micro-unit MM chain over ordered-pair
+    share counts (pairs[(i, j)] = share of wins of i over j)."""
+    langs = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    scale = int(_BT_TERM)
+    wsum = {
+        a: sum(s for (i, _), s in pairs.items() if i == a) for a in langs
+    }
+    n = {
+        (a, b): pairs.get((a, b), 0) + pairs.get((b, a), 0)
+        for a in langs
+        for b in langs
+        if a != b
+    }
+    p = {a: 1_000_000 // max(len(langs), 1) for a in langs}
+    for _ in range(iters):
+        praw = {}
+        for a in langs:
+            denom = sum(
+                n[(a, b)] * scale // max(p[a] + p[b], 1)
+                for b in langs
+                if b != a
+            )
+            praw[a] = wsum[a] * scale // max(denom, 1)
+        sp = sum(praw.values())
+        p = {a: praw[a] * 1_000_000 // max(sp, 1) for a in langs}
+    return p, wsum
+
+
+def _bt_duckdb(pairs: dict[tuple[str, str], int]):
+    """Run the SAME iteration CTE chain the oracle embeds, seeded from a
+    literal share table instead of the corpus win-matrix derivation."""
+    con = duckdb.connect()
+    rows = ", ".join(f"('{a}', '{b}', {s})" for (a, b), s in pairs.items())
+    q = f"""
+WITH share AS (SELECT * FROM (VALUES {rows}) AS t(winner, loser, s)),
+langs AS (SELECT DISTINCT winner AS other FROM share
+          UNION SELECT DISTINCT loser FROM share),
+pairs AS (
+  SELECT a.winner AS i, a.loser AS j,
+         a.s + COALESCE(b.s, 0) AS n
+  FROM share a LEFT JOIN share b
+    ON a.winner = b.loser AND a.loser = b.winner
+),
+wsum AS (SELECT winner AS lang, CAST(SUM(s) AS BIGINT) AS wshare
+         FROM share GROUP BY 1),
+it0 AS (SELECT other AS lang,
+               CAST(1000000 // GREATEST((SELECT COUNT(*) FROM langs), 1)
+                    AS BIGINT) AS p
+        FROM langs),
+{_bt_iteration_ctes('//')}
+SELECT lang, p FROM it{_BT_ITERS} ORDER BY lang
+"""
+    return dict(con.execute(q).fetchall())
+
+
+def _rand_pairs(rng, k):
+    langs = [chr(ord("a") + i) for i in range(k)]
+    return {
+        (a, b): rng.randrange(0, 300_000)
+        for a in langs
+        for b in langs
+        if a != b
+    }
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_bt_python_matches_duckdb_on_random_matrices(seed):
+    rng = random.Random(seed)
+    pairs = _rand_pairs(rng, rng.choice([2, 3, 5]))
+    expect, _ = _bt_py(pairs)
+    # langs with zero wins still appear in the matrix: every ordered pair
+    # has a row, so wsum covers all langs and the CTE chain keeps them
+    got = _bt_duckdb(pairs)
+    assert got == {k: v for k, v in expect.items()}, (seed, pairs)
+
+
+def test_bt_domination_ordering():
+    """On a strongly separated matrix (a beats everyone, c loses to
+    everyone) the fitted strengths must order a > b > c."""
+    pairs = {
+        ("a", "b"): 90_000, ("b", "a"): 10_000,
+        ("a", "c"): 95_000, ("c", "a"): 5_000,
+        ("b", "c"): 80_000, ("c", "b"): 20_000,
+    }
+    p, _ = _bt_py(pairs)
+    assert p["a"] > p["b"] > p["c"], p
+
+
+def test_bt_degenerate_inputs_never_crash():
+    """All-zero shares, single-pair, and shutout matrices stay finite and
+    agree across the Python and DuckDB replays."""
+    cases = [
+        {("a", "b"): 0, ("b", "a"): 0},
+        {("a", "b"): 123_456, ("b", "a"): 0},
+        {("a", "b"): 1, ("b", "a"): 1},
+        {
+            ("a", "b"): 500_000, ("b", "a"): 0,
+            ("a", "c"): 0, ("c", "a"): 0,
+            ("b", "c"): 0, ("c", "b"): 500_000,
+        },
+    ]
+    for pairs in cases:
+        expect, _ = _bt_py(pairs)
+        got = _bt_duckdb(pairs)
+        assert got == expect, pairs
+        assert all(0 <= v <= 1_000_000 for v in got.values()), pairs
