@@ -258,3 +258,131 @@ def etl_partition_skew(spark, sf_dir):
             / 10000
         ).alias("skew_factor"),
     )
+
+
+# ------------------------------------ layout skipping report (round 9)
+# etl_range_partition_write pins that a range layout's files are DISJOINT;
+# this key measures what that buys: the fraction of files a one-month
+# predicate can SKIP under a time-organized layout vs a hash-organized one
+# — the number that justifies re-clustering a 100 TB fact table. Both
+# layouts are physically written and read back (the stats survive the
+# parquet round trip); the DuckDB oracle derives the identical per-file
+# stats from the logical grouping, which is exact because each layout maps
+# rows to files by a deterministic key (one month dir = one file via
+# repartition on the partition column; one hash bucket = one file).
+_LAYOUT_TARGET_YM = 199506
+
+
+@register(
+    "etl_layout_skipping_report",
+    oracle=f"""
+WITH keyed AS (
+  SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+         l_orderkey % 8 AS b
+  FROM lineitem
+),
+files AS (
+  SELECT 'range' AS layout, ym AS fkey,
+         CAST(MIN(ym) AS BIGINT) AS mn, CAST(MAX(ym) AS BIGINT) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM keyed GROUP BY ym
+  UNION ALL
+  SELECT 'hash', b,
+         CAST(MIN(ym) AS BIGINT), CAST(MAX(ym) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM keyed GROUP BY b
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN mn <= {_LAYOUT_TARGET_YM}
+                      AND mx >= {_LAYOUT_TARGET_YM}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+       CAST((COUNT(*) - SUM(CASE WHEN mn <= {_LAYOUT_TARGET_YM}
+                                  AND mx >= {_LAYOUT_TARGET_YM}
+                                 THEN 1 ELSE 0 END)) * 1000000
+            // COUNT(*) AS BIGINT) AS skip_micro,
+       CAST(SUM(n) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN mn <= {_LAYOUT_TARGET_YM}
+                      AND mx >= {_LAYOUT_TARGET_YM}
+                     THEN n ELSE 0 END) AS BIGINT) AS rows_in_hit_files
+FROM files GROUP BY layout ORDER BY layout
+""",
+    tier="T2",
+)
+def etl_layout_skipping_report(spark, sf_dir):
+    """File-skipping effectiveness of a time-organized layout vs a
+    hash-organized one, measured on physically written files: lineitem is
+    written twice (partitioned by ship month; partitioned by
+    l_orderkey % 8), read back through parquet, and a one-month predicate
+    (1995-06) is tested against each file's [min, max] ship-month
+    footer-style stats. Range layout: one file hit, ~99% skipped; hash
+    layout: every file hit, 0% skipped — the table that justifies
+    re-clustering a 100 TB fact by its query key.
+
+    Determinism: the file key IS the partition value (repartition on the
+    partition column before partitionBy gives one file per directory), so
+    per-file stats equal the logical per-key grouping the oracle
+    computes — exact integer month keys and counts throughout; no file
+    paths or task ids leak into the output.
+
+    Scale note: both writes are one-shuffle repartitions; the read-back
+    aggregates per partition value with partition pruning available; the
+    report itself is |files| rows. At 100 TB the same report runs from
+    the metastore/manifest min-max stats without touching data files.
+    """
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/swallow_spark_io/{tag}/layout_skip"
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ym"),
+        (F.col("l_orderkey") % 8).alias("b"),
+    )
+    li.repartition("ym").write.mode("overwrite").partitionBy("ym").parquet(
+        f"{base}/range"
+    )
+    li.repartition("b").write.mode("overwrite").partitionBy("b").parquet(
+        f"{base}/hash"
+    )
+    rng = (
+        spark.read.parquet(f"{base}/range")
+        .groupBy("ym")
+        .agg(
+            F.min("ym").cast("long").alias("mn"),
+            F.max("ym").cast("long").alias("mx"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(F.lit("range").alias("layout"), "mn", "mx", "n")
+    )
+    hsh = (
+        spark.read.parquet(f"{base}/hash")
+        .groupBy("b")
+        .agg(
+            F.min("ym").cast("long").alias("mn"),
+            F.max("ym").cast("long").alias("mx"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(F.lit("hash").alias("layout"), "mn", "mx", "n")
+    )
+    hit = (F.col("mn") <= _LAYOUT_TARGET_YM) & (
+        F.col("mx") >= _LAYOUT_TARGET_YM
+    )
+    return (
+        rng.unionAll(hsh)
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("files_hit"),
+            F.expr(
+                f"""CAST((COUNT(*) - SUM(CASE WHEN mn <= {_LAYOUT_TARGET_YM}
+                                          AND mx >= {_LAYOUT_TARGET_YM}
+                                         THEN 1 ELSE 0 END)) * 1000000
+                    DIV COUNT(*) AS BIGINT)"""
+            ).alias("skip_micro"),
+            F.sum("n").cast("long").alias("rows_total"),
+            F.sum(F.when(hit, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rows_in_hit_files"),
+        )
+        .orderBy("layout")
+    )
