@@ -552,3 +552,112 @@ def training_mix_allocation(spark, sf_dir):
         .cast("long")
         .alias("alloc_tokens"),
     ).orderBy("lang")
+
+
+# ---------------------------------- chat-format validation (round 9)
+# The SFT ingestion gate: before chat records reach a tokenizer, every
+# conversation must have >= 2 turns, strict user/assistant alternation
+# starting at user, and no empty content. The conversation column is
+# CONSTRUCTED deterministically from documents (3 tokens per turn, up to
+# 6 turns) with violations PLANTED by doc_id residue — doc_id % 7 == 0
+# duplicates a role, doc_id % 11 == 0 blanks the final turn — so both
+# engines build the identical array-of-struct column and the validator's
+# verdicts are fully hash-checked, including rule precedence.
+
+_CHAT_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS tok
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+conv AS (
+  SELECT doc_id,
+         CAST(LEAST(len(tok) // 3, 6) AS BIGINT) AS n_turns,
+         list_transform(generate_series(1, LEAST(len(tok) // 3, 6)),
+           i -> struct_pack(
+                  role := CASE WHEN doc_id % 7 = 0 AND i = 2 THEN 'user'
+                               WHEN (i - 1) % 2 = 0 THEN 'user'
+                               ELSE 'assistant' END,
+                  content := CASE WHEN doc_id % 11 = 0
+                                   AND i = LEAST(len(tok) // 3, 6)
+                                  THEN ''
+                                  ELSE array_to_string(
+                                         tok[(i - 1) * 3 + 1 : (i - 1) * 3 + 3],
+                                         ' ') END))
+           AS turns
+  FROM base
+)
+SELECT doc_id, n_turns,
+       CASE
+         WHEN n_turns < 2 THEN 'too_short'
+         WHEN len(list_filter(generate_series(2, CAST(n_turns AS INT)),
+                  i -> turns[i].role = turns[i - 1].role)) > 0
+           THEN 'bad_alternation'
+         WHEN len(list_filter(turns, t -> t.content = '')) > 0
+           THEN 'empty_content'
+         ELSE 'valid'
+       END AS verdict
+FROM conv
+"""
+
+
+@register("training_chat_format_validate", oracle=_CHAT_SQL, tier="T2")
+def training_chat_format_validate(spark, sf_dir):
+    """Chat-record validation for SFT ingestion: per document, the
+    constructed conversation's turn count and the FIRST failing rule
+    (too_short -> bad_alternation -> empty_content -> valid) — the gate
+    that keeps malformed multi-turn records away from the tokenizer.
+    Violations are planted by doc_id residue so every rule branch is
+    exercised and merge-proven at every SF.
+
+    Determinism: the conversation is built by identical 1-based
+    array-of-struct expressions in both engines (3-token slices,
+    alternating roles, planted overrides), and every check is pure
+    integer/string logic over that shared structure — Spark's
+    element_at/slice are 1-based exactly like DuckDB's list indexing, so
+    the adjacency comparison indexes are spelled once per engine with the
+    same arithmetic.
+
+    Scale: entirely map-side (one projection, no shuffle, no UDF — the
+    array construction and validation are whole-stage-codegen
+    expressions); at 100 TB this is the shape a record-validation pass
+    must have, with invalid rows routed by verdict to quarantine
+    (etl_dq_quarantine's pattern).
+    """
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    conv = d.select(
+        "doc_id",
+        F.expr("split(text, ' ')").alias("tok"),
+    ).select(
+        "doc_id",
+        F.expr("CAST(LEAST(size(tok) DIV 3, 6) AS BIGINT)").alias("n_turns"),
+        F.expr(
+            """transform(sequence(1, CAST(LEAST(size(tok) DIV 3, 6) AS INT)),
+                 i -> struct(
+                   CASE WHEN doc_id % 7 = 0 AND i = 2 THEN 'user'
+                        WHEN (i - 1) % 2 = 0 THEN 'user'
+                        ELSE 'assistant' END AS role,
+                   CASE WHEN doc_id % 11 = 0
+                         AND i = CAST(LEAST(size(tok) DIV 3, 6) AS INT)
+                        THEN ''
+                        ELSE array_join(slice(tok, (i - 1) * 3 + 1, 3), ' ')
+                   END AS content))"""
+        ).alias("turns"),
+    )
+    return conv.select(
+        "doc_id",
+        "n_turns",
+        F.expr(
+            """CASE
+                 WHEN n_turns < 2 THEN 'too_short'
+                 WHEN exists(sequence(2, CAST(n_turns AS INT)),
+                        i -> element_at(turns, i).role
+                             = element_at(turns, i - 1).role)
+                   THEN 'bad_alternation'
+                 WHEN exists(turns, t -> t.content = '')
+                   THEN 'empty_content'
+                 ELSE 'valid'
+               END"""
+        ).alias("verdict"),
+    )
