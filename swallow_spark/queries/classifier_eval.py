@@ -1609,3 +1609,120 @@ def eval_length_bias(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------- regression metrics (round 9)
+# The eval battery covers classification, generation, retrieval, and
+# calibration; this adds the regression column: MAE / RMSE / R^2 / MAPE
+# of a deterministic baseline predictor (each order's price predicted by
+# its customer's mean order price — the group-mean model every real
+# regressor must beat).
+
+_REG_SQL = """
+WITH y AS (
+  SELECT o_custkey,
+         CAST(FLOOR(o_totalprice) AS BIGINT) AS yv
+  FROM orders
+),
+pred AS (
+  SELECT yv,
+         CAST(SUM(yv) OVER (PARTITION BY o_custkey)
+              // COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS yhat
+  FROM y
+),
+e AS (
+  SELECT yv, yhat, ABS(yv - yhat) AS ae FROM pred
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ae) AS BIGINT) AS sae,
+         CAST(SUM(ae * ae) AS BIGINT) AS sse,
+         CAST(SUM(yv) AS BIGINT) AS sy,
+         CAST(SUM(yv * yv) AS BIGINT) AS sy2,
+         CAST(SUM(ae * 1000 // GREATEST(yv, 1)) AS BIGINT) AS smape
+  FROM e
+)
+SELECT n,
+       CAST(sae // n AS BIGINT) AS mae_dollars,
+       (FLOOR(sqrt(CAST(sse AS DOUBLE) / n) * 10000 + 0.5) / 10000)
+         AS rmse_dollars,
+       (FLOOR((1 - CAST(sse AS DOUBLE)
+                   / (CAST(sy2 AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * sy / n)) * 1000000 + 0.5)
+        / 1000000) AS r2,
+       CAST(smape // n AS BIGINT) AS mape_milli
+FROM s
+"""
+
+
+@register("eval_regression_metrics", oracle=_REG_SQL, tier="T2")
+def eval_regression_metrics(spark, sf_dir):
+    """Regression evaluation metrics — MAE, RMSE, R^2, MAPE — for the
+    customer-group-mean baseline predictor of order price (whole
+    dollars): the one-row scorecard every regression model is compared
+    against.
+
+    Determinism: y and yhat are exact int64 (floor dollars; the group
+    mean is an integer DIV), so the absolute/squared error sums and the
+    per-row MAPE terms are exact integers; only the final RMSE sqrt and
+    the R^2 ratio are floats, each a single fixed IEEE expression over
+    exact sums, half-up rounded. Whole dollars (not cents) keep
+    sum(y^2) around 5e16 at sf0.1 — int64-safe with two orders of
+    magnitude to spare at SF 10.
+
+    Scale: one partition-keyed window pair for the predictor (same
+    shuffle as the groupBy it replaces), then a single partial+final
+    global aggregate — no joins, nothing driver-side.
+    """
+    o = load(spark, sf_dir, "orders")
+    y = o.select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice")).cast("long").alias("yv"),
+    )
+    pred = y.select(
+        "yv",
+        F.expr(
+            "CAST(SUM(yv) OVER (PARTITION BY o_custkey)"
+            " DIV COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT)"
+        ).alias("yhat"),
+    )
+    e = pred.select(
+        "yv", "yhat", F.abs(F.col("yv") - F.col("yhat")).alias("ae")
+    )
+    s = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ae").cast("long").alias("sae"),
+        F.sum(F.col("ae") * F.col("ae")).cast("long").alias("sse"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("sy2"),
+        F.expr(
+            "CAST(SUM(ae * 1000 DIV GREATEST(yv, 1)) AS BIGINT)"
+        ).alias("smape"),
+    )
+    return s.select(
+        "n",
+        F.expr("CAST(sae DIV n AS BIGINT)").alias("mae_dollars"),
+        (
+            F.floor(
+                F.sqrt(F.col("sse").cast("double") / F.col("n")) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("rmse_dollars"),
+        (
+            F.floor(
+                (
+                    F.lit(1)
+                    - F.col("sse").cast("double")
+                    / (
+                        F.col("sy2").cast("double")
+                        - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+                    )
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("r2"),
+        F.expr("CAST(smape DIV n AS BIGINT)").alias("mape_milli"),
+    )
