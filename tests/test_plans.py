@@ -632,3 +632,32 @@ def test_kruskal_rank_window_over_preaggregate(spark):
     assert "Window" in p
     below_window = p.split("Window")[-1]
     assert "HashAggregate" in below_window
+
+
+def test_chat_format_validate_is_shuffle_free(spark):
+    """training_chat_format_validate is a pure record-validation pass: the
+    array-of-struct construction and every rule check must stay whole-
+    stage-codegen projections over the scan — NO exchange, NO Python."""
+    p = plan_of(spark, "training_chat_format_validate")
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_pass_at_k_partial_before_exchange(spark):
+    """eval_pass_at_k's task aggregate must partial-combine map-side (the
+    per-customer count/sum), and the whole plan carries exactly the two
+    aggregation exchanges (task key, then the 3-row k rollup) plus the
+    final sort — no join ever appears."""
+    p = plan_of(spark, "eval_pass_at_k")
+    assert "partial_count" in p or "partial_sum" in p
+    assert "Join" not in p
+
+
+def test_regression_metrics_single_window_then_global_agg(spark):
+    """eval_regression_metrics must compute the group-mean predictor with
+    ONE hash-partitioned window (no join back), then collapse into a
+    global partial+final aggregate."""
+    p = plan_of(spark, "eval_regression_metrics")
+    assert p.count("Window") >= 1
+    assert "Join" not in p
+    assert "partial_sum" in p
