@@ -137,17 +137,19 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
 )
 def q15_top_supplier(spark, sf_dir):
     """TPC-H-Q15-style: supplier(s) with maximum quarterly revenue
-    (rank over an aggregated subquery; exact money sum makes the max
-    well-defined)."""
+    (scalar-max filter over an aggregated subquery; exact money sum makes
+    the max well-defined). The max is a broadcast 1-row aggregate joined
+    back as an equi key — a BroadcastHashJoin over the per-supplier
+    frame, not a global rank window (which would single-reduce O(|rev|)
+    rows at scale)."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00"))
     )
     s = load(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(money_sum(F.expr(_REV)).alias("total_revenue"))
-    top = rev.withColumn(
-        "rk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
-    ).filter(F.col("rk") == 1)
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = rev.join(F.broadcast(mx), rev.total_revenue == F.col("_mx")).drop("_mx")
     return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )

@@ -158,9 +158,10 @@ def text_zipf_slope(spark, sf_dir):
     diverge exactly on negative operands; the text_perplexity_buckets rule).
 
     Scale: the frequency table is one partial+final aggregate over (token);
-    the rank window runs on a TakeOrdered top-50-by-frequency side — at
-    100 TB replace the row_number window with `ORDER BY f DESC LIMIT 50`
-    (same TakeOrderedAndProject) so nothing global materializes.
+    the top-50 cut is `ORDER BY f DESC LIMIT 50` — a distributed
+    TakeOrderedAndProject — and only THEN a rank window over the 50
+    surviving rows (bounded frame), so nothing vocabulary-sized ever
+    passes through one reducer.
     """
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     freq = (
@@ -169,12 +170,14 @@ def text_zipf_slope(spark, sf_dir):
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
     )
-    ranked = freq.select(
+    top = freq.orderBy(F.col("f").desc(), "token").limit(50)
+    # window over the ≤50-row TakeOrdered survivors — bounded frame
+    ranked = top.select(
         "f",
         F.row_number()
         .over(Window.orderBy(F.col("f").desc(), "token"))
         .alias("r"),
-    ).filter(F.col("r") <= 50)
+    )
     pts = ranked.select(
         F.floor(F.log(F.col("r").cast("double")) * 1000).cast("long").alias("x"),
         F.floor(F.log(F.col("f").cast("double")) * 1000).cast("long").alias("y"),

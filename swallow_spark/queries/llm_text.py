@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from ..conform import rnd, sql_rnd
 from ..io import load
+from ..ops.dist_rank import distributed_prefix, ntile_from_rank
 from ..ops.text import STOPWORDS, shingles, sql_shingles, tokens
 from ..registry import register
 
@@ -1293,9 +1294,10 @@ def text_vocab_growth(spark, sf_dir):
 
     Determinism: exact integer counts; the curve is a cumulative sum over
     the total doc_id order. Scale note: the token→min(doc) aggregate is
-    the tf-idf shuffle; the curve window runs over the doc-grain table
-    (global order over |docs| rows — swap for bucketed prefix sums at
-    extreme doc counts).
+    the tf-idf shuffle; the running sums are the DISTRIBUTED two-phase
+    prefix sums (ops/dist_rank.py: DIV-bucket on the dense doc_id,
+    per-bucket subtotals → broadcast exclusive offsets, within-bucket
+    cumsum + offset), never an unpartitioned O(|docs|) window.
     """
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -1306,14 +1308,18 @@ def text_vocab_growth(spark, sf_dir):
     toks = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    curve = (
-        toks.join(newv, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
-            F.sum(F.coalesce("new_types", F.lit(0))).over(w).cast("long").alias("cum_vocab"),
-        )
+    grain = toks.join(newv, "doc_id", "left").select(
+        "doc_id", "n_tokens", F.coalesce("new_types", F.lit(0)).alias("new0")
+    )
+    curve = distributed_prefix(
+        grain,
+        F.col("doc_id"),
+        ["doc_id"],
+        sums={"cum_tokens": "n_tokens", "cum_vocab": "new0"},
+    ).select(
+        "doc_id",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
     )
     return curve.filter(F.col("doc_id") % 50 == 0)
 
@@ -1715,10 +1721,11 @@ def text_perplexity_buckets(spark, sf_dir):
     The displayed avg is the usual half-up 4dp double.
 
     Scale note: LM build and per-doc scoring as in text_unigram_logprob
-    (broadcast vocab table); the tercile split is one global sort —
-    range-partitioned sort + distributed rank at 100 TB, the same shape
-    as any global ORDER BY, or swap ntile for fixed score thresholds
-    learned on a sample to make it map-only.
+    (broadcast vocab table); the tercile split is NTILE(rank, n) over the
+    distributed two-phase rank (ops/dist_rank.py — bucket key −score_u
+    coarsens the score-desc order; never an unpartitioned O(|docs|)
+    window), with n a broadcast 1-row count. At extreme scale swap ntile
+    for fixed score thresholds learned on a sample to make it map-only.
     """
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -1750,13 +1757,20 @@ def text_perplexity_buckets(spark, sf_dir):
             "avg_logprob"
         ),
     )
-    w = Window.orderBy(F.col("score_u").desc(), "doc_id")
-    return scored.select(
+    nd = scored.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranked = distributed_prefix(
+        scored.crossJoin(F.broadcast(nd)),
+        -F.col("score_u"),
+        [F.col("score_u").desc(), "doc_id"],
+        rank="_r",
+    )
+    tile = ntile_from_rank(F.col("_r"), F.col("_n"), 3)
+    return ranked.select(
         "doc_id",
         "n_tokens",
         "avg_logprob",
-        F.when(F.ntile(3).over(w) == 1, "head")
-        .when(F.ntile(3).over(w) == 2, "middle")
+        F.when(tile == 1, "head")
+        .when(tile == 2, "middle")
         .otherwise("tail")
         .alias("bucket"),
     )

@@ -14,11 +14,13 @@ from pyspark.sql.window import Window
 
 from ..conform import rnd
 from ..io import load
+from ..ops.dist_rank import distributed_prefix
 from ..ops.materialize import materialize
 from ..registry import register
 
 _MULT = 2654435761  # Knuth multiplicative hash constant
 _MOD = 1_000_003  # prime
+_SYS_BUCKETS = 64  # two-phase-rank range buckets (raise with cluster width)
 
 
 def _slot_sql(key: str) -> str:
@@ -360,25 +362,27 @@ def sample_systematic(spark, sf_dir):
     auditor wants evenly spaced exemplars rather than random ones. k=25
     here (a 4% sample).
 
+    Distributed two-phase rank (ops/dist_rank.py — NO global window; a
+    `Window.orderBy` with no partitionBy serializes the whole population
+    through one reducer, the classic 100 TB cliff): DIV-bucket on the
+    dense c_custkey, per-bucket counts → broadcast exclusive offsets,
+    within-bucket row_number + offset = the exact global rank.
+
     Determinism: rank over the total c_custkey order; pure integer
     modulus. Caveat documented: systematic samples are biased if the
     order correlates with a periodic pattern of the same wavelength —
-    use the hash sample when in doubt. Scale note: a global rank window
-    is the honest spelling at audit scale; for huge populations switch
-    to (c_custkey % k = offset) arithmetic when keys are dense, which
-    needs no window at all.
+    use the hash sample when in doubt.
     """
-    c = load(spark, sf_dir, "customer")
-    w = Window.orderBy("c_custkey")
-    return (
-        c.select(
-            "c_custkey",
-            "c_mktsegment",
-            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
-        )
-        .withColumn("r", F.row_number().over(w))
-        .filter((F.col("r") - 1) % 25 == 0)
-        .select("c_custkey", "c_mktsegment", "cents")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    ranked = distributed_prefix(
+        c, F.col("c_custkey"), ["c_custkey"], buckets=_SYS_BUCKETS, rank="r"
+    )
+    return ranked.filter((F.col("r") - 1) % 25 == 0).select(
+        "c_custkey", "c_mktsegment", "cents"
     )
 
 

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io import load
+from ..ops.dist_rank import distributed_prefix
 from ..registry import register
 
 
@@ -33,17 +34,29 @@ def sort_multi_nulls(spark, sf_dir):
     """Multi-key sort with explicit NULLS LAST, frozen into data via
     row_number so the order itself is hash-checked.
 
-    Scale note: a global (unpartitioned) window is a single-reducer sort —
-    fine for ranking a dimension, wrong for a 100 TB fact (use partitioned
-    windows or sortWithinPartitions there).
+    Scale note: the rank comes from the distributed two-phase rank
+    (ops/dist_rank.py), not a single-reducer global window. DESC NULLS
+    LAST maps onto an ASCENDING int bucket key: −cents for non-NULL
+    balances (larger balance → smaller key → earlier), NULLs pinned to a
+    sentinel above every real value — a monotone coarsening of the
+    (pos_bal DESC NULLS LAST, c_custkey) order, so bucket-major order
+    equals the sort order.
     """
     c = load(spark, sf_dir, "customer")
     pos_bal = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
-    w = Window.orderBy(F.col("pos_bal").desc_nulls_last(), F.col("c_custkey"))
-    return (
-        c.withColumn("pos_bal", pos_bal)
-        .withColumn("sort_pos", F.row_number().over(w).cast("long"))
-        .select("c_custkey", "pos_bal", "sort_pos")
+    withb = c.withColumn("pos_bal", pos_bal)
+    # cents ≤ 999_999 (|acctbal| < 10_000), so 10_000_000 sorts after all
+    bucket_key = F.when(F.col("pos_bal").isNull(), F.lit(10_000_000)).otherwise(
+        -F.floor(F.col("pos_bal") * 100)
+    )
+    ranked = distributed_prefix(
+        withb,
+        bucket_key,
+        [F.col("pos_bal").desc_nulls_last(), F.col("c_custkey")],
+        rank="sort_pos",
+    )
+    return ranked.select(
+        "c_custkey", "pos_bal", F.col("sort_pos").cast("long").alias("sort_pos")
     )
 
 

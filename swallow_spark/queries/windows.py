@@ -2,7 +2,9 @@
 
 Scale notes: windows partitioned by user/customer/brand shuffle once on the
 partition key and sort within partitions — the same plan shape at any scale.
-The only global window (sort_multi_nulls in sorts.py) is documented there.
+Global-order keys (win_ntile, win_percent_rank here; sort_multi_nulls in
+sorts.py) use the distributed two-phase rank (ops/dist_rank.py), never an
+unpartitioned window (guarded registry-wide by tests/test_plans.py).
 """
 
 from __future__ import annotations
@@ -12,6 +14,7 @@ from pyspark.sql.window import Window
 
 from ..conform import cents, rnd, sql_cents, sql_rnd
 from ..io import load
+from ..ops.dist_rank import distributed_prefix, ntile_from_rank
 from ..registry import register
 
 
@@ -78,10 +81,27 @@ FROM customer
     tier="T2",
 )
 def win_ntile(spark, sf_dir):
-    """Quartile bucketing of customers by balance (total order)."""
+    """Quartile bucketing of customers by balance (total order).
+
+    Spelled as NTILE(rank, n) over the distributed two-phase rank
+    (ops/dist_rank.py) rather than a global-window ntile: an
+    unpartitioned `Window.orderBy` pushes the whole table through one
+    reducer, while the rank form is bucket-parallel and bit-identical
+    (ntile_from_rank reproduces NTILE's first-(n mod b)-tiles-get-one-
+    extra rule in pure int64 arithmetic). Bucket key floor(bal·100) is a
+    monotone coarsening of the (c_acctbal, c_custkey) order. The count
+    is a broadcast 1-row crossjoin (audited scalar pattern)."""
     c = load(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select("c_custkey", F.ntile(4).over(w).cast("long").alias("quartile"))
+    n1 = c.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranked = distributed_prefix(
+        c.crossJoin(F.broadcast(n1)),
+        F.floor(F.col("c_acctbal") * 100),
+        ["c_acctbal", "c_custkey"],
+        rank="_r",
+    )
+    return ranked.select(
+        "c_custkey", ntile_from_rank(F.col("_r"), F.col("_n"), 4).alias("quartile")
+    )
 
 
 @register(
@@ -229,13 +249,31 @@ def win_percent_rank(spark, sf_dir):
     """percent_rank + cume_dist over part sizes (total order, 4dp).
     NULL sizes are excluded on both sides — the null-order probe rule: a
     NULL measure must never reach a rank/sort path (Spark NULLS-FIRST-asc
-    vs DuckDB NULLS-LAST would shift every rank below it)."""
+    vs DuckDB NULLS-LAST would shift every rank below it).
+
+    Spelled over the distributed two-phase rank (ops/dist_rank.py)
+    instead of a single-reducer global window: the (p_size, p_partkey)
+    order is TOTAL (partkey unique), so rank == row_number and the
+    closed forms pr = (r−1)/(n−1), cd = r/n are exactly the window
+    functions' values (pr = 0 when n = 1, both engines' convention).
+    Bucket key p_size coarsens the order; n is a broadcast 1-row
+    crossjoin (audited scalar pattern)."""
     p = load(spark, sf_dir, "part").filter(F.col("p_size").isNotNull())
-    w = Window.orderBy("p_size", "p_partkey")
-    return p.select(
+    n1 = p.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranked = distributed_prefix(
+        p.crossJoin(F.broadcast(n1)),
+        F.col("p_size"),
+        ["p_size", "p_partkey"],
+        rank="_r",
+    )
+    n = F.col("_n")
+    r = F.col("_r")
+    return ranked.select(
         "p_partkey",
-        rnd(F.percent_rank().over(w), 4).alias("pr"),
-        rnd(F.cume_dist().over(w), 4).alias("cd"),
+        F.when(n > 1, rnd((r - 1).cast("double") / (n - 1), 4))
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
+        rnd(r.cast("double") / n, 4).alias("cd"),
     )
 
 

@@ -1,0 +1,84 @@
+"""ops/dist_rank: the distributed two-phase rank / prefix sums must be
+bit-identical to the single-reducer global window it replaces, and
+ntile_from_rank must reproduce NTILE exactly — including the
+first-(n mod b)-tiles-get-one-extra boundary rule — for every (n, b)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from swallow_spark.ops.dist_rank import distributed_prefix, ntile_from_rank
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.mark.parametrize("buckets", [1, 3, 64])
+def test_rank_matches_global_window(spark, buckets):
+    # keys deliberately clustered (two dense runs + a gap) so several DIV
+    # buckets are empty and one holds a run boundary
+    keys = list(range(100, 160)) + list(range(5000, 5040))
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = distributed_prefix(df, F.col("k"), ["k"], buckets=buckets, rank="r")
+    want = df.withColumn("r", F.row_number().over(Window.orderBy("k")))
+    assert _rows(got, "k", "r") == _rows(want, "k", "r")
+
+
+def test_rank_with_ties_and_desc_order(spark):
+    # bucket key coarsens a DESC order with a tiebreak — the
+    # sort_multi_nulls shape (equal values must stay in one bucket)
+    data = [(i, (i * 7) % 5) for i in range(200)]
+    df = spark.createDataFrame(data, "id long, v long")
+    got = distributed_prefix(
+        df, -F.col("v"), [F.col("v").desc(), "id"], buckets=8, rank="r"
+    )
+    want = df.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("v").desc(), "id"))
+    )
+    assert _rows(got, "id", "r") == _rows(want, "id", "r")
+
+
+def test_prefix_sums_match_global_window(spark):
+    data = [(i, i % 7, (i * 3) % 11) for i in range(150)]
+    df = spark.createDataFrame(data, "k long, a long, b long")
+    got = distributed_prefix(
+        df, F.col("k"), ["k"], buckets=16, sums={"ca": "a", "cb": "b"}
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = df.select(
+        "k", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    assert _rows(got, "k", "ca", "cb") == _rows(want, "k", "ca", "cb")
+
+
+def test_rank_and_sums_together(spark):
+    df = spark.createDataFrame([(i, 1) for i in range(40)], "k long, one long")
+    got = distributed_prefix(
+        df, F.col("k"), ["k"], buckets=4, rank="r", sums={"c": "one"}
+    )
+    # with a constant-1 sum column, the inclusive cumsum IS the rank
+    assert _rows(got, "k", "r") == _rows(got, "k", "c")
+
+
+def test_single_row_and_empty(spark):
+    one = spark.createDataFrame([(42,)], "k long")
+    got = distributed_prefix(one, F.col("k"), ["k"], rank="r")
+    assert _rows(got, "k", "r") == [(42, 1)]
+    empty = one.filter(F.col("k") < 0)
+    assert distributed_prefix(empty, F.col("k"), ["k"], rank="r").count() == 0
+
+
+@pytest.mark.parametrize("tiles", [2, 3, 4, 5, 7])
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 7, 12, 13, 100])
+def test_ntile_from_rank_matches_ntile(spark, tiles, n):
+    df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "k long")
+    want = df.select(
+        "k", F.ntile(tiles).over(Window.orderBy("k")).cast("long").alias("t")
+    )
+    got = df.select(
+        "k", ntile_from_rank(F.col("k"), F.lit(n).cast("long"), tiles).alias("t")
+    )
+    assert _rows(got, "k", "t") == _rows(want, "k", "t")

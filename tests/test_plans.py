@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -18,6 +19,19 @@ def plan_of(spark, key: str) -> str:
     with contextlib.redirect_stdout(buf):
         all_queries()[key].fn(spark, SF).explain("formatted")
     return buf.getvalue()
+
+
+# used ONLY by the registry-wide audits (which never monkeypatch plan
+# shapes) so the nested-loop and unpartitioned-window sweeps pay for one
+# explain pass, not two; the targeted tests above monkeypatch module state
+# and therefore must keep the uncached plan_of
+_PLAN_CACHE: dict[str, str] = {}
+
+
+def _plan_cached(spark, key: str) -> str:
+    if key not in _PLAN_CACHE:
+        _PLAN_CACHE[key] = plan_of(spark, key)
+    return _PLAN_CACHE[key]
 
 
 @pytest.mark.parametrize(
@@ -375,6 +389,11 @@ BNLJ_ALLOWED = {
     "join_cross_limited",
     "q11_important_stock",
     "q22_global_sales_opportunity",
+    "sample_systematic",  # broadcast 1-row (min, bucket-width) bounds crossjoin (dist_rank)
+    "sort_multi_nulls",  # broadcast 1-row bounds crossjoin (dist_rank)
+    "text_vocab_growth",  # broadcast 1-row bounds crossjoin (dist_rank)
+    "win_ntile",  # broadcast 1-row bounds + count crossjoins (dist_rank)
+    "win_percent_rank",  # broadcast 1-row bounds + count crossjoins (dist_rank)
     "sample_temperature_mix",  # broadcast 1-row total/normalizer cross joins
     "search_hybrid_rrf",  # probe-broadcast cosine arm (same as sim_cosine_topk)
     "sim_cosine_topk",
@@ -459,11 +478,132 @@ def test_no_unaudited_nested_loop_joins(spark):
     for name, q in declared_queries().items():
         if name.startswith(_PLAN_AUDIT_SKIP_PREFIXES):
             continue
-        p = plan_of(spark, name)
+        p = _plan_cached(spark, name)
         if "CartesianProduct" in p:
             offenders.append((name, "CartesianProduct"))
         if "BroadcastNestedLoopJoin" in p and name not in BNLJ_ALLOWED:
             offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
+
+
+# Keys where an UNPARTITIONED Window (no PARTITION BY → every input row
+# through ONE reducer task) is intentional because its input frame is
+# provably bounded — post-aggregate rows whose count does not grow with the
+# table (calendar grains, value-domain histograms, fixed-k cuts, the ≤B
+# bucket-offset frame inside ops/dist_rank.distributed_prefix). A key here
+# has been audited with the bound named; anything else showing an
+# unpartitioned window over table-sized input is the single-reducer cliff
+# (the former sample_systematic defect).
+WINDOW_GLOBAL_ALLOWED = {
+    # ops/dist_rank two-phase rank users: the ≤64-row bucket-offset frame
+    "sample_systematic",
+    "sort_multi_nulls",
+    "text_perplexity_buckets",
+    "text_vocab_growth",
+    "win_ntile",
+    "win_percent_rank",
+    # bounded post-aggregate frames
+    "class_weights",  # ≤|langs| (5) class-count rows
+    "eval_bradley_terry",  # ≤|langs| win-matrix / MM score frame
+    "eval_retrieval_ndcg",  # single fixed-probe candidate ranking (top-k cut)
+    "eval_retrieval_rank_metrics",  # single fixed-probe candidate ranking
+    "pipeline_pretrain_corpus",  # ≤32 per-partition packer subtotals
+    "sample_label_balance",  # ≤|labels| count frame (min-cap scalar)
+    "search_hybrid_rrf",  # single-probe BM25/cosine candidate rankings
+    "seq_churn_hazard",  # week-grain life table (calendar-bounded)
+    "seq_rfm_scores",  # per-user post-aggregate quintiles; docstring names the histogram swap at extreme user counts
+    "sketch_kmv_intersect",  # ≤2k-row (k=32) merged bottom-k sketch frame
+    "sketch_log2_histogram",  # ≤64 log2 buckets
+    "stats_benford",  # 9 leading-digit rows
+    "stats_bh_fdr",  # bounded hypothesis frame (199 per-nation p-values)
+    "stats_kruskal_wallis",  # distinct-cents histogram frame
+    "stats_ks_test",  # distinct-cents histogram frame
+    "stats_log_rank_test",  # duration-grain event table
+    "stats_mann_whitney",  # distinct-cents histogram frame
+    "stats_psi_drift",  # fixed bin frame
+    "stats_spearman",  # distinct-value histogram frames (x and y)
+    "stats_survival_km",  # duration-grain (days) life table
+    "stats_wilcoxon_signed_rank",  # distinct-|diff| histogram frame
+    "text_zipf_slope",  # ≤50-row TakeOrdered survivors
+    "training_mix_allocation",  # ≤|langs| mix/remainder frames
+    # day/week/month-grain frames: calendar-bounded (~2.5k days), SF-invariant
+    "ts_changepoint_split",
+    "ts_classical_decompose",
+    "ts_haar_energy",
+    "ts_hurst_exponent",
+    "ts_mom_growth",
+    "ts_peak_detection",
+    "ts_record_highs",
+    "ts_sample_entropy",
+    "ts_sax_symbols",
+    "ts_seasonal_strength",
+    "ts_sma_crossover",
+    "ts_turning_points",
+    "win_rolling_corr",
+}
+
+_WINSPEC = re.compile(r"windowspecdefinition\(")
+
+
+def _first_spec_arg(s: str, start: int) -> str:
+    """First top-level argument of a windowspecdefinition(...) call."""
+    depth = 0
+    i = start
+    buf = []
+    while i < len(s):
+        ch = s[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            break
+        buf.append(ch)
+        i += 1
+    return "".join(buf).strip()
+
+
+def unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes with NO partition spec: the first
+    windowspecdefinition argument is already the order spec (ASC/DESC) or
+    directly the frame. Partitioned-but-unordered windows ([funcs], [part])
+    are distributed and do NOT count."""
+    n = 0
+    for m in re.finditer(r"\(\d+\) Window\b[^\n]*\n((?:[A-Z][^\n]*\n)*)", plan):
+        am = re.search(r"Arguments: (.*)", m.group(0))
+        if not am:
+            continue
+        args = am.group(1)
+        for sm in _WINSPEC.finditer(args):
+            first = _first_spec_arg(args, sm.end())
+            if first.startswith("specifiedwindowframe(") or re.search(
+                r" (ASC|DESC) NULLS (FIRST|LAST)$", first
+            ):
+                n += 1
+                break
+    return n
+
+
+def test_no_unaudited_unpartitioned_windows(spark):
+    """Repo-wide single-reducer audit: no declared key may introduce an
+    unpartitioned Window over table-sized input. Every allowed occurrence
+    is listed in WINDOW_GLOBAL_ALLOWED with its bounded-frame
+    justification; a new key tripping this must either use the
+    distributed two-phase rank (ops/dist_rank.py) or prove its frame
+    bounded and join the allowlist."""
+    from swallow_spark.registry import declared_queries
+
+    offenders = []
+    for name, q in declared_queries().items():
+        if name.startswith(_PLAN_AUDIT_SKIP_PREFIXES):
+            continue
+        if (
+            unpartitioned_windows(_plan_cached(spark, name))
+            and name not in WINDOW_GLOBAL_ALLOWED
+        ):
+            offenders.append(name)
     assert not offenders, offenders
 
 
