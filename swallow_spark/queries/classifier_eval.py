@@ -1514,6 +1514,16 @@ def eval_length_bias(spark, sf_dir):
     expression, NULL-guarded on exact-integer zero-variance tests so
     degenerate groups can never reach a divide-by-zero or an inf cast.
 
+    int64 ceiling: the per-language moment sums grow ~4n³ (doubled ranks
+    ≈ 2n, squared, summed over n rows), crossing 2^63 past ≈1.3M docs IN
+    ONE LANGUAGE — far above these fixtures (≤ ~30k/lang at sf0.1, with
+    ~8 orders of magnitude headroom) but NOT above a 100 TB corpus.
+    Beyond that, pre-scale the doubled ranks to milli-units (÷1000
+    before the products, the stats_spearman-at-scale note) or partition
+    the audit by (lang, shard); note Spark with ANSI off would WRAP
+    silently past the ceiling while DuckDB errors, so the oracle — not
+    the output — is what catches an overflow regression.
+
     Scale: rank windows run over per-(lang, distinct-value) aggregates
     (the KS single-reducer bound, partitioned by lang); the rank join
     back is value-keyed; deciles are one window over the lang partition;
@@ -1639,6 +1649,8 @@ s AS (
          CAST(SUM(ae * ae) AS BIGINT) AS sse,
          CAST(SUM(yv) AS BIGINT) AS sy,
          CAST(SUM(yv * yv) AS BIGINT) AS sy2,
+         CAST(MIN(yv) AS BIGINT) AS ymin,
+         CAST(MAX(yv) AS BIGINT) AS ymax,
          CAST(SUM(ae * 1000 // GREATEST(yv, 1)) AS BIGINT) AS smape
   FROM e
 )
@@ -1646,10 +1658,11 @@ SELECT n,
        CAST(sae // n AS BIGINT) AS mae_dollars,
        (FLOOR(sqrt(CAST(sse AS DOUBLE) / n) * 10000 + 0.5) / 10000)
          AS rmse_dollars,
-       (FLOOR((1 - CAST(sse AS DOUBLE)
-                   / (CAST(sy2 AS DOUBLE)
-                      - CAST(sy AS DOUBLE) * sy / n)) * 1000000 + 0.5)
-        / 1000000) AS r2,
+       CASE WHEN ymin = ymax THEN NULL
+            ELSE (FLOOR((1 - CAST(sse AS DOUBLE)
+                         / (CAST(sy2 AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * sy / n)) * 1000000 + 0.5)
+                  / 1000000) END AS r2,
        CAST(smape // n AS BIGINT) AS mape_milli
 FROM s
 """
@@ -1668,7 +1681,11 @@ def eval_regression_metrics(spark, sf_dir):
     the R^2 ratio are floats, each a single fixed IEEE expression over
     exact sums, half-up rounded. Whole dollars (not cents) keep
     sum(y^2) around 5e16 at sf0.1 — int64-safe with two orders of
-    magnitude to spare at SF 10.
+    magnitude to spare at SF 10. R^2 is NULL on a zero-variance
+    (constant-price) input, tested as MIN(y) = MAX(y) — exactly
+    equivalent to the n·Σy² − (Σy)² = 0 moment test but overflow-free
+    (n·Σy² would cross 2^63 near sf0.1) — so the scorecard can never
+    emit NaN/Inf (the eval_length_bias guard convention).
 
     Scale: one partition-keyed window pair for the predictor (same
     shuffle as the groupBy it replaces), then a single partial+final
@@ -1695,6 +1712,8 @@ def eval_regression_metrics(spark, sf_dir):
         F.sum(F.col("ae") * F.col("ae")).cast("long").alias("sse"),
         F.sum("yv").cast("long").alias("sy"),
         F.sum(F.col("yv") * F.col("yv")).cast("long").alias("sy2"),
+        F.min("yv").cast("long").alias("ymin"),
+        F.max("yv").cast("long").alias("ymax"),
         F.expr(
             "CAST(SUM(ae * 1000 DIV GREATEST(yv, 1)) AS BIGINT)"
         ).alias("smape"),
@@ -1709,7 +1728,8 @@ def eval_regression_metrics(spark, sf_dir):
             )
             / 10000
         ).alias("rmse_dollars"),
-        (
+        F.when(F.col("ymin") == F.col("ymax"), F.lit(None).cast("double"))
+        .otherwise(
             F.floor(
                 (
                     F.lit(1)
@@ -1723,6 +1743,7 @@ def eval_regression_metrics(spark, sf_dir):
                 + F.lit(0.5)
             )
             / 1000000
-        ).alias("r2"),
+        )
+        .alias("r2"),
         F.expr("CAST(smape DIV n AS BIGINT)").alias("mape_milli"),
     )

@@ -865,6 +865,17 @@ def eval_dedup_threshold_sweep(spark, sf_dir):
     way on both sides, and all outputs are exact integers. Thresholds
     that fire zero pairs drop out of both engines symmetrically.
 
+    Cap/hash parity assumption (inherited from dedup_near_exact_jaccard):
+    the Spark arm runs shingle_jaccard_pairs with its default
+    max_posting=500 df-cap and xxhash64 shingle identity, while the
+    DuckDB oracle joins UNCAPPED string shingles — parity therefore
+    relies on (a) no fixture shingle's document frequency approaching
+    the cap (max observed df ≈ 60 at sf0.1, measured by the sf≈3 skew
+    table in SCALE.md) and (b) no xxhash64 collision among the corpus's
+    distinct shingles. On a corpus where boilerplate shingles exceed the
+    cap the Spark arm deliberately under-reports those pairs (that IS
+    the scale design); pass max_posting=None for exact-twin behavior.
+
     Scale: ONE pass of the capped posting-list inverted index (the
     d1 < d2 pair set is computed once, then the 5-threshold fan-out is a
     constant-factor explode over the already-small pair set) — the whole

@@ -572,7 +572,8 @@ WITH base AS (
 conv AS (
   SELECT doc_id,
          CAST(LEAST(len(tok) // 3, 6) AS BIGINT) AS n_turns,
-         list_transform(generate_series(1, LEAST(len(tok) // 3, 6)),
+         list_transform(list_filter(generate_series(1, GREATEST(LEAST(len(tok) // 3, 6), 1)),
+                                    i -> i <= LEAST(len(tok) // 3, 6)),
            i -> struct_pack(
                   role := CASE WHEN doc_id % 7 = 0 AND i = 2 THEN 'user'
                                WHEN (i - 1) % 2 = 0 THEN 'user'
@@ -615,7 +616,13 @@ def training_chat_format_validate(spark, sf_dir):
     integer/string logic over that shared structure — Spark's
     element_at/slice are 1-based exactly like DuckDB's list indexing, so
     the adjacency comparison indexes are spelled once per engine with the
-    same arithmetic.
+    same arithmetic. The turn-index sequence is bounded as
+    sequence(1, GREATEST(n, 1)) filtered to i <= n because the engines
+    DISAGREE on an empty range: Spark's sequence(1, 0) counts DOWN to
+    [1, 0] while DuckDB's generate_series(1, 0) is empty — unguarded,
+    a <3-token doc (n_turns = 0) would build different turns arrays
+    (including a negative-start slice) even though the too_short verdict
+    happens to mask it.
 
     Scale: entirely map-side (one projection, no shuffle, no UDF — the
     array construction and validation are whole-stage-codegen
@@ -633,7 +640,9 @@ def training_chat_format_validate(spark, sf_dir):
         "doc_id",
         F.expr("CAST(LEAST(size(tok) DIV 3, 6) AS BIGINT)").alias("n_turns"),
         F.expr(
-            """transform(sequence(1, CAST(LEAST(size(tok) DIV 3, 6) AS INT)),
+            """transform(
+                 filter(sequence(1, GREATEST(CAST(LEAST(size(tok) DIV 3, 6) AS INT), 1)),
+                        i -> i <= LEAST(size(tok) DIV 3, 6)),
                  i -> struct(
                    CASE WHEN doc_id % 7 = 0 AND i = 2 THEN 'user'
                         WHEN (i - 1) % 2 = 0 THEN 'user'
