@@ -210,11 +210,99 @@ def partition_histogram(spark, sf_dir: str, table: str, key: str) -> dict:
     }
 
 
+ANN_KEYS = ("vec_ann_ivf_portable", "vec_ann_ivfpq_portable")
+
+
+def _gen_embeddings_ann(rng, hot: bool, path: str) -> dict:
+    """ANN hot-cell corpus (round 10, VERDICT r9 item 4): `hot` plants 20%
+    of vectors (INCLUDING the probe ids 1..9, so the probes route there)
+    in a tight cluster around frozen IVF centroid 0 — the one-hot-
+    inverted-list shape a clustered production corpus presents; `uniform`
+    is the standard-normal control. Returns the nearest-frozen-centroid
+    cell histogram so the measured hot share is recorded, not assumed."""
+    from swallow_spark.queries.ivf_frozen import IVF_CENTROIDS
+
+    c0 = np.asarray(IVF_CENTROIDS[0], dtype=np.float64) / 10_000.0
+    vecs = rng.standard_normal((N_VECS, 64))
+    if hot:
+        n_hot = int(N_VECS * HOT_SHARE)
+        hot_idx = np.concatenate(
+            [np.arange(9), 9 + rng.choice(N_VECS - 9, n_hot - 9, replace=False)]
+        )
+        vecs[hot_idx] = c0[None, :] + 0.05 * rng.standard_normal((n_hot, 64))
+    q = np.floor(vecs * 10_000 + 0.5).astype(np.int64)
+    ic = np.asarray(IVF_CENTROIDS, dtype=np.int64)
+    d2 = ((q[:, None, :] - ic[None, :, :]) ** 2).sum(axis=2)
+    cells = d2.argmin(axis=1)
+    counts = np.bincount(cells, minlength=len(ic))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(1, N_VECS + 1, dtype=np.int64),
+            "embedding": list(vecs.astype(np.float32)),
+            "label": rng.integers(0, 51, N_VECS).astype(np.int32),
+        }
+    )
+    _write(pdf, path)
+    return {
+        "max_cell_share": round(counts.max() / N_VECS, 3),
+        "hot_cell": int(counts.argmax()),
+        "cells_nonempty": int((counts > 0).sum()),
+    }
+
+
+def ann_main(scale: int, keep: bool) -> None:
+    """--ann mode: hot-IVF-cell vs uniform embeddings, ANN keys only."""
+    from swallow_spark.registry import all_queries
+    from swallow_spark.session import get_spark
+
+    spark = get_spark("swallow_skew_stress_ann")
+    qs = all_queries()
+    out: dict = {"mode": "ann_hotcell", "n_vecs": N_VECS,
+                 "hot_share": HOT_SHARE, "scale": scale, "variants": {}}
+    try:
+        for variant, hot in (("uniform", False), ("hotcell", True)):
+            d = f"{BASE}/ann_{variant}/sf1"
+            os.makedirs(d, exist_ok=True)
+            rng = np.random.default_rng(11)
+            cellinfo = _gen_embeddings_ann(rng, hot, f"{d}/embeddings.parquet")
+            for t in ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "documents"):
+                shutil.copyfile(f"{SRC}/{t}.parquet", f"{d}/{t}.parquet")
+            v: dict = {"timings": {}, "cells": cellinfo}
+            print(f"{variant} cells: {cellinfo}", file=sys.stderr)
+            for name in ANN_KEYS:
+                fn = qs[name].fn
+                fn(spark, d).write.format("noop").mode("overwrite").save()  # warm
+                runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+                    runs.append(time.perf_counter() - t0)
+                v["timings"][name] = round(sorted(runs)[1], 3)
+                print(f"{variant} {name}: {v['timings'][name]}s", file=sys.stderr)
+            out["variants"][variant] = v
+        for name in ANN_KEYS:
+            u = out["variants"]["uniform"]["timings"][name]
+            s = out["variants"]["hotcell"]["timings"][name]
+            out.setdefault("skew_amplification", {})[name] = round(s / u, 2)
+    finally:
+        if not keep:
+            shutil.rmtree(BASE, ignore_errors=True)
+    print(json.dumps(out))
+
+
 def main() -> None:
     from swallow_spark.registry import all_queries
     from swallow_spark.session import get_spark
 
     keep = "--keep" in sys.argv
+    if "--ann" in sys.argv:
+        scale = 1
+        if "--scale" in sys.argv:
+            scale = int(sys.argv[sys.argv.index("--scale") + 1])
+            apply_scale(scale)
+        ann_main(scale, keep)
+        return
     scale = 1
     if "--scale" in sys.argv:
         scale = int(sys.argv[sys.argv.index("--scale") + 1])
