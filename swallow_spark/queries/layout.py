@@ -386,3 +386,170 @@ def etl_layout_skipping_report(spark, sf_dir):
         )
         .orderBy("layout")
     )
+
+
+# --- Z-order layout skipping (round 10) ---------------------------------------
+# etl_layout_skipping_report proved single-key range clustering: great on its
+# key, useless on any other. This key measures the MULTI-dimensional answer —
+# Z-ORDER clustering (Delta/Iceberg OPTIMIZE ZORDER) — on physically written
+# files: the Morton interleave of two 4-bit bucket keys splits into 16 files
+# that are 4x4 tiles in (month, part) space, so a point predicate on EITHER
+# dimension hits only the ~sqrt fraction of files whose tile row/column
+# contains it, where the linear month layout hits 1/16 on month and EVERY
+# file on part.
+_Z_TILES = 16  # buckets per dimension AND files per layout (4x4 tiles)
+_Z_TARGET_MB = 7  # point predicate: month bucket 7 (one sixteenth of range)
+_Z_TARGET_PB = 5  # point predicate: part bucket 5
+
+
+def _zorder_oracle() -> str:
+    z = _interleave_sql("mb", "pb", 4)
+    return f"""
+WITH m AS (
+  SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS mo,
+         l_partkey % {_Z_TILES} AS pb
+  FROM lineitem
+),
+b AS (SELECT MIN(mo) AS lo, MAX(mo) - MIN(mo) + 1 AS span FROM m),
+d AS (
+  SELECT CAST(((m.mo - b.lo) * {_Z_TILES}) // b.span AS BIGINT) AS mb, pb
+  FROM m CROSS JOIN b
+),
+files AS (
+  SELECT 'zorder' AS layout, ({z}) // {_Z_TILES} AS fid,
+         MIN(mb) AS mn_mb, MAX(mb) AS mx_mb,
+         MIN(pb) AS mn_pb, MAX(pb) AS mx_pb, COUNT(*) AS n
+  FROM d GROUP BY fid
+  UNION ALL
+  SELECT 'linear', mb, MIN(mb), MAX(mb), MIN(pb), MAX(pb), COUNT(*)
+  FROM d GROUP BY mb
+),
+dims AS (
+  SELECT layout,
+         'month' AS dim,
+         (mn_mb <= {_Z_TARGET_MB} AND mx_mb >= {_Z_TARGET_MB}) AS hit, n
+  FROM files
+  UNION ALL
+  SELECT layout, 'part',
+         (mn_pb <= {_Z_TARGET_PB} AND mx_pb >= {_Z_TARGET_PB}), n
+  FROM files
+)
+SELECT layout, dim,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+       CAST((COUNT(*) - SUM(CASE WHEN hit THEN 1 ELSE 0 END)) * 1000000
+            // COUNT(*) AS BIGINT) AS skip_micro,
+       CAST(SUM(n) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN hit THEN n ELSE 0 END) AS BIGINT)
+         AS rows_in_hit_files
+FROM dims GROUP BY layout, dim
+ORDER BY layout, dim
+"""
+
+
+@register("etl_zorder_layout", oracle=_zorder_oracle(), tier="T2")
+def etl_zorder_layout(spark, sf_dir):
+    """Z-order vs linear clustering, measured on PHYSICALLY written files:
+    lineitem is bucketed to 4-bit (month, part) keys, written twice — 16
+    files clustered by month alone, 16 files clustered by the Morton
+    interleave (fid = z DIV 16: each file a 4x4 tile in key space) — read
+    back, and point predicates on EACH dimension are tested against every
+    file's min/max footer-style stats. Expected shape: linear skips 15/16
+    on month and 0/16 on part; z-order skips ~12/16 on BOTH — the table
+    that justifies OPTIMIZE ZORDER for a fact queried on two keys.
+
+    Determinism: the file key IS the partition value (repartition on it
+    before partitionBy → one file per directory), so per-file stats equal
+    the logical per-key grouping the oracle computes; bucket arithmetic,
+    the interleave (fn_zorder's _interleave_sql, 4 bits), and all outputs
+    are exact integers. Month buckets derive from broadcast (min, span)
+    scalars — engine-identical integer DIV.
+
+    Scale note: each layout is one shuffle on its file key; the read-back
+    aggregates per partition value with pruning available; the report is
+    |files| rows. At 100 TB the identical report runs from manifest
+    min-max stats without touching data files, and the 4-bit demo keys
+    become real row-group zone maps.
+    """
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/swallow_spark_io/{tag}/zorder_layout"
+    m = load(spark, sf_dir, "lineitem").select(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mo"),
+        (F.col("l_partkey") % _Z_TILES).alias("pb"),
+    )
+    b = m.agg(
+        F.min("mo").alias("lo"), (F.max("mo") - F.min("mo") + 1).alias("span")
+    )
+    d = m.crossJoin(F.broadcast(b)).select(
+        F.expr(f"CAST(((mo - lo) * {_Z_TILES}) DIV span AS BIGINT)").alias("mb"),
+        "pb",
+    )
+    zfid = F.expr(
+        f"CAST(({_interleave_sql('mb', 'pb', 4)}) DIV {_Z_TILES} AS BIGINT)"
+    )
+    d.withColumn("fid", zfid).repartition("fid").write.mode(
+        "overwrite"
+    ).partitionBy("fid").parquet(f"{base}/zorder")
+    d.withColumn("fid", F.col("mb")).repartition("fid").write.mode(
+        "overwrite"
+    ).partitionBy("fid").parquet(f"{base}/linear")
+
+    def _stats(path: str, layout: str):
+        return (
+            spark.read.parquet(path)
+            .groupBy("fid")
+            .agg(
+                F.min("mb").cast("long").alias("mn_mb"),
+                F.max("mb").cast("long").alias("mx_mb"),
+                F.min("pb").cast("long").alias("mn_pb"),
+                F.max("pb").cast("long").alias("mx_pb"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .select(F.lit(layout).alias("layout"), "mn_mb", "mx_mb", "mn_pb", "mx_pb", "n")
+        )
+
+    files = _stats(f"{base}/zorder", "zorder").unionAll(
+        _stats(f"{base}/linear", "linear")
+    )
+    dims = files.select(
+        "layout",
+        "n",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("month").alias("dim"),
+                    (
+                        (F.col("mn_mb") <= _Z_TARGET_MB)
+                        & (F.col("mx_mb") >= _Z_TARGET_MB)
+                    ).alias("hit"),
+                ),
+                F.struct(
+                    F.lit("part").alias("dim"),
+                    (
+                        (F.col("mn_pb") <= _Z_TARGET_PB)
+                        & (F.col("mx_pb") >= _Z_TARGET_PB)
+                    ).alias("hit"),
+                ),
+            )
+        ).alias("dh"),
+    ).select("layout", F.col("dh.dim").alias("dim"), "n", F.col("dh.hit").alias("hit"))
+    return (
+        dims.groupBy("layout", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("files_hit"),
+            F.expr(
+                """CAST((COUNT(*) - SUM(CASE WHEN hit THEN 1 ELSE 0 END))
+                   * 1000000 DIV COUNT(*) AS BIGINT)"""
+            ).alias("skip_micro"),
+            F.sum("n").cast("long").alias("rows_total"),
+            F.sum(F.when(F.col("hit"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rows_in_hit_files"),
+        )
+        .orderBy("layout", "dim")
+    )

@@ -1198,7 +1198,10 @@ def _ivf_cb_values() -> str:
     )
 
 
-def _ivf_oracle() -> str:
+def _ivf_topk_oracle(nprobe: int, topk: int, probe_pred: str) -> str:
+    """The frozen-centroid IVF pipeline in DuckDB, parameterized over
+    routing width, cut depth and the probe-side predicate (shared by
+    vec_ann_ivf_portable and vec_ann_ivf_batch_rescore)."""
     return f"""
 WITH cb AS (
   SELECT * FROM (VALUES
@@ -1233,7 +1236,7 @@ ranked AS (
 ),
 corpus AS (SELECT vec_id, cell FROM ranked WHERE crk = 1),
 probes AS (SELECT vec_id, cell FROM ranked
-           WHERE crk <= {_IVF_NPROBE} AND vec_id < {_IVF_PROBES}),
+           WHERE crk <= {nprobe} AND {probe_pred}),
 cand AS (
   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id
   FROM probes p JOIN corpus c ON p.cell = c.cell AND c.vec_id != p.vec_id
@@ -1252,8 +1255,12 @@ SELECT probe_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY probe_id
                                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
 FROM scored
-QUALIFY rk <= {_IVF_TOPK}
+QUALIFY rk <= {topk}
 """
+
+
+def _ivf_oracle() -> str:
+    return _ivf_topk_oracle(_IVF_NPROBE, _IVF_TOPK, f"vec_id < {_IVF_PROBES}")
 
 
 def _ivf_assign(e, nprobe: int):
@@ -2204,4 +2211,116 @@ def vec_pq_distortion(spark, sf_dir):
             ).alias("share_micro"),
         )
         .orderBy("subspace")
+    )
+
+
+# --- IVF batch rescore with conditional hot-cell salting (round 10) ----------
+# The skew table in SCALE.md (round-10 ANN row) found the fixed-10-probe
+# serving shape immune to a hot inverted list and named the real trigger:
+# PROBE VOLUME — when the probe side is itself a table scan (batch
+# re-scoring after a model refresh), one hot cell's probe x candidate
+# partition dominates the stage. This key is that batch shape, with the
+# mitigation built in: cells whose population exceeds 10% of the corpus
+# (the vec_ivf_cell_balance decision) are salted — corpus rows replicated
+# once per salt, each probe routed to exactly one salt — which fans the hot
+# cell's join key into _BR_SALT reduce tasks WITHOUT changing a single
+# output row. The DuckDB oracle is the UNSALTED logical query, so the hash
+# check proves the salting is result-invariant.
+_BR_NPROBE = 4
+_BR_TOPK = 3
+_BR_MOD = 20  # probe side: every 20th vector (a 5% batch, not 10 fixed ids)
+_BR_SALT = 4
+
+
+@register(
+    "vec_ann_ivf_batch_rescore",
+    oracle=_ivf_topk_oracle(
+        _BR_NPROBE, _BR_TOPK, f"vec_id % {_BR_MOD} = 0"
+    ),
+    tier="T2",
+)
+def vec_ann_ivf_batch_rescore(spark, sf_dir):
+    """Batch ANN re-scoring over the frozen IVF index: every _BR_MOD-th
+    vector is a probe (a table-scan probe side — the shape of re-scoring
+    a candidate pool after a model refresh), routed to its _BR_NPROBE
+    nearest frozen cells, reranked by exact integer cosine, top-_BR_TOPK
+    kept. Differs from vec_ann_ivf_portable (fixed 10-probe serving) in
+    the one way that changes the scale plan: with O(corpus) probes, a hot
+    inverted list concentrates probe x candidate work on ONE cell key,
+    so the candidate join is CONDITIONALLY SALTED — cells holding > 10%
+    of the corpus (the vec_ivf_cell_balance threshold; the ≤16-row
+    population table is a broadcast) get corpus rows replicated once per
+    salt in [0, _BR_SALT) while each probe computes exactly one salt
+    (vec_id mod ns), fanning the hot key into _BR_SALT reduce tasks.
+
+    Correctness of the salting is PROVEN by the oracle, not argued: the
+    DuckDB twin is the plain unsalted logical query, and every probe
+    meets every candidate exactly once under the salt algebra (probe
+    picks one replica; the corpus row exists once per salt value), so
+    the hash must match bit-for-bit — salting that changed any row would
+    fail the gate. The sf fixtures are near-uniform (no cell over 10%,
+    ns = 1 everywhere), so the salted branch is driven by a dedicated
+    planted-hot-cell corpus in tests/test_ivf_batch_rescore_salting.py,
+    which asserts ns = _BR_SALT actually fires there AND the salted
+    output still hash-matches the unsalted DuckDB oracle.
+
+    Scale note: assignment is the shared map-only Arrow pass
+    (_ivf_assign, materialized once); the population table is one
+    16-row aggregate; the join shuffles on (cell, salt) — hot cells get
+    _BR_SALT-way parallelism at the cost of replicating ONLY their
+    corpus rows. Raise _BR_SALT toward the executor count when one cell
+    dominates a production corpus.
+    """
+    from ..ops.vectors import SCALE, dot_int
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned = _ivf_assign(e, _BR_NPROBE)
+    corpus = assigned.filter(F.col("crk") == 0).select(
+        "vec_id", "iv", "nrm", "cell"
+    )
+    pops = corpus.groupBy("cell").agg(F.count(F.lit(1)).alias("pop"))
+    tot = corpus.agg(F.count(F.lit(1)).alias("tot"))
+    salt_map = pops.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        F.when(F.col("pop") * 10 > F.col("tot"), F.lit(_BR_SALT))
+        .otherwise(F.lit(1))
+        .alias("ns"),
+    )
+    corpus_s = (
+        corpus.join(F.broadcast(salt_map), "cell")
+        .withColumn("salt", F.explode(F.expr("sequence(0, ns - 1)")))
+        .drop("ns")
+    )
+    probes_s = (
+        assigned.filter(F.col("vec_id") % _BR_MOD == 0)
+        .select("vec_id", "iv", "nrm", "cell")
+        .join(F.broadcast(salt_map), "cell")
+        .withColumn("salt", F.pmod(F.col("vec_id"), F.col("ns")).cast("int"))
+        .drop("ns")
+    )
+    cos = (
+        dot_int(F.col("a.iv"), F.col("b.iv")).cast("double") / F.lit(SCALE)
+    ) / (F.col("a.nrm") * F.col("b.nrm"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        probes_s.alias("a")
+        .join(
+            corpus_s.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos.alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _BR_TOPK)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            (F.floor(F.col("cos") * 10000 + F.lit(0.5)) / 10000).alias("cosine"),
+            "rk",
+        )
     )

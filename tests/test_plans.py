@@ -416,6 +416,8 @@ BNLJ_ALLOWED = {
     "eval_bradley_terry",  # broadcast k-row lang-dim + 1-row scalar crossjoins (MW shape)
     "eval_dedup_threshold_sweep",  # broadcast 1-row corpus-total crossjoin
     "etl_incremental_dedup",  # broadcast 1-row split-point scalar crossjoin
+    "etl_zorder_layout",  # broadcast 1-row (min, span) month-bucket bounds crossjoin
+    "vec_ann_ivf_batch_rescore",  # broadcast 1-row corpus-total crossjoin (salt decision)
     "graph_modularity",  # broadcast 1-row m / Q-numerator scalar cross joins
     "graph_ppr_restart",  # broadcast 1-row seed-count crossjoin (restart-mass split)
     "seq_cohort_ltv",  # broadcast 1-row min-date crossjoin

@@ -338,3 +338,66 @@ def test_layout_skipping_three_way(spark, name):
         for _, r in s_raw.iterrows()
     }
     assert got == _layout_ref(rows, _LAYOUT_TARGET_YM)
+
+
+def _zorder_ref(rows: list[tuple[int, str]], pb0: int, mb_t: int, pb_t: int):
+    """Pure-Python mirror of etl_zorder_layout. The crafted lineitem clones
+    l_partkey from the source's first row, so pb = pb0 for EVERY row — the
+    degenerate constant-column case (all part mass in one tile column)."""
+    mos = [int(d[:4]) * 12 + int(d[5:7]) for _, d in rows]
+    lo, span = min(mos), max(mos) - min(mos) + 1
+    recs = [(((mo - lo) * 16) // span, pb0) for mo in mos]
+
+    def morton(mb, pb):
+        return sum(
+            (((mb >> i) & 1) << (2 * i)) + (((pb >> i) & 1) << (2 * i + 1))
+            for i in range(4)
+        )
+
+    out = {}
+    for layout, keyf in (
+        ("linear", lambda mb, pb: mb),
+        ("zorder", lambda mb, pb: morton(mb, pb) // 16),
+    ):
+        groups = defaultdict(list)
+        for mb, pb in recs:
+            groups[keyf(mb, pb)].append((mb, pb))
+        nf = len(groups)
+        for dim, target, idx in (("month", mb_t, 0), ("part", pb_t, 1)):
+            hits = [
+                g
+                for g in groups.values()
+                if min(x[idx] for x in g) <= target <= max(x[idx] for x in g)
+            ]
+            out[(layout, dim)] = (
+                nf,
+                len(hits),
+                (nf - len(hits)) * 1000000 // nf,
+                len(recs),
+                sum(len(g) for g in hits),
+            )
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(_LAYOUT_SCENARIOS))
+def test_zorder_layout_three_way(spark, name):
+    from swallow_spark.queries.layout import _Z_TARGET_MB, _Z_TARGET_PB
+
+    rows = _LAYOUT_SCENARIOS[name]
+    sf_dir = _make_dir(f"z_{name}", "lineitem", _lineitem_table(rows))
+    pb0 = int(
+        pq.read_table(f"{SRC}/lineitem.parquet").slice(0, 1)["l_partkey"][0].as_py()
+        % 16
+    )
+    s_raw = _three_way(spark, "etl_zorder_layout", sf_dir)
+    got = {
+        (r["layout"], r["dim"]): (
+            int(r["n_files"]),
+            int(r["files_hit"]),
+            int(r["skip_micro"]),
+            int(r["rows_total"]),
+            int(r["rows_in_hit_files"]),
+        )
+        for _, r in s_raw.iterrows()
+    }
+    assert got == _zorder_ref(rows, pb0, _Z_TARGET_MB, _Z_TARGET_PB)
