@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io import load
+from ..ops.dist_rank import distributed_prefix, ntile_from_rank
 from ..registry import register
 
 
@@ -629,9 +630,11 @@ def seq_rfm_scores(spark, sf_dir):
     Determinism: NTILE is deterministic because every ORDER BY carries
     user_id as a total-order tiebreak (bare metric ordering would be
     partition-dependent under ties); metrics are exact ints. Scale note:
-    one user_id aggregate, then three global ntile windows over the
-    per-user table — at extreme user counts swap ntile for the
-    histogram-cum-count rank recipe (stats_qq_deciles note); cell
+    one user_id aggregate, then three DISTRIBUTED two-phase ranks over
+    the per-user table (ops/dist_rank.py — bucket keys −recency /
+    frequency / monetary coarsen each total order; quintile =
+    ntile_from_rank, bit-identical to NTILE) — never an unpartitioned
+    O(users) window; the user count is one broadcast scalar and cell
     aggregation is tiny (≤125 rows).
     """
     e = load(spark, sf_dir, "events")
@@ -652,20 +655,19 @@ def seq_rfm_scores(spark, sf_dir):
             .alias("monetary_cents"),
         )
     )
-    scored = per_user.select(
+    n1 = per_user.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranked = per_user.crossJoin(F.broadcast(n1))
+    for rank_col, bucket_key, order_cols in (
+        ("_rr", -F.col("recency_days"), [F.col("recency_days").desc(), "user_id"]),
+        ("_rf", F.col("frequency"), ["frequency", "user_id"]),
+        ("_rm", F.col("monetary_cents"), ["monetary_cents", "user_id"]),
+    ):
+        ranked = distributed_prefix(ranked, bucket_key, order_cols, rank=rank_col)
+    scored = ranked.select(
         "user_id",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").desc(), "user_id"))
-        .cast("long")
-        .alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy("frequency", "user_id"))
-        .cast("long")
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary_cents", "user_id"))
-        .cast("long")
-        .alias("m"),
+        ntile_from_rank(F.col("_rr"), F.col("_n"), 5).alias("r"),
+        ntile_from_rank(F.col("_rf"), F.col("_n"), 5).alias("f"),
+        ntile_from_rank(F.col("_rm"), F.col("_n"), 5).alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),

@@ -408,6 +408,7 @@ BNLJ_ALLOWED = {
     "stats_mutual_information",  # broadcast 1-row n/H(x)/H(y) scalar crossjoins (chisq shape)
     "sketch_kmv_intersect",  # broadcast 1-row exact-intersection ground-truth crossjoin
     "seq_churn_hazard",  # broadcast 1-row total-users crossjoin (life-table denominator)
+    "seq_rfm_scores",  # broadcast 1-row user-count + dist_rank bounds crossjoins
     "stats_friedman",  # broadcast 1-row k (distinct-segment count) crossjoin
     "ts_changepoint_split",  # broadcast 1-row (n, s) totals crossjoin (BSS closed form)
     "ts_kpss_stationarity",  # broadcast 1-row sufficient-stats crossjoin (pacf-rule chain)
@@ -499,6 +500,7 @@ def test_no_unaudited_nested_loop_joins(spark):
 WINDOW_GLOBAL_ALLOWED = {
     # ops/dist_rank two-phase rank users: the ≤64-row bucket-offset frame
     "sample_systematic",
+    "seq_rfm_scores",
     "sort_multi_nulls",
     "text_perplexity_buckets",
     "text_vocab_growth",
@@ -513,7 +515,6 @@ WINDOW_GLOBAL_ALLOWED = {
     "sample_label_balance",  # ≤|labels| count frame (min-cap scalar)
     "search_hybrid_rrf",  # single-probe BM25/cosine candidate rankings
     "seq_churn_hazard",  # week-grain life table (calendar-bounded)
-    "seq_rfm_scores",  # per-user post-aggregate quintiles; docstring names the histogram swap at extreme user counts
     "sketch_kmv_intersect",  # ≤2k-row (k=32) merged bottom-k sketch frame
     "sketch_log2_histogram",  # ≤64 log2 buckets
     "stats_benford",  # 9 leading-digit rows
