@@ -804,3 +804,27 @@ def test_regression_metrics_single_window_then_global_agg(spark):
     assert p.count("Window") >= 1
     assert "Join" not in p
     assert "partial_sum" in p
+
+
+def test_batch_rescore_salted_join_shape(spark):
+    """vec_ann_ivf_batch_rescore: the candidate join must be an equi join
+    carrying BOTH cell and salt as keys (the hot-cell fan-out), the salt
+    map must arrive broadcast, and nothing may go nested-loop except the
+    audited 1-row corpus-total crossjoin."""
+    p = plan_of(spark, "vec_ann_ivf_batch_rescore")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # salt map (<= 16 rows) broadcast-joined
+    assert "salt" in p  # the salted key reaches the physical plan
+    # assignment is materialized once: candidate sides read ExistingRDD,
+    # not two fresh parquet scans of embeddings
+    tree = p.split("\n\n(")[0]
+    assert "Scan ExistingRDD" in tree
+
+
+def test_rfm_dist_rank_no_single_partition_sort(spark):
+    """seq_rfm_scores must carry no Exchange SinglePartition into a Window
+    over the per-user frame — the three quintiles come from bucket-
+    partitioned dist_rank windows."""
+    p = plan_of(spark, "seq_rfm_scores")
+    assert unpartitioned_windows(p) <= 3  # only dist_rank's <= B-row offset frames
+    assert "CartesianProduct" not in p
