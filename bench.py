@@ -73,6 +73,8 @@ EXTENDED = [
     "text_ngram_novelty",  # round 9: explode-heavy first-occurrence join
     "eval_bradley_terry",  # round 9: MW win matrix + 4 materialized MM iterations
     "vec_ann_recall_sweep",  # round 9: 4-point recall curve + exhaustive arm
+    "vec_ann_ivf_batch_rescore",  # round 10: table-scan probes + salted hot-cell join
+    "etl_zorder_layout",  # round 10: physical 2-layout write + skipping report
 ]
 
 
