@@ -77,14 +77,25 @@ def test_key_within_baseline(name, warm):
     # minimum of 3 spin samples: contention only slows spin, so the min is
     # the robust box-speed estimate (a single burst-inflated sample would
     # deflate the normalized reading and mask — or fake — a regression)
-    sp = min(bench.spin_sec() for _ in range(3))
-    median = sorted(run_once(name) for _ in range(3))[1]
-    normalized = median / max(sp / bench.SPIN_REF_SEC, 1.0)
     limit = norm_base[name] * TOLERANCE
+    # one retry after a settle pause: the spin min corrects a FLAT speed
+    # difference, but a burst that hits the timed runs and misses all
+    # three spin samples (e.g. another suite's JVM winding down at module
+    # start) inflates `normalized` without any code regression — observed
+    # twice in full-suite runs whose failing keys then passed 46/46
+    # standalone. A real regression fails both attempts.
+    for attempt in (0, 1):
+        sp = min(bench.spin_sec() for _ in range(3))
+        median = sorted(run_once(name) for _ in range(3))[1]
+        normalized = median / max(sp / bench.SPIN_REF_SEC, 1.0)
+        if normalized <= limit:
+            return
+        if attempt == 0:
+            time.sleep(10)
     assert normalized <= limit, (
         f"{name}: spin-normalized warm median {normalized:.3f}s (raw "
         f"{median:.3f}s at spin {sp}) exceeds {TOLERANCE}× baseline "
-        f"{norm_base[name]}s — investigate before shipping (or re-record "
-        f"via tools/bench_baseline.py if the change is intentional and "
-        f"documented in BENCH.md)"
+        f"{norm_base[name]}s on two attempts — investigate before shipping "
+        f"(or re-record via tools/bench_baseline.py if the change is "
+        f"intentional and documented in BENCH.md)"
     )
