@@ -210,7 +210,13 @@ def partition_histogram(spark, sf_dir: str, table: str, key: str) -> dict:
     }
 
 
-ANN_KEYS = ("vec_ann_ivf_portable", "vec_ann_ivfpq_portable")
+ANN_KEYS = (
+    "vec_ann_ivf_portable",
+    "vec_ann_ivfpq_portable",
+    # round 10: the batch-probe key whose conditional salting FIRES on the
+    # hotcell variant (cell 0 ~25% > the 10% threshold) and not on uniform
+    "vec_ann_ivf_batch_rescore",
+)
 
 
 def _gen_embeddings_ann(rng, hot: bool, path: str) -> dict:
@@ -251,10 +257,18 @@ def _gen_embeddings_ann(rng, hot: bool, path: str) -> dict:
 
 
 def ann_main(scale: int, keep: bool) -> None:
-    """--ann mode: hot-IVF-cell vs uniform embeddings, ANN keys only."""
+    """--ann mode: hot-IVF-cell vs uniform embeddings, ANN keys only
+    (--keys also filters this list)."""
     from swallow_spark.registry import all_queries
     from swallow_spark.session import get_spark
 
+    global ANN_KEYS
+    if "--keys" in sys.argv:
+        wanted = set(sys.argv[sys.argv.index("--keys") + 1].split(","))
+        unknown = wanted - set(ANN_KEYS)
+        if unknown:
+            raise SystemExit(f"unknown ann keys: {sorted(unknown)}")
+        ANN_KEYS = tuple(k for k in ANN_KEYS if k in wanted)
     spark = get_spark("swallow_skew_stress_ann")
     qs = all_queries()
     out: dict = {"mode": "ann_hotcell", "n_vecs": N_VECS,
