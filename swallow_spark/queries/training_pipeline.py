@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from ..conform import rnd, sql_rnd
 from ..io import load
+from ..ops.dist_rank import distributed_prefix
 from ..ops.text import STOPWORDS, sql_shingles, tokens
 from ..registry import register
 
@@ -564,13 +565,67 @@ def training_mix_allocation(spark, sf_dir):
 # engines build the identical array-of-struct column and the validator's
 # verdicts are fully hash-checked, including rule precedence.
 
-_CHAT_SQL = """
-WITH base AS (
-  SELECT doc_id, string_split(text, ' ') AS tok
+# Shared CTE prefix: base (tokenized docs) + conv (constructed conversation)
+# + judged (verdict attached) — consumed by training_chat_format_validate
+# and by pipeline_sft_corpus, so the record format is defined ONCE per
+# engine and any change to the construction re-verifies both keys.
+def _chat_judged(spark, sf_dir):
+    """(doc_id, text, n_turns, verdict): the constructed chat record plus
+    its validation verdict — the Spark twin of the shared _CHAT_CTES SQL,
+    defined ONCE and consumed by training_chat_format_validate and
+    pipeline_sft_corpus (so the record format cannot drift between the
+    gate and the pipeline that trusts it)."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    conv = d.select(
+        "doc_id",
+        "text",
+        F.expr("split(text, ' ')").alias("tok"),
+    ).select(
+        "doc_id",
+        "text",
+        F.expr("CAST(LEAST(size(tok) DIV 3, 6) AS BIGINT)").alias("n_turns"),
+        F.expr(
+            """transform(
+                 filter(sequence(1, GREATEST(CAST(LEAST(size(tok) DIV 3, 6) AS INT), 1)),
+                        i -> i <= LEAST(size(tok) DIV 3, 6)),
+                 i -> struct(
+                   CASE WHEN doc_id % 7 = 0 AND i = 2 THEN 'user'
+                        WHEN (i - 1) % 2 = 0 THEN 'user'
+                        ELSE 'assistant' END AS role,
+                   CASE WHEN doc_id % 11 = 0
+                         AND i = CAST(LEAST(size(tok) DIV 3, 6) AS INT)
+                        THEN ''
+                        ELSE array_join(slice(tok, (i - 1) * 3 + 1, 3), ' ')
+                   END AS content))"""
+        ).alias("turns"),
+    )
+    return conv.select(
+        "doc_id",
+        "text",
+        "n_turns",
+        F.expr(
+            """CASE
+                 WHEN n_turns < 2 THEN 'too_short'
+                 WHEN exists(sequence(2, CAST(n_turns AS INT)),
+                        i -> element_at(turns, i).role
+                             = element_at(turns, i - 1).role)
+                   THEN 'bad_alternation'
+                 WHEN exists(turns, t -> t.content = '')
+                   THEN 'empty_content'
+                 ELSE 'valid'
+               END"""
+        ).alias("verdict"),
+    )
+
+
+_CHAT_CTES = """base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tok
   FROM documents WHERE text IS NOT NULL AND length(text) > 0
 ),
 conv AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          CAST(LEAST(len(tok) // 3, 6) AS BIGINT) AS n_turns,
          list_transform(list_filter(generate_series(1, GREATEST(LEAST(len(tok) // 3, 6), 1)),
                                     i -> i <= LEAST(len(tok) // 3, 6)),
@@ -586,18 +641,24 @@ conv AS (
                                          ' ') END))
            AS turns
   FROM base
-)
-SELECT doc_id, n_turns,
-       CASE
-         WHEN n_turns < 2 THEN 'too_short'
-         WHEN len(list_filter(generate_series(2, CAST(n_turns AS INT)),
-                  i -> turns[i].role = turns[i - 1].role)) > 0
-           THEN 'bad_alternation'
-         WHEN len(list_filter(turns, t -> t.content = '')) > 0
-           THEN 'empty_content'
-         ELSE 'valid'
-       END AS verdict
-FROM conv
+),
+judged AS (
+  SELECT doc_id, text, n_turns,
+         CASE
+           WHEN n_turns < 2 THEN 'too_short'
+           WHEN len(list_filter(generate_series(2, CAST(n_turns AS INT)),
+                    i -> turns[i].role = turns[i - 1].role)) > 0
+             THEN 'bad_alternation'
+           WHEN len(list_filter(turns, t -> t.content = '')) > 0
+             THEN 'empty_content'
+           ELSE 'valid'
+         END AS verdict
+  FROM conv
+)"""
+
+_CHAT_SQL = f"""
+WITH {_CHAT_CTES}
+SELECT doc_id, n_turns, verdict FROM judged
 """
 
 
@@ -630,43 +691,97 @@ def training_chat_format_validate(spark, sf_dir):
     must have, with invalid rows routed by verdict to quarantine
     (etl_dq_quarantine's pattern).
     """
-    d = load(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
+    return _chat_judged(spark, sf_dir).select("doc_id", "n_turns", "verdict")
+
+
+# ------------------------------------------------- SFT corpus E2E (round 10)
+
+_SFT_BATCH_TOKENS = 60  # contiguous token budget per training batch
+
+
+def _sft_oracle() -> str:
+    return f"""
+WITH {_CHAT_CTES},
+valid AS (
+  SELECT doc_id, text, n_turns FROM judged WHERE verdict = 'valid'
+),
+deduped AS (
+  SELECT doc_id, n_turns FROM (
+    SELECT doc_id, n_turns,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM valid
+  ) WHERE rn = 1
+),
+packed AS (
+  SELECT doc_id, n_turns, n_turns * 3 AS tok,
+         (CAST(SUM(n_turns * 3) OVER (ORDER BY doc_id) AS BIGINT) - 1)
+           // {_SFT_BATCH_TOKENS} AS batch_id
+  FROM deduped
+)
+SELECT CAST(batch_id AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_convs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_turns) AS BIGINT) AS n_turns_total,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM packed GROUP BY batch_id
+ORDER BY batch_id
+"""
+
+
+@register("pipeline_sft_corpus", oracle=_sft_oracle(), tier="T2")
+def pipeline_sft_corpus(spark, sf_dir):
+    """End-to-end SFT-corpus build, emitted as the BATCH MANIFEST a
+    fine-tuning loader consumes — the supervised twin of
+    pipeline_pretrain_corpus: chat-format gate (the EXACT
+    training_chat_format_validate record and rules, via the shared
+    _chat_judged/_CHAT_CTES definition, so the gate and the pipeline that
+    trusts it cannot drift) → exact dedup (md5 keep-min-doc_id — repeated
+    conversations are the classic SFT overfit vector) → deterministic
+    corpus-order packing of whole conversations into
+    {B}-token training batches → per-batch manifest (conversation/token/
+    turn counts, doc-id span).
+
+    Packing spec: conversations are never split (an SFT sample is a whole
+    dialogue); batch_id = (inclusive-cumsum(tokens) − 1) DIV B assigns
+    contiguous doc_id runs to batches, spilling a conversation that
+    crosses the boundary into the earlier batch — deterministic,
+    engine-identical integer arithmetic (tokens = 3·n_turns ≥ 6 > 0, so
+    the DIV operands are non-negative).
+
+    Scale: the gate is map-side codegen; dedup shuffles once on
+    md5(text); the corpus-order cumulative sum is the DISTRIBUTED
+    two-phase prefix sum (ops/dist_rank.py — DIV-bucket on the dense
+    doc_id, per-bucket subtotals, broadcast offsets), never an
+    unpartitioned O(corpus) window; the manifest is a partial+final
+    aggregate on batch_id.
+    """
+    judged = _chat_judged(spark, sf_dir)
+    valid = judged.filter(F.col("verdict") == "valid")
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        valid.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_turns", (F.col("n_turns") * 3).alias("tok"))
     )
-    conv = d.select(
-        "doc_id",
-        F.expr("split(text, ' ')").alias("tok"),
+    packed = distributed_prefix(
+        deduped, F.col("doc_id"), ["doc_id"], sums={"cum": "tok"}
     ).select(
         "doc_id",
-        F.expr("CAST(LEAST(size(tok) DIV 3, 6) AS BIGINT)").alias("n_turns"),
-        F.expr(
-            """transform(
-                 filter(sequence(1, GREATEST(CAST(LEAST(size(tok) DIV 3, 6) AS INT), 1)),
-                        i -> i <= LEAST(size(tok) DIV 3, 6)),
-                 i -> struct(
-                   CASE WHEN doc_id % 7 = 0 AND i = 2 THEN 'user'
-                        WHEN (i - 1) % 2 = 0 THEN 'user'
-                        ELSE 'assistant' END AS role,
-                   CASE WHEN doc_id % 11 = 0
-                         AND i = CAST(LEAST(size(tok) DIV 3, 6) AS INT)
-                        THEN ''
-                        ELSE array_join(slice(tok, (i - 1) * 3 + 1, 3), ' ')
-                   END AS content))"""
-        ).alias("turns"),
-    )
-    return conv.select(
-        "doc_id",
         "n_turns",
-        F.expr(
-            """CASE
-                 WHEN n_turns < 2 THEN 'too_short'
-                 WHEN exists(sequence(2, CAST(n_turns AS INT)),
-                        i -> element_at(turns, i).role
-                             = element_at(turns, i - 1).role)
-                   THEN 'bad_alternation'
-                 WHEN exists(turns, t -> t.content = '')
-                   THEN 'empty_content'
-                 ELSE 'valid'
-               END"""
-        ).alias("verdict"),
+        "tok",
+        F.expr(f"CAST((cum - 1) DIV {_SFT_BATCH_TOKENS} AS BIGINT)").alias(
+            "batch_id"
+        ),
+    )
+    return (
+        packed.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.sum("tok").cast("long").alias("n_tokens"),
+            F.sum("n_turns").cast("long").alias("n_turns_total"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("batch_id")
     )
