@@ -262,6 +262,10 @@ def main() -> None:
     # The harness stores only the TAIL of this line, so the headline
     # numbers are re-emitted as the LAST dict key (json.dumps preserves
     # insertion order) — tail-truncation keeps the numbers that matter.
+    # The full per-key headline dicts sit near the FRONT and die first,
+    # so the per-key story survives too: every headline key's normalized
+    # timing is mirrored here (HEADLINE is small; the bulky extended
+    # block already sits late in the line).
     out["totals"] = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -272,6 +276,8 @@ def main() -> None:
         "extended_total_spin_normalized": extended_total_normalized,
         "spin_ref_sec": SPIN_REF_SEC,
         "n_errors": len(errors),
+        "queries": timings,
+        "queries_spin_normalized": normalized,
     }
     print(json.dumps(out))
 

@@ -36,7 +36,7 @@ def distributed_prefix(
     bucket_key: Column,
     order_cols,
     *,
-    buckets: int = 64,
+    buckets: int | None = None,
     rank: str | None = None,
     sums: dict[str, str] | None = None,
 ) -> DataFrame:
@@ -45,12 +45,28 @@ def distributed_prefix(
     order ``order_cols`` without a global window.
 
     Requirements: ``bucket_key`` is a non-NULL int64-castable Column whose
-    ascending order coarsens ``order_cols``; ``sums`` inputs should be
-    pre-coalesced (an all-NULL leading run inside one bucket yields NULL +
-    offset = NULL, where a single global window would carry earlier
-    buckets' values).
+    ascending order coarsens ``order_cols``, and whose SPAN (``max - min``)
+    fits in int64 — a span at the ±2^63 extremes would wrap the width
+    aggregate (ANSI off); a runtime guard fails loudly (``_w <= 0``)
+    instead of mis-bucketing. ``sums`` inputs should be pre-coalesced (an
+    all-NULL leading run inside one bucket yields NULL + offset = NULL,
+    where a single global window would carry earlier buckets' values).
+
+    ``buckets`` (B) bounds the widest within-bucket task at ~n/B rows for
+    dense keys. The default derives B from ``spark.sql.shuffle.partitions``
+    (floor 64) so the within-bucket phase keeps pace with however the job
+    is sized — a fixed 64 would mean ~1.5 TB tasks at 100 TB; a cluster
+    sized at thousands of shuffle partitions gets that many rank tasks.
+    Corpus-scale callers may still pass an explicit B.
     """
     sums = sums or {}
+    if buckets is None:
+        try:
+            buckets = max(
+                64, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+            )
+        except Exception:  # non-numeric (e.g. "auto" on some runtimes)
+            buckets = 64
     b = df.withColumn("_bk", bucket_key.cast("long"))
     bounds = b.agg(
         F.min("_bk").alias("_lo"),
@@ -58,9 +74,29 @@ def distributed_prefix(
         F.ceil((F.max("_bk") - F.min("_bk") + 1) / F.lit(buckets))
         .cast("long")
         .alias("_w"),
+    ).select(
+        "_lo",
+        # span-overflow guard: a wrapped (negative/zero) width means the
+        # precondition was violated — fail on the 1-row bounds frame (free)
+        # rather than return silently wrong ranks. NULL _w (empty input) is
+        # legitimate: the crossJoin below is empty anyway.
+        F.when(F.col("_w").isNull() | (F.col("_w") > 0), F.col("_w"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "distributed_prefix: bucket_key span overflowed int64 "
+                    "(width <= 0) — see the span precondition in the docstring"
+                )
+            )
+        )
+        .alias("_w"),
     )
     b = b.crossJoin(F.broadcast(bounds)).withColumn(
-        "_bkt", ((F.col("_bk") - F.col("_lo")) / F.col("_w")).cast("long")
+        # true integer DIV — exact for any int64 operands (no double
+        # round-trip; a plain `/` + cast can cross an integer boundary for
+        # quotients near 2^53, the hazard _idiv's docstring names)
+        "_bkt",
+        F.expr("(_bk - _lo) DIV _w"),
     )
     aggs = [F.count(F.lit(1)).alias("_cnt")] + [
         F.sum(src).alias(f"_s_{out}") for out, src in sums.items()

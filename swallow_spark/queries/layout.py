@@ -5,6 +5,8 @@ side of a 100 TB table.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -112,8 +114,6 @@ def join_bucketed_colocate(spark, sf_dir):
     fact-fact pair — pay the bucketed write once, join with no shuffle
     forever after. Result is bucketing-invariant, so the plain-join oracle
     checks it exactly."""
-    import os
-
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     base = f"/tmp/swallow_spark_io/{tag}/bucketed"
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
@@ -161,8 +161,6 @@ def etl_range_partition_write(spark, sf_dir):
     exactly 0, because range partitions are half-open [b_i, b_{i+1})
     intervals and equal keys never split across partitions. The hash gate
     now pins the disjointness contract itself."""
-    import os
-
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = f"/tmp/swallow_spark_io/{tag}/lineitem_ranged"
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
@@ -330,8 +328,6 @@ def etl_layout_skipping_report(spark, sf_dir):
     report itself is |files| rows. At 100 TB the same report runs from
     the metastore/manifest min-max stats without touching data files.
     """
-    import os
-
     tag = os.path.basename(sf_dir.rstrip("/"))
     base = f"/tmp/swallow_spark_io/{tag}/layout_skip"
     li = load(spark, sf_dir, "lineitem").select(
@@ -471,8 +467,6 @@ def etl_zorder_layout(spark, sf_dir):
     min-max stats without touching data files, and the 4-bit demo keys
     become real row-group zone maps.
     """
-    import os
-
     tag = os.path.basename(sf_dir.rstrip("/"))
     base = f"/tmp/swallow_spark_io/{tag}/zorder_layout"
     m = load(spark, sf_dir, "lineitem").select(

@@ -84,13 +84,25 @@ def test_key_within_baseline(name, warm):
     # start) inflates `normalized` without any code regression — observed
     # twice in full-suite runs whose failing keys then passed 46/46
     # standalone. A real regression fails both attempts.
+    first_attempt = None
     for attempt in (0, 1):
         sp = min(bench.spin_sec() for _ in range(3))
         median = sorted(run_once(name) for _ in range(3))[1]
         normalized = median / max(sp / bench.SPIN_REF_SEC, 1.0)
         if normalized <= limit:
+            if attempt == 1:
+                # leave a trail for flaky near-limit keys: a genuine
+                # intermittent regression shows up as repeated retry-passes
+                # in the logs, not as silence (ADVICE r10)
+                print(
+                    f"\n[bench-gate] {name}: first attempt "
+                    f"{first_attempt:.3f}s exceeded limit {limit:.3f}s; "
+                    f"retry passed at {normalized:.3f}s after settle — "
+                    f"treating as contention burst"
+                )
             return
         if attempt == 0:
+            first_attempt = normalized
             time.sleep(10)
     assert normalized <= limit, (
         f"{name}: spin-normalized warm median {normalized:.3f}s (raw "

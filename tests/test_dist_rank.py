@@ -71,6 +71,40 @@ def test_single_row_and_empty(spark):
     assert distributed_prefix(empty, F.col("k"), ["k"], rank="r").count() == 0
 
 
+def test_rank_derived_buckets_default(spark):
+    # buckets=None derives B = max(64, spark.sql.shuffle.partitions) — the
+    # corpus-scale sizing path (VERDICT r10 item 4). Results must be
+    # invariant to B; here the derived B exceeds both the key span and the
+    # row count, so most buckets are empty.
+    keys = [3 * i + 1 for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = distributed_prefix(df, F.col("k"), ["k"], rank="r")
+    want = df.withColumn("r", F.row_number().over(Window.orderBy("k")))
+    assert _rows(got, "k", "r") == _rows(want, "k", "r")
+
+
+def test_rank_extreme_key_magnitudes(spark):
+    # keys near ±2^62: the bucket assignment is a true integer DIV, so the
+    # double-rounding hazard of `cast(a / b as long)` near 2^53-quotient
+    # boundaries cannot mis-bucket. Span here is ~2^62 (fits int64).
+    lo, hi = -(2**61), 2**61
+    keys = [lo, lo + 1, lo + 2, -5, 0, 7, hi - 2, hi - 1, hi]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = distributed_prefix(df, F.col("k"), ["k"], buckets=64, rank="r")
+    want = df.withColumn("r", F.row_number().over(Window.orderBy("k")))
+    assert _rows(got, "k", "r") == _rows(want, "k", "r")
+
+
+def test_span_overflow_fails_loudly(spark):
+    # a span beyond int64 must raise, never silently mis-bucket (ADVICE
+    # r10). Under ANSI (Spark 4 default) the subtraction itself raises
+    # ARITHMETIC_OVERFLOW; with ANSI off it wraps negative and the module's
+    # own _w <= 0 guard raises — loud either way.
+    df = spark.createDataFrame([(-(2**62),), (2**62,)], "k long")
+    with pytest.raises(Exception, match="span overflowed|OVERFLOW|overflow"):
+        distributed_prefix(df, F.col("k"), ["k"], buckets=64, rank="r").collect()
+
+
 @pytest.mark.parametrize("tiles", [2, 3, 4, 5, 7])
 @pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 7, 12, 13, 100])
 def test_ntile_from_rank_matches_ntile(spark, tiles, n):

@@ -389,11 +389,11 @@ BNLJ_ALLOWED = {
     "join_cross_limited",
     "q11_important_stock",
     "q22_global_sales_opportunity",
-    "sample_systematic",  # broadcast 1-row (min, bucket-width) bounds crossjoin (dist_rank)
-    "sort_multi_nulls",  # broadcast 1-row bounds crossjoin (dist_rank)
-    "text_vocab_growth",  # broadcast 1-row bounds crossjoin (dist_rank)
-    "win_ntile",  # broadcast 1-row bounds + count crossjoins (dist_rank)
-    "win_percent_rank",  # broadcast 1-row bounds + count crossjoins (dist_rank)
+    # dist_rank's bounds crossjoins are auto-recognized structurally
+    # (_dist_rank_bounds_bnlj_ids) — entries here cover callers' OTHER
+    # 1-row scalar crossjoins only
+    "win_ntile",  # broadcast 1-row total-count crossjoin (NTILE denominator)
+    "win_percent_rank",  # broadcast 1-row total-count crossjoin (denominator)
     "sample_temperature_mix",  # broadcast 1-row total/normalizer cross joins
     "search_hybrid_rrf",  # probe-broadcast cosine arm (same as sim_cosine_topk)
     "sim_cosine_topk",
@@ -408,7 +408,7 @@ BNLJ_ALLOWED = {
     "stats_mutual_information",  # broadcast 1-row n/H(x)/H(y) scalar crossjoins (chisq shape)
     "sketch_kmv_intersect",  # broadcast 1-row exact-intersection ground-truth crossjoin
     "seq_churn_hazard",  # broadcast 1-row total-users crossjoin (life-table denominator)
-    "seq_rfm_scores",  # broadcast 1-row user-count + dist_rank bounds crossjoins
+    "seq_rfm_scores",  # broadcast 1-row user-count + max-ts scalar crossjoins
     "stats_friedman",  # broadcast 1-row k (distinct-segment count) crossjoin
     "ts_changepoint_split",  # broadcast 1-row (n, s) totals crossjoin (BSS closed form)
     "ts_kpss_stationarity",  # broadcast 1-row sufficient-stats crossjoin (pacf-rule chain)
@@ -423,7 +423,6 @@ BNLJ_ALLOWED = {
     "graph_ppr_restart",  # broadcast 1-row seed-count crossjoin (restart-mass split)
     "seq_cohort_ltv",  # broadcast 1-row min-date crossjoin
     "seq_growth_accounting",  # broadcast 1-row min-date crossjoin
-    "seq_rfm_scores",  # broadcast 1-row max-ts crossjoin
     "win_decayed_sum",  # broadcast 1-row max-day crossjoin (decay anchor)
     "stats_chisq_gof",  # broadcast 1-row n crossjoin
     "stats_ljung_box",  # broadcast 1-row n/c0/Q-sum scalar crossjoins
@@ -470,11 +469,45 @@ _PLAN_AUDIT_SKIP_PREFIXES = (
     "source_", "sink_", "etl_compact", "etl_range_partition", "stream_",
 )
 
+# --- ops/dist_rank.py plan-shape auto-recognition -------------------------
+# distributed_prefix's two audited-by-design shapes carry the module's
+# PRIVATE column names (_lo/_w/_bkt — grep: no other module emits them), so
+# every present and FUTURE caller is covered by construction instead of by
+# allowlist maintenance. (Round-10 foul: a late caller missing two
+# allowlist lines broke this suite even though its plan was exactly the
+# already-audited bounded shape.) The shapes: a BroadcastNestedLoopJoin
+# whose build side is the 1-row (_lo, _w) bounds aggregate, and an
+# unpartitioned Window ordered by _bkt over the ≤B-row per-bucket
+# offset frame.
+_BNLJ_NODE = re.compile(r"^\((\d+)\) BroadcastNestedLoopJoin", re.M)
+_DIST_RANK_OFFSET_ORDER = re.compile(r"^_bkt#\d+L? (ASC|DESC) NULLS (FIRST|LAST)$")
+
+
+def _dist_rank_bounds_bnlj_ids(plan: str) -> set[int]:
+    """Node ids of BNLJs whose build side is dist_rank's 1-row (_lo, _w)
+    bounds aggregate. Formatted explain numbers children post-order with
+    the build (right) subtree last, so that BroadcastExchange — whose
+    Input is exactly [_lo#N, _w#M] — sits at id-1."""
+    ids = set()
+    for m in _BNLJ_NODE.finditer(plan):
+        nid = int(m.group(1))
+        if re.search(
+            r"^\(%d\) BroadcastExchange\s*\nInput \[2\]: \[_lo#\d+L?, _w#\d+L?\]"
+            % (nid - 1),
+            plan,
+            re.M,
+        ):
+            ids.add(nid)
+    return ids
+
 
 def test_no_unaudited_nested_loop_joins(spark):
     """Repo-wide anti-pattern audit: no declared key may introduce a
     CartesianProduct or an unaudited BroadcastNestedLoopJoin — the two plan
-    shapes that silently explode at 100 TB."""
+    shapes that silently explode at 100 TB. dist_rank's broadcast 1-row
+    bounds crossjoin is recognized structurally (see
+    _dist_rank_bounds_bnlj_ids); only OTHER nested loops need an
+    allowlist entry."""
     from swallow_spark.registry import declared_queries
 
     offenders = []
@@ -485,27 +518,23 @@ def test_no_unaudited_nested_loop_joins(spark):
         if "CartesianProduct" in p:
             offenders.append((name, "CartesianProduct"))
         if "BroadcastNestedLoopJoin" in p and name not in BNLJ_ALLOWED:
-            offenders.append((name, "BroadcastNestedLoopJoin"))
+            all_ids = {int(m.group(1)) for m in _BNLJ_NODE.finditer(p)}
+            if all_ids - _dist_rank_bounds_bnlj_ids(p):
+                offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
 
 
 # Keys where an UNPARTITIONED Window (no PARTITION BY → every input row
 # through ONE reducer task) is intentional because its input frame is
 # provably bounded — post-aggregate rows whose count does not grow with the
-# table (calendar grains, value-domain histograms, fixed-k cuts, the ≤B
-# bucket-offset frame inside ops/dist_rank.distributed_prefix). A key here
-# has been audited with the bound named; anything else showing an
+# table (calendar grains, value-domain histograms, fixed-k cuts). A key
+# here has been audited with the bound named; anything else showing an
 # unpartitioned window over table-sized input is the single-reducer cliff
-# (the former sample_systematic defect).
+# (the former sample_systematic defect). dist_rank's ≤B bucket-offset
+# frame is recognized structurally inside unpartitioned_windows (ordered
+# by its private _bkt column), so distributed_prefix callers need no
+# entry here.
 WINDOW_GLOBAL_ALLOWED = {
-    # ops/dist_rank two-phase rank users: the ≤64-row bucket-offset frame
-    "sample_systematic",
-    "seq_rfm_scores",
-    "sort_multi_nulls",
-    "text_perplexity_buckets",
-    "text_vocab_growth",
-    "win_ntile",
-    "win_percent_rank",
     # bounded post-aggregate frames
     "class_weights",  # ≤|langs| (5) class-count rows
     "eval_bradley_terry",  # ≤|langs| win-matrix / MM score frame
@@ -581,6 +610,11 @@ def unpartitioned_windows(plan: str) -> int:
         args = am.group(1)
         for sm in _WINSPEC.finditer(args):
             first = _first_spec_arg(args, sm.end())
+            if _DIST_RANK_OFFSET_ORDER.match(first):
+                # dist_rank's ≤B-row bucket-offset frame: bounded by
+                # construction (B = bucket count, a config constant), the
+                # one unpartitioned window that is always benign
+                continue
             if first.startswith("specifiedwindowframe(") or re.search(
                 r" (ASC|DESC) NULLS (FIRST|LAST)$", first
             ):
@@ -821,10 +855,34 @@ def test_batch_rescore_salted_join_shape(spark):
     assert "Scan ExistingRDD" in tree
 
 
+def test_dist_rank_shape_recognition(spark):
+    """The structural recognizers that keep distributed_prefix callers out
+    of the audit allowlists must actually FIRE on a live dist_rank plan —
+    if a Spark upgrade reformats explain output, this fails with a clear
+    name instead of the registry audits erupting with dozens of phantom
+    offenders. pipeline_sft_corpus (the round-10 foul) is the canary: its
+    only BNLJs are the two bounds crossjoins and its only unpartitioned
+    windows are the ≤B-row offset frames."""
+    p = _plan_cached(spark, "pipeline_sft_corpus")
+    all_bnlj = {int(m.group(1)) for m in _BNLJ_NODE.finditer(p)}
+    recognized = _dist_rank_bounds_bnlj_ids(p)
+    assert all_bnlj, "expected dist_rank bounds BNLJs in the plan"
+    assert all_bnlj == recognized, (all_bnlj, recognized)
+    assert unpartitioned_windows(p) == 0
+    # and the recognizer must NOT over-match: a key whose BNLJ is a real
+    # probe-broadcast scan (sim_cosine_topk) stays unrecognized
+    p2 = _plan_cached(spark, "sim_cosine_topk")
+    bnlj2 = {int(m.group(1)) for m in _BNLJ_NODE.finditer(p2)}
+    assert bnlj2, "sim_cosine_topk lost its probe-broadcast BNLJ"
+    assert not _dist_rank_bounds_bnlj_ids(p2)
+
+
 def test_rfm_dist_rank_no_single_partition_sort(spark):
     """seq_rfm_scores must carry no Exchange SinglePartition into a Window
     over the per-user frame — the three quintiles come from bucket-
     partitioned dist_rank windows."""
     p = plan_of(spark, "seq_rfm_scores")
-    assert unpartitioned_windows(p) <= 3  # only dist_rank's <= B-row offset frames
+    # dist_rank's ≤B-row offset frames are structurally excluded by
+    # unpartitioned_windows, so anything counted here is a real cliff
+    assert unpartitioned_windows(p) == 0
     assert "CartesianProduct" not in p
