@@ -75,6 +75,8 @@ EXTENDED = [
     "vec_ann_recall_sweep",  # round 9: 4-point recall curve + exhaustive arm
     "vec_ann_ivf_batch_rescore",  # round 10: table-scan probes + salted hot-cell join
     "etl_zorder_layout",  # round 10: physical 2-layout write + skipping report
+    "pipeline_sft_corpus",  # round 10 (benched r11): gate -> dedup -> dist-prefix packing
+    "pipeline_dpo_corpus",  # round 11: dual WindowGroupLimit rank arms + pair packing
 ]
 
 

@@ -785,3 +785,175 @@ def pipeline_sft_corpus(spark, sf_dir):
         )
         .orderBy("batch_id")
     )
+
+
+# ------------------------------------------------- DPO corpus E2E (round 11)
+
+_DPO_BATCH_TOKENS = 120  # contiguous token budget per preference batch
+_DPO_K = 5  # pair depth: i-th best vs i-th worst, i = 1..K
+
+
+def _dpo_oracle() -> str:
+    return f"""
+WITH scored AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+          * 1000000)
+           // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_micro
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0 AND lang IS NOT NULL
+),
+counts AS (
+  SELECT lang, COUNT(*) AS n_docs FROM scored GROUP BY lang
+),
+topk AS (
+  SELECT * FROM (
+    SELECT lang, doc_id, tok, score_micro,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY score_micro DESC, doc_id) AS rk
+    FROM scored
+  ) WHERE rk <= {_DPO_K}
+),
+botk AS (
+  SELECT * FROM (
+    SELECT lang, doc_id, tok, score_micro,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY score_micro, doc_id DESC) AS rk
+    FROM scored
+  ) WHERE rk <= {_DPO_K}
+),
+pairs AS (
+  SELECT t.lang, t.rk AS pair_rank,
+         t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+         t.score_micro - b.score_micro AS margin_micro,
+         t.tok + b.tok AS pair_tokens
+  FROM topk t
+  JOIN botk b ON t.lang = b.lang AND t.rk = b.rk
+  JOIN counts c ON t.lang = c.lang
+  WHERE 2 * t.rk <= c.n_docs AND t.score_micro > b.score_micro
+),
+packed AS (
+  SELECT *,
+         (CAST(SUM(pair_tokens) OVER (ORDER BY lang, pair_rank) AS BIGINT)
+          - 1) // {_DPO_BATCH_TOKENS} AS batch_id
+  FROM pairs
+)
+SELECT lang, CAST(pair_rank AS BIGINT) AS pair_rank,
+       CAST(chosen_id AS BIGINT) AS chosen_id,
+       CAST(rejected_id AS BIGINT) AS rejected_id,
+       CAST(margin_micro AS BIGINT) AS margin_micro,
+       CAST(pair_tokens AS BIGINT) AS pair_tokens,
+       CAST(batch_id AS BIGINT) AS batch_id
+FROM packed ORDER BY lang, pair_rank
+"""
+
+
+@register("pipeline_dpo_corpus", oracle=_dpo_oracle(), tier="T2")
+def pipeline_dpo_corpus(spark, sf_dir):
+    """End-to-end DPO preference-corpus build — the third leg of the
+    training-pipeline triad (pipeline_pretrain_corpus /
+    pipeline_sft_corpus / this): integer quality scoring (map-only) →
+    K-deep preference pairing per language (i-th best vs i-th worst,
+    the fan-out of training_preference_pairs' top-1/bottom-1 skeleton)
+    → disjointness gate (2·i ≤ n keeps chosen and rejected pools from
+    overlapping) → strict-positive-margin gate (a zero-margin pair
+    carries no DPO signal) → deterministic token-budget batch packing.
+
+    Determinism: the score is pure int64 (n_uniq·1e6 DIV n_tok); both
+    rank orders carry doc_id tiebreaks (DESC on the bottom rank makes it
+    the exact mirror of the top rank, so pair i is the i-th best against
+    the i-th worst under ONE total order); the packing cumsum runs in
+    (lang, pair_rank) order over the bounded pair frame. NULL langs are
+    excluded on both sides (NULL group ordering diverges between
+    engines).
+
+    Scale: scoring is map-side codegen over the corpus; both rank arms
+    are top-K-per-group scans (row_number + rk <= K pushes
+    WindowGroupLimit, so each map task forwards at most K rows per
+    language — never a full per-language sort); counts are a
+    partial+final aggregate; everything after the rank arms operates on
+    ≤ K·|langs| rows (broadcast joins, one bounded cumsum window —
+    allowlisted in tests/test_plans.py). The corpus is scanned three
+    times (two rank arms + the count aggregate), each a column-pruned
+    parquet scan; at 100 TB a deployment would cache/checkpoint the
+    4-column scored projection once and feed all three from it. The
+    pair/packing tail is metadata-sized.
+    """
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.length("text") > 0)
+        & F.col("lang").isNotNull()
+    )
+    scored = d.select(
+        "lang",
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("tok"),
+        F.expr(
+            "(CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " * 1000000) DIV CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("score_micro"),
+    )
+    counts = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_top = Window.partitionBy("lang").orderBy(F.col("score_micro").desc(), "doc_id")
+    w_bot = Window.partitionBy("lang").orderBy(
+        "score_micro", F.col("doc_id").desc()
+    )
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= _DPO_K)
+        .select("lang", "rk", "doc_id", "tok", "score_micro")
+    )
+    botk = (
+        scored.withColumn("rk", F.row_number().over(w_bot))
+        .filter(F.col("rk") <= _DPO_K)
+        .select(
+            F.col("lang").alias("lang_b"),
+            F.col("rk").alias("rk_b"),
+            F.col("doc_id").alias("rejected_id"),
+            F.col("tok").alias("tok_b"),
+            F.col("score_micro").alias("score_b"),
+        )
+    )
+    pairs = (
+        topk.join(
+            F.broadcast(botk),
+            (topk.lang == botk.lang_b) & (topk.rk == botk.rk_b),
+        )
+        .join(F.broadcast(counts), "lang")
+        .filter(
+            (2 * F.col("rk") <= F.col("n_docs"))
+            & (F.col("score_micro") > F.col("score_b"))
+        )
+        .select(
+            "lang",
+            F.col("rk").alias("pair_rank"),
+            F.col("doc_id").alias("chosen_id"),
+            "rejected_id",
+            (F.col("score_micro") - F.col("score_b")).alias("margin_micro"),
+            (F.col("tok") + F.col("tok_b")).alias("pair_tokens"),
+        )
+    )
+    # bounded frame: ≤ K·|langs| surviving pairs — the one place a global
+    # cumsum window is the right tool (same rationale as dist_rank's
+    # offset frame)
+    return (
+        pairs.withColumn(
+            "batch_id",
+            F.expr(
+                f"CAST((sum(pair_tokens) OVER (ORDER BY lang, pair_rank"
+                f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)"
+                f" DIV {_DPO_BATCH_TOKENS} AS BIGINT)"
+            ),
+        )
+        .select(
+            "lang",
+            F.col("pair_rank").cast("long").alias("pair_rank"),
+            F.col("chosen_id").cast("long").alias("chosen_id"),
+            F.col("rejected_id").cast("long").alias("rejected_id"),
+            F.col("margin_micro").cast("long").alias("margin_micro"),
+            F.col("pair_tokens").cast("long").alias("pair_tokens"),
+            "batch_id",
+        )
+        .orderBy("lang", "pair_rank")
+    )

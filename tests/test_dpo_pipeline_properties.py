@@ -1,0 +1,179 @@
+"""Property tests for pipeline_dpo_corpus: random multi-language corpora
+must produce the SAME preference-pair/batch table in Spark, in the
+registered DuckDB oracle, and in a pure-Python reference — pinning the
+int64 quality score, the mirror-order pairing (i-th best vs i-th worst
+under one total order), the 2·i ≤ n disjointness gate, the strict-
+positive-margin gate, and the (cumsum − 1) DIV 120 packing. Corner cases:
+single-doc language (no pairs), zero-variance language (all margins 0 →
+filtered), a pair landing exactly on the batch boundary, NULL langs and
+empty texts excluded.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from swallow_spark.queries.training_pipeline import _DPO_BATCH_TOKENS, _DPO_K
+
+_LANGS = ["en", "de", "fr", None]
+
+# A doc spec: (lang_idx, n_words, vocab) — vocab controls the uniqueness
+# ratio (score ties appear when vocab collides), n_words the token count.
+_doc = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=15),
+    st.integers(min_value=1, max_value=4),
+)
+_corpus = st.lists(_doc, min_size=1, max_size=40)
+
+
+def _build_rows(case):
+    rows = []
+    for j, (li, n_words, vocab) in enumerate(case, start=1):
+        text = " ".join(f"v{(i * j) % vocab}" for i in range(n_words))
+        rows.append((j, _LANGS[li], text))
+    return rows
+
+
+def _materialize(rows, tmpdir):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[2] for r in rows],
+            "lang": [r[1] for r in rows],
+            "source": ["prop"] * len(rows),
+            "n_chars": [len(r[2]) for r in rows],
+        }
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM pdf) TO '{tmpdir}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+
+
+def _ref_pairs(rows):
+    scored = {}
+    for did, lang, text in rows:
+        if not text or lang is None:
+            continue
+        tok = text.split(" ")
+        score = (len(set(tok)) * 1000000) // len(tok)
+        scored.setdefault(lang, []).append((did, len(tok), score))
+    pairs = []
+    for lang, docs in scored.items():
+        n = len(docs)
+        top = sorted(docs, key=lambda d: (-d[2], d[0]))
+        bot = sorted(docs, key=lambda d: (d[2], -d[0]))
+        for i in range(1, min(_DPO_K, n // 2) + 1):
+            t, b = top[i - 1], bot[i - 1]
+            if t[2] > b[2]:
+                pairs.append((lang, i, t[0], b[0], t[2] - b[2], t[1] + b[1]))
+    pairs.sort(key=lambda p: (p[0], p[1]))
+    out, cum = [], 0
+    for lang, i, cid, rid, margin, ptok in pairs:
+        cum += ptok
+        out.append((lang, i, cid, rid, margin, ptok, (cum - 1) // _DPO_BATCH_TOKENS))
+    return out
+
+
+@pytest.fixture(scope="module")
+def q():
+    from swallow_spark.registry import all_queries
+
+    return all_queries()["pipeline_dpo_corpus"]
+
+
+def _spark_pairs(spark, q, tmpdir):
+    return [tuple(r) for r in q.fn(spark, tmpdir).collect()]
+
+
+def _duck_pairs(q, tmpdir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{tmpdir}/documents.parquet')"
+    )
+    got = [tuple(r) for r in con.sql(q.oracle).fetchall()]
+    con.close()
+    return got
+
+
+def _check_three_way(spark, q, tmp_path_factory, rows):
+    tmpdir = str(tmp_path_factory.mktemp("dpo"))
+    _materialize(rows, tmpdir)
+    want = _ref_pairs(rows)
+    assert _spark_pairs(spark, q, tmpdir) == want
+    assert _duck_pairs(q, tmpdir) == want
+    return want
+
+
+@settings(max_examples=25, deadline=None)
+@given(_corpus)
+def test_dpo_pairs_spark_duckdb_reference_agree(spark, q, tmp_path_factory, case):
+    _check_three_way(spark, q, tmp_path_factory, _build_rows(case))
+
+
+def test_single_doc_language_emits_nothing(spark, q, tmp_path_factory):
+    # n = 1 → 2·i ≤ 1 never holds: a language cannot pair with itself
+    rows = [(1, "en", "a b c d"), (2, "de", "x y x y z")]
+    assert _check_three_way(spark, q, tmp_path_factory, rows) == []
+
+
+def test_zero_variance_language_filtered(spark, q, tmp_path_factory):
+    # identical scores → margin 0 → strict-margin gate drops every pair;
+    # a second language with real variance still pairs
+    rows = [
+        (1, "en", "a b c"),
+        (2, "en", "d e f"),
+        (3, "en", "g h i"),
+        (4, "de", "p p p p"),  # uniq 1/4
+        (5, "de", "q r s t"),  # uniq 4/4
+    ]
+    want = _check_three_way(spark, q, tmp_path_factory, rows)
+    assert [w[0] for w in want] == ["de"]
+    assert want[0][2] == 5 and want[0][3] == 4  # chosen=5, rejected=4
+    assert want[0][4] == 750000  # 1e6 - 250000
+
+
+def test_exact_batch_boundary(spark, q, tmp_path_factory):
+    # pair_tokens chosen so the cumulative sum hits exactly 120 on the
+    # second pair: (120 - 1) DIV 120 = 0 — the boundary pair spills into
+    # batch 0; the third pair opens batch 1
+    assert _DPO_BATCH_TOKENS == 120
+    mk = lambda n, uniq: " ".join(  # noqa: E731
+        (f"u{i}" if i < uniq else "r") for i in range(n)
+    )
+    rows = [
+        # lang en: 30-token docs, distinct uniqueness → two 60-token pairs
+        (1, "en", mk(30, 30)),
+        (2, "en", mk(30, 1)),
+        (3, "en", mk(30, 20)),
+        (4, "en", mk(30, 10)),
+        # lang fr: one 60-token pair → cum 180 → batch 1
+        (5, "fr", mk(30, 30)),
+        (6, "fr", mk(30, 3)),
+    ]
+    want = _check_three_way(spark, q, tmp_path_factory, rows)
+    assert [(w[0], w[1], w[6]) for w in want] == [
+        ("en", 1, 0),
+        ("en", 2, 0),  # cum = 120 exactly → still batch 0
+        ("fr", 1, 1),
+    ]
+
+
+def test_null_lang_and_empty_text_excluded(spark, q, tmp_path_factory):
+    rows = [
+        (1, None, "a b c d e"),
+        (2, None, "f g"),
+        (3, "en", ""),
+        (4, "en", "h i j k"),
+        (5, "en", "l l l l"),
+    ]
+    want = _check_three_way(spark, q, tmp_path_factory, rows)
+    assert [w[0] for w in want] == ["en"]
+    assert want[0][2] == 4 and want[0][3] == 5

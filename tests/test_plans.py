@@ -540,6 +540,7 @@ WINDOW_GLOBAL_ALLOWED = {
     "eval_bradley_terry",  # ≤|langs| win-matrix / MM score frame
     "eval_retrieval_ndcg",  # single fixed-probe candidate ranking (top-k cut)
     "eval_retrieval_rank_metrics",  # single fixed-probe candidate ranking
+    "pipeline_dpo_corpus",  # ≤K·|langs| (25) preference-pair packing frame
     "pipeline_pretrain_corpus",  # ≤32 per-partition packer subtotals
     "sample_label_balance",  # ≤|labels| count frame (min-cap scalar)
     "search_hybrid_rrf",  # single-probe BM25/cosine candidate rankings

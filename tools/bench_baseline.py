@@ -39,6 +39,15 @@ SF_DIR = "/root/testdata/sf0.1"
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--force", action="store_true", help="record even if unstable")
+    ap.add_argument(
+        "--only",
+        nargs="+",
+        metavar="KEY",
+        help="record just these keys and MERGE them into the existing "
+        "baseline (normalized values are box-speed-relative by design, so "
+        "an incremental add composes with the recorded 46 without "
+        "re-recording them on a possibly-noisier box)",
+    )
     args = ap.parse_args()
 
     load1 = os.getloadavg()[0]
@@ -48,6 +57,11 @@ def main() -> None:
     spark = get_spark("bench_baseline", cpus=32)
     qs = declared_queries()
     names = [n for n in bench.HEADLINE + bench.EXTENDED if n in qs]
+    if args.only:
+        missing = [n for n in args.only if n not in names]
+        if missing:
+            sys.exit(f"--only keys not in HEADLINE+EXTENDED: {missing}")
+        names = list(args.only)
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
@@ -80,6 +94,23 @@ def main() -> None:
     # spin loop, so the minimum across the run is the stable box-speed
     # estimate — a per-key burst must not deflate that key's baseline
     spin_min = spin_vals[0]
+    normalized = {
+        k: round(v / max(spin_min / bench.SPIN_REF_SEC, 1.0), 3)
+        for k, v in medians.items()
+    }
+    if args.only and OUT.exists():
+        rec = json.loads(OUT.read_text())
+        rec["medians"].update(medians)
+        rec["medians_spin_normalized"].update(normalized)
+        rec["spin_per_key"].update(spins)
+        rec["note"] = (
+            rec.get("note", "")
+            + f" | merged {sorted(medians)} at spin_min {spin_min} "
+            f"({int(time.time())})"
+        )
+        OUT.write_text(json.dumps(rec, indent=1) + "\n")
+        print(f"merged {sorted(medians)} into {OUT}", file=sys.stderr)
+        return
     OUT.write_text(
         json.dumps(
             {
