@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 from ..conform import rnd, sql_rnd
 from ..io import load
 from ..ops.dist_rank import distributed_prefix
+from ..ops.materialize import materialize
 from ..ops.text import STOPWORDS, sql_shingles, tokens
 from ..registry import register
 
@@ -202,6 +203,71 @@ ORDER BY shard
 """
 
 
+def _pretrain_local(spark, sf_dir):
+    """The pre-checkpoint pretrain chain up to the per-partition local
+    cumsums: gate -> md5 dedup -> chunk explode -> range partition ->
+    mapInPandas running sum. Factored out so the plan test
+    (tests/test_plans.py::test_pretrain_packer_two_pass) can pin THIS
+    plan's shape — pipeline_pretrain_corpus materializes it (the declared
+    plan then reads Scan ExistingRDD), because the frame feeds both the
+    subtotal branch and the offset join and the Python cumsum pass is not
+    shuffle-reused across branches."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    arr = F.split(F.col("text"), " ")
+    toks = d.select(
+        "doc_id",
+        "text",
+        F.size(arr).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(arr)).cast("long").alias("n_uniq"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    gated = toks.filter(
+        F.col("n_tok").between(20, 100)
+        & ((F.col("n_chars") - (F.col("n_tok") - 1)) >= 3 * F.col("n_tok"))
+        & ((F.col("n_chars") - (F.col("n_tok") - 1)) <= 10 * F.col("n_tok"))
+        & (100 * F.col("n_uniq") >= 30 * F.col("n_tok"))
+    )
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tok")
+    )
+    chunks = deduped.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.expr("(n_tok - 9) DIV 56"))
+        ).alias("chunk_id"),
+        "n_tok",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.least(F.lit(64), F.col("n_tok") - F.col("chunk_id") * 56).alias("c"),
+    )
+    ranged = (
+        chunks.repartitionByRange(32, "doc_id", "chunk_id")
+        .sortWithinPartitions("doc_id", "chunk_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    def local_cumsum(batches):
+        run = 0  # carries across Arrow batches WITHIN one partition
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+            pdf["local_cum"] = pdf["c"].cumsum() + run
+            run = int(pdf["local_cum"].iloc[-1])
+            yield pdf
+
+    return ranged.mapInPandas(
+        local_cumsum,
+        "doc_id long, chunk_id long, c long, pid int, local_cum long",
+    )
+
+
 @register("pipeline_pretrain_corpus", oracle=_PRETRAIN_SQL, tier="T2")
 def pipeline_pretrain_corpus(spark, sf_dir):
     """End-to-end pretraining-corpus build, emitted as the SHARD MANIFEST a
@@ -242,62 +308,14 @@ def pipeline_pretrain_corpus(spark, sf_dir):
     hypothesis suite pin the rewrite. The manifest aggregate stays
     partial+final on shard id.
     """
-    d = load(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
-    )
-    arr = F.split(F.col("text"), " ")
-    toks = d.select(
-        "doc_id",
-        "text",
-        F.size(arr).cast("long").alias("n_tok"),
-        F.size(F.array_distinct(arr)).cast("long").alias("n_uniq"),
-        F.length("text").cast("long").alias("n_chars"),
-    )
-    gated = toks.filter(
-        F.col("n_tok").between(20, 100)
-        & ((F.col("n_chars") - (F.col("n_tok") - 1)) >= 3 * F.col("n_tok"))
-        & ((F.col("n_chars") - (F.col("n_tok") - 1)) <= 10 * F.col("n_tok"))
-        & (100 * F.col("n_uniq") >= 30 * F.col("n_tok"))
-    )
-    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = (
-        gated.withColumn("rn", F.row_number().over(wdup))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "n_tok")
-    )
-    chunks = deduped.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.expr("(n_tok - 9) DIV 56"))
-        ).alias("chunk_id"),
-        "n_tok",
-    ).select(
-        "doc_id",
-        "chunk_id",
-        F.least(F.lit(64), F.col("n_tok") - F.col("chunk_id") * 56).alias("c"),
-    )
-    import pandas as pd
-
-    ranged = (
-        chunks.repartitionByRange(32, "doc_id", "chunk_id")
-        .sortWithinPartitions("doc_id", "chunk_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
-
-    def local_cumsum(batches):
-        run = 0  # carries across Arrow batches WITHIN one partition
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            pdf = pdf.copy()
-            pdf["local_cum"] = pdf["c"].cumsum() + run
-            run = int(pdf["local_cum"].iloc[-1])
-            yield pdf
-
-    local = ranged.mapInPandas(
-        local_cumsum,
-        "doc_id long, chunk_id long, c long, pid int, local_cum long",
-    )
+    # cut lineage on the pre-checkpoint chain (_pretrain_local): it feeds
+    # BOTH the subtotal branch and the offset join, and while the
+    # repartitionByRange exchange inside it is shuffle-reused across
+    # branches, the Python cumsum pass is NOT — without a cut the
+    # Arrow/worker round-trip runs twice (measured 2.7 s -> ~1.9 s at
+    # sf0.1; at 100 TB it is one corpus pass through Python instead of
+    # two). The pre-cut plan shape stays pinned via _pretrain_local.
+    local = materialize(_pretrain_local(spark, sf_dir))
     # one subtotal row per partition — bounded metadata, broadcast back as
     # exclusive offsets (the window below is over ≤ #partitions rows)
     offsets = (
@@ -749,16 +767,31 @@ def pipeline_sft_corpus(spark, sf_dir):
     engine-identical integer arithmetic (tokens = 3·n_turns ≥ 6 > 0, so
     the DIV operands are non-negative).
 
-    Scale: the gate is map-side codegen; dedup shuffles once on
-    md5(text); the corpus-order cumulative sum is the DISTRIBUTED
-    two-phase prefix sum (ops/dist_rank.py — DIV-bucket on the dense
-    doc_id, per-bucket subtotals, broadcast offsets), never an
-    unpartitioned O(corpus) window; the manifest is a partial+final
-    aggregate on batch_id.
+    Scale: the gate is one map-side pass whose 4-thin-column output is
+    materialized (ops/materialize.py — reliable checkpoint on a cluster,
+    localCheckpoint here) so the expensive validator expressions run
+    exactly once; dedup shuffles once on md5(text); the corpus-order
+    cumulative sum is the DISTRIBUTED two-phase prefix sum
+    (ops/dist_rank.py — DIV-bucket on the dense doc_id, per-bucket
+    subtotals, broadcast offsets), never an unpartitioned O(corpus)
+    window; the manifest is a partial+final aggregate on batch_id.
     """
-    judged = _chat_judged(spark, sf_dir)
+    # Evaluate the gate EXACTLY ONCE and cut lineage on its output: the
+    # validator's higher-order-function expressions (transform/exists are
+    # CodegenFallback — interpreted per row even inside a codegen'd
+    # operator) are the pipeline's dominant cost, and without a cut they
+    # re-run in the dedup shuffle's map side and BOTH branches of the
+    # distributed prefix sum (measured 4.3 s -> 2.0 s at sf0.1 from this
+    # one cut). At 100 TB the materialized frame is 4 thin columns and the
+    # cut is the difference between one and three validator passes over
+    # the corpus.
+    judged = materialize(
+        _chat_judged(spark, sf_dir).select(
+            "doc_id", "n_turns", "verdict", F.md5("text").alias("_h")
+        )
+    )
     valid = judged.filter(F.col("verdict") == "valid")
-    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    wdup = Window.partitionBy("_h").orderBy("doc_id")
     deduped = (
         valid.withColumn("rn", F.row_number().over(wdup))
         .filter(F.col("rn") == 1)

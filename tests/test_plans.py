@@ -283,14 +283,26 @@ def test_pretrain_packer_two_pass(spark):
     per-partition-offset cumsum (round 7), not the former unpartitioned
     window that funneled every chunk through one task: a narrow MapInPandas
     computes local cumsums over the range-partitioned chunk stream, and the
-    per-partition offsets come back through a BROADCAST join."""
+    per-partition offsets come back through a BROADCAST join. Since round
+    11 the chunk stream is materialized (the Python pass is not
+    shuffle-reused across the two consuming branches), so the declared
+    plan reads Scan ExistingRDD and the pre-checkpoint shape is pinned on
+    the factored-out _pretrain_local chain."""
+    import contextlib
+    import io
+
+    from swallow_spark.queries.training_pipeline import _pretrain_local
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _pretrain_local(spark, SF).explain("formatted")
+    pre = buf.getvalue()
+    assert "MapInPandas" in pre
+    assert "SortMergeJoin" not in pre
+    assert unpartitioned_windows(pre) == 0  # no global window upstream
     p = plan_of(spark, "pipeline_pretrain_corpus")
-    assert "MapInPandas" in p
-    assert "BroadcastHashJoin" in p
-    # the only Window left is the <=n_partitions-row offset prefix sum;
-    # the chunk stream itself must never hit a Window operator upstream of
-    # the MapInPandas (tree order: MapInPandas appears before any Window
-    # that consumes it would)
+    assert "Scan ExistingRDD" in p  # the materialize cut
+    assert "BroadcastHashJoin" in p  # offsets come back broadcast
     assert "SortMergeJoin" not in p
 
 
