@@ -116,3 +116,38 @@ def test_ntile_from_rank_matches_ntile(spark, tiles, n):
         "k", ntile_from_rank(F.col("k"), F.lit(n).cast("long"), tiles).alias("t")
     )
     assert _rows(got, "k", "t") == _rows(want, "k", "t")
+
+
+# ---------------------------------------------------------------- hypothesis
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=100),
+)
+def test_rank_and_sums_random_keys(spark, keys, buckets):
+    # random (possibly duplicated, arbitrarily clustered) bucket keys and
+    # bucket counts: rank and running sum must match the single-reducer
+    # global window bit-for-bit. uid breaks ties so the order is total and
+    # the bucket key is a genuine coarsening of it.
+    rows = [(k, i, (k % 97) + i) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "k long, uid long, v long")
+    got = distributed_prefix(
+        df, F.col("k"), ["k", "uid"], buckets=buckets, rank="r", sums={"cv": "v"}
+    )
+    w = Window.orderBy("k", "uid")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = df.select(
+        "uid",
+        F.row_number().over(w).alias("r"),
+        F.sum("v").over(wr).alias("cv"),
+    )
+    assert _rows(got, "uid", "r", "cv") == _rows(want, "uid", "r", "cv")

@@ -212,3 +212,25 @@ def test_gate_count_consistency_pin(spark, q, tmp_path_factory):
     # the residue plants actually fired (doc 7 and doc 11 are invalid), so
     # the pin is exercised on a corpus where gate < total
     assert 0 < n_valid < len(texts)
+
+
+def test_gate_count_consistency_pin_on_fixture(spark, q):
+    """The same drift pin bound to the REAL fixture corpus (sf0.001): the
+    manifest's conversation total must equal the DISTINCT-text count among
+    gate-valid docs (dedup keeps exactly one per text), and the gate key's
+    valid count must match the shared construction's — if _chat_judged
+    ever drifts between the gate key and the pipeline, this fails on
+    driver-shaped data, not only on synthetic corpora. Robust to a future
+    testdata regeneration that plants duplicate texts."""
+    from swallow_spark.queries.training_pipeline import _chat_judged
+    from swallow_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    valid = _chat_judged(spark, sf).filter("verdict = 'valid'")
+    n_valid = valid.count()
+    n_distinct = valid.select("text").distinct().count()
+    gate = all_queries()["training_chat_format_validate"]
+    assert gate.fn(spark, sf).filter("verdict = 'valid'").count() == n_valid
+    total = sum(r.n_convs for r in q.fn(spark, sf).collect())
+    assert total == n_distinct
+    assert 0 < n_distinct <= n_valid
