@@ -899,3 +899,43 @@ def test_rfm_dist_rank_no_single_partition_sort(spark):
     # unpartitioned_windows, so anything counted here is a real cliff
     assert unpartitioned_windows(p) == 0
     assert "CartesianProduct" not in p
+
+
+def test_dist_rank_recognizers_on_canned_plans():
+    """Pure-string contract tests for the recognizers (no Spark): pin the
+    exact explain-format assumptions — BNLJ detail node numbering with the
+    build-side BroadcastExchange at id-1 and the [_lo#, _w#] Input
+    signature; the _bkt#N order spec for the offset window. If these fail
+    while the live canary passes, the regexes drifted from each other."""
+    bounds_plan = (
+        "(27) BroadcastNestedLoopJoin\n"
+        "Join type: Cross\n"
+        "Join condition: None\n"
+        "\n"
+        "(26) BroadcastExchange\n"
+        "Input [2]: [_lo#21L, _w#22L]\n"
+    )
+    assert _dist_rank_bounds_bnlj_ids(bounds_plan) == {27}
+    # build side NOT the bounds aggregate -> unrecognized
+    probe_plan = bounds_plan.replace("[_lo#21L, _w#22L]", "[emb#3, doc_id#1L]")
+    assert _dist_rank_bounds_bnlj_ids(probe_plan) == set()
+    # exchange not at id-1 (some other node between) -> unrecognized
+    shifted = (
+        "(27) BroadcastNestedLoopJoin\n"
+        "Join type: Cross\n"
+        "\n"
+        "(25) BroadcastExchange\n"
+        "Input [2]: [_lo#21L, _w#22L]\n"
+    )
+    assert _dist_rank_bounds_bnlj_ids(shifted) == set()
+
+    offset_window = (
+        "(62) Window\n"
+        "Input [2]: [_bkt#90L, _s_cum#46L]\n"
+        "Arguments: [sum(_s_cum#46L) windowspecdefinition(_bkt#90L ASC NULLS"
+        " FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), -1))"
+        " AS _we1#61L], [_bkt#90L ASC NULLS FIRST]\n"
+    )
+    assert unpartitioned_windows(offset_window) == 0  # dist_rank: skipped
+    global_window = offset_window.replace("_bkt#90L ASC", "l_orderkey#5L ASC")
+    assert unpartitioned_windows(global_window) == 1  # a real cliff counts
