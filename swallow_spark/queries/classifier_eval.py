@@ -1747,3 +1747,256 @@ def eval_regression_metrics(spark, sf_dir):
         .alias("r2"),
         F.expr("CAST(smape DIV n AS BIGINT)").alias("mape_milli"),
     )
+
+
+# ------------------------------------------------------ DeLong paired AUC
+# Two competing "models" score every order: model A = total price in cents,
+# model B = order date as epoch days. Label = order finished. Per market
+# segment, DeLong's placement-based estimator gives each model's AUC, the
+# paired variance of the AUC DIFFERENCE (the V10/V01 structural components
+# share the same rows, so the covariance term matters), and the z statistic
+# for H0: AUC_A = AUC_B. Sun & Xu's midrank formulation: per positive i,
+# V10_i = (R_i - R10_i) / n where R is the combined midrank and R10 the
+# within-positives midrank; symmetrically V01 for negatives.
+
+_DL_SQL = """
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS sa,
+         CAST(date_diff('day', DATE '1990-01-01', CAST(o.o_orderdate AS DATE)) AS BIGINT) AS sb,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_totalprice IS NOT NULL
+),
+ranked AS (
+  SELECT segment, y,
+         2 * (rank() OVER (PARTITION BY segment ORDER BY sa)
+              - rank() OVER (PARTITION BY segment, y ORDER BY sa))
+           + COUNT(*) OVER (PARTITION BY segment, sa)
+           - COUNT(*) OVER (PARTITION BY segment, y, sa) AS ua,
+         2 * (rank() OVER (PARTITION BY segment ORDER BY sb)
+              - rank() OVER (PARTITION BY segment, y ORDER BY sb))
+           + COUNT(*) OVER (PARTITION BY segment, sb)
+           - COUNT(*) OVER (PARTITION BY segment, y, sb) AS ub,
+         CAST(SUM(y) OVER (PARTITION BY segment) AS BIGINT) AS m,
+         CAST(COUNT(*) OVER (PARTITION BY segment) - SUM(y) OVER (PARTITION BY segment) AS BIGINT) AS n
+  FROM base
+),
+micro AS (
+  SELECT segment, y, ua, ub, m, n,
+         CASE WHEN y = 1 THEN (ua * 1000000) // (2 * n)
+              ELSE ((2 * m - ua) * 1000000) // (2 * m) END AS va,
+         CASE WHEN y = 1 THEN (ub * 1000000) // (2 * n)
+              ELSE ((2 * m - ub) * 1000000) // (2 * m) END AS vb
+  FROM ranked
+  WHERE m >= 2 AND n >= 2
+),
+agg AS (
+  SELECT segment, MAX(m) AS m, MAX(n) AS n,
+         SUM(CASE WHEN y = 1 THEN ua ELSE 0 END) AS sua_pos,
+         SUM(CASE WHEN y = 1 THEN ub ELSE 0 END) AS sub_pos,
+         SUM(CASE WHEN y = 1 THEN va ELSE 0 END) AS p_sva,
+         SUM(CASE WHEN y = 1 THEN va * va ELSE 0 END) AS p_sva2,
+         SUM(CASE WHEN y = 1 THEN vb ELSE 0 END) AS p_svb,
+         SUM(CASE WHEN y = 1 THEN vb * vb ELSE 0 END) AS p_svb2,
+         SUM(CASE WHEN y = 1 THEN va * vb ELSE 0 END) AS p_svab,
+         SUM(CASE WHEN y = 0 THEN va ELSE 0 END) AS q_sva,
+         SUM(CASE WHEN y = 0 THEN va * va ELSE 0 END) AS q_sva2,
+         SUM(CASE WHEN y = 0 THEN vb ELSE 0 END) AS q_svb,
+         SUM(CASE WHEN y = 0 THEN vb * vb ELSE 0 END) AS q_svb2,
+         SUM(CASE WHEN y = 0 THEN va * vb ELSE 0 END) AS q_svab
+  FROM micro GROUP BY segment
+),
+stats AS (
+  SELECT segment, m, n,
+         CAST(sua_pos AS DOUBLE) / (2.0 * m * n) AS auc_a,
+         CAST(sub_pos AS DOUBLE) / (2.0 * m * n) AS auc_b,
+         ((CAST(m AS DOUBLE) * p_sva2 - CAST(p_sva AS DOUBLE) * p_sva)
+            / (CAST(m AS DOUBLE) * (m - 1)) / 1e12
+          + (CAST(m AS DOUBLE) * p_svb2 - CAST(p_svb AS DOUBLE) * p_svb)
+            / (CAST(m AS DOUBLE) * (m - 1)) / 1e12
+          - 2 * (CAST(m AS DOUBLE) * p_svab - CAST(p_sva AS DOUBLE) * p_svb)
+            / (CAST(m AS DOUBLE) * (m - 1)) / 1e12) / m
+         + ((CAST(n AS DOUBLE) * q_sva2 - CAST(q_sva AS DOUBLE) * q_sva)
+            / (CAST(n AS DOUBLE) * (n - 1)) / 1e12
+          + (CAST(n AS DOUBLE) * q_svb2 - CAST(q_svb AS DOUBLE) * q_svb)
+            / (CAST(n AS DOUBLE) * (n - 1)) / 1e12
+          - 2 * (CAST(n AS DOUBLE) * q_svab - CAST(q_sva AS DOUBLE) * q_svb)
+            / (CAST(n AS DOUBLE) * (n - 1)) / 1e12) / n AS var_diff
+  FROM agg
+)
+SELECT segment,
+       CAST(m AS BIGINT) AS m_pos,
+       CAST(n AS BIGINT) AS n_neg,
+       FLOOR(auc_a * 1000000 + 0.5) / 1000000 AS auc_a,
+       FLOOR(auc_b * 1000000 + 0.5) / 1000000 AS auc_b,
+       FLOOR((auc_a - auc_b) * 1000000 + 0.5) / 1000000 AS auc_diff,
+       FLOOR(sqrt(GREATEST(var_diff, 0)) * 1000000 + 0.5) / 1000000 AS se_diff,
+       CASE WHEN var_diff > 0
+            THEN FLOOR((auc_a - auc_b) / sqrt(var_diff) * 1000000 + 0.5) / 1000000
+            ELSE NULL END AS z_score
+FROM stats
+ORDER BY segment
+"""
+
+
+@register("eval_auc_delong_paired", oracle=_DL_SQL, tier="T2")
+def eval_auc_delong_paired(spark, sf_dir):
+    """Paired AUC comparison with DeLong variance: per segment, both
+    models' AUCs, the covariance-corrected standard error of their
+    difference, and the z statistic — the standard test for "is model A's
+    AUC significantly higher than model B's on the SAME eval set".
+
+    Method (Sun & Xu midrank formulation): per positive i,
+    V10_i = (R_i - R10_i)/n with R the combined and R10 the
+    within-positives midrank (symmetrically V01 for negatives);
+    AUC = mean(V10); var(AUC_A - AUC_B) = (s10A + s10B - 2·cov10)/m
+    + (s01A + s01B - 2·cov01)/n with SAMPLE (m-1) variances — the paired
+    covariance term is the point: both models' placements come from the
+    same rows.
+
+    Determinism: midranks stay integer as DOUBLE-midranks
+    (2·rank + ties - 1 — the components below are differences of rank()
+    and tie-counts, both engine-identical), placements are quantized to
+    integer MICRO-V via truncating DIV before any squaring, per-class
+    Σv/Σv²/Σv·v are exact int64 sums, and only the final
+    variance-of-micro formula converts to IEEE doubles (identical
+    operands → identical bits), quantized half-up to 6dp. Headroom:
+    Σv² ≤ class_size·1e12 — exact to ~9e6 rows per (segment, class);
+    beyond that pre-center the micro-placements (one extra aggregate).
+
+    Degenerate guard: segments with fewer than 2 positives or 2
+    negatives are dropped (sample variance needs m,n ≥ 2, and the micro
+    quantizer would divide by zero) — identically in both engines.
+
+    Scale: four per-segment rank windows over the broadcast-joined scan
+    (the stats_auc_roc shape), one projection, one partial+final
+    aggregate — no corpus-wide window, no driver math.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    c = load(spark, sf_dir, "customer")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("sa"),
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') AS BIGINT)"
+        ).alias("sb"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    wseg = Window.partitionBy("segment")
+    ranked = base.select(
+        "segment",
+        "y",
+        (
+            2
+            * (
+                F.rank().over(Window.partitionBy("segment").orderBy("sa"))
+                - F.rank().over(Window.partitionBy("segment", "y").orderBy("sa"))
+            )
+            + F.count(F.lit(1)).over(Window.partitionBy("segment", "sa"))
+            - F.count(F.lit(1)).over(Window.partitionBy("segment", "y", "sa"))
+        )
+        .cast("long")
+        .alias("ua"),
+        (
+            2
+            * (
+                F.rank().over(Window.partitionBy("segment").orderBy("sb"))
+                - F.rank().over(Window.partitionBy("segment", "y").orderBy("sb"))
+            )
+            + F.count(F.lit(1)).over(Window.partitionBy("segment", "sb"))
+            - F.count(F.lit(1)).over(Window.partitionBy("segment", "y", "sb"))
+        )
+        .cast("long")
+        .alias("ub"),
+        F.sum("y").over(wseg).cast("long").alias("m"),
+        (F.count(F.lit(1)).over(wseg) - F.sum("y").over(wseg))
+        .cast("long")
+        .alias("n"),
+    )
+    micro = ranked.filter((F.col("m") >= 2) & (F.col("n") >= 2)).select(
+        "segment",
+        "y",
+        "ua",
+        "ub",
+        "m",
+        "n",
+        F.expr(
+            "CASE WHEN y = 1 THEN (ua * 1000000) DIV (2 * n)"
+            " ELSE ((2 * m - ua) * 1000000) DIV (2 * m) END"
+        ).alias("va"),
+        F.expr(
+            "CASE WHEN y = 1 THEN (ub * 1000000) DIV (2 * n)"
+            " ELSE ((2 * m - ub) * 1000000) DIV (2 * m) END"
+        ).alias("vb"),
+    )
+
+    def _csum(expr: str, cls: int) -> F.Column:
+        return (
+            F.sum(F.expr(f"CASE WHEN y = {cls} THEN {expr} ELSE 0 END"))
+            .cast("long")
+        )
+
+    agg = micro.groupBy("segment").agg(
+        F.max("m").alias("m"),
+        F.max("n").alias("n"),
+        _csum("ua", 1).alias("sua_pos"),
+        _csum("ub", 1).alias("sub_pos"),
+        _csum("va", 1).alias("p_sva"),
+        _csum("va * va", 1).alias("p_sva2"),
+        _csum("vb", 1).alias("p_svb"),
+        _csum("vb * vb", 1).alias("p_svb2"),
+        _csum("va * vb", 1).alias("p_svab"),
+        _csum("va", 0).alias("q_sva"),
+        _csum("va * va", 0).alias("q_sva2"),
+        _csum("vb", 0).alias("q_svb"),
+        _csum("vb * vb", 0).alias("q_svb2"),
+        _csum("va * vb", 0).alias("q_svab"),
+    )
+    stats = agg.select(
+        "segment",
+        "m",
+        "n",
+        F.expr("CAST(sua_pos AS DOUBLE) / (2.0 * m * n)").alias("auc_a"),
+        F.expr("CAST(sub_pos AS DOUBLE) / (2.0 * m * n)").alias("auc_b"),
+        F.expr(
+            "((CAST(m AS DOUBLE) * p_sva2 - CAST(p_sva AS DOUBLE) * p_sva)"
+            "   / (CAST(m AS DOUBLE) * (m - 1)) / 1e12"
+            " + (CAST(m AS DOUBLE) * p_svb2 - CAST(p_svb AS DOUBLE) * p_svb)"
+            "   / (CAST(m AS DOUBLE) * (m - 1)) / 1e12"
+            " - 2 * (CAST(m AS DOUBLE) * p_svab - CAST(p_sva AS DOUBLE) * p_svb)"
+            "   / (CAST(m AS DOUBLE) * (m - 1)) / 1e12) / m"
+            " + ((CAST(n AS DOUBLE) * q_sva2 - CAST(q_sva AS DOUBLE) * q_sva)"
+            "   / (CAST(n AS DOUBLE) * (n - 1)) / 1e12"
+            " + (CAST(n AS DOUBLE) * q_svb2 - CAST(q_svb AS DOUBLE) * q_svb)"
+            "   / (CAST(n AS DOUBLE) * (n - 1)) / 1e12"
+            " - 2 * (CAST(n AS DOUBLE) * q_svab - CAST(q_sva AS DOUBLE) * q_svb)"
+            "   / (CAST(n AS DOUBLE) * (n - 1)) / 1e12) / n"
+        ).alias("var_diff"),
+    )
+    return stats.select(
+        "segment",
+        F.col("m").cast("long").alias("m_pos"),
+        F.col("n").cast("long").alias("n_neg"),
+        (F.floor(F.col("auc_a") * 1000000 + 0.5) / 1000000).alias("auc_a"),
+        (F.floor(F.col("auc_b") * 1000000 + 0.5) / 1000000).alias("auc_b"),
+        (
+            F.floor((F.col("auc_a") - F.col("auc_b")) * 1000000 + 0.5) / 1000000
+        ).alias("auc_diff"),
+        (
+            F.floor(
+                F.sqrt(F.greatest(F.col("var_diff"), F.lit(0.0))) * 1000000 + 0.5
+            )
+            / 1000000
+        ).alias("se_diff"),
+        F.when(
+            F.col("var_diff") > 0,
+            F.floor(
+                (F.col("auc_a") - F.col("auc_b"))
+                / F.sqrt(F.col("var_diff"))
+                * 1000000
+                + 0.5
+            )
+            / 1000000,
+        ).alias("z_score"),
+    ).orderBy("segment")

@@ -950,3 +950,127 @@ def join_grid_spatial(spark, sf_dir):
             d2.cast("long").alias("dist_sq"),
         )
     )
+
+
+# ------------------------------------------------------- bloom join prefilter
+# The runtime-filter pattern a 100 TB fact join lives on: build a Bloom
+# filter over the SMALL side's join keys, pack it into a single word-indexed
+# bitmask row, broadcast it, and drop fact rows MAP-SIDE before any shuffle.
+# Word layout: m = 131072 bits per seed as 2048 int64 words; one map column
+# slot -> word keyed by seed*2048 + (pos >> 6). The broadcast payload is
+# <= k * 2048 entries REGARDLESS of member count — O(m), not O(members).
+_BJ_K, _BJ_M = 3, 131_072
+_BJ_W = _BJ_M // 64  # words per seed
+_BJ_PRED_SPARK = "(o_orderpriority = '1-URGENT') AND (o_orderdate >= TIMESTAMP '2000-01-01')"
+
+
+def _bj_slot_mask(hash_col: str):
+    """The k (slot, bitmask) expression pairs over a precomputed poly-hash
+    column — arithmetic only, so the O(len) hash lambda runs ONCE per row."""
+    from ..conform import POLY_P
+
+    out = []
+    for i in range(_BJ_K):
+        pos = f"((({2 * i + 1} * {hash_col} + {97 * i + 13}) % {POLY_P}) % {_BJ_M})"
+        slot = f"CAST({i * _BJ_W} + ({pos} DIV 64) AS BIGINT)"
+        mask = f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))"
+        out.append((F.expr(slot), F.expr(mask)))
+    return out
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       {sql_money_sum('l_extendedprice')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag
+""",
+    tier="T2",
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Semi-join reduction via a broadcast Bloom filter: revenue per return
+    flag for lineitems of recent urgent orders, with the fact side
+    pre-filtered by a Bloom filter over the qualifying order keys BEFORE
+    the exact join.
+
+    The result is EXACT — Bloom filters have no false negatives, so no
+    qualifying lineitem is dropped, and the exact join afterwards removes
+    the false positives — which is why the oracle is the plain SQL join.
+    What the Bloom adds is the plan: the filter evaluates map-side inside
+    the fact scan's codegen stage (pure integer hash + bitmask
+    expressions against a broadcast 1-row map), so at 100 TB only the
+    ~3 % candidate slice of lineitem reaches the join shuffle instead of
+    all of it. Spark's own runtime row-level filtering does this for
+    equi-joins when statistics trigger it; this key is the explicit,
+    deterministic version (and composes with [[sketch_bloom_filter]],
+    which proves the family's FP/FN behavior).
+
+    Sizing: m = 131072 bits x k = 3 holds FP under ~1 % to ~10k members;
+    production sizing scales m with the member count while the broadcast
+    payload stays <= k*2048 map entries by construction.
+    """
+    from ..conform import sql_poly_hash_spark
+
+    o = load(spark, sf_dir, "orders")
+    members = o.filter(F.expr(_BJ_PRED_SPARK)).select("o_orderkey")
+    pairs = _bj_slot_mask("_bh")
+    bits = (
+        members.select(
+            "o_orderkey",
+            F.expr(sql_poly_hash_spark("CAST(o_orderkey AS STRING)")).alias("_bh"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(s.alias("slot"), m.alias("mask"))
+                        for s, m in pairs
+                    ]
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.slot").alias("slot"), F.col("b.mask").alias("mask"))
+    )
+    words = bits.groupBy("slot").agg(F.expr("bit_or(mask)").alias("word"))
+    bloom = words.agg(
+        F.map_from_arrays(
+            F.collect_list("slot"), F.collect_list("word")
+        ).alias("bloom")
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    probe_pairs = _bj_slot_mask("_bh")
+    hit = None
+    for s, m in probe_pairs:
+        c = (
+            F.coalesce(F.element_at(F.col("bloom"), s), F.lit(0).cast("long"))
+            .bitwiseAND(m)
+            != 0
+        )
+        hit = c if hit is None else (hit & c)
+    candidates = (
+        li.select(
+            "l_orderkey",
+            "l_returnflag",
+            "l_extendedprice",
+            F.expr(sql_poly_hash_spark("CAST(l_orderkey AS STRING)")).alias("_bh"),
+        )
+        .crossJoin(F.broadcast(bloom))
+        .filter(hit)
+        .drop("bloom", "_bh")
+    )
+    return (
+        candidates.join(
+            F.broadcast(members), candidates.l_orderkey == members.o_orderkey
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+            money_sum(F.col("l_extendedprice")).alias("revenue"),
+        )
+    )

@@ -990,3 +990,74 @@ def pipeline_dpo_corpus(spark, sf_dir):
         )
         .orderBy("lang", "pair_rank")
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>'
+            ELSE COALESCE(lang, '<null>') END AS lang_group,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+       {sql_rnd("1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)", 6)} AS dup_rate,
+       {sql_rnd("CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)", 6)} AS mean_doc_tokens
+FROM documents
+GROUP BY ROLLUP(lang)
+""",
+    tier="T2",
+)
+def pipeline_dataset_card(spark, sf_dir):
+    """Dataset card: the release-note statistics block every corpus drop
+    ships with — per-language and corpus-total doc counts, source counts,
+    exact-dup rate (distinct md5 over docs), char/token volume, and mean
+    document length. One ROLLUP aggregate produces the per-language rows
+    and the '<all>' total in a single pass over the corpus.
+
+    Determinism: dup_rate and mean_doc_tokens are IEEE divisions of exact
+    int64 aggregates, half-up-quantized to 6dp ([[conform-rnd]] pattern);
+    everything else is integer-exact.
+
+    Scale: partial+final ROLLUP aggregate — one shuffle keyed on
+    (grouping-set id, lang). The two COUNT(DISTINCT)s expand to a
+    two-phase distinct aggregate; at 100 TB swap the md5 distinct for the
+    mergeable HLL sketch ([[agg_hll_reaggregate]]) if 2 % error is
+    acceptable — the exact form is kept here because the oracle proves
+    it.
+    """
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        "n_chars",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    agg = base.rollup("lang").agg(
+        F.grouping("lang").alias("_g"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("h").cast("long").alias("n_unique_texts"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tok").cast("long").alias("total_ws_tokens"),
+    )
+    return agg.select(
+        F.when(F.col("_g") == 1, F.lit("<all>"))
+        .otherwise(F.coalesce(F.col("lang"), F.lit("<null>")))
+        .alias("lang_group"),
+        "n_docs",
+        "n_sources",
+        "n_unique_texts",
+        "total_chars",
+        "total_ws_tokens",
+        rnd(
+            F.lit(1.0)
+            - F.col("n_unique_texts").cast("double") / F.col("n_docs"),
+            6,
+        ).alias("dup_rate"),
+        rnd(
+            F.col("total_ws_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("mean_doc_tokens"),
+    )

@@ -1,0 +1,129 @@
+"""Property tests for pipeline_dataset_card: random corpora must produce
+the SAME card in Spark, in the registered DuckDB oracle, and in a
+pure-Python reference — pinning the ROLLUP row set (per-lang + '<all>'),
+the '<null>' lang bucket, the md5-distinct dup rate, and the 6dp half-up
+quantization of the two ratio columns. Corners: all-duplicate corpus,
+single doc, NULL-lang docs, empty-text docs (one whitespace token by
+split semantics).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_LANGS = ["en", "de", None]
+
+# A doc spec: (lang_idx, n_words, vocab) — small vocab plants exact dups.
+_doc = st.tuples(
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=0, max_value=6),
+    st.integers(min_value=1, max_value=2),
+)
+_corpus = st.lists(_doc, min_size=1, max_size=30)
+
+
+def _build_rows(case):
+    rows = []
+    for j, (li, n_words, vocab) in enumerate(case, start=1):
+        text = " ".join(f"w{i % vocab}" for i in range(n_words))
+        rows.append((j, _LANGS[li], text, f"src{j % 3}"))
+    return rows
+
+
+def _materialize(rows, tmpdir):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[2] for r in rows],
+            "lang": [r[1] for r in rows],
+            "source": [r[3] for r in rows],
+            "n_chars": [len(r[2]) for r in rows],
+        }
+    ).astype({"doc_id": "int64", "text": "string", "lang": "string", "n_chars": "int64"})
+    pdf.to_parquet(f"{tmpdir}/documents.parquet", index=False)
+
+
+def _q6(x):
+    return math.floor(x * 1000000 + 0.5) / 1000000
+
+
+def _ref(rows):
+    def card(group_rows, label):
+        n = len(group_rows)
+        uniq = len({hashlib.md5(t.encode()).hexdigest() for _, _, t, _ in group_rows})
+        srcs = len({s for *_, s in group_rows})
+        chars = sum(len(t) for _, _, t, _ in group_rows)
+        toks = sum(len(t.split(" ")) for _, _, t, _ in group_rows)
+        return (
+            label,
+            n,
+            srcs,
+            uniq,
+            chars,
+            toks,
+            _q6(1.0 - uniq / n),
+            _q6(toks / n),
+        )
+
+    out = [card(rows, "<all>")]
+    for lang in sorted({r[1] for r in rows}, key=lambda v: (v is None, v)):
+        grp = [r for r in rows if r[1] == lang]
+        out.append(card(grp, lang if lang is not None else "<null>"))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def q():
+    from swallow_spark.registry import all_queries
+
+    return all_queries()["pipeline_dataset_card"]
+
+
+def _check_three_way(spark, q, tmp_path_factory, rows):
+    tmpdir = str(tmp_path_factory.mktemp("card"))
+    _materialize(rows, tmpdir)
+    want = _ref(rows)
+    got_spark = sorted(tuple(r) for r in q.fn(spark, tmpdir).collect())
+    assert got_spark == want
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmpdir}/documents.parquet')"
+    )
+    got_duck = sorted(tuple(r) for r in con.sql(q.oracle).fetchall())
+    con.close()
+    assert got_duck == want
+    return want
+
+
+@settings(max_examples=20, deadline=None)
+@given(_corpus)
+def test_card_spark_duckdb_reference_agree(spark, q, tmp_path_factory, case):
+    _check_three_way(spark, q, tmp_path_factory, _build_rows(case))
+
+
+def test_all_duplicates(spark, q, tmp_path_factory):
+    rows = [(j, "en", "same text here", "src0") for j in range(1, 6)]
+    want = _check_three_way(spark, q, tmp_path_factory, rows)
+    by = {w[0]: w for w in want}
+    assert by["<all>"][3] == 1  # one unique text
+    assert by["<all>"][6] == _q6(1.0 - 1 / 5)  # dup_rate 0.8
+
+
+def test_single_doc(spark, q, tmp_path_factory):
+    rows = [(1, "de", "a b c", "src1")]
+    want = _check_three_way(spark, q, tmp_path_factory, rows)
+    by = {w[0]: w for w in want}
+    assert by["de"][6] == 0.0 and by["de"][7] == 3.0
+
+
+def test_null_lang_bucket(spark, q, tmp_path_factory):
+    rows = [(1, None, "x y", "s"), (2, "en", "z", "s")]
+    want = _check_three_way(spark, q, tmp_path_factory, rows)
+    assert {w[0] for w in want} == {"<all>", "<null>", "en"}

@@ -1,0 +1,236 @@
+"""Property tests for eval_auc_delong_paired: random labeled score tables
+must produce the SAME per-segment DeLong table in Spark, in the registered
+DuckDB oracle, and in a pure-Python integer reference — pinning the
+double-midrank placement construction (2·rank + ties − 1), the micro-V
+truncating quantization, the sample (m−1) variances with the paired
+covariance term, and the m,n ≥ 2 degenerate-segment guard. The Python
+reference computes placements by direct counting (how many opposite-class
+scores are below / tied), NOT by midranks — so a shared midrank-algebra
+mistake in the two SQL engines cannot hide.
+
+Corner cases: all-one-class segments dropped, perfectly-separating scores
+(AUC 1), identical models (diff 0, covariance equals variance, z NULL when
+var_diff is 0), heavy ties.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE"]
+
+# A row spec: (segment_idx, price_cents, day, finished)
+_row = st.tuples(
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=1, max_value=8),  # small domain => heavy ties
+    st.integers(min_value=0, max_value=5),
+    st.booleans(),
+)
+_table = st.lists(_row, min_size=1, max_size=40)
+
+
+def _materialize(rows, tmpdir):
+    """rows: list of (segment, cents, day, y). One customer per segment."""
+    seg_key = {s: i + 1 for i, s in enumerate(_SEGS)}
+    cust = pd.DataFrame(
+        {
+            "c_custkey": [seg_key[s] for s in _SEGS],
+            "c_name": _SEGS,
+            "c_mktsegment": _SEGS,
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(rows) + 1),
+            "o_custkey": [seg_key[r[0]] for r in rows],
+            "o_totalprice": [r[1] / 100.0 for r in rows],
+            "o_orderdate": [
+                pd.Timestamp("1990-01-01") + pd.Timedelta(days=r[2]) for r in rows
+            ],
+            "o_orderstatus": ["F" if r[3] else "O" for r in rows],
+        }
+    )
+    con = duckdb.connect()
+    con.execute(f"COPY (SELECT * FROM cust) TO '{tmpdir}/customer.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT * FROM orders) TO '{tmpdir}/orders.parquet' (FORMAT PARQUET)")
+    con.close()
+
+
+def _q6(x):
+    return math.floor(x * 1000000 + 0.5) / 1000000
+
+
+def _ref(rows):
+    """Direct-counting DeLong on (segment, cents, day, y) tuples."""
+    out = []
+    for seg in sorted(set(r[0] for r in rows)):
+        data = [(r[1], r[2], int(r[3])) for r in rows if r[0] == seg]
+        m = sum(1 for *_, y in data if y)
+        n = len(data) - m
+        if m < 2 or n < 2:
+            continue
+
+        def placements(idx):
+            pos = sorted(d[idx] for d in data if d[2] == 1)
+            neg = sorted(d[idx] for d in data if d[2] == 0)
+            vs = []
+            for x_, _, y in [(d[idx], None, d[2]) for d in data]:
+                if y == 1:
+                    # u = 2*(#neg < x) + (#neg == x); V10 = u / (2n)
+                    u = 2 * sum(1 for v in neg if v < x_) + sum(
+                        1 for v in neg if v == x_
+                    )
+                    vs.append((1, u, (u * 1000000) // (2 * n)))
+                else:
+                    # u' = 2*(#pos < x) + (#pos == x); V01 = 1 - u'/(2m)
+                    u = 2 * sum(1 for v in pos if v < x_) + sum(
+                        1 for v in pos if v == x_
+                    )
+                    vs.append((0, u, ((2 * m - u) * 1000000) // (2 * m)))
+            return vs
+
+        va = placements(0)
+        vb = placements(1)
+        sua_pos = sum(u for y, u, _ in va if y == 1)
+        sub_pos = sum(u for y, u, _ in vb if y == 1)
+
+        def moments(cls):
+            pa = [v for (y, _, v) in va if y == cls]
+            pb = [v for (y, _, v) in vb if y == cls]
+            return (
+                sum(pa),
+                sum(x * x for x in pa),
+                sum(pb),
+                sum(x * x for x in pb),
+                sum(x * y_ for x, y_ in zip(pa, pb)),
+            )
+
+        p_sva, p_sva2, p_svb, p_svb2, p_svab = moments(1)
+        q_sva, q_sva2, q_svb, q_svb2, q_svab = moments(0)
+        auc_a = sua_pos / (2.0 * m * n)
+        auc_b = sub_pos / (2.0 * m * n)
+        md, nd = float(m), float(n)
+        var_diff = (
+            (md * p_sva2 - float(p_sva) * p_sva) / (md * (m - 1)) / 1e12
+            + (md * p_svb2 - float(p_svb) * p_svb) / (md * (m - 1)) / 1e12
+            - 2 * (md * p_svab - float(p_sva) * p_svb) / (md * (m - 1)) / 1e12
+        ) / m + (
+            (nd * q_sva2 - float(q_sva) * q_sva) / (nd * (n - 1)) / 1e12
+            + (nd * q_svb2 - float(q_svb) * q_svb) / (nd * (n - 1)) / 1e12
+            - 2 * (nd * q_svab - float(q_sva) * q_svb) / (nd * (n - 1)) / 1e12
+        ) / n
+        out.append(
+            (
+                seg,
+                m,
+                n,
+                _q6(auc_a),
+                _q6(auc_b),
+                _q6(auc_a - auc_b),
+                _q6(math.sqrt(max(var_diff, 0.0))),
+                _q6((auc_a - auc_b) / math.sqrt(var_diff))
+                if var_diff > 0
+                else None,
+            )
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def q():
+    from swallow_spark.registry import all_queries
+
+    return all_queries()["eval_auc_delong_paired"]
+
+
+def _spark_rows(spark, q, tmpdir):
+    return [tuple(r) for r in q.fn(spark, tmpdir).collect()]
+
+
+def _duck_rows(q, tmpdir):
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmpdir}/{t}.parquet')"
+        )
+    got = [tuple(r) for r in con.sql(q.oracle).fetchall()]
+    con.close()
+    return got
+
+
+def _check_three_way(spark, q, tmp_path_factory, rows):
+    tmpdir = str(tmp_path_factory.mktemp("delong"))
+    _materialize(rows, tmpdir)
+    want = _ref(rows)
+    assert _spark_rows(spark, q, tmpdir) == want
+    assert _duck_rows(q, tmpdir) == want
+    return want
+
+
+@settings(max_examples=25, deadline=None)
+@given(_table)
+def test_delong_spark_duckdb_reference_agree(spark, q, tmp_path_factory, case):
+    rows = [(_SEGS[i], c, d, y) for i, c, d, y in case]
+    _check_three_way(spark, q, tmp_path_factory, rows)
+
+
+def test_degenerate_segments_dropped(spark, q, tmp_path_factory):
+    # all-positive and 1-negative segments vanish; the healthy one stays
+    rows = [
+        ("AUTOMOBILE", 100, 0, True),
+        ("AUTOMOBILE", 200, 1, True),
+        ("BUILDING", 100, 0, True),
+        ("BUILDING", 200, 1, True),
+        ("BUILDING", 300, 2, False),
+        ("FURNITURE", 100, 0, True),
+        ("FURNITURE", 200, 1, True),
+        ("FURNITURE", 300, 2, False),
+        ("FURNITURE", 400, 3, False),
+    ]
+    want = _check_three_way(spark, q, tmp_path_factory, rows)
+    assert [w[0] for w in want] == ["FURNITURE"]
+
+
+def test_perfect_separation_auc_one(spark, q, tmp_path_factory):
+    # positives strictly above negatives on BOTH scores: AUC 1 for both,
+    # zero variance everywhere -> z is NULL (var_diff = 0)
+    rows = [
+        ("AUTOMOBILE", 900, 10, True),
+        ("AUTOMOBILE", 800, 9, True),
+        ("AUTOMOBILE", 200, 2, False),
+        ("AUTOMOBILE", 100, 1, False),
+    ]
+    want = _check_three_way(spark, q, tmp_path_factory, rows)
+    assert want == [("AUTOMOBILE", 2, 2, 1.0, 1.0, 0.0, 0.0, None)]
+
+
+def test_identical_models_zero_diff(spark, q, tmp_path_factory):
+    # model B = model A (day tracks cents): auc_diff 0, se_diff 0, z NULL
+    rows = [
+        ("BUILDING", 100, 1, False),
+        ("BUILDING", 200, 2, True),
+        ("BUILDING", 300, 3, False),
+        ("BUILDING", 400, 4, True),
+        ("BUILDING", 500, 5, True),
+    ]
+    want = _check_three_way(spark, q, tmp_path_factory, rows)
+    (seg, m, n, auc_a, auc_b, diff, se, z) = want[0]
+    assert auc_a == auc_b and diff == 0.0 and se == 0.0 and z is None
+
+
+def test_all_tied_scores_auc_half(spark, q, tmp_path_factory):
+    # every score identical: midranks give AUC exactly 0.5, variance 0
+    rows = [
+        ("FURNITURE", 100, 1, True),
+        ("FURNITURE", 100, 1, True),
+        ("FURNITURE", 100, 1, False),
+        ("FURNITURE", 100, 1, False),
+    ]
+    want = _check_three_way(spark, q, tmp_path_factory, rows)
+    assert want == [("FURNITURE", 2, 2, 0.5, 0.5, 0.0, 0.0, None)]
