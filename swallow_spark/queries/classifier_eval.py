@@ -1855,13 +1855,23 @@ def eval_auc_delong_paired(spark, sf_dir):
     covariance term is the point: both models' placements come from the
     same rows.
 
-    Determinism: midranks stay integer as DOUBLE-midranks
-    (2·rank + ties - 1 — the components below are differences of rank()
-    and tie-counts, both engine-identical), placements are quantized to
-    integer MICRO-V via truncating DIV before any squaring, per-class
-    Σv/Σv²/Σv·v are exact int64 sums, and only the final
-    variance-of-micro formula converts to IEEE doubles (identical
-    operands → identical bits), quantized half-up to 6dp. Headroom:
+    Implementation shape: a placement only depends on (segment, class,
+    score), so the per-row windows of the textbook formulation are
+    replaced by cumulative counts over the per-segment DISTINCT-score
+    table (the stats_auc_roc shape — windows bounded by |distinct
+    scores|, never user-proportional) — u_pos(s) = 2·neg_below + neg_at,
+    u_neg(s) = 2·pos_below + pos_at from one cumulative pass; the paired
+    moments then weight the JOINT (segment, y, score_a, score_b)
+    aggregate by its count and join the two placement tables back on
+    (segment, score). The oracle keeps the per-row window formulation —
+    agreeing results prove the refactor, and the property suite's
+    direct-counting Python reference is a third independent derivation.
+
+    Determinism: placements are integer DOUBLE-midrank differences,
+    quantized to MICRO-V via truncating DIV before any squaring,
+    per-class Σv/Σv²/Σv·v are exact int64 sums, and only the final
+    variance formula converts to IEEE doubles (identical operands →
+    identical bits), quantized half-up to 6dp. Headroom:
     Σv² ≤ class_size·1e12 — exact to ~9e6 rows per (segment, class);
     beyond that pre-center the micro-placements (one extra aggregate).
 
@@ -1869,58 +1879,89 @@ def eval_auc_delong_paired(spark, sf_dir):
     negatives are dropped (sample variance needs m,n ≥ 2, and the micro
     quantizer would divide by zero) — identically in both engines.
 
-    Scale: four per-segment rank windows over the broadcast-joined scan
-    (the stats_auc_roc shape), one projection, one partial+final
-    aggregate — no corpus-wide window, no driver math.
+    Scale: three partial+final aggregates (per-score marginals ×2,
+    joint pairs), two cumulative windows over bounded distinct-score
+    tables, two (segment, score)-keyed joins, one final aggregate — no
+    corpus-wide or segment-wide row sort anywhere.
     """
+    from ..ops.materialize import materialize
+
     o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     c = load(spark, sf_dir, "customer")
-    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
-        F.col("c_mktsegment").alias("segment"),
-        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("sa"),
-        F.expr(
-            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') AS BIGINT)"
-        ).alias("sb"),
-        F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    # materialize the 4-thin-column gate output: tot, both placement
+    # tables, and the joint aggregate all consume `base` — without the
+    # lineage cut the broadcast join + cent quantization re-run 4x
+    base = materialize(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            F.col("c_mktsegment").alias("segment"),
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("sa"),
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') AS BIGINT)"
+            ).alias("sb"),
+            F.when(F.col("o_orderstatus") == "F", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("y"),
+        )
     )
-    wseg = Window.partitionBy("segment")
-    ranked = base.select(
+    tot = (
+        base.groupBy("segment")
+        .agg(
+            F.sum("y").cast("long").alias("m"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n"),
+        )
+        .filter((F.col("m") >= 2) & (F.col("n") >= 2))
+    )
+
+    def placements(score: str):
+        """(segment, score, u_pos, u_neg) over the distinct-score table."""
+        g = base.groupBy("segment", score).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("y").cast("long").alias("pc"),
+        )
+        w = Window.partitionBy("segment").orderBy(score)
+        cum = g.select(
+            "segment",
+            score,
+            "cnt",
+            "pc",
+            F.sum("cnt").over(w).cast("long").alias("nl"),
+            F.sum("pc").over(w).cast("long").alias("pl"),
+        )
+        return cum.select(
+            "segment",
+            score,
+            (
+                2
+                * ((F.col("nl") - F.col("cnt")) - (F.col("pl") - F.col("pc")))
+                + (F.col("cnt") - F.col("pc"))
+            ).alias(f"upos_{score}"),
+            (2 * (F.col("pl") - F.col("pc")) + F.col("pc")).alias(f"uneg_{score}"),
+        )
+
+    joint = base.groupBy("segment", "y", "sa", "sb").agg(
+        F.count(F.lit(1)).cast("long").alias("cj")
+    )
+    j = (
+        joint.join(placements("sa"), ["segment", "sa"])
+        .join(placements("sb"), ["segment", "sb"])
+        .join(F.broadcast(tot), "segment")
+    )
+    rowv = j.select(
         "segment",
         "y",
-        (
-            2
-            * (
-                F.rank().over(Window.partitionBy("segment").orderBy("sa"))
-                - F.rank().over(Window.partitionBy("segment", "y").orderBy("sa"))
-            )
-            + F.count(F.lit(1)).over(Window.partitionBy("segment", "sa"))
-            - F.count(F.lit(1)).over(Window.partitionBy("segment", "y", "sa"))
-        )
-        .cast("long")
-        .alias("ua"),
-        (
-            2
-            * (
-                F.rank().over(Window.partitionBy("segment").orderBy("sb"))
-                - F.rank().over(Window.partitionBy("segment", "y").orderBy("sb"))
-            )
-            + F.count(F.lit(1)).over(Window.partitionBy("segment", "sb"))
-            - F.count(F.lit(1)).over(Window.partitionBy("segment", "y", "sb"))
-        )
-        .cast("long")
-        .alias("ub"),
-        F.sum("y").over(wseg).cast("long").alias("m"),
-        (F.count(F.lit(1)).over(wseg) - F.sum("y").over(wseg))
-        .cast("long")
-        .alias("n"),
-    )
-    micro = ranked.filter((F.col("m") >= 2) & (F.col("n") >= 2)).select(
-        "segment",
-        "y",
-        "ua",
-        "ub",
+        "cj",
         "m",
         "n",
+        F.expr("CASE WHEN y = 1 THEN upos_sa ELSE uneg_sa END").alias("ua"),
+        F.expr("CASE WHEN y = 1 THEN upos_sb ELSE uneg_sb END").alias("ub"),
+    ).select(
+        "segment",
+        "y",
+        "cj",
+        "m",
+        "n",
+        "ua",
+        "ub",
         F.expr(
             "CASE WHEN y = 1 THEN (ua * 1000000) DIV (2 * n)"
             " ELSE ((2 * m - ua) * 1000000) DIV (2 * m) END"
@@ -1932,12 +1973,11 @@ def eval_auc_delong_paired(spark, sf_dir):
     )
 
     def _csum(expr: str, cls: int) -> F.Column:
-        return (
-            F.sum(F.expr(f"CASE WHEN y = {cls} THEN {expr} ELSE 0 END"))
-            .cast("long")
-        )
+        return F.sum(
+            F.expr(f"CASE WHEN y = {cls} THEN cj * ({expr}) ELSE 0 END")
+        ).cast("long")
 
-    agg = micro.groupBy("segment").agg(
+    agg = rowv.groupBy("segment").agg(
         F.max("m").alias("m"),
         F.max("n").alias("n"),
         _csum("ua", 1).alias("sua_pos"),

@@ -954,19 +954,35 @@ def join_grid_spatial(spark, sf_dir):
 
 # ------------------------------------------------------- bloom join prefilter
 # The runtime-filter pattern a 100 TB fact join lives on: build a Bloom
-# filter over the SMALL side's join keys, pack it into a single word-indexed
-# bitmask row, broadcast it, and drop fact rows MAP-SIDE before any shuffle.
-# Word layout: m = 131072 bits per seed as 2048 int64 words; one map column
-# slot -> word keyed by seed*2048 + (pos >> 6). The broadcast payload is
-# <= k * 2048 entries REGARDLESS of member count — O(m), not O(members).
+# filter over the SMALL side's join keys, pack it into a flat word-indexed
+# bitmask array, inline it as a literal, and drop fact rows MAP-SIDE before
+# any shuffle. Word layout: m = 131072 bits per seed as 2048 int64 words;
+# flat index seed*2048 + (pos >> 6). The payload is <= k * 2048 words
+# REGARDLESS of member count — O(m), not O(members).
 _BJ_K, _BJ_M = 3, 131_072
 _BJ_W = _BJ_M // 64  # words per seed
 _BJ_PRED_SPARK = "(o_orderpriority = '1-URGENT') AND (o_orderdate >= TIMESTAMP '2000-01-01')"
 
 
+# Integer Fibonacci-style mixer: ((key % P) * 2654435761) % P stays inside
+# int64 ((P-1)·2654435761 ≈ 2.7e18 < 2^63) and inside whole-stage codegen —
+# the string poly-hash lambda costs ~4 s per 600k fact rows interpreted,
+# which at 100 TB would dominate the very scan the prefilter is meant to
+# cheapen. The bloom needs only dispersion, not oracle-portability (the
+# oracle is the plain join), but the mix IS engine-portable integer math
+# anyway, which the property suite exercises on both engines.
+_BJ_MIX = 2654435761
+
+
+def _bj_hash(key_col: str) -> str:
+    from ..conform import POLY_P
+
+    return f"((({key_col} % {POLY_P}) * {_BJ_MIX}) % {POLY_P})"
+
+
 def _bj_slot_mask(hash_col: str):
-    """The k (slot, bitmask) expression pairs over a precomputed poly-hash
-    column — arithmetic only, so the O(len) hash lambda runs ONCE per row."""
+    """The k (slot, bitmask) expression pairs over a precomputed hash
+    column — arithmetic only, evaluated inside codegen."""
     from ..conform import POLY_P
 
     out = []
@@ -1000,29 +1016,32 @@ def join_bloom_prefilter(spark, sf_dir):
     The result is EXACT — Bloom filters have no false negatives, so no
     qualifying lineitem is dropped, and the exact join afterwards removes
     the false positives — which is why the oracle is the plain SQL join.
-    What the Bloom adds is the plan: the filter evaluates map-side inside
-    the fact scan's codegen stage (pure integer hash + bitmask
-    expressions against a broadcast 1-row map), so at 100 TB only the
-    ~3 % candidate slice of lineitem reaches the join shuffle instead of
-    all of it. Spark's own runtime row-level filtering does this for
-    equi-joins when statistics trigger it; this key is the explicit,
-    deterministic version (and composes with [[sketch_bloom_filter]],
-    which proves the family's FP/FN behavior).
+    What the Bloom adds is the plan: the word array is materialized once
+    from the small side and inlined as a LITERAL, so the probe is a pure
+    integer hash + bitmask filter inside the fact scan's codegen stage —
+    at 100 TB only the ~3 % candidate slice of lineitem reaches the join
+    shuffle instead of all of it. This mirrors how Spark's own runtime
+    row-level filtering injects its bloom (a materialized subquery result
+    reused as a constant); the explicit form is deterministic and
+    engine-portable, and composes with [[sketch_bloom_filter]], which
+    proves the family's FP/FN behavior.
+
+    The build-side collect is a BOUNDED CONSTANT: ≤ k·2048 = 6144 int64
+    words by construction, REGARDLESS of member count — the driver ships
+    ~48 KB however large the corpus is. (A crossJoin(broadcast(1-row))
+    variant was measured 6× slower at sf0.1: the nested-loop join's
+    interpreted condition evaluation cost ~5 µs per fact row, versus
+    codegen'd literal-array indexing here.)
 
     Sizing: m = 131072 bits x k = 3 holds FP under ~1 % to ~10k members;
-    production sizing scales m with the member count while the broadcast
-    payload stays <= k*2048 map entries by construction.
+    production sizing scales m with the member count while the payload
+    stays <= k*2048 words by construction.
     """
-    from ..conform import sql_poly_hash_spark
-
     o = load(spark, sf_dir, "orders")
     members = o.filter(F.expr(_BJ_PRED_SPARK)).select("o_orderkey")
     pairs = _bj_slot_mask("_bh")
     bits = (
-        members.select(
-            "o_orderkey",
-            F.expr(sql_poly_hash_spark("CAST(o_orderkey AS STRING)")).alias("_bh"),
-        )
+        members.select(F.expr(_bj_hash("o_orderkey")).alias("_bh"))
         .select(
             F.explode(
                 F.array(
@@ -1035,33 +1054,28 @@ def join_bloom_prefilter(spark, sf_dir):
         )
         .select(F.col("b.slot").alias("slot"), F.col("b.mask").alias("mask"))
     )
-    words = bits.groupBy("slot").agg(F.expr("bit_or(mask)").alias("word"))
-    bloom = words.agg(
-        F.map_from_arrays(
-            F.collect_list("slot"), F.collect_list("word")
-        ).alias("bloom")
+    words = dict(
+        bits.groupBy("slot").agg(F.expr("bit_or(mask)").alias("word")).collect()
     )
+    dense = [words.get(i, 0) for i in range(_BJ_K * _BJ_W)]
 
     li = load(spark, sf_dir, "lineitem")
-    probe_pairs = _bj_slot_mask("_bh")
+    # one SQL literal, not F.lit(list): 6144 py4j element round-trips cost
+    # ~3 s of driver time per plan construction; the parsed string is ~4 ms
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in dense) + ")")
     hit = None
-    for s, m in probe_pairs:
-        c = (
-            F.coalesce(F.element_at(F.col("bloom"), s), F.lit(0).cast("long"))
-            .bitwiseAND(m)
-            != 0
-        )
+    for s, m in _bj_slot_mask("_bh"):
+        c = F.element_at(arr, (s + 1).cast("int")).bitwiseAND(m) != 0
         hit = c if hit is None else (hit & c)
     candidates = (
         li.select(
             "l_orderkey",
             "l_returnflag",
             "l_extendedprice",
-            F.expr(sql_poly_hash_spark("CAST(l_orderkey AS STRING)")).alias("_bh"),
+            F.expr(_bj_hash("l_orderkey")).alias("_bh"),
         )
-        .crossJoin(F.broadcast(bloom))
         .filter(hit)
-        .drop("bloom", "_bh")
+        .drop("_bh")
     )
     return (
         candidates.join(

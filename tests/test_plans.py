@@ -398,7 +398,6 @@ BNLJ_ALLOWED = {
     "etl_forget_users",  # audit scalars: crossJoin of broadcast 1-row aggregates
     "etl_referential_audit",  # per-edge scalar rows: broadcast 1-row aggregate joins
     "fn_haversine",
-    "join_bloom_prefilter",  # broadcast 1-row packed-bloom map crossjoin (the runtime-filter payload)
     "join_cross_limited",
     "q11_important_stock",
     "q22_global_sales_opportunity",
