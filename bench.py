@@ -77,6 +77,9 @@ EXTENDED = [
     "etl_zorder_layout",  # round 10: physical 2-layout write + skipping report
     "pipeline_sft_corpus",  # round 10 (benched r11): gate -> dedup -> dist-prefix packing
     "pipeline_dpo_corpus",  # round 11: dual WindowGroupLimit rank arms + pair packing
+    "join_bloom_prefilter",  # round 11: literal-bloom scan filter + exact join
+    "eval_auc_delong_paired",  # round 11: distinct-score DeLong paired AUC
+    "pipeline_dataset_card",  # round 11: single-pass ROLLUP corpus card
 ]
 
 
