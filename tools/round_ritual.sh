@@ -81,7 +81,8 @@ print("headline", t["value"], "raw /", t["value_spin_normalized"], "normalized;"
 EOF
 
 echo "== leak grep"
-if grep -rniE "anthropic|claude|capybara|tengu" swallow_spark/ tools/ __spark_entry__.py bench.py; then
+if grep -rniE "anthropic|claude|capybara|tengu" --exclude=round_ritual.sh \
+    swallow_spark/ tools/ __spark_entry__.py bench.py; then
   FAIL=1
 else
   echo "clean"
