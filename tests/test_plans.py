@@ -939,3 +939,48 @@ def test_dist_rank_recognizers_on_canned_plans():
     assert unpartitioned_windows(offset_window) == 0  # dist_rank: skipped
     global_window = offset_window.replace("_bkt#90L ASC", "l_orderkey#5L ASC")
     assert unpartitioned_windows(global_window) == 1  # a real cliff counts
+
+
+def test_bloom_prefilter_plan_shape(spark):
+    """join_bloom_prefilter's probe must stay a bare Filter over the pruned
+    lineitem scan — no join node of any kind for the prefilter (the literal
+    word array is folded into the scan stage), one BroadcastHashJoin for
+    the exact join, and 3-column ReadSchema on both scans."""
+    p = plan_of(spark, "join_bloom_prefilter")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    tree = p.split("\n\n(")[0]
+    assert tree.count("BroadcastHashJoin") == 1
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,"
+        "l_returnflag:string>" in p
+    )
+    # the probe filter sits DIRECTLY on the fact scan (tree ids 1-2): the
+    # tree section must show Filter immediately above the first Scan
+    assert ":- Filter" in tree or "+- Filter" in tree
+
+
+def test_delong_plan_shape(spark):
+    """eval_auc_delong_paired must consume the MATERIALIZED base (no
+    parquet re-scan per consumer) and contain no nested-loop join; its
+    windows run over aggregated distinct-score tables, so no window may
+    appear below the first aggregate of any branch."""
+    p = plan_of(spark, "eval_auc_delong_paired")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    tree = p.split("\n\n(")[0]
+    # all four consumers read the materialized 4-column base
+    assert "Scan ExistingRDD" in tree
+    assert tree.count("Scan parquet") == 0
+
+
+def test_dataset_card_plan_shape(spark):
+    """pipeline_dataset_card is one Expand (ROLLUP grouping sets) over a
+    single corpus scan — no join, no window, partial+final aggregate."""
+    p = plan_of(spark, "pipeline_dataset_card")
+    assert "Expand" in p
+    assert "Join" not in p
+    assert "Window" not in p
+    tree = p.split("\n\n(")[0]
+    assert tree.count("Scan parquet") == 1
