@@ -127,3 +127,30 @@ def test_null_lang_bucket(spark, q, tmp_path_factory):
     rows = [(1, None, "x y", "s"), (2, "en", "z", "s")]
     want = _check_three_way(spark, q, tmp_path_factory, rows)
     assert {w[0] for w in want} == {"<all>", "<null>", "en"}
+
+
+# ---------------------------------------------------- cross-key consistency
+
+_SF = "/root/testdata/sf0.001"
+
+
+def test_card_totals_match_token_count_key(spark, q):
+    """The card's '<all>' token/char totals must equal the per-doc sums of
+    text_token_count — same corpus, independent constructions."""
+    from swallow_spark.registry import all_queries
+
+    card = {r["lang_group"]: r for r in q.fn(spark, _SF).collect()}
+    tc = all_queries()["text_token_count"].fn(spark, _SF).collect()
+    assert card["<all>"]["total_ws_tokens"] == sum(r["n_ws_tokens"] for r in tc)
+    assert card["<all>"]["n_docs"] == len(tc)
+
+
+def test_card_unique_texts_match_dedup_exact(spark, q):
+    """The card's '<all>' distinct-md5 count must equal dedup_exact's
+    surviving-row count — the dup_rate a release note quotes IS the
+    dedup key's reduction."""
+    from swallow_spark.registry import all_queries
+
+    card = {r["lang_group"]: r for r in q.fn(spark, _SF).collect()}
+    kept = all_queries()["dedup_exact"].fn(spark, _SF).count()
+    assert card["<all>"]["n_unique_texts"] == kept
