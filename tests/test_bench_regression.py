@@ -166,3 +166,18 @@ def test_key_within_baseline(name, warm):
         f"(or re-record via tools/bench_baseline.py if the change is "
         f"intentional and documented in BENCH.md)"
     )
+
+
+def test_every_benched_key_has_a_baseline_entry():
+    """A key added to HEADLINE/EXTENDED without a recorded baseline entry
+    silently SKIPS the gate forever (the per-key test skips on 'not in
+    recorded baseline') — the same class of bookkeeping drift as the
+    round-10 allowlist foul. Adding a bench key requires running
+    tools/bench_baseline.py --only <key> in the same change."""
+    base = _baseline()
+    norm = base.get("medians_spin_normalized", base["medians"])
+    missing = [k for k in bench.HEADLINE + bench.EXTENDED if k not in norm]
+    assert not missing, (
+        f"benched keys with no baseline entry {missing} — record them via "
+        f"tools/bench_baseline.py --only"
+    )
