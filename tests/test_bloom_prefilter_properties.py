@@ -131,3 +131,60 @@ def test_saturated_filter_still_exact(spark, q, tmp_path_factory):
 def test_no_lineitems(spark, q, tmp_path_factory):
     orders = [(1, True, True)]
     assert _check_three_way(spark, q, tmp_path_factory, orders, []) == []
+
+
+def test_false_positive_rate_stays_useful(spark, q):
+    """Correctness tests cannot see filter QUALITY — the exact join hides
+    any FP rate, even 100 %. Pin the scale property itself on the real
+    fixture: the candidate slice the bloom passes must stay within 2 % of
+    the true matching slice (measured 0.9 % FP overhead at sf0.1 —
+    SCALE.md), so a silent hash-dispersion regression fails a named test
+    instead of shipping a prefilter that prefilters nothing."""
+    from pyspark.sql import functions as F
+
+    from swallow_spark.io import load
+    from swallow_spark.queries.joins import (
+        _BJ_K,
+        _BJ_PRED_SPARK,
+        _BJ_W,
+        _bj_hash,
+        _bj_slot_mask,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    o = load(spark, sf, "orders")
+    members = o.filter(F.expr(_BJ_PRED_SPARK)).select("o_orderkey")
+    li = load(spark, sf, "lineitem")
+    exact = li.join(
+        members, li.l_orderkey == members.o_orderkey, "left_semi"
+    ).count()
+
+    pairs = _bj_slot_mask("_bh")
+    bits = (
+        members.select(F.expr(_bj_hash("o_orderkey")).alias("_bh"))
+        .select(
+            F.explode(
+                F.array(
+                    *[F.struct(s.alias("slot"), m.alias("mask")) for s, m in pairs]
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.slot").alias("slot"), F.col("b.mask").alias("mask"))
+    )
+    words = dict(
+        bits.groupBy("slot").agg(F.expr("bit_or(mask)").alias("word")).collect()
+    )
+    dense = [words.get(i, 0) for i in range(_BJ_K * _BJ_W)]
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in dense) + ")")
+    hit = None
+    for s, m in _bj_slot_mask("_bh"):
+        c = F.element_at(arr, (s + 1).cast("int")).bitwiseAND(m) != 0
+        hit = c if hit is None else (hit & c)
+    candidates = (
+        li.select(F.expr(_bj_hash("l_orderkey")).alias("_bh")).filter(hit).count()
+    )
+    assert candidates >= exact  # no false negatives, ever
+    assert candidates <= exact * 1.02 + 5, (
+        f"bloom passes {candidates} candidates for {exact} true matches — "
+        f"hash dispersion regressed"
+    )
