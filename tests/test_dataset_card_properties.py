@@ -154,3 +154,20 @@ def test_card_unique_texts_match_dedup_exact(spark, q):
     card = {r["lang_group"]: r for r in q.fn(spark, _SF).collect()}
     kept = all_queries()["dedup_exact"].fn(spark, _SF).count()
     assert card["<all>"]["n_unique_texts"] == kept
+
+
+def test_irregular_whitespace_token_semantics(spark, q, tmp_path_factory):
+    # double spaces / leading + trailing spaces / empty text: split-on-' '
+    # produces EMPTY tokens in all three engines (Spark split, DuckDB
+    # string_split, Python str.split(' ')) — pin that they agree rather
+    # than assuming the fixture's single-spaced text
+    rows = [
+        (1, "en", "a  b", "s"),        # 3 tokens: ['a', '', 'b']
+        (2, "en", " lead", "s"),       # 2 tokens: ['', 'lead']
+        (3, "en", "trail ", "s"),      # 2 tokens: ['trail', '']
+        (4, "de", "", "s"),            # 1 token: ['']
+    ]
+    want = _check_three_way(spark, q, tmp_path_factory, rows)
+    by = {w[0]: w for w in want}
+    assert by["en"][5] == 7  # total_ws_tokens: 3 + 2 + 2
+    assert by["de"][5] == 1
