@@ -595,18 +595,27 @@ def graph_kcore(spark, sf_dir):
         .transform(materialize)
     )
     k = _kcore_k(edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")))
+    # Convergence bookkeeping (round-11 optimization, guide §1.2/§5): the
+    # previous loop ran TWO count() actions per iteration (n_before and
+    # the post-join count); carrying the surviving-edge count forward
+    # halves the per-iteration driver actions — one pass over the
+    # materialized edge blocks per peel instead of two. Identical peel
+    # sequence and fixpoint test (count unchanged by the join == no node
+    # fell below k).
+    n_prev = edges.count()
     for _ in range(30):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("src")
-        n_before = edges.count()
         edges = (
             edges.join(F.broadcast(keep), "src")
             .join(F.broadcast(keep.withColumnRenamed("src", "dst")), "dst")
             .select("src", "dst")
             .transform(materialize)
         )
-        if edges.count() == n_before:
+        n_now = edges.count()
+        if n_now == n_prev:
             break
+        n_prev = n_now
     return (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))

@@ -10,6 +10,7 @@ import os
 from pyspark.sql import functions as F
 
 from ..io import load
+from ..ops.materialize import materialize
 from ..registry import register
 
 
@@ -476,9 +477,17 @@ def etl_zorder_layout(spark, sf_dir):
     b = m.agg(
         F.min("mo").alias("lo"), (F.max("mo") - F.min("mo") + 1).alias("span")
     )
-    d = m.crossJoin(F.broadcast(b)).select(
-        F.expr(f"CAST(((mo - lo) * {_Z_TILES}) DIV span AS BIGINT)").alias("mb"),
-        "pb",
+    # Round-11 optimization (guide §1.2): both layout writes consume the
+    # same bucketed frame; materializing it once halves the scan +
+    # bounds-crossjoin + bucket passes (the lineage previously re-ran per
+    # write). Identical rows reach both writers — the oracle is unchanged.
+    d = materialize(
+        m.crossJoin(F.broadcast(b)).select(
+            F.expr(
+                f"CAST(((mo - lo) * {_Z_TILES}) DIV span AS BIGINT)"
+            ).alias("mb"),
+            "pb",
+        )
     )
     zfid = F.expr(
         f"CAST(({_interleave_sql('mb', 'pb', 4)}) DIV {_Z_TILES} AS BIGINT)"

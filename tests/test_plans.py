@@ -426,10 +426,8 @@ BNLJ_ALLOWED = {
     "ts_kpss_stationarity",  # broadcast 1-row sufficient-stats crossjoin (pacf-rule chain)
     "stats_mann_whitney",
     "etl_freshness_audit",  # broadcast 1-row global-max-ts crossjoin
-    "eval_bradley_terry",  # broadcast k-row lang-dim + 1-row scalar crossjoins (MW shape)
     "eval_dedup_threshold_sweep",  # broadcast 1-row corpus-total crossjoin
     "etl_incremental_dedup",  # broadcast 1-row split-point scalar crossjoin
-    "etl_zorder_layout",  # broadcast 1-row (min, span) month-bucket bounds crossjoin
     "vec_ann_ivf_batch_rescore",  # broadcast 1-row corpus-total crossjoin (salt decision)
     "graph_modularity",  # broadcast 1-row m / Q-numerator scalar cross joins
     "graph_ppr_restart",  # broadcast 1-row seed-count crossjoin (restart-mass split)
@@ -549,7 +547,6 @@ def test_no_unaudited_nested_loop_joins(spark):
 WINDOW_GLOBAL_ALLOWED = {
     # bounded post-aggregate frames
     "class_weights",  # ≤|langs| (5) class-count rows
-    "eval_bradley_terry",  # ≤|langs| win-matrix / MM score frame
     "eval_retrieval_ndcg",  # single fixed-probe candidate ranking (top-k cut)
     "eval_retrieval_rank_metrics",  # single fixed-probe candidate ranking
     "pipeline_dpo_corpus",  # ≤K·|langs| (25) preference-pair packing frame
