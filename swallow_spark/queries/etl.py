@@ -1286,12 +1286,23 @@ def etl_incremental_dedup(spark, sf_dir):
     # reads documents unfiltered — the null_text drift probe caught the
     # filtered-frame version diverging when NULL-text rows carry the
     # highest ids)
-    sp = raw.agg(
+    #
+    # Round-11 optimization (guide §1.2/§6): the split point is ONE
+    # deterministic scalar, but spelling it as a broadcast 1-row
+    # crossJoin re-ran the scan+max-aggregate+BNLJ subtree at every use
+    # of base/inc — 7 copies in the physical plan. Collect the bounded
+    # scalar once (the repo's _kcore_k idiom) and inline it as a
+    # literal: base/inc become plain range filters the parquet scan can
+    # push down (PushedFilters on doc_id -> row-group pruning), and the
+    # 7 BNLJ subtrees disappear. An empty table yields a NULL split
+    # (comparisons then drop every row), exactly the old crossJoin-NULL
+    # semantics.
+    sp_val = raw.agg(
         F.floor(F.max("doc_id") * F.lit(_INC_FRAC)).cast("long").alias("sp")
-    )
-    dd = d.crossJoin(F.broadcast(sp))
-    base = dd.filter(F.col("doc_id") <= F.col("sp")).select("doc_id", "text")
-    inc = dd.filter(F.col("doc_id") > F.col("sp")).select("doc_id", "text")
+    ).collect()[0]["sp"]
+    sp_lit = F.lit(sp_val).cast("long")
+    base = d.filter(F.col("doc_id") <= sp_lit).select("doc_id", "text")
+    inc = d.filter(F.col("doc_id") > sp_lit).select("doc_id", "text")
 
     exact = (
         inc.select("doc_id", F.md5("text").alias("h"))

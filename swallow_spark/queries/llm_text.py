@@ -2354,8 +2354,15 @@ def text_ngram_novelty(spark, sf_dir):
     map-side combinable, so a boilerplate gram appearing in 20% of docs
     costs one partial row per task, not a hot reduce key (the same
     structural protection the round-9 skew table measured for tfidf's df
-    count). The gram join shuffles on the gram, novelty re-aggregates on
-    doc_id; at 100 TB hash grams to int64 before the exchange.
+    count). Round 11 (optimization guide §1.2/§2.3): the join and final
+    aggregate now run at DOC grain, not gram-pair grain — n_grams is
+    size(gram array), a map-only expression needing no explode and no
+    shuffle, and n_novel is `firsts.groupBy(first_doc).count()` (a doc
+    introduced gram g iff it contains g and owns its min, so counting
+    firsts by owner is the same multiset as the old per-pair equality
+    sum). The old plan joined every (doc, gram) pair against the firsts
+    table and re-aggregated |pairs| rows by doc_id; the new one joins two
+    |docs|-row frames. At 100 TB hash grams to int64 before the exchange.
     """
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     d = d.filter(F.size(tokens(F.col("text"))) >= _NOV_N)
@@ -2363,26 +2370,31 @@ def text_ngram_novelty(spark, sf_dir):
     # hoisting rule: Catalyst does not hoist loop-invariant subexpressions
     # out of HOF lambdas, so referencing split(...) inside the index
     # transform would re-split per gram)
-    grams_expr = F.expr(
-        f"""
-        explode(element_at(transform(array(split(text, ' ')), a ->
+    arr_sql = f"""
+        element_at(transform(array(split(text, ' ')), a ->
           CASE WHEN size(a) >= {_NOV_N} THEN
             array_distinct(transform(sequence(1, size(a) - {_NOV_N - 1}),
               i -> concat_ws(' ', slice(a, i, {_NOV_N}))))
-          ELSE array() END), 1))
+          ELSE array() END), 1)
         """
+    docs = d.select(
+        "doc_id", F.size(F.expr(arr_sql)).cast("long").alias("n_grams")
     )
-    grams = d.select("doc_id", grams_expr.alias("g"))
+    grams = d.select("doc_id", F.expr(f"explode({arr_sql})").alias("g"))
     firsts = grams.groupBy("g").agg(F.min("doc_id").cast("long").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    ).cast("long")
+    novel_counts = firsts.groupBy("first_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
     return (
-        grams.join(firsts, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            novel.alias("n_novel"),
+        docs.join(
+            novel_counts, docs.doc_id == novel_counts.first_doc, "left"
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias(
+                "n_novel"
+            ),
         )
         .select(
             "doc_id",

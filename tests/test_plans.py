@@ -427,7 +427,6 @@ BNLJ_ALLOWED = {
     "stats_mann_whitney",
     "etl_freshness_audit",  # broadcast 1-row global-max-ts crossjoin
     "eval_dedup_threshold_sweep",  # broadcast 1-row corpus-total crossjoin
-    "etl_incremental_dedup",  # broadcast 1-row split-point scalar crossjoin
     "vec_ann_ivf_batch_rescore",  # broadcast 1-row corpus-total crossjoin (salt decision)
     "graph_modularity",  # broadcast 1-row m / Q-numerator scalar cross joins
     "graph_ppr_restart",  # broadcast 1-row seed-count crossjoin (restart-mass split)
