@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .parallel import fan_out
+
 
 def shingle_jaccard_pairs(
     docs: DataFrame,
@@ -49,7 +51,11 @@ def shingle_jaccard_pairs(
     # bearing for oracle parity: Spark's size(NULL) = -1 plus groupBy
     # treating NULLs as equal would otherwise pair NULL docs with each
     # other, while the SQL oracle's NULL-join semantics drop them.
-    docs = docs.filter(F.col(text_col).isNotNull())
+    # fan_out (round-11, guide §2.5): tokenization + per-shingle xxhash64 run
+    # inside the scan stage, and the bench corpus is a single-split file —
+    # without the repartition the whole shingle pass is one core. No-op when
+    # the scan already yields >= cores splits (any real cluster).
+    docs = fan_out(docs.filter(F.col(text_col).isNotNull()))
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(

@@ -189,10 +189,16 @@ def win_throttle_events(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
+    # Explicit hash repartition on the super-group (round-11, guide §2):
+    # the exchange is byte-light but the fold stage is CPU-dense Python, so
+    # AQE's byte-based coalescing would shrink it to a couple of tasks; a
+    # user repartition count is exempt and keeps defaultParallelism tasks
+    # (capped by the 256 buckets) at any scale.
     e = (
         load(spark, sf_dir, "events")
         .select("user_id", "event_id", F.unix_micros("ts").alias("tus"))
         .withColumn("b", F.pmod(F.xxhash64("user_id"), F.lit(256)))
+        .repartition(spark.sparkContext.defaultParallelism, "b")
     )
 
     def throttle(pdf: pd.DataFrame) -> pd.DataFrame:

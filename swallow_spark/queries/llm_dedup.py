@@ -22,6 +22,7 @@ from ..conform import rnd, sql_rnd
 from ..io import load
 from ..ops.text import sql_shingles
 from ..ops.materialize import materialize
+from ..ops.parallel import fan_out
 from ..registry import register
 
 
@@ -159,7 +160,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     lesson). No per-permutation re-hashing; scales as O(shingles), the
     sub-quadratic near-dup path for 100 TB corpora.
     """
-    d = load(spark, sf_dir, "documents")
+    # fan_out measured a WIN here (round-11 interleaved A/B, 1.80 -> 1.68 s):
+    # the per-shingle xxhash64 explode otherwise runs single-core on the
+    # one-split bench scan; no-op on a multi-split cluster scan.
+    d = fan_out(load(spark, sf_dir, "documents"))
     # same truncated-last-shingle semantics as ops.text.shingles (docs
     # shorter than 5 tokens hash their full token array once)
     sh = d.select(
@@ -228,6 +232,8 @@ def dedup_simhash(spark, sf_dir):
     Hamming ≤ 8 ⇒ some 16-bit quarter of the 64 bits is untouched... holds
     for ≤ 3 flips per 4 segments; we verify with bit_count on the full sig).
     """
+    # fan_out measured a LOSS on the portable twin (A/B 2.77 -> 2.95 s): the
+    # ±1 parity sums collapse map-side; the exchange outweighs them.
     d = load(spark, sf_dir, "documents")
     # Plan shape: explode distinct tokens → hash once → ONE aggregate with 64
     # ±1 bit sums (map-side combine), then assemble the signature from the
@@ -454,6 +460,9 @@ def dedup_minhash_portable(spark, sf_dir):
     # NULL text: see ops.dedup — without the guard the all-NULL signature
     # lands every NULL doc in one groupBy bucket and pairs them, while the
     # oracle's NULL-join drops them
+    # fan_out measured a LOSS here (round-11 interleaved A/B, 4.11 -> 4.90 s)
+    # despite the interpreted per-token fold: the minhash aggregate already
+    # collapses map-side and the downstream band shuffle re-spreads the work.
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return _portable_minhash_pairs(d)
 
@@ -563,6 +572,8 @@ def dedup_simhash_portable(spark, sf_dir):
     Plan shape: distinct-token explode → hash once → ONE aggregate with 32
     ±1 parity sums (map-side combine) → segment posting-list join, no
     all-pairs product."""
+    # fan_out measured a LOSS here (round-11 A/B, 2.77 -> 2.95 s on the
+    # sibling shape): parity sums collapse map-side before the exchange.
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")

@@ -29,6 +29,7 @@ from ..ops.vectors import (
     sql_l2_norm,
 )
 from ..ops.materialize import materialize
+from ..ops.parallel import fan_out
 from ..registry import register
 
 _N_PROBES = 10
@@ -110,7 +111,12 @@ _COS_SQL = (
 
 
 def _norms(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings")
+    # fan_out (round-11, guide §2.5): quantization + norms + the downstream
+    # broadcast-probe dot products are higher-order-function expressions
+    # (CodegenFallback — interpreted per row), and the bench scan is one
+    # split, so without the repartition every _norms consumer computed them
+    # on a single core. No-op on a multi-split cluster scan.
+    e = fan_out(load(spark, sf_dir, "embeddings"))
     withiv = e.select("vec_id", "label", int_units(F.col("embedding")).alias("iv"))
     nrm = F.sqrt(dot_int(F.col("iv"), F.col("iv")).cast("double") / F.lit(SCALE))
     return withiv.withColumn("nrm", nrm).filter(F.col("nrm") > 0)
@@ -676,7 +682,10 @@ def ann_lsh_bucketed(spark, sf_dir):
 
     # Checkpoint: the signature table feeds BOTH join sides (probe +
     # corpus), which otherwise each recompute the signature pass.
-    n = e.select("vec_id", "embedding").mapInPandas(
+    # fan_out (round-11, guide §2.5/§4): the bench scan is one split, so the
+    # signature pass would run on a single Python worker; no-op at cluster
+    # scale where the scan already yields >= cores splits.
+    n = fan_out(e.select("vec_id", "embedding")).mapInPandas(
         signatures, schema="vec_id long, iv array<long>, nrm double, table int, bucket long"
     ).transform(materialize)
     cos = _pair_cos()

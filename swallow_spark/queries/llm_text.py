@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 from ..conform import rnd, sql_rnd
 from ..io import load
 from ..ops.dist_rank import distributed_prefix, ntile_from_rank
+from ..ops.parallel import fan_out
 from ..ops.text import STOPWORDS, shingles, sql_shingles, tokens
 from ..registry import register
 
@@ -24,6 +25,10 @@ _STOP_IN = "('" + "', '".join(STOPWORDS) + "')"
 
 
 def _tok(spark, sf_dir):
+    # fan_out measured a LOSS for _tok consumers (round-11 interleaved A/B:
+    # tokenize_counts 0.56 -> 0.98 s, tfidf 1.52 -> 2.39 s): split+explode
+    # are cheap codegen — the added exchange's stage overhead exceeds the
+    # single-core tokenize cost at any consumer. Left on the scan split.
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id", "lang", "source", F.explode(tokens(F.col("text"))).alias("token")
@@ -458,6 +463,8 @@ def text_fingerprint(spark, sf_dir):
                 }
             )
 
+    # fan_out measured a LOSS here (round-11 A/B, 0.80 -> 1.22 s): the
+    # window-hash numpy pass is light enough that the exchange dominates.
     return d.mapInPandas(fp_batches, "doc_id long, fingerprint long, n_windows long")
 
 
@@ -1437,7 +1444,9 @@ def text_winnowing(spark, sf_dir):
             if out["doc_id"]:
                 yield pd.DataFrame(out)
 
-    return d.mapInPandas(
+    # fan_out measured a WIN here (round-11 interleaved A/B, 1.34 -> 0.80 s):
+    # the per-doc winnowing fold is real numpy work worth spreading.
+    return fan_out(d).mapInPandas(
         winnow,
         "doc_id long, n_selected long, n_distinct long, fp_sum long, "
         "fp_min long, fp_max long",
@@ -2146,6 +2155,7 @@ def text_unicode_normalize(spark, sf_dir):
                 }
             )
 
+    # fan_out measured a LOSS here (round-11 A/B, 0.86 -> 0.95 s).
     return aug_df.mapInPandas(
         norm_batches,
         "doc_id long, text_nfc string, n_cp_raw long, n_cp_nfc long, changed long",
@@ -2229,6 +2239,8 @@ def text_canonical_key(spark, sf_dir):
             )
 
     return (
+        # fan_out measured a LOSS here (round-11 A/B, 1.47 -> 2.39 s): NFC of
+        # short keys is cheap; the groupBy below supplies the parallelism.
         pre.mapInPandas(nfc, "id long, k string")
         .groupBy(F.col("k").alias("canonical_key"))
         .agg(
@@ -2364,6 +2376,9 @@ def text_ngram_novelty(spark, sf_dir):
     table and re-aggregated |pairs| rows by doc_id; the new one joins two
     |docs|-row frames. At 100 TB hash grams to int64 before the exchange.
     """
+    # fan_out measured a LOSS here (round-11 interleaved A/B, 2.91 -> 3.25 s):
+    # the gram explode is codegen'd and collapses map-side into the first
+    # aggregate — the extra exchange outweighs the single-core explode.
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     d = d.filter(F.size(tokens(F.col("text"))) >= _NOV_N)
     # single-element transform binds the split once (the text_ngrams

@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from ..conform import cents
 from ..io import load
+from ..ops.parallel import fan_out
 from ..registry import register
 
 # ------------------------------------------------------------------ AUC-ROC
@@ -340,7 +341,11 @@ def stats_bh_fdr(spark, sf_dir):
         "CAST(conv(substr(md5(CAST(o_orderkey AS STRING) || ':{m}'), {lo}, 13),"
         " 16, 10) AS BIGINT)"
     )
-    hashed = tagged.select(
+    # fan_out (round-11, guide §2.5): the md5 pad + 199-replicate explode is
+    # ~200x the input rows and ran inside the single-split scan stage — one
+    # core did the whole permutation fan-out. The repartition is a tiny
+    # 3-column shuffle of |orders| rows and is a no-op on a multi-split scan.
+    hashed = fan_out(tagged).select(
         "nationkey",
         "r",
         F.expr(word.format(m=0, lo=1)).alias("h0"),

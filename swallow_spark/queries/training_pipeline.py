@@ -593,6 +593,10 @@ def _chat_judged(spark, sf_dir):
     defined ONCE and consumed by training_chat_format_validate and
     pipeline_sft_corpus (so the record format cannot drift between the
     gate and the pipeline that trusts it)."""
+    # fan_out measured a LOSS here (round-11 interleaved A/B: the validate
+    # key 0.40 -> 0.46 s, the sft pipeline 1.84 -> 2.46 s): the interpreted
+    # HOF gate on 5 k docs is cheaper than the added exchange, and the sft
+    # consumer materializes the gate's thin output anyway.
     d = load(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )

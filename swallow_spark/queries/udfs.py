@@ -40,6 +40,9 @@ def udf_python_scalar(spark, sf_dir):
     API-coverage example only.
     """
     mangle = F.udf(lambda s: s[::-1].upper() if s is not None else None, T.StringType())
+    # fan_out measured a LOSS here (round-11 interleaved A/B, 0.65 -> 1.33 s):
+    # the per-row work is one string reverse — the added exchange costs more
+    # than the single-core pass saves. Left on the scan split.
     c = load(spark, sf_dir, "customer")
     return c.select("c_custkey", mangle("c_name").alias("mangled"))
 
@@ -61,6 +64,9 @@ def udf_pandas_scalar(spark, sf_dir):
     def charge(ep: pd.Series, disc: pd.Series) -> pd.Series:
         return np.floor((ep * (1 - disc)) * 100 + 0.5) / 100
 
+    # fan_out measured a LOSS here (round-11 interleaved A/B, 1.17 -> 2.00 s):
+    # the vectorized charge expression is microseconds per batch — shuffling
+    # 600 k rows to parallelize it costs more than it saves.
     li = load(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -726,15 +732,25 @@ def udf_cogrouped_merge(spark, sf_dir):
     """
     import numpy as np
 
+    # Explicit hash repartition on the super-group (round-11, guide §2):
+    # the cogroup exchange is byte-light (a few MB) but CPU-dense (pandas
+    # regroup+merge per bucket), and AQE's byte-based coalescing collapsed
+    # it to ~3 tasks. A user-specified repartition count is exempt from AQE
+    # coalescing and satisfies the cogroup's hash-partitioning requirement,
+    # so the Python stage runs at defaultParallelism (capped by the 256
+    # buckets) at any scale. Measured 3.6 -> 2.2 s at sf0.1/local[32].
+    n_par = spark.sparkContext.defaultParallelism
     o = (
         load(spark, sf_dir, "orders")
         .select(F.col("o_custkey").alias("k"), "o_totalprice")
         .withColumn("b", F.pmod(F.xxhash64("k"), F.lit(256)))
+        .repartition(n_par, "b")
     )
     e = (
         load(spark, sf_dir, "events")
         .select(F.col("user_id").alias("k"), "value")
         .withColumn("b", F.pmod(F.xxhash64("k"), F.lit(256)))
+        .repartition(n_par, "b")
     )
 
     def _side(df: pd.DataFrame, col: str, cnt: str, tot: str) -> pd.DataFrame:
@@ -839,16 +855,22 @@ def udf_cogrouped_arrow(spark, sf_dir):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    # Explicit hash repartition on the super-group: see udf_cogrouped_merge
+    # — keeps the CPU-dense Arrow stage at defaultParallelism instead of
+    # AQE's byte-coalesced ~3 tasks.
+    n_par = spark.sparkContext.defaultParallelism
     o = (
         load(spark, sf_dir, "orders")
         .select(F.col("o_custkey").alias("k"), "o_totalprice")
         .withColumn("b", F.pmod(F.xxhash64("k"), F.lit(256)))
+        .repartition(n_par, "b")
     )
     e = (
         load(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
         .select(F.col("user_id").alias("k"), "value")
         .withColumn("b", F.pmod(F.xxhash64("k"), F.lit(256)))
+        .repartition(n_par, "b")
     )
 
     def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:

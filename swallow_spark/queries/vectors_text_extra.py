@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from ..conform import rnd, sql_rnd
 from ..io import load
+from ..ops.parallel import fan_out
 from ..registry import register
 
 
@@ -252,6 +253,9 @@ def vec_gram_matrix(spark, sf_dir):
     spells the same sums as an unnest self-join (DuckDB has no matmul);
     int64 headroom: |q| ≤ ~2e6 ⇒ products ≤ 4e12, safe past 10⁶ rows/entry.
     """
+    # fan_out measured a LOSS here (round-11 interleaved A/B, 0.79 -> 0.99 s):
+    # one 2000x64 int64 Gram partial is a single cheap BLAS-ish pass — the
+    # exchange dominates. The groupBy below supplies reduce parallelism.
     e = load(spark, sf_dir, "embeddings").select("embedding")
     out_schema = "i int, j int, g long"
     partials = e.mapInPandas(_gram_partials(augment=False), schema=out_schema)
@@ -756,7 +760,10 @@ def vec_pq_encode(spark, sf_dir):
                 }
             )
 
-    return e.mapInPandas(
+    # fan_out measured a WIN here (round-11 interleaved A/B, 1.17 -> 0.63 s):
+    # the (n,16,64,4) codebook subtract is real numpy work worth spreading;
+    # no-op on a multi-split cluster scan (guide §2.5 input skew).
+    return fan_out(e).mapInPandas(
         encode, "vec_id long, label int, code_lo long, code_hi long, recon_err long"
     )
 
@@ -964,6 +971,8 @@ def vec_random_projection(spark, sf_dir):
                 out[f"p{j}"] = y[:, j]
             yield pd.DataFrame(out)
 
+    # fan_out measured a LOSS here (round-11 A/B, 0.48 -> 0.65 s): the JL
+    # matmul on 2000 rows is one cheap numpy call; stay map-only on the scan.
     return e.mapInPandas(proj, schema)
 
 
@@ -1129,7 +1138,7 @@ def vec_ann_lsh_portable(spark, sf_dir):
             )
 
     n = (
-        e.select("vec_id", "embedding")
+        fan_out(e.select("vec_id", "embedding"))
         .mapInPandas(
             signatures,
             schema="vec_id long, iv array<long>, nrm double, table int, bucket long",
@@ -1311,7 +1320,7 @@ def _ivf_assign(e, nprobe: int):
             )
 
     return (
-        e.select("vec_id", "embedding")
+        fan_out(e.select("vec_id", "embedding"))
         .mapInPandas(
             assign_pass,
             schema="vec_id long, iv array<long>, nrm double, crk int, cell int",
@@ -1503,7 +1512,7 @@ def vec_ann_ivfpq_portable(spark, sf_dir):
                 }
             )
 
-    codes = e.select("vec_id", "embedding").mapInPandas(
+    codes = fan_out(e.select("vec_id", "embedding")).mapInPandas(
         index_pass, "vec_id long, cell int, code_lo long, code_hi long"
     )
 
@@ -1738,7 +1747,7 @@ def vec_ann_ivfpq_residual(spark, sf_dir):
                 }
             )
 
-    codes = e.select("vec_id", "embedding").mapInPandas(
+    codes = fan_out(e.select("vec_id", "embedding")).mapInPandas(
         index_pass, "vec_id long, cell int, code_lo long, code_hi long"
     )
 
@@ -2188,7 +2197,7 @@ def vec_pq_distortion(spark, sf_dir):
             )
 
     per = (
-        e.mapInPandas(partials, "s int, n long, sd long, mx long")
+        fan_out(e).mapInPandas(partials, "s int, n long, sd long, mx long")
         .groupBy("s")
         .agg(
             F.sum("n").cast("long").alias("n"),

@@ -803,7 +803,8 @@ def test_image_histogram_partial_before_exchange(spark):
 def test_random_projection_is_map_only(spark):
     """vec_random_projection must be a single Arrow-batched Python pass over
     the scan — NO exchange anywhere (the JL projection is embarrassingly
-    parallel by construction)."""
+    parallel by construction; the round-11 fan_out A/B measured the
+    repartition variant a loss here, so the strict pin stands)."""
     p = plan_of(spark, "vec_random_projection")
     assert "MapInPandas" in p or "ArrowEvalPython" in p
     assert "Exchange" not in p
@@ -823,7 +824,9 @@ def test_kruskal_rank_window_over_preaggregate(spark):
 def test_chat_format_validate_is_shuffle_free(spark):
     """training_chat_format_validate is a pure record-validation pass: the
     array-of-struct construction and every rule check must stay whole-
-    stage-codegen projections over the scan — NO exchange, NO Python."""
+    stage-codegen projections over the scan — NO exchange, NO Python (the
+    round-11 fan_out A/B measured the repartition variant a loss here, so
+    the strict pin stands)."""
     p = plan_of(spark, "training_chat_format_validate")
     assert "Exchange" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

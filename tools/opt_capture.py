@@ -36,7 +36,10 @@ def main() -> None:
     qs = all_queries()
     names = [n for n in HEADLINE + EXTENDED if n in qs]
     if only:
-        names = [n for n in names if n in only]
+        # allow non-benched keys too (any declared key can be captured)
+        names = [n for n in names if n in only] + sorted(
+            only - set(HEADLINE) - set(EXTENDED)
+        )
     for name in names:
         buf = io.StringIO()
         try:
