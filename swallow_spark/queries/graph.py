@@ -1443,15 +1443,26 @@ def graph_closeness_landmarks(spark, sf_dir):
     dist = seeds.withColumn("d", F.lit(0)).transform(materialize)
     frontier = dist.select("lmk", "node")
     for hop in range(1, _CLOSENESS_HOPS + 1):
+        # Anti-join against the broadcast visited set BEFORE the distinct,
+        # so the hop's only exchange carries just the UNVISITED expansions
+        # (guide §2.3). Round-11 finding: Catalyst's PushDownLeftSemiAntiJoin
+        # already performs this rewrite — the former distinct-then-anti
+        # spelling compiled to the IDENTICAL physical plan (captured in
+        # plans/r11/graph_closeness_landmarks_hop_{before,after}.txt, diff
+        # empty modulo expr ids; interleaved A/B "same") — the source now
+        # simply matches what runs. Also measured: replacing the per-hop
+        # materialize with one 4-hop DAG is a 2.4x LOSS (16.6 vs 6.9 s —
+        # hop i's subtree recomputes inside every later hop's lineage), so
+        # the per-hop cut stays.
         nxt = (
             und.join(F.broadcast(frontier), und["src"] == frontier["node"])
             .select("lmk", und["dst"].alias("node"))
-            .distinct()
             .join(
                 F.broadcast(dist.select("lmk", "node")),
                 ["lmk", "node"],
                 "left_anti",
             )
+            .distinct()
             .withColumn("d", F.lit(hop))
             .transform(materialize)
         )

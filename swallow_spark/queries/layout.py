@@ -492,12 +492,28 @@ def etl_zorder_layout(spark, sf_dir):
     zfid = F.expr(
         f"CAST(({_interleave_sql('mb', 'pb', 4)}) DIV {_Z_TILES} AS BIGINT)"
     )
-    d.withColumn("fid", zfid).repartition("fid").write.mode(
-        "overwrite"
-    ).partitionBy("fid").parquet(f"{base}/zorder")
-    d.withColumn("fid", F.col("mb")).repartition("fid").write.mode(
-        "overwrite"
-    ).partitionBy("fid").parquet(f"{base}/linear")
+    # Round-11 (guide §2.6 "overlap independent jobs"): the two layout
+    # writes are independent actions over the SAME materialized frame and
+    # different output paths — submitting them from two driver threads lets
+    # the second job's tasks back-fill executors freed by the first job's
+    # tail instead of serializing two 16-small-file writes (interleaved A/B
+    # at sf0.1: 2.98/3.26 vs 3.89/3.57 s medians — a steady ~10-25% win).
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    def _write(df, path):
+        df.repartition("fid").write.mode("overwrite").partitionBy(
+            "fid"
+        ).parquet(path)
+
+    with _TPE(max_workers=2) as pool:
+        futs = [
+            pool.submit(_write, d.withColumn("fid", zfid), f"{base}/zorder"),
+            pool.submit(
+                _write, d.withColumn("fid", F.col("mb")), f"{base}/linear"
+            ),
+        ]
+        for f in futs:
+            f.result()
 
     def _stats(path: str, layout: str):
         return (
