@@ -18,6 +18,8 @@ by construction).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1916,11 +1918,70 @@ def eval_auc_delong_paired(spark, sf_dir):
     joint = base.groupBy("segment", "y", "sa", "sb").agg(
         F.count(F.lit(1)).cast("long").alias("cj")
     )
-    j = (
-        joint.join(placements("sa"), ["segment", "sa"])
-        .join(placements("sb"), ["segment", "sb"])
-        .join(F.broadcast(tot), "segment")
-    )
+    if os.environ.get("SWALLOW_DL_JOINED", "0") == "1":
+        # A/B-able joined variant: marginal placement tables joined back
+        # onto the joint aggregate (2 extra aggregates + 2 sort-merge joins
+        # + 1 broadcast join vs the window form below). Interleaved A/B at
+        # sf0.1 over 3 sessions: statistical tie (4.95/2.87/3.52 s joined
+        # vs 4.86/3.58/3.26 s windowed on a contended box); the window form
+        # is the default for its plan (26 Exchange -> 6, 4 SMJ -> 0) — it
+        # shuffles strictly fewer bytes at scale, and the per-segment
+        # window pass it adds is the same magnitude both variants already
+        # pay inside placements().
+        j = (
+            joint.join(placements("sa"), ["segment", "sa"])
+            .join(placements("sb"), ["segment", "sb"])
+            .join(F.broadcast(tot), "segment")
+        )
+    else:
+        # A placement depends only on (segment, score), and the joint
+        # aggregate already carries every (segment, y, sa, sb) group with
+        # its count — so the per-score marginal tables and their join-back
+        # collapse into RANGE-frame cumulative sums over `joint` itself
+        # (ties share a frame, so the joint grain reproduces the marginal
+        # cumulative exactly), and the per-segment totals (`tot`) become
+        # whole-partition window sums. Removes 2 aggregate scans, 2
+        # sort-merge joins and a broadcast join; the two window sorts
+        # ((segment, sa), then (segment, sb)) share one segment exchange.
+        j = joint
+        for score in ("sa", "sb"):
+            w_cum = (
+                Window.partitionBy("segment")
+                .orderBy(score)
+                .rangeBetween(Window.unboundedPreceding, 0)
+            )
+            w_strict = (
+                Window.partitionBy("segment")
+                .orderBy(score)
+                .rangeBetween(Window.unboundedPreceding, -1)
+            )
+            cj_pos = F.when(F.col("y") == 1, F.col("cj")).otherwise(F.lit(0))
+            below_all = F.coalesce(F.sum("cj").over(w_strict), F.lit(0))
+            below_pos = F.coalesce(F.sum(cj_pos).over(w_strict), F.lit(0))
+            le_all = F.sum("cj").over(w_cum)
+            le_pos = F.sum(cj_pos).over(w_cum)
+            at_all = le_all - below_all
+            at_pos = le_pos - below_pos
+            j = j.withColumns(
+                {
+                    # u_pos(s) = 2·neg_below + neg_at; u_neg(s) = 2·pos_below
+                    # + pos_at — identical integers to the marginal-table form
+                    f"upos_{score}": 2 * (below_all - below_pos)
+                    + (at_all - at_pos),
+                    f"uneg_{score}": 2 * below_pos + at_pos,
+                }
+            )
+        w_seg = Window.partitionBy("segment")
+        j = j.withColumns(
+            {
+                "m": F.sum(
+                    F.when(F.col("y") == 1, F.col("cj")).otherwise(F.lit(0))
+                ).over(w_seg),
+                "n": F.sum(
+                    F.when(F.col("y") == 0, F.col("cj")).otherwise(F.lit(0))
+                ).over(w_seg),
+            }
+        ).filter((F.col("m") >= 2) & (F.col("n") >= 2))
     rowv = j.select(
         "segment",
         "y",
