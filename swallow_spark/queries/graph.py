@@ -6,6 +6,8 @@ rows-only per §2.0 rule 6 with a numpy reference test instead).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..io import load
@@ -208,13 +210,25 @@ def graph_pagerank(spark, sf_dir):
     ranks = adj.select(F.col("src").alias("node")).withColumn(
         "r", F.lit(_PR_R0).cast("long")
     )
+    # The rank-vector side of the iteration join carries a SHUFFLE_HASH
+    # hint: without it the planner picks SortMergeJoin and RE-SORTS the
+    # array-payload adjacency (the heavy side) EVERY iteration — the hint
+    # keeps the co-partitioning (zero exchange either way, verified in the
+    # plan) and replaces both per-iteration sorts with a per-partition hash
+    # build of the skinny |V|-row rank vector, which also stays scale-safe
+    # (build side is |V|/P rows per task, never a driver broadcast).
+    rank_hint = (
+        (lambda df: df)
+        if os.environ.get("SWALLOW_PR_SMJ", "0") == "1"
+        else (lambda df: df.hint("shuffle_hash"))
+    )
     for _ in range(_PR_ITERS):
         # The graph is symmetric (undirected), so every node with an edge
         # receives contributions — contribs covers exactly the node set and
         # the oracle's LEFT JOIN never fires its NULL branch; the rank
         # update therefore needs no per-iteration nodes join at all.
         contribs = (
-            adj.join(ranks, adj["src"] == ranks["node"])
+            adj.join(rank_hint(ranks), adj["src"] == ranks["node"])
             .select(F.explode("nbrs").alias("node"), F.expr("r DIV deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("csum"))
