@@ -1262,13 +1262,33 @@ def graph_katz_centrality(spark, sf_dir):
     e = _edges(spark, sf_dir)
     und = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    )
+    # SHUFFLE_HASH hint on the skinny score vector (the graph_pagerank
+    # recipe): the unhinted plan is SortMergeJoin, which SORTS all |2E|
+    # edge rows inside EVERY iteration; the hint replaces those sorts with
+    # a per-partition hash build of |V|/P score rows. Interleaved A/B at
+    # sf0.1: 2.27 vs 3.37 s and 1.96 vs 2.87 s (~33%, hint wins both).
+    # The per-iteration edge Exchange(src) subtrees are identical, so
+    # physical-planning exchange reuse ships the edge bytes once per run;
+    # SWALLOW_KATZ_REPART=1 additionally pre-partitions the persisted edge
+    # list on src (zero per-iteration edge exchange even without reuse —
+    # the 100 TB deployment shape) but measured ~0.2-0.4 s SLOWER at
+    # sf0.1 (the extra cache-build barrier outweighs the reuse it makes
+    # redundant), so it stays opt-in. SWALLOW_KATZ_SMJ=1 restores the
+    # pre-round-11 SMJ form for A/B.
+    old_shape = os.environ.get("SWALLOW_KATZ_SMJ", "0") == "1"
+    if os.environ.get("SWALLOW_KATZ_REPART", "0") == "1":
+        und = und.repartition("src")
+    und = und.persist()
     x = und.groupBy(F.col("dst").alias("node")).agg(
         (F.lit(1000) + F.expr("CAST(COUNT(*) * 1000 AS BIGINT) DIV 8")).alias("x")
     )
     for _ in range(2):
         x = (
-            und.join(x, und.src == x.node)
+            und.join(
+                x if old_shape else x.hint("shuffle_hash"),
+                und.src == x.node,
+            )
             .groupBy(und.dst.alias("node2"))
             .agg(
                 (F.lit(1000) + F.expr("CAST(SUM(x) AS BIGINT) DIV 8")).alias("x")
