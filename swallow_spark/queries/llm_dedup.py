@@ -15,6 +15,8 @@ candidate set. All signatures are computed with seeded/fixed constants
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -584,27 +586,63 @@ def dedup_simhash_portable(spark, sf_dir):
     # whose vocabulary outgrows broadcast, drop the hint and let it shuffle
     # on the token key (plan still beats per-occurrence hashing).
     td = tok.select("t").distinct().withColumn("hh", F.expr(_phs("t")))
-    tok = tok.join(F.broadcast(td), "t")
-    bits = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    (F.lit(2 * j + 1) * F.col("hh") + F.lit(97 * j + 13))
-                    % F.lit(_PP) % 2 == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(32)
-        ]
-    )
-    sig_expr = F.expr(
-        " + ".join(
-            f"(CASE WHEN b{j} > 0 THEN shiftleft(cast(1 as bigint), {j}) "
-            "ELSE cast(0 as bigint) END)"
-            for j in range(32)
+    if os.environ.get("SWALLOW_SIMHASH_AFFINE", "0") == "1":
+        # A/B-able pre-round-11 form: the 32 affine parities recomputed on
+        # every (doc, token) row inside the aggregate
+        tok = tok.join(F.broadcast(td), "t")
+        bits = tok.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(
+                        (F.lit(2 * j + 1) * F.col("hh") + F.lit(97 * j + 13))
+                        % F.lit(_PP) % 2 == 1,
+                        1,
+                    ).otherwise(-1)
+                ).alias(f"b{j}")
+                for j in range(32)
+            ]
         )
-    )
-    sigs = bits.select("doc_id", sig_expr.alias("sig"))
+        sig_expr = F.expr(
+            " + ".join(
+                f"(CASE WHEN b{j} > 0 THEN shiftleft(cast(1 as bigint), {j}) "
+                "ELSE cast(0 as bigint) END)"
+                for j in range(32)
+            )
+        )
+        sigs = bits.select("doc_id", sig_expr.alias("sig"))
+    else:
+        # A parity depends only on the token, so compute all 32 affine
+        # parities ONCE per distinct token as a packed 32-bit word on the
+        # (tiny, broadcast) vocabulary table; the per-(doc, token) aggregate
+        # then reduces to 32 shift-and-mask bit sums — no multiply/mod per
+        # occurrence. b_j = Σ±1 = 2·Σbit_j − n_tokens, so the sign test
+        # b_j > 0 becomes 2·s_j > n — identical integers, identical sig.
+        pw_expr = F.expr(
+            " + ".join(
+                f"(shiftleft((({2 * j + 1} * hh + {97 * j + 13}) % {_PP}) % 2,"
+                f" {j}))"
+                for j in range(32)
+            )
+        )
+        td = td.select("t", pw_expr.alias("pw"))
+        tok = tok.join(F.broadcast(td), "t")
+        bits = tok.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("nt"),
+            *[
+                F.sum(F.shiftright(F.col("pw"), j).bitwiseAND(F.lit(1))).alias(
+                    f"s{j}"
+                )
+                for j in range(32)
+            ],
+        )
+        sig_expr = F.expr(
+            " + ".join(
+                f"(CASE WHEN 2 * s{j} > nt THEN shiftleft(cast(1 as bigint),"
+                f" {j}) ELSE cast(0 as bigint) END)"
+                for j in range(32)
+            )
+        )
+        sigs = bits.select("doc_id", sig_expr.alias("sig"))
     # NOTE (measured, sf0.1): the posting-list bucket pattern that wins for
     # LSH bands LOSES here — the tiny fixture vocabulary correlates
     # signatures so hard that one segment bucket can hold thousands of
