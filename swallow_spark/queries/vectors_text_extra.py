@@ -9,6 +9,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -2311,8 +2313,17 @@ def vec_ann_ivf_batch_rescore(spark, sf_dir):
         dot_int(F.col("a.iv"), F.col("b.iv")).cast("double") / F.lit(SCALE)
     ) / (F.col("a.nrm") * F.col("b.nrm"))
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    # SHUFFLE_HASH hint on the probe side: unhinted, the candidate join is
+    # SortMergeJoin and both sides pay a (cell, salt) sort — the corpus
+    # side is the whole vector table. The hint builds per-partition hash
+    # tables of the SMALL side (probes are a 1-in-_BR_MOD sample, ~|V|/32
+    # rows per task) and streams the corpus unsorted; partitioning and the
+    # salt algebra are untouched. SWALLOW_BR_SMJ=1 restores SMJ for A/B.
+    probe_side = probes_s.alias("a")
+    if os.environ.get("SWALLOW_BR_SMJ", "0") != "1":
+        probe_side = probe_side.hint("shuffle_hash")
     return (
-        probes_s.alias("a")
+        probe_side
         .join(
             corpus_s.alias("b"),
             (F.col("a.cell") == F.col("b.cell"))
