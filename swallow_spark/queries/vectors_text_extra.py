@@ -1944,8 +1944,15 @@ def vec_ann_recall_sweep(spark, sf_dir):
     cos = (
         dot_int(F.col("a.iv"), F.col("b.iv")).cast("double") / F.lit(SCALE)
     ) / (F.col("a.nrm") * F.col("b.nrm"))
+    # SHUFFLE_HASH hint on the probe side (the batch-rescore finding): the
+    # unhinted cell-equi candidate join is SortMergeJoin and sorts the
+    # whole corpus side; the hint hash-builds the small probe sample per
+    # partition and streams the corpus. SWALLOW_SWEEP_SMJ=1 restores SMJ.
+    probe_side = probes.alias("a")
+    if os.environ.get("SWALLOW_SWEEP_SMJ", "0") != "1":
+        probe_side = probe_side.hint("shuffle_hash")
     cand = materialize(
-        probes.alias("a")
+        probe_side
         .join(
             corpus.alias("b"),
             (F.col("a.cell") == F.col("b.cell"))
@@ -1993,14 +2000,17 @@ def vec_ann_recall_sweep(spark, sf_dir):
     counts = cand_np.groupBy("np").agg(
         F.count(F.lit(1)).cast("long").alias("n_cand")
     )
+    # exh and hits are BOUNDED by construction (≤ |probes|·topk resp.
+    # |nprobes| rows — the probe set is a fixed-size sample), so both
+    # join-backs broadcast instead of the former exchange+sort SMJ pair.
     hits = (
-        ann.join(exh, ["probe_id", "neighbor_id"])
+        ann.join(F.broadcast(exh), ["probe_id", "neighbor_id"])
         .groupBy("np")
         .agg(F.count(F.lit(1)).cast("long").alias("hits"))
     )
     tot = probe0.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
     return (
-        counts.join(hits, "np", "left")
+        counts.join(F.broadcast(hits), "np", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             F.col("np").cast("long").alias("nprobe"),
