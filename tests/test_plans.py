@@ -861,10 +861,26 @@ def test_batch_rescore_salted_join_shape(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p  # salt map (<= 16 rows) broadcast-joined
     assert "salt" in p  # the salted key reaches the physical plan
+    # round-11 session 5: the candidate join hash-builds the probe sample
+    # per partition instead of sorting the whole salted corpus (SMJ -> SHJ)
+    assert "ShuffledHashJoin" in p
+    assert "SortMergeJoin" not in p
     # assignment is materialized once: candidate sides read ExistingRDD,
     # not two fresh parquet scans of embeddings
     tree = p.split("\n\n(")[0]
     assert "Scan ExistingRDD" in tree
+
+
+def test_recall_sweep_bounded_joinbacks_broadcast(spark):
+    """vec_ann_recall_sweep (round-11 session 5): the hits join (ANN arm
+    vs exhaustive top-5) and the counts join-back have sides bounded by
+    |probes|*topk resp. |nprobes| rows by construction, so they must
+    arrive broadcast — a SortMergeJoin reappearing here means the
+    bounded sides regressed to exchange+sort."""
+    p = plan_of(spark, "vec_ann_recall_sweep")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
 
 
 def test_dist_rank_shape_recognition(spark):
@@ -962,14 +978,20 @@ def test_bloom_prefilter_plan_shape(spark):
 
 def test_delong_plan_shape(spark):
     """eval_auc_delong_paired must consume the MATERIALIZED base (no
-    parquet re-scan per consumer) and contain no nested-loop join; its
-    windows run over aggregated distinct-score tables, so no window may
-    appear below the first aggregate of any branch."""
+    parquet re-scan per consumer) and, since the round-11 session-5
+    rewrite, be JOIN-FREE: the marginal placement tables, their
+    sort-merge join-backs, and the broadcast totals join all collapsed
+    into RANGE-frame cumulative windows over the joint aggregate
+    (26 Exchange -> 6, 4 SMJ -> 0). A join reappearing here means the
+    rewrite regressed to the joined form."""
     p = plan_of(spark, "eval_auc_delong_paired")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" not in p
+    assert "ShuffledHashJoin" not in p
     tree = p.split("\n\n(")[0]
-    # all four consumers read the materialized 4-column base
+    # all consumers read the materialized 4-column base
     assert "Scan ExistingRDD" in tree
     assert tree.count("Scan parquet") == 0
 
