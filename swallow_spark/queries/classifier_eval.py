@@ -370,8 +370,12 @@ def eval_bleu(spark, sf_dir):
     rg = pn.select(
         "cand_id", "n", F.explode(grams("rt")).alias("gram")
     ).groupBy("cand_id", "n", "gram").agg(F.count(F.lit(1)).alias("c_r"))
+    # the eval grid bounds every join input (≤50 pairs × 4 n × ≤20-token
+    # docs), but post-aggregate estimates made the planner sort both sides
+    # of the clip join and the join-back — broadcast the bounded sides
+    # (r11 s6 audit, the vec_ann_recall_sweep bounded-join-back class)
     clip = (
-        cg.join(rg, ["cand_id", "n", "gram"])
+        cg.join(F.broadcast(rg), ["cand_id", "n", "gram"])
         .groupBy("cand_id", "n")
         .agg(F.sum(F.least("c_c", "c_r")).cast("long").alias("clip_cnt"))
     )
@@ -386,7 +390,7 @@ def eval_bleu(spark, sf_dir):
                 "total_cnt"
             ),
         )
-        .join(clip, ["cand_id", "n"], "left")
+        .join(F.broadcast(clip), ["cand_id", "n"], "left")
         .fillna(0, subset=["clip_cnt"])
     )
     agg = pern.groupBy("cand_id", "ref_id").agg(
@@ -646,8 +650,11 @@ def eval_chrf(spark, sf_dir):
     rc = pn.select("cand_id", "n", F.explode(grams("rs")).alias("g")).groupBy(
         "cand_id", "n", "g"
     ).agg(F.count(F.lit(1)).alias("c_r"))
+    # bounded eval grid (≤50 pairs × 6 n × ≤100-char prefixes): broadcast
+    # the overlap join's reference side and the join-back, as in eval_bleu
+    # (r11 s6 audit)
     ov = (
-        cc.join(rc, ["cand_id", "n", "g"])
+        cc.join(F.broadcast(rc), ["cand_id", "n", "g"])
         .groupBy("cand_id", "n")
         .agg(F.sum(F.least("c_c", "c_r")).cast("long").alias("o"))
     )
@@ -659,7 +666,7 @@ def eval_chrf(spark, sf_dir):
             F.expr("CAST(greatest(length(cs) - n + 1, 0) AS BIGINT)").alias("tc"),
             F.expr("CAST(greatest(length(rs) - n + 1, 0) AS BIGINT)").alias("tr"),
         )
-        .join(ov, ["cand_id", "n"], "left")
+        .join(F.broadcast(ov), ["cand_id", "n"], "left")
         .fillna(0, subset=["o"])
     )
     agg = pern.groupBy("cand_id", "ref_id").agg(
@@ -753,8 +760,11 @@ def eval_cohen_kappa(spark, sf_dir):
     p = pred.groupBy(F.col("predicted").alias("cls")).agg(
         F.count(F.lit(1)).cast("long").alias("pn")
     )
+    # both marginal tables are bounded by |classes| BY CONSTRUCTION, but the
+    # planner's post-aggregate size estimate picks SortMergeJoin (sorting
+    # both) — broadcast makes the plan match the docstring (r11 s6 audit)
     chance = (
-        t.join(p, "cls")
+        t.join(F.broadcast(p), "cls")
         .agg(F.coalesce(F.sum(F.col("tn") * F.col("pn")), F.lit(0)).cast("long").alias("pe_num"))
     )
     return m.crossJoin(F.broadcast(chance)).select(
@@ -836,8 +846,10 @@ def eval_mcc_multiclass(spark, sf_dir):
     p = pred.groupBy(F.col("predicted").alias("cls")).agg(
         F.count(F.lit(1)).cast("long").alias("pn")
     )
+    # |classes|-bounded marginals: broadcast instead of the planner's SMJ
+    # (the eval_cohen_kappa note; r11 s6 audit)
     ptsum = (
-        t.join(p, "cls")
+        t.join(F.broadcast(p), "cls")
         .agg(F.coalesce(F.sum(F.col("tn") * F.col("pn")), F.lit(0)).cast("long").alias("ptsum"))
     )
     ppsum = p.agg(F.sum(F.col("pn") * F.col("pn")).cast("long").alias("ppsum"))

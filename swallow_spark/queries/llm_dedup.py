@@ -817,8 +817,11 @@ def eval_dedup_minhash_quality(spark, sf_dir):
     truth = pairs.filter(jac >= 0.6).select(
         F.col("d1").alias("t1"), F.col("d2").alias("t2")
     )
+    # FULL OUTER cannot broadcast; the SHUFFLE_HASH hint builds the truth
+    # side per partition (two-long pair rows, ~|near-dup pairs|/P per task)
+    # instead of the planner's sort-both-sides SMJ (r11 s6 audit)
     conf = cand.join(
-        truth,
+        truth.hint("shuffle_hash"),
         (cand.d1 == truth.t1) & (cand.d2 == truth.t2),
         "full_outer",
     ).select(

@@ -14,6 +14,8 @@ candidate set stays sub-quadratic on a 1000-executor cluster.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -754,7 +756,15 @@ def dedup_embedding_cosine(spark, sf_dir):
     Scale note: label is the blocking key exactly as in sim_pairs_threshold;
     a hot label sub-blocks by salting one side. For unblocked corpora the
     candidate generator swaps to LSH buckets (ann_lsh_bucketed's shape) with
-    the same anti-join tail.
+    the same anti-join tail. The anti-join's STATIC plan is a SortMergeJoin
+    (the r11 hidden-sort audit flagged it), but AQE broadcast-converts it at
+    runtime (the executed plan is BroadcastHashJoin LeftAnti over a local
+    AQEShuffleRead) because the duplicate-id build side is small at runtime;
+    a SHUFFLE_HASH hint that pins the static plan was measured an ~9%
+    LOSS in interleaved A/B (median 0.903 vs 0.827 s) precisely because it
+    BLOCKS that conversion — so the join is deliberately left unhinted and
+    the audit entry is recorded as a static-plan false positive
+    (OPTIMIZATION_r11.md §13).
     """
     n = _norms(spark, sf_dir)
     cos = _pair_cos()
@@ -944,13 +954,16 @@ def vec_matryoshka_recall(spark, sf_dir):
         .filter(F.col("rk") <= _K)
         .select("probe_id", "neighbor_id")
     )
-    hit = full5.join(tr5, ["probe_id", "neighbor_id"]).groupBy("probe_id").agg(
-        F.count(F.lit(1)).alias("n_overlap")
-    )
+    # both arms are |probes|·k-row top-k outputs (bounded by construction),
+    # yet the planner sorted both for an SMJ — broadcast the truncated arm
+    # and the hit join-back (r11 s6 audit, the recall_sweep class)
+    hit = full5.join(F.broadcast(tr5), ["probe_id", "neighbor_id"]).groupBy(
+        "probe_id"
+    ).agg(F.count(F.lit(1)).alias("n_overlap"))
     return (
         full5.select("probe_id")
         .distinct()
-        .join(hit, "probe_id", "left")
+        .join(F.broadcast(hit), "probe_id", "left")
         .select(
             "probe_id",
             F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
@@ -1100,7 +1113,9 @@ def vec_triplet_mining(spark, sf_dir):
         .filter(F.col("rk") == 1)
         .select("anchor_id", F.col("other_id").alias("negative_id"), F.col("cos").alias("neg_cos"))
     )
-    return pos.join(neg, "anchor_id").select(
+    # both arms are ≤|anchors|-row top-1 tables (bounded): broadcast the
+    # negative arm instead of the planner's exchange+sort SMJ (r11 s6 audit)
+    return pos.join(F.broadcast(neg), "anchor_id").select(
         "anchor_id",
         "positive_id",
         "negative_id",
@@ -1492,7 +1507,14 @@ def vec_mutual_knn_graph(spark, sf_dir):
             F.floor(F.col("cos") * 10000 + F.lit(0.5)).cast("long").alias("cosu"),
         )
     )
+    # SHUFFLE_HASH hint on the reversed arm (the graph_pagerank recipe,
+    # r11 s6 audit): both sides are the same skinny ≤k·N edge list and
+    # both must exchange (opposite key orders), but the unhinted SMJ also
+    # SORTS both — the per-partition hash build is ~k·N/P 32-byte rows,
+    # scale-safe at any corpus size. SWALLOW_MKNN_SMJ=1 restores SMJ.
     f, r = knn.alias("f"), knn.alias("r")
+    if os.environ.get("SWALLOW_MKNN_SMJ", "0") != "1":
+        r = r.hint("shuffle_hash")
     return (
         f.join(
             r,

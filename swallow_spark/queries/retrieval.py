@@ -92,8 +92,11 @@ def search_hybrid_rrf(spark, sf_dir):
             .alias("r_sem"),
         )
     )
+    # both arms are ≤20-row top-K lists, but FULL OUTER cannot broadcast —
+    # the SHUFFLE_HASH hint replaces the planner's sort-both-sides SMJ with
+    # a per-partition hash build of the (tiny) semantic arm (r11 s6 audit)
     fused = (
-        lex.join(sem, "doc_id", "full_outer")
+        lex.join(sem.hint("shuffle_hash"), "doc_id", "full_outer")
         .select(
             "doc_id",
             "r_lex",

@@ -883,6 +883,35 @@ def test_recall_sweep_bounded_joinbacks_broadcast(spark):
     assert "CartesianProduct" not in p
 
 
+def test_smj_audit_fixes_pinned(spark):
+    """Round-11 session 6: the registry-wide hidden-sort audit
+    (tools/smj_audit.py) found 17 keys whose STATIC plan carried a
+    SortMergeJoin; the ones with a bounded-by-construction or skinny
+    build side were fixed (broadcast for the bounded eval-grid /
+    class-marginal / top-k join-backs; SHUFFLE_HASH for the two full
+    outers AQE cannot broadcast-convert and the mutual-kNN self-join).
+    A SortMergeJoin reappearing in any of them means a bounded side
+    regressed to exchange+sort."""
+    for key in (
+        "eval_bleu",            # clip join + join-back: ≤50-pair eval grid
+        "eval_chrf",            # overlap join + join-back: same grid
+        "eval_cohen_kappa",     # t×p marginals: |classes|-bounded
+        "eval_mcc_multiclass",  # same marginals
+        "vec_matryoshka_recall",  # two |probes|·k top-k arms + hit join-back
+        "vec_triplet_mining",   # pos×neg top-1 arms: |anchors|-bounded
+        "vec_mutual_knn_graph",  # skinny k·N self-join: SHJ, no sorts
+        "search_hybrid_rrf",    # ≤20-row arms, FULL OUTER -> SHJ
+        "eval_dedup_minhash_quality",  # pair-set FULL OUTER -> SHJ
+    ):
+        p = plan_of(spark, key)
+        assert "SortMergeJoin" not in p, key
+    # the full outers must actually be hash joins (not silently degraded
+    # to nested-loop by a future condition change)
+    for key in ("search_hybrid_rrf", "eval_dedup_minhash_quality"):
+        p = plan_of(spark, key)
+        assert "ShuffledHashJoin FullOuter" in p, key
+
+
 def test_dist_rank_shape_recognition(spark):
     """The structural recognizers that keep distributed_prefix callers out
     of the audit allowlists must actually FIRE on a live dist_rank plan —
