@@ -819,9 +819,18 @@ def eval_dedup_minhash_quality(spark, sf_dir):
     )
     # FULL OUTER cannot broadcast; the SHUFFLE_HASH hint builds the truth
     # side per partition (two-long pair rows, ~|near-dup pairs|/P per task)
-    # instead of the planner's sort-both-sides SMJ (r11 s6 audit)
+    # instead of the planner's sort-both-sides SMJ (r11 s6 audit).
+    # Spill-safety crossover (ADVICE r11): the build side is CORPUS-
+    # proportional (exact near-dup pairs, not bounded-by-construction), and
+    # a shuffled-hash build cannot spill — on a heavily-duplicated corpus
+    # where |pairs|·16 B/partition approaches task memory, set
+    # SWALLOW_DEDUP_QUALITY_SMJ=1 to restore the spill-safe SMJ (the
+    # join_full_outer/etl_snapshot_diff rationale). At default shuffle
+    # partitioning the crossover sits around ~10^9 truth pairs per 200
+    # partitions; the sf0.1 corpus builds ~10^3.
+    smj = os.environ.get("SWALLOW_DEDUP_QUALITY_SMJ", "0") == "1"
     conf = cand.join(
-        truth.hint("shuffle_hash"),
+        truth if smj else truth.hint("shuffle_hash"),
         (cand.d1 == truth.t1) & (cand.d2 == truth.t2),
         "full_outer",
     ).select(

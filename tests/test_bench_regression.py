@@ -181,3 +181,8 @@ def test_every_benched_key_has_a_baseline_entry():
         f"benched keys with no baseline entry {missing} — record them via "
         f"tools/bench_baseline.py --only"
     )
+
+# Ritual-only suite (VERDICT r11 item 1): exhaustive sweep / mutated-data
+# parity / hypothesis battery / timed gate — skipped by a plain pytest run
+# so the driver-visible suite finishes; SWALLOW_FULL_TESTS=1 runs it.
+pytestmark = pytest.mark.slow

@@ -188,3 +188,8 @@ def test_false_positive_rate_stays_useful(spark, q):
         f"bloom passes {candidates} candidates for {exact} true matches — "
         f"hash dispersion regressed"
     )
+
+# Ritual-only suite (VERDICT r11 item 1): exhaustive sweep / mutated-data
+# parity / hypothesis battery / timed gate — skipped by a plain pytest run
+# so the driver-visible suite finishes; SWALLOW_FULL_TESTS=1 runs it.
+pytestmark = pytest.mark.slow

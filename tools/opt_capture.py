@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 import sys
 from pathlib import Path
 
@@ -30,7 +31,7 @@ SF = "/root/testdata/sf0.1"
 def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2:])
-    out_dir = REPO / "plans" / "r11"
+    out_dir = REPO / "plans" / os.environ.get("SWALLOW_PLANS_ROUND", "r12")
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("opt_capture", cpus=8)
     qs = all_queries()

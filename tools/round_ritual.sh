@@ -49,8 +49,8 @@ EOF
 cat "$OUT/driver_sim.txt"
 grep -q "^OK$" "$OUT/driver_sim.txt" || FAIL=1
 
-echo "== full pytest"
-python -m pytest tests/ -q >"$OUT/pytest.txt" 2>&1
+echo "== full pytest (SWALLOW_FULL_TESTS=1 — includes slow-marked suites)"
+SWALLOW_FULL_TESTS=1 python -m pytest tests/ -q >"$OUT/pytest.txt" 2>&1
 tail -2 "$OUT/pytest.txt"
 # contention-sensitive bench timing gates may flake in a full run that has
 # hammered the box for 40 minutes — re-run any timing failures standalone
@@ -62,7 +62,7 @@ if grep -q "^FAILED" "$OUT/pytest.txt"; then
     echo "timing-gate flakes only — re-running those standalone"
     keys=$(grep "^FAILED" "$OUT/pytest.txt" | sed 's/.*\[\(.*\)\].*/\1/' \
       | awk 'NR>1{printf " or "}{printf "%s",$0}')
-    python -m pytest tests/test_bench_regression.py -q -k "$keys" \
+    SWALLOW_FULL_TESTS=1 python -m pytest tests/test_bench_regression.py -q -k "$keys" \
       >"$OUT/pytest_retry.txt" 2>&1
     tail -2 "$OUT/pytest_retry.txt"
     grep -q " failed" "$OUT/pytest_retry.txt" && FAIL=1

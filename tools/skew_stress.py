@@ -305,11 +305,139 @@ def ann_main(scale: int, keep: bool) -> None:
     print(json.dumps(out))
 
 
+# Round 12 (VERDICT r11 item 8): the user-proportional SMJs the r11 audit
+# DELIBERATELY kept (a shuffled-hash build side there is the OOM shape).
+# "SMJ is the spill-safe choice" was asserted, not measured — this mode
+# plants the hot-key pathology each key could actually meet and records
+# skew amplification, same format as the r9/r10 tables.
+SMJ_KEYS = (
+    # orders-keyed full outers: hot = one business key (778 — not %5/%7,
+    # so it survives both snapshot filters) duplicated HOT_DUP times on
+    # both sides -> a dup²-row single-key join output in ONE partition
+    # (AQE skew-split does not apply to full outer). The bad-load /
+    # repeated-upsert CDC pathology.
+    "etl_snapshot_diff",
+    # rich×big full outer: `big` is DISTINCT o_custkey and rich custkeys
+    # are unique, so both sides are key-unique BY CONSTRUCTION — run it
+    # on the same skewed orders to show the distinct absorbs the hot key.
+    "join_full_outer",
+    # documents: hot = 20% of the increment replicas are byte-identical
+    # copies of one base doc (re-upload storm) -> one hot md5 join key +
+    # one hot inc-side posting set.
+    "etl_incremental_dedup",
+    "text_language_mix",
+)
+SMJ_MULT = 10
+HOT_DUP = 2000
+
+
+def _gen_orders_scaled(hot: bool, path: str) -> None:
+    import duckdb
+
+    base = duckdb.connect().execute(
+        f"SELECT * FROM read_parquet('{SRC}/orders.parquet')"
+    ).df()
+    parts = []
+    for k in range(SMJ_MULT):
+        r = base.copy()
+        if k:
+            r["o_orderkey"] = r["o_orderkey"] + k * 150_000
+            r["o_custkey"] = r["o_custkey"] + k * 15_000
+        parts.append(r)
+    pdf = pd.concat(parts, ignore_index=True)
+    if hot:
+        hot_row = pdf[pdf["o_orderkey"] == 778]
+        pdf = pd.concat([pdf] + [hot_row] * HOT_DUP, ignore_index=True)
+    _write(pdf, path)
+
+
+def _gen_documents_scaled(hot: bool, path: str) -> None:
+    import duckdb
+
+    base = duckdb.connect().execute(
+        f"SELECT * FROM read_parquet('{SRC}/documents.parquet')"
+    ).df()
+    hot_text = base.loc[base["doc_id"] == 1, "text"].iloc[0]
+    parts = [base]
+    for k in range(1, SMJ_MULT):
+        r = base.copy()
+        r["doc_id"] = r["doc_id"] + k * 5_000
+        if hot and k >= SMJ_MULT - 2:
+            # top-20% doc_ids = increment side of the 50% split: every doc
+            # an exact copy of base doc 1 (hot md5 + hot posting set + one
+            # hot lang for the language keys)
+            r["text"] = hot_text
+            r["lang"] = "en"
+            r["n_chars"] = len(hot_text)
+        else:
+            suf = f"_r{k}"
+            r["text"] = [
+                " ".join(w + suf for w in t.split()) if isinstance(t, str) else t
+                for t in r["text"]
+            ]
+            r["n_chars"] = [
+                len(t) if isinstance(t, str) else n
+                for t, n in zip(r["text"], r["n_chars"])
+            ]
+        parts.append(r)
+    _write(pd.concat(parts, ignore_index=True), path)
+
+
+def smj_main(keep: bool) -> None:
+    from swallow_spark.registry import all_queries
+    from swallow_spark.session import get_spark
+
+    keys = SMJ_KEYS
+    if "--keys" in sys.argv:
+        wanted = set(sys.argv[sys.argv.index("--keys") + 1].split(","))
+        unknown = wanted - set(SMJ_KEYS)
+        if unknown:
+            raise SystemExit(f"unknown smj keys: {sorted(unknown)}")
+        keys = tuple(k for k in SMJ_KEYS if k in wanted)
+    spark = get_spark("swallow_skew_stress_smj")
+    qs = all_queries()
+    out: dict = {"mode": "smj_hotkey", "mult": SMJ_MULT, "hot_dup": HOT_DUP,
+                 "variants": {}}
+    try:
+        for variant, hot in (("uniform", False), ("hot", True)):
+            d = f"{BASE}/smj_{variant}/sf1"
+            os.makedirs(d, exist_ok=True)
+            _gen_orders_scaled(hot, f"{d}/orders.parquet")
+            _gen_documents_scaled(hot, f"{d}/documents.parquet")
+            for t in ("region", "nation", "customer", "supplier", "part",
+                      "lineitem", "events", "embeddings"):
+                shutil.copyfile(f"{SRC}/{t}.parquet", f"{d}/{t}.parquet")
+            v: dict = {"timings": {}}
+            v["orders_hist"] = partition_histogram(spark, d, "orders", "o_orderkey")
+            for name in keys:
+                fn = qs[name].fn
+                fn(spark, d).write.format("noop").mode("overwrite").save()  # warm
+                runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+                    runs.append(time.perf_counter() - t0)
+                v["timings"][name] = round(sorted(runs)[1], 3)
+                print(f"{variant} {name}: {v['timings'][name]}s", file=sys.stderr)
+            out["variants"][variant] = v
+        for name in keys:
+            u = out["variants"]["uniform"]["timings"][name]
+            s = out["variants"]["hot"]["timings"][name]
+            out.setdefault("skew_amplification", {})[name] = round(s / u, 2)
+    finally:
+        if not keep:
+            shutil.rmtree(BASE, ignore_errors=True)
+    print(json.dumps(out))
+
+
 def main() -> None:
     from swallow_spark.registry import all_queries
     from swallow_spark.session import get_spark
 
     keep = "--keep" in sys.argv
+    if "--smj" in sys.argv:
+        smj_main(keep)
+        return
     if "--ann" in sys.argv:
         scale = 1
         if "--scale" in sys.argv:
