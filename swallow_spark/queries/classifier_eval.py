@@ -1939,7 +1939,12 @@ def eval_auc_delong_paired(spark, sf_dir):
         # is the default for its plan (26 Exchange -> 6, 4 SMJ -> 0) — it
         # shuffles strictly fewer bytes at scale, and the per-segment
         # window pass it adds is the same magnitude both variants already
-        # pay inside placements().
+        # pay inside placements(). Round-12 re-measure at sf1 (VERDICT r11
+        # item 5, 10x orders via tools/make_scaled_sf.py): STILL a tie —
+        # trimmed interleaved A/B 2.49 s joined vs 2.55 s windowed (the
+        # non-trimmed pass read 2.83 vs 3.32, inside this box's noise). No
+        # crossover observed up to sf1; the window form stays default on
+        # the strictly-smaller-shuffle rule.
         j = (
             joint.join(placements("sa"), ["segment", "sa"])
             .join(placements("sb"), ["segment", "sb"])

@@ -92,6 +92,35 @@ def _edges(spark, sf_dir) -> DataFrame:
     return _EDGE_CACHE[cache_key]
 
 
+def _oriented_adj(o: DataFrame) -> DataFrame:
+    """Oriented out-adjacency (collect_list of b per source a) — shared by
+    the four triangle-family keys (triangle_count, jaccard_neighbors,
+    adamic_adar, local_clustering).
+
+    Round-12 MEASURED NEGATIVE (kept opt-in for reproduction, the katz
+    REPART precedent): both sides of the triangle join consume this table
+    and the two broadcast subtrees differ only by an alias BELOW the
+    exchange, so the collect_list aggregate (0.62 s at sf0.1) and its
+    ~10 MB broadcast appear TWICE in the static plan — an apparent 2x
+    waste. Materializing the adjacency once (SWALLOW_LCC_MAT=1) removes
+    the duplicate, but measured a TIE-TO-LOSS across two interleaved A/B
+    harnesses at sf0.1 (trimmed means, double-build vs materialized:
+    local_clustering 2.81 vs 3.00 s, adamic_adar 3.32 vs 3.91 s,
+    jaccard_neighbors 3.80 vs 3.91 s, triangle_count 2.18 vs 2.25 s;
+    the non-trimmed pass split the same four keys 2/2). Mechanism: the
+    two broadcast builds run CONCURRENTLY inside the one job (separate
+    broadcast-exchange threads over the persisted `o`), so the duplicate
+    work costs almost no wall-clock, while the eager localCheckpoint is a
+    SERIAL barrier plus a write+read of the ~|E|-element adjacency before
+    the main job can start. No shuffle-byte advantage either way, so the
+    tie-at-scale rule keeps the overlap-friendly form as default.
+    """
+    adj = o.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    if os.environ.get("SWALLOW_LCC_MAT", "0") == "1":
+        return materialize(adj)
+    return adj
+
+
 @register(
     "graph_copurchase_degree",
     oracle=f"""
@@ -320,7 +349,7 @@ def graph_triangle_count(spark, sf_dir):
     # is a — Σ|N⁺(a) ∩ N⁺(b)| counts each triangle once, with the
     # intersection computed IN-ROW (codegen hash intersect) instead of
     # shuffling a Σoutdeg² wedge intermediate through a third join.
-    adj = o.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    adj = _oriented_adj(o)
     tri = (
         o.join(adj.select(F.col("a"), F.col("nbrs").alias("na")), "a")
         .join(
@@ -419,7 +448,7 @@ def graph_jaccard_neighbors(spark, sf_dir):
         F.when(F.col("skey") < F.col("dkey"), F.col("src")).otherwise(F.col("dst")).alias("a"),
         F.when(F.col("skey") < F.col("dkey"), F.col("dst")).otherwise(F.col("src")).alias("b"),
     ).persist()
-    adj = o.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    adj = _oriented_adj(o)
     # list each triangle (a, b, w) once, then attribute it to its three
     # member edges in ORIGINAL id space (canonical src < dst)
     tri = (
@@ -777,7 +806,7 @@ def graph_adamic_adar(spark, sf_dir):
         F.when(F.col("skey") < F.col("dkey"), F.col("src")).otherwise(F.col("dst")).alias("a"),
         F.when(F.col("skey") < F.col("dkey"), F.col("dst")).otherwise(F.col("src")).alias("b"),
     ).persist()
-    adj = o.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    adj = _oriented_adj(o)
     tri = (
         o.join(adj.select(F.col("a"), F.col("nbrs").alias("na")), "a")
         .join(adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb")), "b")
@@ -1270,14 +1299,32 @@ def graph_katz_centrality(spark, sf_dir):
     # sf0.1: 2.27 vs 3.37 s and 1.96 vs 2.87 s (~33%, hint wins both).
     # The per-iteration edge Exchange(src) subtrees are identical, so
     # physical-planning exchange reuse ships the edge bytes once per run;
-    # SWALLOW_KATZ_REPART=1 additionally pre-partitions the persisted edge
-    # list on src (zero per-iteration edge exchange even without reuse —
-    # the 100 TB deployment shape) but measured ~0.2-0.4 s SLOWER at
-    # sf0.1 (the extra cache-build barrier outweighs the reuse it makes
-    # redundant), so it stays opt-in. SWALLOW_KATZ_SMJ=1 restores the
-    # pre-round-11 SMJ form for A/B.
+    # pre-partitioning the persisted edge list on src additionally gives
+    # zero per-iteration edge exchange even without reuse — the 100 TB
+    # deployment shape. Round-12 measurement (VERDICT r11 item 5): the
+    # pre-partition LOSES ~0.2-0.4 s at sf0.1 (the extra cache-build
+    # barrier outweighs the reuse it makes redundant on a 1.2M-edge graph)
+    # but WINS at sf1 — trimmed interleaved A/B on the 12M-edge scaled
+    # graph: 4.10 s pre-partitioned vs 4.83 s (~15%), both harnesses
+    # agreeing — so the default is SCALE-ADAPTIVE (guide §2: derive the
+    # partitioning decision from input size, not a constant tuned for one
+    # scale): pre-partition when the lineitem input exceeds 64 MB (the
+    # measured crossover lies between 11 MB/sf0.1 and 184 MB/sf1; unknown
+    # size defaults to pre-partitioned, the production-safe side).
+    # SWALLOW_KATZ_REPART=0/1 forces either form for A/B.
+    # SWALLOW_KATZ_SMJ=1 restores the pre-round-11 SMJ form for A/B.
     old_shape = os.environ.get("SWALLOW_KATZ_SMJ", "0") == "1"
-    if os.environ.get("SWALLOW_KATZ_REPART", "0") == "1":
+    forced = os.environ.get("SWALLOW_KATZ_REPART")
+    if forced is not None and forced != "":
+        repart = forced == "1"
+    else:
+        from ..io import table_path
+
+        try:
+            repart = os.path.getsize(table_path(sf_dir, "lineitem")) >= 64 << 20
+        except OSError:
+            repart = True
+    if repart:
         und = und.repartition("src")
     und = und.persist()
     x = und.groupBy(F.col("dst").alias("node")).agg(
@@ -1375,7 +1422,23 @@ def graph_local_clustering(spark, sf_dir):
         F.when(F.col("skey") < F.col("dkey"), F.col("src")).otherwise(F.col("dst")).alias("a"),
         F.when(F.col("skey") < F.col("dkey"), F.col("dst")).otherwise(F.col("src")).alias("b"),
     ).persist()
-    adj = o.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    # Round-12 (VERDICT r11 item 3 — the packed-bitset intersect): measured
+    # and REJECTED on this graph's density. At sf0.1 the oriented adjacency
+    # has avg out-degree 60 (p50 68, max 97) over 1.196M edges, so a
+    # <=2-word (128-bit) hash signature is ~37% full and an empty-AND
+    # prefilter passes ~everything (P(AND=0 | truly disjoint) ~ 1e-8),
+    # while only 31.6% of the 1.19M joined edge pairs have an empty
+    # intersection at all; an EXACT bitmap over the 20k-node universe is
+    # 313 int64 words/row vs the avg-60-element arrays it would replace
+    # (5x the shipped bytes). Component timings (probe, round 12): the
+    # broadcast join SHIPPING the two arrays costs ~2.4 s with or without
+    # the intersect+explode on top — the intersect is not the bottleneck,
+    # copying ~132M array elements through the join projections is, and
+    # that is the algorithm's working set (the wedge-join alternative was
+    # already measured dead in r11: 41M wedge rows through a shuffle).
+    # The shared-adjacency materialize was also measured — tie-to-loss,
+    # kept opt-in; see _oriented_adj.
+    adj = _oriented_adj(o)
     tri = (
         o.join(adj.select(F.col("a"), F.col("nbrs").alias("na")), "a")
         .join(adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb")), "b")
