@@ -67,6 +67,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/tmp/swallow_sf1")
     ap.add_argument("--cores", default="8,32")
+    ap.add_argument(
+        "--isolate",
+        action="store_true",
+        help="one subprocess per (key, cores): standalone-execution "
+        "semantics — no shared edge cache, no storage pressure from "
+        "earlier keys evicting this key's localCheckpoint blocks (a "
+        "12-key shared session at sf1 measured exactly that failure)",
+    )
     ap.add_argument("keys", nargs="+")
     args = ap.parse_args()
     cores = [int(c) for c in args.cores.split(",")]
@@ -74,20 +82,25 @@ def main() -> None:
     for c in cores:
         env = dict(os.environ)
         env.pop("SPARK_GRAFT_CPUS", None)
-        p = subprocess.run(
-            [sys.executable, __file__, "--worker", args.sf, str(c), *args.keys],
-            capture_output=True,
-            text=True,
-            env=env,
-            cwd=str(REPO),
-        )
-        line = next(
-            (l for l in p.stdout.splitlines() if l.startswith("SCALING_JSON ")), None
-        )
-        if line is None:
-            print(f"cores={c}: worker failed\n{p.stdout[-2000:]}\n{p.stderr[-2000:]}")
-            sys.exit(1)
-        results[c] = json.loads(line[len("SCALING_JSON "):])["keys"]
+        batches = [[k] for k in args.keys] if args.isolate else [list(args.keys)]
+        acc: dict = {}
+        for batch in batches:
+            p = subprocess.run(
+                [sys.executable, __file__, "--worker", args.sf, str(c), *batch],
+                capture_output=True,
+                text=True,
+                env=env,
+                cwd=str(REPO),
+            )
+            line = next(
+                (l for l in p.stdout.splitlines() if l.startswith("SCALING_JSON ")),
+                None,
+            )
+            if line is None:
+                print(f"cores={c} batch={batch}: worker failed\n{p.stdout[-1500:]}\n{p.stderr[-1500:]}")
+                sys.exit(1)
+            acc.update(json.loads(line[len("SCALING_JSON "):])["keys"])
+        results[c] = acc
     lo, hi = min(cores), max(cores)
     print(f"\nsf_dir={args.sf}  cores {lo} vs {hi} (warm median-of-3, noop sink)")
     print(f"{'key':34s} {f'c{lo} s':>8s} {f'c{hi} s':>8s} {'speedup':>8s}  spin lo/hi")
